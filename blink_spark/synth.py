@@ -1,0 +1,236 @@
+"""Deterministic synthetic ER fixtures (seed=42, per FIXTURES.md).
+
+Generates the interleaved text+media ``documents`` table of the input hint,
+an entity catalogue, exploded gold-labeled ``mentions``, and ``gold_pairs`` —
+gold clusters are known by construction because every mention span is a
+(purposely corrupted) rendering of a known entity.
+
+Separation guarantees (what makes pairwise F1 >= 0.99 achievable):
+- entity title = ``w1 w2 w3 idtok`` where (w1,w2,w3) are vocabulary words
+  indexed by the entity id in mixed radix (distinct entities differ in at
+  least one whole word for id < 45^2) and ``idtok`` is a base-26 encoding
+  with a parity character, so id tokens of distinct entities are at
+  Levenshtein distance >= 2;
+- corruptions applied to a mention are at most one character edit, one
+  case flip, one token drop, or an alias substitution that preserves the
+  id token. Hence same-entity surface pairs stay close (lev ratio >= 0.95
+  or token-Jaccard >= 0.75) while cross-entity pairs stay far
+  (lev ratio <= ~0.91, token-Jaccard <= 0.6).
+
+All randomness is a pure function of (entity_id, doc_id, span_idx) through
+blake2b, so fixtures are identical across machines, partitionings and runs —
+no model weights, no wall clock (mirrors the reference's determinism needs;
+cf. tokenize caching at /root/reference/elq/biencoder/data_process.py:371-375).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import itertools
+import os
+
+import pandas as pd
+
+SEED = 42
+
+_WORDS = (
+    "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima "
+    "mike november oscar papa quebec romeo sierra tango uniform victor whiskey "
+    "xray yankee zulu amber birch cedar dune ember flint grove harbor iris "
+    "jasper kestrel lagoon meadow nimbus orchid pearl quartz reef summit"
+).split()
+
+_WORLDS = [f"world_{i:02d}" for i in range(16)]
+
+_LETTERS = "abcdefghijklmnopqrstuvwxyz"
+
+
+def _h(*parts: object) -> int:
+    """Pure deterministic 64-bit hash of the parts (replaces random.Random)."""
+    raw = "|".join(str(p) for p in parts) + f"|seed={SEED}"
+    return int.from_bytes(hashlib.blake2b(raw.encode(), digest_size=8).digest(), "big")
+
+
+def _pick(seq, *key):
+    return seq[_h(*key) % len(seq)]
+
+
+def _id_token(eid: int) -> str:
+    """'e' + base26(eid, width 3) + parity char → pairwise lev distance >= 2."""
+    digits = [(eid // 26**i) % 26 for i in (2, 1, 0)]
+    parity = sum((i + 1) * d for i, d in enumerate(digits)) % 26
+    return "e" + "".join(_LETTERS[d] for d in digits) + _LETTERS[parity]
+
+
+def entity_words(eid: int) -> tuple[str, str, str]:
+    n = len(_WORDS)
+    return (_WORDS[eid % n], _WORDS[(eid // n) % n], _WORDS[(eid // (n * n)) % n])
+
+
+def make_entities(n_entities: int = 500) -> pd.DataFrame:
+    assert n_entities <= 2000, "separation guarantee needs eid < 45^2"
+    rows = []
+    for eid in range(n_entities):
+        w1, w2, w3 = entity_words(eid)
+        idt = _id_token(eid)
+        title = f"{w1} {w2} {w3} {idt}"
+        text = " ".join(_pick(_WORDS, "d", eid, j) for j in range(12))
+        # alias 1: token permutation (keeps id token); alias 2: abbreviation
+        # dropping w2 but keeping w1 first (same blocking key as the title).
+        aliases = [f"{w2} {w1} {w3} {idt}", f"{w1} {w3} {idt}"]
+        rows.append(
+            {
+                "entity_id": eid,
+                "title": title,
+                "text": text,
+                "wikipedia_id": 100000 + eid * 7,
+                "aliases": aliases,
+                "num_incoming_links": _h("links", eid) % 1000,
+                "world": _WORLDS[_h("w", eid) % len(_WORLDS)],
+            }
+        )
+    return pd.DataFrame(rows)
+
+
+def _corrupt(title: str, aliases: list[str], key: int) -> str:
+    """Deterministic surface-form corruption of an entity name.
+
+    Mirrors the mention/label surface mismatch the reference tolerates
+    (lowercasing at /root/reference/blink/main_dense.py:199-203; alias fields
+    from data_ingestion.py:81-97). Modes: 0-2 identity, 3 lowercase, 4 UPPER,
+    5 alias substitution, 6 single-char typo, 7 middle-token drop.
+    """
+    mode = key % 8
+    if mode in (0, 1, 2):
+        return title
+    if mode == 3:
+        return title.lower()
+    if mode == 4:
+        return title.upper()
+    if mode == 5 and aliases:
+        return aliases[(key // 8) % len(aliases)]
+    if mode == 6 and len(title) > 4:
+        i = 1 + (key // 8) % (len(title) - 2)
+        ch = _LETTERS[(key // 512) % 26]
+        if title[i] == " " or title[i] == ch:  # never merge tokens / no-op
+            ch = "q" if title[i] != "q" else "z"
+        if title[i] == " ":
+            i += 1
+        return title[:i] + ch + title[i + 1 :]
+    toks = title.split()
+    if len(toks) > 3:
+        return " ".join([toks[0]] + toks[2:])  # drop w2, keep w1 + id token
+    return title
+
+
+def make_documents_and_mentions(
+    entities: pd.DataFrame,
+    n_docs: int = 2000,
+    mentions_per_doc: int = 3,
+) -> tuple[pd.DataFrame, pd.DataFrame]:
+    """Interleaved documents + the exploded gold mention view.
+
+    Each document alternates text / mention / media spans with strictly
+    increasing char offsets (the span-sequence invariant under test).
+    """
+    by_world: dict[str, list[dict]] = {}
+    ents = entities.to_dict("records")
+    for e in ents:
+        by_world.setdefault(e["world"], []).append(e)
+    docs, mentions = [], []
+    for d in range(n_docs):
+        doc_id = f"d{d:08d}"
+        world = _WORLDS[_h("docworld", d) % len(_WORLDS)]
+        in_world = by_world.get(world) or ents
+        spans = []
+        offset = 0
+        span_idx = 0
+        for m in range(mentions_per_doc):
+            left = " ".join(_pick(_WORDS, "L", d, m, j) for j in range(4))
+            spans.append({"kind": "text", "text": left, "media_ref": None, "offset": offset})
+            offset += len(left) + 1
+            span_idx += 1
+
+            ent = in_world[_h("pick", d, m) % len(in_world)]
+            surface = _corrupt(ent["title"], ent["aliases"], _h("corrupt", d, m, ent["entity_id"]))
+            mention_span_idx = span_idx
+            spans.append({"kind": "mention", "text": surface, "media_ref": None, "offset": offset})
+            offset += len(surface) + 1
+            span_idx += 1
+
+            if _h("media?", d, m) % 3 == 0:
+                ref = "m://" + hashlib.blake2b(f"{d}:{m}".encode(), digest_size=8).hexdigest()
+                spans.append({"kind": "media", "text": "", "media_ref": ref, "offset": offset})
+                offset += 1
+                span_idx += 1
+
+            right = " ".join(_pick(_WORDS, "R", d, m, j) for j in range(4))
+            spans.append({"kind": "text", "text": right, "media_ref": None, "offset": offset})
+            offset += len(right) + 1
+            span_idx += 1
+
+            mentions.append(
+                {
+                    "mention_id": f"{doc_id}:{mention_span_idx:04d}",
+                    "doc_id": doc_id,
+                    "span_idx": mention_span_idx,
+                    "context_left": left.lower(),
+                    "mention": surface.lower(),
+                    "context_right": right.lower(),
+                    "world": world,
+                    "label_id": ent["entity_id"],
+                    "label_title": ent["title"],
+                }
+            )
+        docs.append({"doc_id": doc_id, "spans": spans})
+    return pd.DataFrame(docs), pd.DataFrame(mentions)
+
+
+def normalized_block_key(mention: str) -> str:
+    """Blocking key for gold_pairs: first alpha token prefix, lowercased.
+
+    The analogue of the reference's per-world candidate pools
+    (/root/reference/blink/biencoder/zeshel_utils.py:36-47): gold and
+    predicted pairs are both restricted to pairs sharing this key.
+    """
+    for tok in mention.lower().split():
+        t = "".join(c for c in tok if c.isalpha())
+        if t:
+            return t[:4]
+    return "_"
+
+
+def make_gold_pairs(mentions: pd.DataFrame) -> pd.DataFrame:
+    """All intra-block mention pairs labeled same_entity (FIXTURES.md §4)."""
+    df = mentions.copy()
+    df["block_key"] = df["world"] + "|" + df["mention"].map(normalized_block_key)
+    rows = []
+    for block_key, grp in df.groupby("block_key"):
+        recs = list(grp[["mention_id", "label_id"]].sort_values("mention_id").itertuples(index=False))
+        for (a, la), (b, lb) in itertools.combinations(recs, 2):
+            rows.append(
+                {
+                    "mention_id_a": a,
+                    "mention_id_b": b,
+                    "same_entity": bool(la == lb),
+                    "block_key": block_key,
+                }
+            )
+    return pd.DataFrame(rows, columns=["mention_id_a", "mention_id_b", "same_entity", "block_key"])
+
+
+def write_fixtures(out_dir: str, n_docs: int = 2000, n_entities: int = 500) -> dict[str, str]:
+    """Write all fixture parquet files; returns {table: path}. Idempotent."""
+    os.makedirs(out_dir, exist_ok=True)
+    paths = {t: os.path.join(out_dir, f"{t}.parquet") for t in
+             ("entities", "documents", "mentions", "gold_pairs")}
+    if all(os.path.exists(p) for p in paths.values()):
+        return paths
+    ents = make_entities(n_entities)
+    docs, ments = make_documents_and_mentions(ents, n_docs=n_docs)
+    gold = make_gold_pairs(ments)
+    ents.to_parquet(paths["entities"], index=False)
+    docs.to_parquet(paths["documents"], index=False)
+    ments.to_parquet(paths["mentions"], index=False)
+    gold.to_parquet(paths["gold_pairs"], index=False)
+    return paths

@@ -1,0 +1,103 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] (default 32) and prints ONE
+JSON line: {"metric": ..., "value": N, "unit": "sec", "queries": {...},
+"sf": ...}.
+
+Headline set:
+- er_pipeline      — full blocking → scoring → CC record-linkage run on the
+                     deterministic synthetic mention fixture (10k docs /
+                     30k mentions), measured end to end (docs/sec derivable)
+- dedup_documents  — MinHash-LSH near-dup clustering of the sf documents
+- ann_topk         — brute-force cosine top-k over the sf embeddings
+- pricing_summary / top_orders / sessionize — generic relational ops at sf
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+_REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, _REPO)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+BENCH_FIXTURE_DIR = os.path.join(_REPO, "tests", "fixtures_bench")
+BENCH_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "10000"))
+
+
+def _bench_fixture_docs() -> str:
+    """Docs-only synthetic fixture at bench scale (no O(n^2) gold pairs)."""
+    os.makedirs(BENCH_FIXTURE_DIR, exist_ok=True)
+    path = os.path.join(BENCH_FIXTURE_DIR, f"documents_{BENCH_DOCS}.parquet")
+    if not os.path.exists(path):
+        from blink_spark.synth import make_documents_and_mentions, make_entities
+
+        ents = make_entities(2000)
+        docs, _ = make_documents_and_mentions(ents, n_docs=BENCH_DOCS)
+        docs.to_parquet(path, index=False)
+    return path
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as entry_mod
+    from blink_spark.pipeline import PipelineConfig, dedup_documents_pipeline, run_pipeline
+    from blink_spark.session import get_spark
+
+    docs_path = _bench_fixture_docs()
+    spark = get_spark("blink_spark_bench", cores=CPUS, shuffle_partitions=CPUS)
+
+    timings: dict[str, float] = {}
+
+    def timed(name: str, fn) -> None:
+        t0 = time.time()
+        fn()
+        timings[name] = round(time.time() - t0, 3)
+
+    # ER pipeline end to end (fresh output dir each run)
+    out_dir = os.path.join("/tmp", f"blink_bench_{os.getpid()}")
+    shutil.rmtree(out_dir, ignore_errors=True)
+    timed(
+        "er_pipeline",
+        lambda: run_pipeline(spark, docs_path, out_dir).count(),
+    )
+    shutil.rmtree(out_dir, ignore_errors=True)
+
+    docs_df = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    timed(
+        "dedup_documents",
+        lambda: dedup_documents_pipeline(
+            spark, docs_df, "doc_id", "text", PipelineConfig()
+        ).count(),
+    )
+
+    qs = entry_mod.queries()
+    for name in ("ann_bruteforce_topk", "pricing_summary",
+                 "top_orders_per_customer", "sessionize_events"):
+        timed(name, lambda n=name: qs[n](spark, SF_DIR).count())
+
+    total = round(sum(timings.values()), 3)
+    n_mentions = BENCH_DOCS * 3
+    result = {
+        "metric": "headline_suite_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": SF_DIR.rstrip("/").rsplit("sf", 1)[-1],
+        "cpus": CPUS,
+        "er_docs": BENCH_DOCS,
+        "er_docs_per_sec": round(BENCH_DOCS / timings["er_pipeline"], 1),
+        "er_mentions_per_sec": round(n_mentions / timings["er_pipeline"], 1),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,101 @@
+"""Text functions as JVM Column expressions (no Python in the hot path).
+
+Reference analogues: lowercasing everywhere (/root/reference/blink/
+main_dense.py:199-203), token counting (/root/reference/blink/
+candidate_retrieval/process_wiki_extractor_output_full.py:72), punctuation
+strip (`rmpunc`, /root/reference/blink/candidate_retrieval/dataset.py:112).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Small multilingual stopword lists for the heuristic language id / quality
+# scorer. Deliberately tiny and deterministic — this is the n-gram-heuristic
+# class of language ID, not a model.
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "for", "with", "was"],
+    "es": ["el", "la", "de", "que", "y", "en", "los", "del", "las", "por"],
+    "de": ["der", "die", "und", "das", "ist", "von", "den", "mit", "für", "auf"],
+    "fr": ["le", "la", "et", "les", "des", "de", "un", "une", "est", "dans"],
+}
+
+
+def normalize_text(col: Column | str) -> Column:
+    """lowercase + collapse whitespace + trim (the canonical mention form)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))
+
+
+def tokens(col: Column | str) -> Column:
+    """Distinct, order-insensitive token set of the normalized text."""
+    return F.array_distinct(F.split(normalize_text(col), " "))
+
+
+def token_count(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(F.split(F.trim(c), r"\s+"))
+
+
+def shingles(col: Column | str, n: int = 3) -> Column:
+    """Distinct character n-grams of the normalized text (MinHash input).
+
+    Pure SQL: explode index sequence + substring — stays in codegen.
+    """
+    norm = normalize_text(col)
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.length(norm) - (n - 1), F.lit(1))),
+            lambda i: norm.substr(i, F.lit(n)),
+        )
+    )
+
+
+def quality_features(col: Column | str) -> dict[str, Column]:
+    """Document-quality scoring features: length, punctuation ratio,
+    stopword ratio, mean token length (training-data pipeline staple)."""
+    c = F.col(col) if isinstance(col, str) else col
+    n_chars = F.length(c)
+    toks = F.split(normalize_text(c), " ")
+    n_tokens = F.size(toks)
+    n_punct = n_chars - F.length(F.regexp_replace(c, r"[^\w\s]", ""))
+    en = F.array([F.lit(w) for w in STOPWORDS["en"]])
+    n_stop = F.size(F.array_intersect(F.array_distinct(toks), en))
+    return {
+        "n_chars": n_chars,
+        "n_tokens": n_tokens,
+        "punct_ratio": F.round(n_punct.cast("double") / F.greatest(n_chars, F.lit(1)), 6),
+        "stopword_ratio": F.round(
+            n_stop.cast("double") / F.greatest(F.size(F.array_distinct(toks)), F.lit(1)), 6
+        ),
+        "mean_token_len": F.round(
+            (F.length(F.regexp_replace(c, r"\s+", "")).cast("double"))
+            / F.greatest(n_tokens, F.lit(1)),
+            6,
+        ),
+    }
+
+
+def lang_id(col: Column | str) -> Column:
+    """Heuristic language ID: argmax of per-language stopword hits.
+
+    Ties and no-hits resolve to 'und'. Pure SQL (array_intersect per lang).
+    """
+    toks = tokens(col)
+    scores = [
+        (lang, F.size(F.array_intersect(toks, F.array([F.lit(w) for w in words]))))
+        for lang, words in sorted(STOPWORDS.items())
+    ]
+    best = F.greatest(*[s for _, s in scores])
+    result = F.lit("und")
+    # first language (sorted) wins ties deterministically
+    for lang, s in reversed(scores):
+        result = F.when((best > 0) & (s == best), F.lit(lang)).otherwise(result)
+    return result
+
+
+def fingerprint(col: Column | str) -> Column:
+    """Order-insensitive document fingerprint: md5 of the sorted distinct
+    token list (dedup key robust to token reordering)."""
+    return F.md5(F.array_join(F.array_sort(tokens(col)), " "))

@@ -1,0 +1,107 @@
+"""S2 — blocking: assign (block_key, record_id) so only same-block records
+are ever paired. Three strategies, unionable:
+
+1. token-pair blocking — every unordered pair of distinct tokens is a key.
+   Guarantees candidate coverage whenever two surfaces share >= 2 tokens
+   (our synthetic corruption model, and classic schema-agnostic blocking).
+2. MinHash-LSH band blocking — char-shingle minhash signatures banded into
+   bucket keys; the scalable analogue of the reference's FAISS ANN index
+   (/root/reference/blink/indexer/faiss_indexer.py:71-141).
+3. embedding sign-LSH bucketing — random-hyperplane bucket of the
+   hashing-trick embedding; IVF-coarse-quantizer analogue
+   (/root/reference/elq/index/faiss_indexer.py:71-91).
+
+All three emit the same shape: (block_key string, record_id string, text).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from blink_spark.functions.hashing import (
+    embed_text_udf,
+    minhash_band_keys,
+    sign_lsh_bucket,
+)
+from blink_spark.functions.text import tokens
+
+
+def token_pair_blocks(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Emit one row per unordered token pair per record.
+
+    Implemented with a self-cross of the token array inside ``transform``
+    (no shuffle — per-row generator), then explode. Records with a single
+    distinct token fall back to the token itself as key.
+    """
+    toks = F.array_sort(tokens(df[text_col]))
+    pairs = F.flatten(
+        F.transform(
+            toks,
+            lambda t, i: F.transform(
+                F.slice(toks, i + 2, F.greatest(F.size(toks) - i - 1, F.lit(0))),
+                lambda u: F.concat(F.lit("tp:"), t, F.lit("|"), u),
+            ),
+        )
+    )
+    keys = F.when(F.size(toks) >= 2, pairs).otherwise(
+        F.transform(toks, lambda t: F.concat(F.lit("t1:"), t))
+    )
+    return df.select(
+        df[id_col].alias("record_id"),
+        df[text_col].alias("text"),
+        F.explode(keys).alias("block_key"),
+    )
+
+
+def minhash_blocks(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    bands: int = 4,
+    rows: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """MinHash-LSH band keys as blocks (near-dup blocking)."""
+    return df.select(
+        df[id_col].alias("record_id"),
+        df[text_col].alias("text"),
+        F.explode(
+            minhash_band_keys(df[text_col], bands=bands, rows=rows, shingle_n=shingle_n)
+        ).alias("block_key"),
+    )
+
+
+def embedding_blocks(
+    df: DataFrame, id_col: str, text_col: str, n_planes: int = 8
+) -> DataFrame:
+    """Sign-LSH bucket of the hashing-trick embedding as block key.
+
+    The embedding is computed by an Arrow-batched pandas UDF (the biencoder
+    stand-in); the bucket id is JVM-side arithmetic over the array.
+    """
+    with_emb = df.select(
+        df[id_col].alias("record_id"),
+        df[text_col].alias("text"),
+        embed_text_udf(df[text_col]).alias("emb"),
+    )
+    return with_emb.select(
+        "record_id",
+        "text",
+        F.concat(F.lit("e:"), sign_lsh_bucket("emb", n_planes=n_planes)).alias(
+            "block_key"
+        ),
+    )
+
+
+def union_blocks(*assignments: DataFrame) -> DataFrame:
+    out = assignments[0]
+    for a in assignments[1:]:
+        out = out.unionByName(a)
+    return out
+
+
+def block_size_metrics(assignments: DataFrame) -> DataFrame:
+    """Per-block sizes — the skew observability feed (north rule: oversize
+    buckets are logged, not silently dropped)."""
+    return assignments.groupBy("block_key").agg(F.count("*").alias("block_size"))

@@ -1,0 +1,115 @@
+"""S5 — transitive clustering: large-star / small-star connected components.
+
+New functionality vs the reference (BLINK links mentions to a fixed KB; the
+closest behavior is transitive coref candidate merging at
+/root/reference/blink/candidate_retrieval/dataset.py:174-187). Algorithm from
+Kiveris et al., "Connected Components in MapReduce and Beyond" (SOCC'14):
+alternate large-star and small-star until fixed point — O(log n) rounds,
+each round two self-joins + a groupBy min, which is exactly Spark's sweet
+spot. ``localCheckpoint()`` per superstep truncates lineage so the plan
+doesn't blow up (SURVEY.md §7 hard parts).
+
+Node ids are strings with a total lexicographic order; the final cluster_id
+is the component-minimum id (deterministic).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _canonical(edges: DataFrame) -> DataFrame:
+    """Undirected edge set as canonical (u > v ordered) distinct pairs,
+    self-loops removed."""
+    return (
+        edges.select(
+            F.greatest("src", "dst").alias("u"), F.least("src", "dst").alias("v")
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """For each node, connect strictly-larger neighbors to the minimum of
+    the closed neighborhood."""
+    sym = edges.select("u", "v").unionByName(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    mins = sym.groupBy("u").agg(F.min("v").alias("m"))
+    mins = mins.withColumn("m", F.least("u", "m"))
+    return (
+        sym.join(mins, "u")
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """For each node, connect all smaller-or-equal neighbors to the minimum
+    of the closed smaller-neighborhood."""
+    directed = edges.select("u", "v")  # already u > v
+    mins = directed.groupBy("u").agg(F.min("v").alias("m"))
+    return (
+        directed.join(mins, "u")
+        .select(
+            F.greatest(F.col("v"), F.col("m")).alias("u"),
+            F.least(F.col("v"), F.col("m")).alias("v"),
+        )
+        .unionByName(
+            mins.select(
+                F.col("u").alias("uu"), F.col("m")
+            ).select(F.col("uu").alias("u"), F.col("m").alias("v"))
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def connected_components(
+    edges: DataFrame, max_iter: int = 20, checkpoint_every: int = 1
+) -> DataFrame:
+    """edges(src, dst) → assignments(record_id, cluster_id).
+
+    Converges when the edge set is a star forest (every u points at its
+    component minimum). Each superstep localCheckpoints to cut lineage;
+    convergence check is a count of changed edges (cheap: the frames are
+    already materialized by the checkpoint).
+    """
+    cur = _canonical(edges).localCheckpoint()
+    for i in range(max_iter):
+        after_large = _large_star(cur)
+        after_small = _small_star(after_large)
+        if checkpoint_every and i % checkpoint_every == 0:
+            after_small = after_small.localCheckpoint()
+        # fixed point: edge sets equal (both canonical u>v distinct)
+        diff = after_small.exceptAll(cur).limit(1).count()
+        same_card = after_small.count() == cur.count()
+        cur = after_small if checkpoint_every else after_small.localCheckpoint()
+        if diff == 0 and same_card:
+            break
+    # star forest: u → v(=min). cluster_id of u is v; roots map to themselves.
+    members = cur.select(F.col("u").alias("record_id"), F.col("v").alias("cluster_id"))
+    roots = cur.select(F.col("v").alias("record_id")).distinct().withColumn(
+        "cluster_id", F.col("record_id")
+    )
+    return members.unionByName(roots).distinct()
+
+
+def assign_clusters(
+    records: DataFrame, id_col: str, edges: DataFrame
+) -> DataFrame:
+    """All records (including singletons) → (record_id, cluster_id)."""
+    comp = connected_components(edges)
+    return (
+        records.select(F.col(id_col).alias("record_id"))
+        .distinct()
+        .join(comp, "record_id", "left")
+        .select(
+            "record_id",
+            F.coalesce("cluster_id", "record_id").alias("cluster_id"),
+        )
+    )

@@ -1,0 +1,137 @@
+"""S3 — candidate pair generation: skew-aware self-join within block keys.
+
+The reference never faces skew (python dict lookups); at 10^12-doc scale a
+stopword-like block key produces a quadratic hot partition, so this module
+makes the skew policy explicit (SURVEY.md §4, north rule):
+
+- blocks with size <= ``max_block_size``: plain within-block self-join;
+- blocks with size in (max_block_size, hard_cap]: **triangle-salted**
+  self-join — rows are bucketed by hash into B sub-buckets and replicated to
+  the B tasks of each bucket-pair (p, q), p <= q. Every unordered pair is
+  still produced exactly once, but no single task holds a whole hot block;
+- blocks beyond ``hard_cap``: dropped and **counted** (metrics), the
+  deterministic cap-and-report semantics of SURVEY.md §7.
+
+Output pairs are canonical (id_a < id_b) and globally distinct (the same
+pair can arise from many shared keys).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DEFAULT_MAX_BLOCK = 64
+DEFAULT_HARD_CAP = 4096
+DEFAULT_N_SALT = 8
+
+
+def candidate_pairs(
+    assignments: DataFrame,
+    max_block_size: int = DEFAULT_MAX_BLOCK,
+    hard_cap: int = DEFAULT_HARD_CAP,
+    n_salt: int = DEFAULT_N_SALT,
+) -> tuple[DataFrame, DataFrame]:
+    """(block_key, record_id) → canonical distinct (record_id_a, record_id_b).
+
+    Returns (pairs, skew_metrics). skew_metrics has one row per block-size
+    class with block/row counts, including dropped oversize blocks.
+    """
+    # the assignment frame feeds four consumers (sizes, small, medium,
+    # metrics) — persist so upstream blocking expressions run once.
+    assignments = assignments.persist()
+    sizes = assignments.groupBy("block_key").agg(F.count("*").alias("block_size"))
+
+    a = assignments.join(sizes, "block_key")
+    small = a.filter(F.col("block_size") <= max_block_size)
+    medium = a.filter(
+        (F.col("block_size") > max_block_size) & (F.col("block_size") <= hard_cap)
+    )
+
+    # --- small blocks: plain self-join -----------------------------------
+    left = small.select("block_key", F.col("record_id").alias("record_id_a"))
+    right = small.select("block_key", F.col("record_id").alias("record_id_b"))
+    small_pairs = left.join(right, "block_key").filter(
+        F.col("record_id_a") < F.col("record_id_b")
+    )
+
+    # --- medium blocks: triangle-salted self-join ------------------------
+    # bucket = stable hash of the id; row replicates to every bucket-pair
+    # task that contains its bucket. Pair (x, y) with buckets (p, q) is
+    # produced only by task (min(p,q), max(p,q)) → exactly once.
+    b = medium.withColumn(
+        "bucket", F.pmod(F.xxhash64("record_id"), F.lit(n_salt)).cast("int")
+    )
+    tasks = b.select(
+        "block_key",
+        "record_id",
+        "bucket",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(n_salt - 1)),
+                lambda o: F.struct(
+                    F.least(F.col("bucket"), o).alias("p"),
+                    F.greatest(F.col("bucket"), o).alias("q"),
+                ),
+            )
+        ).alias("task"),
+    ).select("block_key", "record_id", "bucket", "task.p", "task.q")
+    t_left = tasks.filter(F.col("bucket") == F.col("p")).select(
+        "block_key", "p", "q", F.col("record_id").alias("record_id_a")
+    )
+    t_right = tasks.filter(F.col("bucket") == F.col("q")).select(
+        "block_key", "p", "q", F.col("record_id").alias("record_id_b")
+    )
+    medium_pairs = (
+        t_left.join(t_right, ["block_key", "p", "q"])
+        .filter(
+            # same-bucket task: order within; cross-bucket: canonicalize
+            F.when(
+                F.col("p") == F.col("q"), F.col("record_id_a") < F.col("record_id_b")
+            ).otherwise(F.col("record_id_a") != F.col("record_id_b"))
+        )
+        .select(
+            "block_key",
+            F.least("record_id_a", "record_id_b").alias("record_id_a"),
+            F.greatest("record_id_a", "record_id_b").alias("record_id_b"),
+        )
+    )
+
+    pairs = (
+        small_pairs.select("record_id_a", "record_id_b")
+        .unionByName(medium_pairs.select("record_id_a", "record_id_b"))
+        .distinct()
+    )
+
+    skew_metrics = sizes.select(
+        F.when(F.col("block_size") <= max_block_size, F.lit("small"))
+        .when(F.col("block_size") <= hard_cap, F.lit("medium_salted"))
+        .otherwise(F.lit("dropped_oversize"))
+        .alias("size_class"),
+        "block_size",
+    ).groupBy("size_class").agg(
+        F.count("*").alias("n_blocks"),
+        F.sum("block_size").alias("n_rows"),
+        F.max("block_size").alias("max_block_size"),
+    )
+    return pairs, skew_metrics
+
+
+def pairs_with_attrs(
+    pairs: DataFrame, records: DataFrame, id_col: str, attr_cols: list[str]
+) -> DataFrame:
+    """Join pair ids back to record attributes on both sides.
+
+    Two shuffle joins on the uniform record_id key (no skew by construction —
+    ids are unique). At scale these are sort-merge joins that reuse the
+    pairs' shuffle; with a small record side Catalyst broadcasts.
+    """
+    a = records.select(
+        F.col(id_col).alias("record_id_a"),
+        *[F.col(c).alias(f"{c}_a") for c in attr_cols],
+    )
+    b = records.select(
+        F.col(id_col).alias("record_id_b"),
+        *[F.col(c).alias(f"{c}_b") for c in attr_cols],
+    )
+    return pairs.join(a, "record_id_a").join(b, "record_id_b")

@@ -1,0 +1,206 @@
+"""End-to-end staged ER pipeline with checkpointed, resumable stage tables.
+
+Stage graph (SURVEY.md §7):
+
+    documents ─ S1 extract ─→ mentions
+    mentions  ─ S2 block   ─→ blocks        (token-pair ∪ MinHash-LSH keys)
+    blocks    ─ S3 pairs   ─→ cand_pairs    (skew-aware salted self-join)
+    cand_pairs─ S4 score   ─→ scored_pairs  (vectorized features + decision)
+    scored    ─ S5 cluster ─→ clusters      (large-star/small-star CC)
+    *         ─ S6 metrics ─→ lineage       (per-stage rows)
+
+Every stage writes parquet and is skipped when its output already exists —
+the Spark translation of the reference's "output exists → exit" guards
+(/root/reference/blink/candidate_retrieval/process_wikidata.py:35-37,
+enrich_data.py:27-29) and its try-load-else-compute caches
+(/root/reference/blink/biencoder/eval_biencoder.py:169-201). That gives the
+north rule's checkpoint resumability: kill the job after any stage and a
+re-run resumes from the next one.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from blink_spark.operators.blocking import (
+    minhash_blocks,
+    token_pair_blocks,
+    union_blocks,
+)
+from blink_spark.operators.cluster import assign_clusters
+from blink_spark.operators.extract import extract_mentions
+from blink_spark.operators.pairs import candidate_pairs, pairs_with_attrs
+from blink_spark.operators.scoring import match_edges, score_pairs
+
+
+@dataclass
+class PipelineConfig:
+    max_block_size: int = 64
+    hard_cap: int = 4096
+    n_salt: int = 8
+    use_minhash: bool = True
+    minhash_bands: int = 4
+    minhash_rows: int = 4
+    stages: tuple[str, ...] = (
+        "mentions",
+        "blocks",
+        "cand_pairs",
+        "scored_pairs",
+        "clusters",
+    )
+    extra: dict = field(default_factory=dict)
+
+
+def _stage_path(out_dir: str, stage: str) -> str:
+    return os.path.join(out_dir, stage)
+
+
+def _exists(path: str) -> bool:
+    return os.path.exists(os.path.join(path, "_SUCCESS"))
+
+
+def _write_stage(df: DataFrame, path: str) -> None:
+    df.write.mode("overwrite").parquet(path)
+
+
+def _log_lineage(out_dir: str, stage: str, metrics: dict) -> None:
+    os.makedirs(out_dir, exist_ok=True)
+    line = {"stage": stage, "ts": time.time(), **metrics}
+    with open(os.path.join(out_dir, "lineage.jsonl"), "a") as f:
+        f.write(json.dumps(line) + "\n")
+
+
+def run_pipeline(
+    spark: SparkSession,
+    documents_path: str,
+    out_dir: str,
+    config: PipelineConfig | None = None,
+    force: bool = False,
+) -> DataFrame:
+    """Run (or resume) the full pipeline; returns the clusters DataFrame."""
+    cfg = config or PipelineConfig()
+    os.makedirs(out_dir, exist_ok=True)
+
+    # S1 — extract
+    p_mentions = _stage_path(out_dir, "mentions")
+    if force or not _exists(p_mentions):
+        documents = spark.read.parquet(documents_path)
+        mentions = extract_mentions(documents)
+        _write_stage(mentions, p_mentions)
+        _log_lineage(out_dir, "mentions", {"rows": spark.read.parquet(p_mentions).count()})
+    mentions = spark.read.parquet(p_mentions)
+
+    # S2 — blocking
+    p_blocks = _stage_path(out_dir, "blocks")
+    if force or not _exists(p_blocks):
+        tp = token_pair_blocks(mentions, "mention_id", "mention")
+        assignments = tp
+        if cfg.use_minhash:
+            mh = minhash_blocks(
+                mentions,
+                "mention_id",
+                "mention",
+                bands=cfg.minhash_bands,
+                rows=cfg.minhash_rows,
+            )
+            assignments = union_blocks(tp, mh)
+        _write_stage(assignments.select("block_key", "record_id"), p_blocks)
+        _log_lineage(out_dir, "blocks", {"rows": spark.read.parquet(p_blocks).count()})
+    blocks = spark.read.parquet(p_blocks)
+
+    # S3 — candidate pairs (skew-aware)
+    p_pairs = _stage_path(out_dir, "cand_pairs")
+    if force or not _exists(p_pairs):
+        pairs, skew = candidate_pairs(
+            blocks,
+            max_block_size=cfg.max_block_size,
+            hard_cap=cfg.hard_cap,
+            n_salt=cfg.n_salt,
+        )
+        _write_stage(pairs, p_pairs)
+        skew_rows = [r.asDict() for r in skew.collect()]
+        _log_lineage(
+            out_dir,
+            "cand_pairs",
+            {"rows": spark.read.parquet(p_pairs).count(), "skew": skew_rows},
+        )
+    pairs = spark.read.parquet(p_pairs)
+
+    # S4 — scoring
+    p_scored = _stage_path(out_dir, "scored_pairs")
+    if force or not _exists(p_scored):
+        attrs = pairs_with_attrs(pairs, mentions, "mention_id", ["mention"])
+        scored = score_pairs(attrs, text_a="mention_a", text_b="mention_b")
+        _write_stage(
+            scored.select(
+                "record_id_a",
+                "record_id_b",
+                "jaccard",
+                "lev_ratio",
+                "score",
+                "is_match",
+            ),
+            p_scored,
+        )
+        sdf = spark.read.parquet(p_scored)
+        _log_lineage(
+            out_dir,
+            "scored_pairs",
+            {
+                "rows": sdf.count(),
+                "matches": sdf.filter("is_match").count(),
+            },
+        )
+    scored = spark.read.parquet(p_scored)
+
+    # S5 — clustering
+    p_clusters = _stage_path(out_dir, "clusters")
+    if force or not _exists(p_clusters):
+        edges = match_edges(scored)
+        clusters = assign_clusters(mentions, "mention_id", edges)
+        _write_stage(clusters, p_clusters)
+        cdf = spark.read.parquet(p_clusters)
+        _log_lineage(
+            out_dir,
+            "clusters",
+            {
+                "rows": cdf.count(),
+                "n_clusters": cdf.select("cluster_id").distinct().count(),
+            },
+        )
+    return spark.read.parquet(p_clusters)
+
+
+def dedup_documents_pipeline(
+    spark: SparkSession,
+    documents: DataFrame,
+    id_col: str,
+    text_col: str,
+    cfg: PipelineConfig | None = None,
+) -> DataFrame:
+    """In-memory variant over a flat (id, text) table — near-duplicate
+    clustering (the flagship `entry()` query). No stage writes; same
+    operators."""
+    cfg = cfg or PipelineConfig()
+    recs = documents.select(
+        F.col(id_col).cast("string").alias("record_id"), F.col(text_col).alias("text")
+    )
+    recs = recs.persist()
+    mh = minhash_blocks(recs, "record_id", "text",
+                        bands=cfg.minhash_bands, rows=cfg.minhash_rows)
+    pairs, _ = candidate_pairs(
+        mh.select("block_key", "record_id"),
+        max_block_size=cfg.max_block_size,
+        hard_cap=cfg.hard_cap,
+        n_salt=cfg.n_salt,
+    )
+    attrs = pairs_with_attrs(pairs, recs, "record_id", ["text"])
+    scored = score_pairs(attrs, text_a="text_a", text_b="text_b", features="cheap")
+    edges = match_edges(scored)
+    return assign_clusters(recs, "record_id", edges)

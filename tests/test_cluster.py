@@ -1,0 +1,69 @@
+"""Connected-components (large-star/small-star) property tests vs a pure
+Python union-find oracle (SURVEY.md §5: determinism, symmetry, transitive
+fixed point)."""
+
+from __future__ import annotations
+
+from blink_spark.operators.cluster import assign_clusters, connected_components
+
+
+def _uf_oracle(edges: list[tuple[str, str]], nodes: list[str]) -> dict[str, str]:
+    parent: dict[str, str] = {}
+
+    def find(x: str) -> str:
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in nodes}
+
+
+def _run(spark, edges, nodes):
+    edf = spark.createDataFrame(edges or [("x", "x")], "src string, dst string")
+    if not edges:
+        edf = edf.filter("src <> src")
+    ndf = spark.createDataFrame([(n,) for n in nodes], "record_id string")
+    got = {
+        r.record_id: r.cluster_id
+        for r in assign_clusters(ndf, "record_id", edf).collect()
+    }
+    assert got == _uf_oracle(edges, nodes)
+
+
+def test_cc_simple_chain(spark):
+    _run(spark, [("a", "b"), ("b", "c"), ("d", "e")], list("abcdef"))
+
+
+def test_cc_long_chain(spark):
+    # chain of 40 nodes — exercises the O(log n) round bound
+    nodes = [f"n{i:03d}" for i in range(40)]
+    edges = list(zip(nodes, nodes[1:]))
+    _run(spark, edges, nodes)
+
+
+def test_cc_symmetry_and_dups(spark):
+    edges = [("b", "a"), ("a", "b"), ("a", "b"), ("c", "c")]
+    _run(spark, edges, list("abcd"))
+
+
+def test_cc_empty_edges(spark):
+    _run(spark, [], list("abc"))
+
+
+def test_cc_star_and_cycle(spark):
+    edges = [("hub", f"s{i}") for i in range(10)] + [("x", "y"), ("y", "z"), ("z", "x")]
+    nodes = ["hub"] + [f"s{i}" for i in range(10)] + list("xyz")
+    _run(spark, edges, nodes)
+
+
+def test_cc_deterministic_across_runs(spark):
+    edges = [("m3", "m1"), ("m2", "m4"), ("m4", "m1")]
+    edf = spark.createDataFrame(edges, "src string, dst string")
+    a = sorted(map(tuple, connected_components(edf).collect()))
+    b = sorted(map(tuple, connected_components(edf.repartition(7)).collect()))
+    assert a == b

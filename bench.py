@@ -48,7 +48,7 @@ def main() -> None:
     from pyspark.sql import functions as F
 
     import __spark_entry__ as entry_mod
-    from blink_spark.pipeline import PipelineConfig, dedup_documents_pipeline, run_pipeline
+    from blink_spark.pipeline import dedup_documents_pipeline, run_pipeline
     from blink_spark.session import get_spark
 
     docs_path = _bench_fixture_docs()
@@ -73,9 +73,7 @@ def main() -> None:
     docs_df = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
     timed(
         "dedup_documents",
-        lambda: dedup_documents_pipeline(
-            spark, docs_df, "doc_id", "text", PipelineConfig()
-        ).count(),
+        lambda: dedup_documents_pipeline(spark, docs_df, "doc_id", "text").count(),
     )
 
     qs = entry_mod.queries()

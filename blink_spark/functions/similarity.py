@@ -25,12 +25,19 @@ JACCARD_THRESHOLD = 0.65
 LEV_RATIO_THRESHOLD = 0.93
 
 
+def token_jaccard_arrays(ta: Column | str, tb: Column | str) -> Column:
+    """Jaccard over precomputed distinct-token arrays (the per-record
+    tokenization is hoisted out of the per-pair hot loop)."""
+    ca = F.col(ta) if isinstance(ta, str) else ta
+    cb = F.col(tb) if isinstance(tb, str) else tb
+    inter = F.size(F.array_intersect(ca, cb)).cast("double")
+    union = F.size(F.array_union(ca, cb)).cast("double")
+    return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+
+
 def token_jaccard(a: Column | str, b: Column | str) -> Column:
     """|tokens(a) ∩ tokens(b)| / |tokens(a) ∪ tokens(b)| — all JVM-side."""
-    ta, tb = tokens(a), tokens(b)
-    inter = F.size(F.array_intersect(ta, tb)).cast("double")
-    union = F.size(F.array_union(ta, tb)).cast("double")
-    return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+    return token_jaccard_arrays(tokens(a), tokens(b))
 
 
 def lev_ratio(a: Column | str, b: Column | str) -> Column:
@@ -42,19 +49,26 @@ def lev_ratio(a: Column | str, b: Column | str) -> Column:
     )
 
 
-def lev_within(a: Column | str, b: Column | str,
-               min_ratio: float = LEV_RATIO_THRESHOLD) -> Column:
-    """``lev_ratio(a,b) >= min_ratio`` computed with the threshold-banded
-    builtin ``levenshtein(l, r, k)`` — O(n·k) instead of O(n²), the plan you
-    want when texts are long. Integer-exact equivalent of the float rule:
-    ratio >= 1-eps  ⇔  dist <= floor(eps * maxlen)."""
-    na, nb = normalize_text(a), normalize_text(b)
+def lev_within_norm(na: Column | str, nb: Column | str,
+                    min_ratio: float = LEV_RATIO_THRESHOLD) -> Column:
+    """Banded-levenshtein threshold test over already-normalized strings."""
+    na = F.col(na) if isinstance(na, str) else na
+    nb = F.col(nb) if isinstance(nb, str) else nb
     m = F.greatest(F.length(na), F.length(nb))
     eps_num = round((1.0 - min_ratio) * 100)
     k = F.floor(m * eps_num / 100).cast("int")
     # F.levenshtein() only takes a python-int threshold; call_function routes
     # to the SQL builtin, which accepts a per-row threshold expression.
     return F.call_function("levenshtein", na, nb, k) >= 0
+
+
+def lev_within(a: Column | str, b: Column | str,
+               min_ratio: float = LEV_RATIO_THRESHOLD) -> Column:
+    """``lev_ratio(a,b) >= min_ratio`` via the threshold-banded builtin
+    ``levenshtein(l, r, k)`` — O(n·k) instead of O(n²). Integer-exact
+    equivalent of the float rule: ratio >= 1-eps ⇔ dist <= floor(eps·maxlen).
+    """
+    return lev_within_norm(normalize_text(a), normalize_text(b), min_ratio)
 
 
 def is_match(a: Column | str, b: Column | str) -> Column:

@@ -94,6 +94,99 @@ def embedding_blocks(
     )
 
 
+def df_aware_blocks(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    rare_df: int = 64,
+    max_df: int = 4096,
+    max_tokens_per_record: int = 8,
+    emit_fallback: bool = True,
+) -> tuple[DataFrame, DataFrame]:
+    """Document-frequency-aware blocking — the scalable default.
+
+    Classic schema-agnostic token blocking melts down on stopword-like
+    tokens (a token in 10% of 10^12 records → a 10^22-pair block). This
+    operator computes corpus document frequencies first (one groupBy) and
+    classifies tokens:
+
+    - **stop**  (df > max_df): excluded from keys entirely, counted in stats
+      (cap-and-report, north rule);
+    - **rare**  (df <= rare_df): single-token key — high-precision, tiny
+      blocks (the 'title2id exact key' analogue,
+      /root/reference/blink/main_dense.py:154-170);
+    - **mid**   (otherwise): only *pairs* of non-stop tokens form keys —
+      a pair key's block is at most min(df_a, df_b) rows.
+
+    Per record only the ``max_tokens_per_record`` least-frequent (most
+    selective) non-stop tokens participate in pair keys. Records whose
+    tokens are all stop tokens get a least-frequent-token fallback key when
+    ``emit_fallback`` (their oversized block is then capped/logged
+    downstream by candidate_pairs).
+
+    Returns (assignments(block_key, record_id), token_stats).
+    """
+    recs = df.select(F.col(id_col).alias("record_id"), F.col(text_col).alias("text"))
+    tok = recs.select(
+        "record_id", F.explode(tokens("text")).alias("tok")
+    )
+    freq = tok.groupBy("tok").agg(F.count("*").alias("df"))
+    tok_f = tok.join(freq, "tok").persist()
+
+    token_stats = freq.select(
+        F.when(F.col("df") <= rare_df, F.lit("rare"))
+        .when(F.col("df") <= max_df, F.lit("mid"))
+        .otherwise(F.lit("stop"))
+        .alias("token_class")
+    ).groupBy("token_class").agg(F.count("*").alias("n_tokens"))
+
+    nonstop = tok_f.filter(F.col("df") <= max_df)
+    sets = nonstop.groupBy("record_id").agg(
+        F.slice(
+            F.array_sort(F.collect_list(F.struct("df", "tok"))),
+            1,
+            max_tokens_per_record,
+        ).alias("ts")
+    )
+    sel = F.transform("ts", lambda x: x["tok"])
+    pair_keys = F.flatten(
+        F.transform(
+            sel,
+            lambda t, i: F.transform(
+                F.slice(sel, i + 2, F.greatest(F.size(sel) - i - 1, F.lit(0))),
+                lambda u: F.concat(
+                    F.lit("tp:"), F.least(t, u), F.lit("|"), F.greatest(t, u)
+                ),
+            ),
+        )
+    )
+    rare_keys = F.transform(
+        F.filter("ts", lambda x: x["df"] <= rare_df),
+        lambda x: F.concat(F.lit("t1:"), x["tok"]),
+    )
+    keyed = sets.select(
+        "record_id",
+        F.explode(F.array_union(pair_keys, rare_keys)).alias("block_key"),
+    )
+
+    if emit_fallback:
+        # records with every token above max_df: fall back to their single
+        # least-frequent token so they are not silently unblockable.
+        covered = sets.select("record_id")
+        orphans = (
+            tok_f.join(covered, "record_id", "left_anti")
+            .groupBy("record_id")
+            .agg(F.min(F.struct("df", "tok")).alias("m"))
+            .select(
+                "record_id",
+                F.concat(F.lit("t1:"), F.col("m.tok")).alias("block_key"),
+            )
+        )
+        keyed = keyed.unionByName(orphans)
+
+    return keyed.select("block_key", "record_id"), token_stats
+
+
 def union_blocks(*assignments: DataFrame) -> DataFrame:
     out = assignments[0]
     for a in assignments[1:]:

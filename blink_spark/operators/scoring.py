@@ -19,12 +19,36 @@ from pyspark.sql import functions as F
 from blink_spark.functions.similarity import (
     JACCARD_THRESHOLD,
     cosine,
+    jaro_winkler_udf,
     lev_ratio,
     lev_within,
+    lev_within_norm,
     pair_score,
     token_jaccard,
+    token_jaccard_arrays,
 )
-from blink_spark.functions.text import normalize_text
+from blink_spark.functions.text import normalize_text, tokens
+
+
+def prepare_records(
+    records: DataFrame, id_col: str, text_col: str, with_emb: bool = False
+) -> DataFrame:
+    """Hoist per-record text prep out of the per-pair hot loop: normalized
+    form + distinct token array (+ optional hashing-trick embedding) are
+    computed once per record, then carried through the pair join. The
+    per-pair scoring becomes pure column ops on prepped values — no regex,
+    split, or UDF runs per pair."""
+    cols = [
+        records[id_col].alias("record_id"),
+        records[text_col].alias("text"),
+        normalize_text(records[text_col]).alias("norm"),
+        tokens(records[text_col]).alias("toks"),
+    ]
+    if with_emb:
+        from blink_spark.functions.hashing import embed_text_udf
+
+        cols.append(embed_text_udf(records[text_col]).alias("emb"))
+    return records.select(*cols)
 
 
 def score_pairs(
@@ -68,6 +92,90 @@ def score_pairs(
             ),
         )
     return out
+
+
+def _base_features(pairs_attrs: DataFrame) -> DataFrame:
+    """Cheap JVM features + the match decision over prepped pair columns."""
+    return (
+        pairs_attrs.withColumn("norm_eq", F.col("norm_a") == F.col("norm_b"))
+        .withColumn("jaccard", F.round(token_jaccard_arrays("toks_a", "toks_b"), 6))
+        .withColumn(
+            "is_match",
+            F.col("norm_eq")
+            | (F.col("jaccard") >= F.lit(JACCARD_THRESHOLD))
+            | lev_within_norm("norm_a", "norm_b"),
+        )
+    )
+
+
+def score_pairs_prepped_cheap(pairs_attrs: DataFrame) -> DataFrame:
+    """Cheap-feature scoring over prepped pairs (long-text dedup: no O(n²)
+    string kernels, no Python anywhere in the plan)."""
+    return _base_features(pairs_attrs).withColumn(
+        "score",
+        F.round(F.when(F.col("norm_eq"), F.lit(1.0)).otherwise(F.col("jaccard")), 6),
+    )
+
+
+def score_pairs_cascade(
+    pairs_attrs: DataFrame,
+    with_emb: bool = False,
+    plausible_threshold: float = 0.9,
+) -> DataFrame:
+    """Cascade scoring over **prepped** pair attributes (see
+    ``prepare_records``: columns norm_a/b, toks_a/b, optional emb_a/b).
+
+    Cheap JVM features (norm equality, token Jaccard, banded Levenshtein)
+    decide the match on every row; the expensive crossencoder-style features
+    (exact Levenshtein ratio, Jaro-Winkler pandas UDF, embedding cosine) are
+    computed only on the plausible branch. Pandas UDFs run as
+    ArrowEvalPython plan nodes — a ``F.when`` guard does NOT stop them from
+    evaluating on every row, so the cascade is structural: filter → score →
+    union. The decision rule is identical in both branches, so the cascade
+    changes cost, never semantics — the Spark translation of the reference's
+    filter-before-crossencoder staging
+    (/root/reference/blink/crossencoder/data_process.py:89-112).
+
+    ``plausible_threshold`` is the fraction of the match thresholds a pair
+    must reach to be worth full scoring.
+    """
+    base = _base_features(pairs_attrs).withColumn(
+        "plausible",
+        F.col("is_match")
+        | (F.col("jaccard") >= F.lit(JACCARD_THRESHOLD * plausible_threshold)),
+    )
+    m = F.greatest(F.length("norm_a"), F.length("norm_b"))
+    exact_lev = F.when(
+        m > 0, 1.0 - F.levenshtein("norm_a", "norm_b").cast("double") / m
+    ).otherwise(F.lit(1.0))
+    hot = (
+        base.filter(F.col("plausible"))
+        .withColumn("lev_ratio", F.round(exact_lev, 6))
+        .withColumn("jw", F.round(jaro_winkler_udf("norm_a", "norm_b"), 6))
+    )
+    cold = (
+        base.filter(~F.col("plausible"))
+        .withColumn("lev_ratio", F.lit(None).cast("double"))
+        .withColumn("jw", F.lit(None).cast("double"))
+    )
+    if with_emb:
+        hot = hot.withColumn("emb_cos", F.round(cosine("emb_a", "emb_b"), 6))
+        cold = cold.withColumn("emb_cos", F.lit(None).cast("double"))
+        hot = hot.withColumn(
+            "score",
+            F.round(
+                0.4 * (F.col("emb_cos") + 1.0) / 2.0
+                + 0.3 * F.col("jw")
+                + 0.3 * F.col("lev_ratio"),
+                6,
+            ),
+        )
+    else:
+        hot = hot.withColumn(
+            "score", F.round(0.5 * F.col("jw") + 0.5 * F.col("lev_ratio"), 6)
+        )
+    cold = cold.withColumn("score", F.col("jaccard") * 0.5)
+    return hot.unionByName(cold).drop("plausible")
 
 
 def match_edges(scored: DataFrame) -> DataFrame:

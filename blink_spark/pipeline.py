@@ -29,14 +29,19 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from blink_spark.operators.blocking import (
+    df_aware_blocks,
     minhash_blocks,
-    token_pair_blocks,
     union_blocks,
 )
 from blink_spark.operators.cluster import assign_clusters
 from blink_spark.operators.extract import extract_mentions
 from blink_spark.operators.pairs import candidate_pairs, pairs_with_attrs
-from blink_spark.operators.scoring import match_edges, score_pairs
+from blink_spark.operators.scoring import (
+    match_edges,
+    prepare_records,
+    score_pairs_cascade,
+    score_pairs_prepped_cheap,
+)
 
 
 @dataclass
@@ -46,7 +51,14 @@ class PipelineConfig:
     n_salt: int = 8
     use_minhash: bool = True
     minhash_bands: int = 4
-    minhash_rows: int = 4
+    # 8 rows/band: short similar-vocab strings collide far less (p ≈ j^8)
+    # while true near-dups (j ≳ 0.9) still land together w.p. ~1-(1-0.43)^4
+    minhash_rows: int = 8
+    # char-shingle width for MinHash. 3 suits short mention strings; long
+    # documents from a small vocabulary need wider shingles (7 ≈ a word
+    # bigram) or their baseline shingle-Jaccard is high enough that every
+    # band collides and candidate generation degenerates quadratic.
+    minhash_shingle_n: int = 3
     stages: tuple[str, ...] = (
         "mentions",
         "blocks",
@@ -90,17 +102,26 @@ def run_pipeline(
     # S1 — extract
     p_mentions = _stage_path(out_dir, "mentions")
     if force or not _exists(p_mentions):
+        # small/few-file inputs arrive as 1-2 partitions — spread them before
+        # the per-row-heavy stages or everything downstream runs on one core
         documents = spark.read.parquet(documents_path)
+        documents = documents.repartition(spark.sparkContext.defaultParallelism)
         mentions = extract_mentions(documents)
         _write_stage(mentions, p_mentions)
         _log_lineage(out_dir, "mentions", {"rows": spark.read.parquet(p_mentions).count()})
     mentions = spark.read.parquet(p_mentions)
 
-    # S2 — blocking
+    # S2 — blocking (df-aware token keys ∪ MinHash-LSH bands)
     p_blocks = _stage_path(out_dir, "blocks")
     if force or not _exists(p_blocks):
-        tp = token_pair_blocks(mentions, "mention_id", "mention")
-        assignments = tp
+        tb, token_stats = df_aware_blocks(
+            mentions,
+            "mention_id",
+            "mention",
+            rare_df=cfg.max_block_size,
+            max_df=cfg.hard_cap,
+        )
+        assignments = tb
         if cfg.use_minhash:
             mh = minhash_blocks(
                 mentions,
@@ -108,10 +129,16 @@ def run_pipeline(
                 "mention",
                 bands=cfg.minhash_bands,
                 rows=cfg.minhash_rows,
-            )
-            assignments = union_blocks(tp, mh)
+                shingle_n=cfg.minhash_shingle_n,
+            ).select("block_key", "record_id")
+            assignments = union_blocks(tb, mh)
         _write_stage(assignments.select("block_key", "record_id"), p_blocks)
-        _log_lineage(out_dir, "blocks", {"rows": spark.read.parquet(p_blocks).count()})
+        stats_rows = [r.asDict() for r in token_stats.collect()]
+        _log_lineage(
+            out_dir,
+            "blocks",
+            {"rows": spark.read.parquet(p_blocks).count(), "token_classes": stats_rows},
+        )
     blocks = spark.read.parquet(p_blocks)
 
     # S3 — candidate pairs (skew-aware)
@@ -132,17 +159,19 @@ def run_pipeline(
         )
     pairs = spark.read.parquet(p_pairs)
 
-    # S4 — scoring
+    # S4 — cascade scoring with biencoder-style embeddings on the hot branch
     p_scored = _stage_path(out_dir, "scored_pairs")
     if force or not _exists(p_scored):
-        attrs = pairs_with_attrs(pairs, mentions, "mention_id", ["mention"])
-        scored = score_pairs(attrs, text_a="mention_a", text_b="mention_b")
+        prep = prepare_records(mentions, "mention_id", "mention", with_emb=True)
+        attrs = pairs_with_attrs(pairs, prep, "record_id", ["norm", "toks", "emb"])
+        scored = score_pairs_cascade(attrs, with_emb=True)
         _write_stage(
             scored.select(
                 "record_id_a",
                 "record_id_b",
                 "jaccard",
                 "lev_ratio",
+                "emb_cos",
                 "score",
                 "is_match",
             ),
@@ -186,21 +215,23 @@ def dedup_documents_pipeline(
 ) -> DataFrame:
     """In-memory variant over a flat (id, text) table — near-duplicate
     clustering (the flagship `entry()` query). No stage writes; same
-    operators."""
-    cfg = cfg or PipelineConfig()
+    operators. Default config: wide shingles (see minhash_shingle_n)."""
+    cfg = cfg or PipelineConfig(minhash_shingle_n=7, minhash_rows=4)
     recs = documents.select(
         F.col(id_col).cast("string").alias("record_id"), F.col(text_col).alias("text")
-    )
+    ).repartition(spark.sparkContext.defaultParallelism)
     recs = recs.persist()
     mh = minhash_blocks(recs, "record_id", "text",
-                        bands=cfg.minhash_bands, rows=cfg.minhash_rows)
+                        bands=cfg.minhash_bands, rows=cfg.minhash_rows,
+                        shingle_n=cfg.minhash_shingle_n)
     pairs, _ = candidate_pairs(
         mh.select("block_key", "record_id"),
         max_block_size=cfg.max_block_size,
         hard_cap=cfg.hard_cap,
         n_salt=cfg.n_salt,
     )
-    attrs = pairs_with_attrs(pairs, recs, "record_id", ["text"])
-    scored = score_pairs(attrs, text_a="text_a", text_b="text_b", features="cheap")
+    prep = prepare_records(recs, "record_id", "text")
+    attrs = pairs_with_attrs(pairs, prep, "record_id", ["norm", "toks"])
+    scored = score_pairs_prepped_cheap(attrs)
     edges = match_edges(scored)
     return assign_clusters(recs, "record_id", edges)

@@ -688,15 +688,462 @@ def _er_f1(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# ---- batch 2: rerank/softmax, ELQ spans, IR-style candidate gen, ---------
+# ---- multimodal plumbing, cube/pivot/set ops, centroids -------------------
+
+@_q(
+    "softmax_confidence",
+    None,  # oracle injected below (needs fixture paths)
+)
+def _softmax_confidence(spark: SparkSession, sf: str) -> DataFrame:
+    """Softmax confidence over each mention's candidate scores
+    (/root/reference/blink/candidate_ranking/bert_reranking.py:200-227)."""
+    from blink_spark.functions.similarity import softmax_over
+
+    ranked = _er_topk(spark, sf)
+    w = Window.partitionBy("mention_id")
+    return ranked.select(
+        "mention_id",
+        "entity_id",
+        "rank",
+        F.round(softmax_over(F.col("sim"), w), 6).alias("prob"),
+    )
+
+
+@_q("er_span_enumeration", None)
+def _er_span_enum(spark: SparkSession, sf: str) -> DataFrame:
+    """Enumerate all token spans (len<=3) of ELQ-style question text
+    (/root/reference/elq/biencoder/biencoder.py:103-119)."""
+    from blink_spark.operators.spans import enumerate_token_spans
+
+    q = _fx(spark, "questions")
+    return enumerate_token_spans(q, "id", "text", max_len=3)
+
+
+@_q("er_question_mentions", None)
+def _er_question_mentions(spark: SparkSession, sf: str) -> DataFrame:
+    """Explode ELQ parallel arrays; convert exclusive char bounds to
+    inclusive; project the surface by substring
+    (/root/reference/elq/main_dense.py:150-172 +
+    elq/biencoder/data_process.py:410-411)."""
+    q = _fx(spark, "questions")
+    ex = q.select(
+        "id",
+        "text",
+        F.posexplode(F.arrays_zip("mentions", "label_id", "entity")).alias("i", "z"),
+    )
+    return ex.select(
+        "id",
+        F.col("i").alias("mention_idx"),
+        F.col("z.mentions")[0].alias("start"),
+        (F.col("z.mentions")[1] - 1).alias("end_incl"),
+        F.col("z.label_id").alias("label_id"),
+        F.expr("substring(text, z.mentions[0] + 1, z.mentions[1] - z.mentions[0])").alias(
+            "surface"
+        ),
+        F.col("z.entity").alias("entity"),
+    )
+
+
+@_q("er_two_key_fallback_join", None)
+def _er_two_key_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Two-key left join with coalesce + match-source counters — the
+    wikipedia↔wikidata linkage shape
+    (/root/reference/blink/candidate_retrieval/link_wikipedia_and_wikidata.py:76-119):
+    resolve a mention surface by exact lowercase title, fall back to its
+    trailing id-token, count how each row resolved."""
+    m = _fx(spark, "mentions").select("mention_id", "mention")
+    e = _fx(spark, "entities").select("entity_id", "title")
+    by_title = e.select(
+        F.lower("title").alias("mention"), F.col("entity_id").alias("eid_title")
+    ).dropDuplicates(["mention"])
+    by_idtok = e.select(
+        F.element_at(F.split(F.lower("title"), " "), -1).alias("idtok"),
+        F.col("entity_id").alias("eid_idtok"),
+    ).dropDuplicates(["idtok"])
+    joined = (
+        m.join(by_title, "mention", "left")
+        .withColumn("idtok", F.element_at(F.split("mention", " "), -1))
+        .join(by_idtok, "idtok", "left")
+        .withColumn("resolved", F.coalesce("eid_title", "eid_idtok"))
+        .withColumn(
+            "match_source",
+            F.when(F.col("eid_title").isNotNull(), "title")
+            .when(F.col("eid_idtok").isNotNull(), "idtok")
+            .otherwise("none"),
+        )
+    )
+    return joined.groupBy("match_source").agg(
+        F.count("*").alias("n"),
+        F.count_distinct("resolved").alias("n_entities"),
+    )
+
+
+@_q("er_inverted_index_topk", None)
+def _er_inverted_index(spark: SparkSession, sf: str) -> DataFrame:
+    """IR-style candidate generation: token inverted index over entity
+    titles + log1p(num_incoming_links) boost, window top-5 — the Solr BM25
+    stage as a join (/root/reference/blink/candidate_generation.py:28-115,
+    boost at perform_and_evaluate...py:197-199)."""
+    from blink_spark.functions.text import tokens
+
+    m = _fx(spark, "mentions").select("mention_id", "mention")
+    e = _fx(spark, "entities").select("entity_id", "title", "num_incoming_links")
+    inv = e.select(
+        "entity_id",
+        "num_incoming_links",
+        F.explode(tokens(F.lower("title"))).alias("tok"),
+    )
+    mtok = m.select("mention_id", F.explode(tokens("mention")).alias("tok"))
+    hits = (
+        mtok.join(inv, "tok")
+        .groupBy("mention_id", "entity_id")
+        .agg(
+            (
+                F.count("*").cast("double")
+                + F.round(F.log1p(F.max("num_incoming_links")) * 0.1, 6)
+            ).alias("ir_score")
+        )
+    )
+    w = Window.partitionBy("mention_id").orderBy(
+        F.col("ir_score").desc(), F.col("entity_id").asc()
+    )
+    return (
+        hits.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("mention_id", "entity_id", F.round("ir_score", 6).alias("ir_score"), "rank")
+    )
+
+
+@_q(
+    "cube_returnflag_status",
+    """
+    SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
+           cast(sum(cast(l_quantity as decimal(18,2))) as double) AS sum_qty
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def _cube_rf_ls(spark: SparkSession, sf: str) -> DataFrame:
+    """cube() grouping-sets (macro/micro flavor of
+    /root/reference/blink/crossencoder/train_cross.py:104-127)."""
+    li = _t(spark, sf, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sum_qty"),
+    )
+
+
+@_q(
+    "pivot_event_counts",
+    """
+    SELECT user_id,
+           sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n_click,
+           sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_error,
+           sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchase,
+           sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS n_signup,
+           sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS n_view
+    FROM events GROUP BY user_id
+    """,
+)
+def _pivot_events(spark: SparkSession, sf: str) -> DataFrame:
+    """Pivot via conditional aggregation (engine-portable form)."""
+    e = _t(spark, sf, "events")
+    aggs = [
+        F.sum(F.when(F.col("event_type") == t, 1).otherwise(0)).alias(f"n_{t}")
+        for t in ("click", "error", "purchase", "signup", "view")
+    ]
+    return e.groupBy("user_id").agg(*aggs)
+
+
+@_q(
+    "order_key_set_ops",
+    """
+    WITH a AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderdate < timestamp '2021-01-01'),
+         b AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderdate >= timestamp '2021-01-01')
+    SELECT 'both' AS side, count(*) AS n FROM (SELECT * FROM a INTERSECT SELECT * FROM b)
+    UNION ALL
+    SELECT 'only_early', count(*) FROM (SELECT * FROM a EXCEPT SELECT * FROM b)
+    UNION ALL
+    SELECT 'only_late', count(*) FROM (SELECT * FROM b EXCEPT SELECT * FROM a)
+    """,
+)
+def _set_ops(spark: SparkSession, sf: str) -> DataFrame:
+    """intersect / except set operators."""
+    o = _t(spark, sf, "orders")
+    cutoff = F.lit("2021-01-01 00:00:00").cast("timestamp")
+    a = o.filter(F.col("o_orderdate") < cutoff).select("o_custkey").distinct()
+    b = o.filter(F.col("o_orderdate") >= cutoff).select("o_custkey").distinct()
+    rows = [
+        a.intersect(b).agg(F.count("*").alias("n")).select(F.lit("both").alias("side"), "n"),
+        a.exceptAll(b).agg(F.count("*").alias("n")).select(F.lit("only_early").alias("side"), "n"),
+        b.exceptAll(a).agg(F.count("*").alias("n")).select(F.lit("only_late").alias("side"), "n"),
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+@_q("er_media_decode", None)
+def _er_media_decode(spark: SparkSession, sf: str) -> DataFrame:
+    """Multimodal decode plumbing: mapInPandas stub over media spans
+    (deterministic md5-derived fake codec; real Arrow batch path)."""
+    from blink_spark.operators.extract import media_spans
+    from blink_spark.operators.multimodal import decode_media_stub
+
+    d = _fx(spark, "documents")
+    return decode_media_stub(media_spans(d)).select(
+        "doc_id", "span_idx", "media_ref", "media_kind", "width", "height", "n_frames"
+    )
+
+
+@_q(
+    "embedding_label_centroids",
+    """
+    WITH e AS (
+      SELECT label, generate_subscripts(embedding, 1) AS dim, unnest(embedding)::double AS v
+      FROM embeddings
+    )
+    SELECT label, dim, round(avg(v), 5) AS centroid_v
+    FROM e WHERE dim <= 8 GROUP BY label, dim
+    """,
+)
+def _emb_centroids(spark: SparkSession, sf: str) -> DataFrame:
+    """Element-wise centroid per label (first 8 dims) — posexplode + 2-key
+    agg (the per-world encoding pools of
+    /root/reference/blink/biencoder/eval_biencoder.py:129-143)."""
+    e = _t(spark, sf, "embeddings")
+    ex = e.select(
+        "label", F.posexplode("embedding").alias("dim0", "v")
+    ).select("label", (F.col("dim0") + 1).alias("dim"), F.col("v").cast("double").alias("v"))
+    return (
+        ex.filter(F.col("dim") <= 8)
+        .groupBy("label", "dim")
+        .agg(F.round(F.avg("v"), 5).alias("centroid_v"))
+    )
+
+
+@_q("simhash_near_dups", None)
+def _simhash_dups(spark: SparkSession, sf: str) -> DataFrame:
+    """SimHash near-dup candidates: 60-bit simhash, pairs within hamming<=8
+    among docs sharing a 15-bit simhash band (rows-only check; simhash bit
+    arithmetic is validated by pytest instead of a SQL oracle)."""
+    from blink_spark.functions.hashing import hamming64, simhash64
+
+    d = _t(spark, sf, "documents").select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text"
+    )
+    sh = d.select("doc_id", simhash64("text").alias("sh")).persist()
+    banded = sh.select(
+        "doc_id",
+        "sh",
+        F.explode(
+            F.array(*[
+                F.concat(
+                    F.lit(f"{b}:"),
+                    F.shiftright(F.col("sh"), b * 15).bitwiseAND(F.lit(0x7FFF)).cast("string"),
+                )
+                for b in range(4)
+            ])
+        ).alias("band"),
+    )
+    a = banded.select(F.col("doc_id").alias("a"), F.col("sh").alias("sha"), "band")
+    b = banded.select(F.col("doc_id").alias("b"), F.col("sh").alias("shb"), "band")
+    pairs = (
+        a.join(b, "band")
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b", hamming64("sha", "shb").alias("hamming"))
+        .distinct()
+        .filter(F.col("hamming") <= 8)
+    )
+    return pairs
+
+
+@_q("er_overlap_prune", None)
+def _er_overlap_prune(spark: SparkSession, sf: str) -> DataFrame:
+    """Greedy non-overlap span selection per question (applyInPandas,
+    /root/reference/elq/main_dense.py:451-466). Rows-only check; exact
+    semantics are pytest-verified against a python oracle."""
+    from blink_spark.operators.spans import enumerate_token_spans, greedy_overlap_prune
+
+    q = _fx(spark, "questions")
+    spans = enumerate_token_spans(q, "id", "text", max_len=2)
+    scored = spans.withColumn(
+        "score",
+        F.length("span_text").cast("double")
+        + (F.crc32(F.col("span_text")) % 97).cast("double") / 100.0,
+    )
+    return greedy_overlap_prune(scored, "record_id", "score")
+
+
+@_q("jsonl_entity_scan", None)
+def _jsonl_entity_scan(spark: SparkSession, sf: str) -> DataFrame:
+    """Entity-catalogue JSONL scan: curid parsing + deterministic dense ids
+    (/root/reference/blink/main_dense.py:99-151)."""
+    from blink_spark.sources.jsonl import read_entity_catalogue
+
+    return read_entity_catalogue(spark, _jsonl_fixture())
+
+
+@_q(
+    "doc_minhash_dedup",
+    """
+    WITH RECURSIVE n AS (
+      SELECT doc_id::varchar AS record_id,
+             trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+      FROM documents
+    ),
+    sh AS (
+      SELECT record_id,
+             list_distinct([substr(t, i, 7) for i in range(1, greatest(length(t)-6, 1)+1)]) AS sh
+      FROM n
+    ),
+    hs AS (
+      SELECT record_id, sh,
+             [md5('h0:' || g) || md5('h1:' || g) || md5('h2:' || g) || md5('h3:' || g)
+              for g in sh] AS hh
+      FROM sh
+    ),
+    sig AS (
+      SELECT record_id, sh,
+             [list_min([substr(h, i*4 + 1, 4) for h in hh]) for i in range(0, 32)] AS sig
+      FROM hs
+    ),
+    assign AS (
+      SELECT record_id, sh,
+             unnest(['b' || b || ':' || md5(array_to_string(sig[b*8+1:b*8+8], ','))
+                     for b in range(0, 4)]) AS block_key
+      FROM sig
+    ),
+    sized AS (
+      SELECT record_id, sh, block_key,
+             count(*) OVER (PARTITION BY block_key) AS bs
+      FROM assign
+    ),
+    kept AS (SELECT * FROM sized WHERE bs <= 4096),
+    pairs AS (
+      SELECT DISTINCT a.record_id AS ra, b.record_id AS rb,
+             any_value(a.sh) AS sha, any_value(b.sh) AS shb
+      FROM kept a JOIN kept b
+        ON a.block_key = b.block_key AND a.record_id < b.record_id
+      GROUP BY a.record_id, b.record_id
+    ),
+    scored AS (
+      SELECT ra, rb,
+             len(list_intersect(sha, shb))::double
+               / greatest(len(list_distinct(list_concat(sha, shb))), 1) AS j
+      FROM pairs
+    ),
+    edges AS (
+      SELECT ra AS src, rb AS dst FROM scored WHERE j >= 0.8
+      UNION
+      SELECT rb, ra FROM scored WHERE j >= 0.8
+    ),
+    nodes AS (SELECT record_id AS id FROM n),
+    reach AS (
+      SELECT id, id AS r FROM nodes
+      UNION
+      SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src
+    )
+    SELECT id AS record_id, min(r) AS cluster_id FROM reach GROUP BY id
+    """,
+)
+def _doc_minhash_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """MinHash-LSH near-dup clustering of the documents table — LSH bands
+    generate candidates, exact shingle-Jaccard verifies, CC clusters
+    (oracle: same construction + recursive-CTE closure in DuckDB)."""
+    from blink_spark.operators.dedup import minhash_dedup
+
+    d = _t(spark, sf, "documents")
+    return minhash_dedup(d, "doc_id", "text",
+                         bands=4, rows=8, shingle_n=7, jaccard_threshold=0.8)
+
+
+@_q("ann_lsh_recall", None)
+def _ann_lsh_recall(spark: SparkSession, sf: str) -> DataFrame:
+    """Approximate (sign-LSH bucketed, multi-probe) vs exact cosine top-k —
+    the HNSW-vs-flat recall evaluation (rows-only; bucket signs depend on
+    float dot products that a portable SQL oracle can't reproduce bit-exactly)."""
+    from blink_spark.operators.ann import ann_recall_vs_exact, brute_force_topk, lsh_topk
+
+    e = _t(spark, sf, "embeddings")
+    q = e.filter(F.col("vec_id") < 64).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    exact = brute_force_topk(
+        q, e, k=10, query_id="qid", query_emb="qv",
+        item_id="vec_id", item_emb="embedding",
+    )
+    approx = lsh_topk(
+        q, e, k=10, n_planes=8, probe_bits=1, query_id="qid", query_emb="qv",
+        item_id="vec_id", item_emb="embedding",
+    )
+    return ann_recall_vs_exact(approx, exact)
+
+
+@_q("embedding_cosine_dups", None)
+def _emb_cos_dups(spark: SparkSession, sf: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs among the embeddings table via
+    sign-LSH blocking + exact cosine verification (rows-only: float-sign
+    buckets)."""
+    from blink_spark.functions.hashing import sign_lsh_bucket
+    from blink_spark.functions.similarity import cosine
+    from blink_spark.operators.pairs import candidate_pairs, pairs_with_attrs
+
+    e = _t(spark, sf, "embeddings").select(
+        F.col("vec_id").cast("string").alias("record_id"),
+        F.col("embedding").alias("emb"),
+    ).persist()
+    blocks = e.select(
+        F.concat(F.lit("e:"), sign_lsh_bucket("emb", n_planes=6)).alias("block_key"),
+        "record_id",
+    )
+    pairs, _ = candidate_pairs(blocks)
+    attrs = pairs_with_attrs(pairs, e, "record_id", ["emb"])
+    return (
+        attrs.withColumn("cos", F.round(cosine("emb_a", "emb_b"), 6))
+        .filter(F.col("cos") >= 0.9)
+        .select("record_id_a", "record_id_b", "cos")
+    )
+
+
 # --------------------------------------------------------------------------
 # ER oracle SQL (DuckDB) — built lazily because fixture paths are absolute
 # --------------------------------------------------------------------------
+
+def _jsonl_fixture() -> str:
+    """entities.jsonl in the reference catalogue shape
+    ({title, text, idx: '...curid=<id>'}, blink/main_dense.py:125-143)."""
+    import json as _json
+
+    import pandas as pd
+
+    path = os.path.join(FIXTURE_DIR, "entities.jsonl")
+    if not os.path.exists(path):
+        ents = pd.read_parquet(_fixtures()["entities"])
+        with open(path, "w") as f:
+            for r in ents.itertuples(index=False):
+                f.write(
+                    _json.dumps(
+                        {
+                            "title": r.title,
+                            "text": r.text,
+                            "idx": f"https://en.wikipedia.org/wiki?curid={r.wikipedia_id}",
+                        }
+                    )
+                    + "\n"
+                )
+    return path
+
 
 def _er_oracles() -> dict[str, str]:
     doc = _fxp("documents")
     men = _fxp("mentions")
     ent = _fxp("entities")
     gold = _fxp("gold_pairs")
+    qst = _fxp("questions")
+    jsonl = _jsonl_fixture().replace("'", "''")
     mentions_cte = _er_oracle_mentions_sql()
 
     toks_m = "list_distinct(string_split(mention, ' '))"
@@ -793,7 +1240,152 @@ def _er_oracles() -> dict[str, str]:
         FROM pairs
       ) WHERE rank <= 3
     """
+    softmax_sql = f"""
+      WITH mb AS (
+        SELECT mention_id, mention, substr(string_split(mention, ' ')[1], 1, 4) AS bk
+        FROM read_parquet('{men}')
+      ),
+      eb AS (
+        SELECT entity_id, lower(title) AS title_l,
+               substr(string_split(lower(title), ' ')[1], 1, 4) AS bk
+        FROM read_parquet('{ent}')
+      ),
+      pairs AS (
+        SELECT mention_id, entity_id,
+               round(1.0 - levenshtein(mention, title_l)::double
+                     / greatest(length(mention), length(title_l), 1), 6) AS sim
+        FROM mb JOIN eb USING (bk)
+      ),
+      topk AS (
+        SELECT mention_id, entity_id, sim, rank FROM (
+          SELECT mention_id, entity_id, sim,
+                 row_number() OVER (PARTITION BY mention_id
+                                    ORDER BY sim DESC, entity_id ASC) AS rank
+          FROM pairs
+        ) WHERE rank <= 3
+      )
+      , withmax AS (
+        SELECT mention_id, entity_id, rank, sim,
+               max(sim) OVER (PARTITION BY mention_id) AS mx
+        FROM topk
+      )
+      SELECT mention_id, entity_id, rank,
+             round(exp(sim - mx)
+                   / sum(exp(sim - mx)) OVER (PARTITION BY mention_id), 6) AS prob
+      FROM withmax
+    """
+    span_enum_sql = f"""
+      WITH t AS (
+        SELECT id, regexp_split_to_array(trim(text), '\\s+') AS toks
+        FROM read_parquet('{qst}')
+      ),
+      s AS (
+        SELECT id, unnest(flatten([
+          [{{'start': s, 'end_excl': s + l,
+             'span_text': array_to_string(toks[s+1:s+l], ' ')}}
+           for l in range(1, least(3, len(toks) - s) + 1)]
+          for s in range(0, len(toks))])) AS sp
+        FROM t
+      )
+      SELECT id AS record_id, sp.start AS start, sp.end_excl AS end_excl,
+             sp.span_text AS span_text
+      FROM s
+    """
+    question_mentions_sql = f"""
+      SELECT id,
+             generate_subscripts(mentions, 1) - 1 AS mention_idx,
+             unnest(mentions)[1] AS start,
+             unnest(mentions)[2] - 1 AS end_incl,
+             unnest(label_id) AS label_id,
+             substring(text, unnest(mentions)[1] + 1,
+                       unnest(mentions)[2] - unnest(mentions)[1]) AS surface,
+             unnest(entity) AS entity
+      FROM read_parquet('{qst}')
+    """
+    two_key_sql = f"""
+      WITH m AS (SELECT mention_id, mention FROM read_parquet('{men}')),
+      bt AS (SELECT lower(title) AS mention, entity_id AS eid_title
+             FROM read_parquet('{ent}')),
+      bi AS (SELECT string_split(lower(title), ' ')[-1] AS idtok,
+                    entity_id AS eid_idtok
+             FROM read_parquet('{ent}')),
+      j AS (
+        SELECT m.mention_id,
+               bt.eid_title, bi.eid_idtok,
+               coalesce(bt.eid_title, bi.eid_idtok) AS resolved,
+               CASE WHEN bt.eid_title IS NOT NULL THEN 'title'
+                    WHEN bi.eid_idtok IS NOT NULL THEN 'idtok'
+                    ELSE 'none' END AS match_source
+        FROM m
+        LEFT JOIN bt USING (mention)
+        LEFT JOIN bi ON bi.idtok = string_split(m.mention, ' ')[-1]
+      )
+      SELECT match_source, count(*) AS n, count(DISTINCT resolved) AS n_entities
+      FROM j GROUP BY 1
+    """
+    inv_index_sql = f"""
+      WITH inv AS (
+        SELECT entity_id, num_incoming_links,
+               unnest(list_distinct(string_split(lower(title), ' '))) AS tok
+        FROM read_parquet('{ent}')
+      ),
+      mt AS (
+        SELECT mention_id,
+               unnest(list_distinct(string_split(mention, ' '))) AS tok
+        FROM read_parquet('{men}')
+      ),
+      hits AS (
+        SELECT mention_id, entity_id,
+               count(*)::double
+                 + round(ln(1 + max(num_incoming_links)) * 0.1, 6) AS ir_score
+        FROM mt JOIN inv USING (tok)
+        GROUP BY mention_id, entity_id
+      )
+      SELECT mention_id, entity_id, round(ir_score, 6) AS ir_score, rank FROM (
+        SELECT mention_id, entity_id, ir_score,
+               row_number() OVER (PARTITION BY mention_id
+                                  ORDER BY ir_score DESC, entity_id ASC) AS rank
+        FROM hits
+      ) WHERE rank <= 5
+    """
+    media_decode_sql = f"""
+      WITH e AS (
+        SELECT doc_id, generate_subscripts(spans, 1) - 1 AS span_idx,
+               unnest(spans) AS sp
+        FROM read_parquet('{doc}')
+      ),
+      media AS (
+        SELECT doc_id, span_idx, sp.media_ref AS media_ref,
+               md5(sp.media_ref) AS h
+        FROM e WHERE sp.kind = 'media'
+      )
+      SELECT doc_id, span_idx, media_ref,
+             CASE ascii(substr(h, 1, 1)) % 3 WHEN 0 THEN 'image'
+                  WHEN 1 THEN 'audio' ELSE 'video' END AS media_kind,
+             640 + ascii(substr(h, 2, 1)) AS width,
+             360 + ascii(substr(h, 3, 1)) AS height,
+             CASE WHEN ascii(substr(h, 1, 1)) % 3 = 0 THEN 1
+                  ELSE 1 + ascii(substr(h, 4, 1)) END AS n_frames
+      FROM media
+    """
+    jsonl_scan_sql = f"""
+      SELECT row_number() OVER (ORDER BY wikipedia_id ASC NULLS LAST, title ASC) - 1
+               AS entity_id,
+             title, text, wikipedia_id
+      FROM (
+        SELECT title, text,
+               regexp_extract(idx, 'curid=(\\d+)', 1)::bigint AS wikipedia_id
+        FROM read_json('{jsonl}')
+      )
+    """
     return {
+        "softmax_confidence": softmax_sql,
+        "er_span_enumeration": span_enum_sql,
+        "er_question_mentions": question_mentions_sql,
+        "er_two_key_fallback_join": two_key_sql,
+        "er_inverted_index_topk": inv_index_sql,
+        "er_media_decode": media_decode_sql,
+        "jsonl_entity_scan": jsonl_scan_sql,
         "er_extract_mentions": mentions_cte,
         "er_media_spans": f"""
           WITH e AS (

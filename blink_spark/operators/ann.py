@@ -1,0 +1,111 @@
+"""Similarity search over embedding columns (SURVEY.md §2.4).
+
+- ``brute_force_topk``: exact cosine top-k — the reference's dense
+  dot-product retrieval (/root/reference/blink/biencoder/biencoder.py:148-166
+  + main_dense.py:237-260). Correct baseline at any scale where the query
+  side is small or the join is blocked.
+- ``lsh_topk``: sign-LSH bucketed variant — queries only score candidates in
+  their bucket (± multi-probe), the IVF/HNSW analogue
+  (/root/reference/blink/indexer/faiss_indexer.py:71-141,
+  /root/reference/elq/index/faiss_indexer.py:71-91 — nprobe=10 over
+  nlist=100 cells). At 100 TB the bucket id is the partition key: the join
+  is co-located, never all-pairs.
+
+Tie rule fixed to (score DESC, id ASC) for reproducibility (SURVEY.md §7).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from blink_spark.functions.hashing import sign_lsh_bucket
+from blink_spark.functions.similarity import cosine
+
+
+def _rank_topk(pairs: DataFrame, k: int) -> DataFrame:
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("item_id").asc()
+    )
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "item_id", "score", "rank")
+    )
+
+
+def brute_force_topk(
+    queries: DataFrame,
+    items: DataFrame,
+    k: int = 10,
+    query_id: str = "query_id",
+    query_emb: str = "query_emb",
+    item_id: str = "item_id",
+    item_emb: str = "item_emb",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Exact cosine top-k: queries × items scored, per-query window top-k.
+
+    Spark computes this as partial top-k per partition then merge (the
+    chunked-topk of /root/reference/elq/main_dense.py:304-334 for free).
+    Broadcast the smaller side when it fits.
+    """
+    q = queries.select(F.col(query_id).alias("query_id"), F.col(query_emb).alias("qv"))
+    it = items.select(F.col(item_id).alias("item_id"), F.col(item_emb).alias("iv"))
+    cond = F.lit(True) if not exclude_self else (F.col("item_id") != F.col("query_id"))
+    pairs = q.crossJoin(it).filter(cond).select(
+        "query_id", "item_id", F.round(cosine("qv", "iv"), 6).alias("score")
+    )
+    return _rank_topk(pairs, k)
+
+
+def lsh_topk(
+    queries: DataFrame,
+    items: DataFrame,
+    k: int = 10,
+    n_planes: int = 8,
+    probe_bits: int = 1,
+    query_id: str = "query_id",
+    query_emb: str = "query_emb",
+    item_id: str = "item_id",
+    item_emb: str = "item_emb",
+) -> DataFrame:
+    """Approximate cosine top-k via random-hyperplane buckets.
+
+    Items land in their own bucket; queries probe their bucket plus every
+    bucket at Hamming distance <= probe_bits (the nprobe analogue). The
+    scoring join is an equi-join on bucket id — co-partitioned, no cross
+    join anywhere.
+    """
+    it = items.select(
+        F.col(item_id).alias("item_id"), F.col(item_emb).alias("iv")
+    ).withColumn("bucket", sign_lsh_bucket("iv", n_planes=n_planes))
+
+    q = queries.select(
+        F.col(query_id).alias("query_id"), F.col(query_emb).alias("qv")
+    ).withColumn("bucket0", sign_lsh_bucket("qv", n_planes=n_planes))
+    probes = [F.col("bucket0")]
+    if probe_bits >= 1:
+        probes += [F.col("bucket0").bitwiseXOR(F.lit(1 << b)) for b in range(n_planes)]
+    qp = q.select(
+        "query_id", "qv", F.explode(F.array(*probes)).alias("bucket")
+    )
+
+    pairs = qp.join(it, "bucket").filter(F.col("item_id") != F.col("query_id")).select(
+        "query_id", "item_id", F.round(cosine("qv", "iv"), 6).alias("score")
+    ).dropDuplicates(["query_id", "item_id"])
+    return _rank_topk(pairs, k)
+
+
+def ann_recall_vs_exact(approx: DataFrame, exact: DataFrame) -> DataFrame:
+    """recall@k of the approximate result against the exact one (the
+    evaluation the reference runs for HNSW vs flat)."""
+    a = approx.select("query_id", "item_id").withColumn("hit", F.lit(1))
+    joined = exact.select("query_id", "item_id").join(
+        a, ["query_id", "item_id"], "left"
+    )
+    return joined.agg(
+        F.count("*").alias("n_exact"),
+        F.sum(F.coalesce("hit", F.lit(0))).alias("n_found"),
+        F.round(F.avg(F.coalesce("hit", F.lit(0)).cast("double")), 6).alias("recall"),
+    )

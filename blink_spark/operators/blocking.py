@@ -130,8 +130,7 @@ def df_aware_blocks(
     tok = recs.select(
         "record_id", F.explode(tokens("text")).alias("tok")
     )
-    freq = tok.groupBy("tok").agg(F.count("*").alias("df"))
-    tok_f = tok.join(freq, "tok").persist()
+    freq = tok.groupBy("tok").agg(F.count("*").alias("df")).persist()
 
     token_stats = freq.select(
         F.when(F.col("df") <= rare_df, F.lit("rare"))
@@ -140,15 +139,18 @@ def df_aware_blocks(
         .alias("token_class")
     ).groupBy("token_class").agg(F.count("*").alias("n_tokens"))
 
-    nonstop = tok_f.filter(F.col("df") <= max_df)
-    sets = nonstop.groupBy("record_id").agg(
-        F.slice(
-            F.array_sort(F.collect_list(F.struct("df", "tok"))),
-            1,
-            max_tokens_per_record,
-        ).alias("ts")
+    # one groupBy carries everything per record: sorted (df, tok) pairs with
+    # stop tokens included, so key derivation (pair keys over the non-stop
+    # selection, rare single keys, all-stop fallback) is a single pure
+    # column expression — no second pass, no anti-join.
+    sets = (
+        tok.join(freq, "tok")
+        .groupBy("record_id")
+        .agg(F.array_sort(F.collect_list(F.struct("df", "tok"))).alias("all_ts"))
     )
-    sel = F.transform("ts", lambda x: x["tok"])
+    nonstop = F.filter("all_ts", lambda x: x["df"] <= max_df)
+    ts = F.slice(nonstop, 1, max_tokens_per_record)
+    sel = F.transform(ts, lambda x: x["tok"])
     pair_keys = F.flatten(
         F.transform(
             sel,
@@ -161,29 +163,19 @@ def df_aware_blocks(
         )
     )
     rare_keys = F.transform(
-        F.filter("ts", lambda x: x["df"] <= rare_df),
+        F.filter(ts, lambda x: x["df"] <= rare_df),
         lambda x: F.concat(F.lit("t1:"), x["tok"]),
     )
-    keyed = sets.select(
-        "record_id",
-        F.explode(F.array_union(pair_keys, rare_keys)).alias("block_key"),
-    )
-
+    keys = F.array_union(pair_keys, rare_keys)
     if emit_fallback:
         # records with every token above max_df: fall back to their single
         # least-frequent token so they are not silently unblockable.
-        covered = sets.select("record_id")
-        orphans = (
-            tok_f.join(covered, "record_id", "left_anti")
-            .groupBy("record_id")
-            .agg(F.min(F.struct("df", "tok")).alias("m"))
-            .select(
-                "record_id",
-                F.concat(F.lit("t1:"), F.col("m.tok")).alias("block_key"),
-            )
+        fallback = F.array(
+            F.concat(F.lit("t1:"), F.element_at("all_ts", 1)["tok"])
         )
-        keyed = keyed.unionByName(orphans)
+        keys = F.when(F.size(nonstop) == 0, fallback).otherwise(keys)
 
+    keyed = sets.select("record_id", F.explode(keys).alias("block_key"))
     return keyed.select("block_key", "record_id"), token_stats
 
 

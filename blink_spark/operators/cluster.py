@@ -70,26 +70,28 @@ def _small_star(edges: DataFrame) -> DataFrame:
 
 
 def connected_components(
-    edges: DataFrame, max_iter: int = 20, checkpoint_every: int = 1
+    edges: DataFrame, max_iter: int = 20, check_every: int = 2
 ) -> DataFrame:
     """edges(src, dst) → assignments(record_id, cluster_id).
 
     Converges when the edge set is a star forest (every u points at its
-    component minimum). Each superstep localCheckpoints to cut lineage;
-    convergence check is a count of changed edges (cheap: the frames are
-    already materialized by the checkpoint).
+    component minimum). Each superstep localCheckpoints to cut lineage
+    (plan blowup is the classic iterative-Spark failure mode); the
+    fixed-point test runs every ``check_every`` supersteps — each test is
+    two counts, i.e. a full barrier, so halving the tests meaningfully
+    shrinks the serial fraction at scale.
     """
     cur = _canonical(edges).localCheckpoint()
     for i in range(max_iter):
         after_large = _large_star(cur)
-        after_small = _small_star(after_large)
-        if checkpoint_every and i % checkpoint_every == 0:
-            after_small = after_small.localCheckpoint()
-        # fixed point: edge sets equal (both canonical u>v distinct)
-        diff = after_small.exceptAll(cur).limit(1).count()
-        same_card = after_small.count() == cur.count()
-        cur = after_small if checkpoint_every else after_small.localCheckpoint()
-        if diff == 0 and same_card:
+        after_small = _small_star(after_large).localCheckpoint()
+        converged = False
+        if (i + 1) % check_every == 0 or i == max_iter - 1:
+            # fixed point: edge sets equal (both canonical u>v distinct)
+            diff = after_small.exceptAll(cur).limit(1).count()
+            converged = diff == 0 and after_small.count() == cur.count()
+        cur = after_small
+        if converged:
             break
     # star forest: u → v(=min). cluster_id of u is v; roots map to themselves.
     members = cur.select(F.col("u").alias("record_id"), F.col("v").alias("cluster_id"))

@@ -1,0 +1,146 @@
+"""Deduplication family for training-data pipelines (build-brief first-class
+requirement): exact, MinHash-LSH, SimHash, n-gram Jaccard, embedding-cosine.
+
+All variants share the engine's blocking → pair → score → cluster spine; a
+dedup method is just a (blocking strategy, match predicate) pair, so each
+function here composes the existing operators rather than reimplementing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from blink_spark.functions.hashing import (
+    embed_text_udf,
+    hamming64,
+    minhash_band_keys,
+    simhash64,
+)
+from blink_spark.functions.similarity import cosine
+from blink_spark.functions.text import fingerprint, shingles
+from blink_spark.operators.cluster import assign_clusters
+from blink_spark.operators.pairs import candidate_pairs, pairs_with_attrs
+from blink_spark.operators.scoring import match_edges
+
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Bag-of-words-exact dedup: groups share the sorted-token fingerprint;
+    keeper = min id (deterministic). One shuffle."""
+    return (
+        df.select(F.col(id_col).alias("record_id"), fingerprint(df[text_col]).alias("fp"))
+        .groupBy("fp")
+        .agg(
+            F.count("*").alias("group_size"),
+            F.min("record_id").alias("keeper"),
+            F.sort_array(F.collect_list("record_id")).alias("members"),
+        )
+    )
+
+
+def _pairs_from_blocks(blocks: DataFrame, **kw) -> DataFrame:
+    pairs, _ = candidate_pairs(blocks, **kw)
+    return pairs
+
+
+def minhash_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    bands: int = 4,
+    rows: int = 8,
+    shingle_n: int = 7,
+    jaccard_threshold: float = 0.8,
+) -> DataFrame:
+    """MinHash-LSH near-dup clustering: band-bucket blocking, exact
+    shingle-Jaccard verification, CC. The verification step makes LSH a
+    candidate generator, not the decision — false band collisions are
+    filtered by the true Jaccard."""
+    recs = df.select(
+        F.col(id_col).cast("string").alias("record_id"),
+        df[text_col].alias("text"),
+        shingles(df[text_col], n=shingle_n).alias("sh"),
+    ).persist()
+    blocks = recs.select(
+        "record_id",
+        F.explode(
+            minhash_band_keys(F.col("text"), bands=bands, rows=rows, shingle_n=shingle_n)
+        ).alias("block_key"),
+    ).select("block_key", "record_id")
+    pairs = _pairs_from_blocks(blocks)
+    attrs = pairs_with_attrs(pairs, recs, "record_id", ["sh"])
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    scored = attrs.withColumn(
+        "shingle_jaccard", F.round(F.when(union > 0, inter / union).otherwise(0.0), 6)
+    ).withColumn("is_match", F.col("shingle_jaccard") >= jaccard_threshold)
+    return assign_clusters(recs, "record_id", match_edges(scored))
+
+
+def simhash_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 8,
+) -> DataFrame:
+    """SimHash near-dup clustering: 60-bit token simhash, 15-bit band
+    blocking (any pair within hamming<=15-bit-band distance shares >= 1 of 4
+    bands by pigeonhole when hamming <= 3; wider radii trade recall), exact
+    hamming verification."""
+    recs = df.select(
+        F.col(id_col).cast("string").alias("record_id"),
+        simhash64(df[text_col]).alias("sh"),
+    ).persist()
+    banded = recs.select(
+        "record_id",
+        "sh",
+        F.explode(
+            F.array(
+                *[
+                    F.concat(
+                        F.lit(f"{b}:"),
+                        F.shiftright(F.col("sh"), b * 15)
+                        .bitwiseAND(F.lit(0x7FFF))
+                        .cast("string"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("block_key"),
+    )
+    pairs = _pairs_from_blocks(banded.select("block_key", "record_id"))
+    attrs = pairs_with_attrs(pairs, recs, "record_id", ["sh"])
+    scored = attrs.withColumn("hamming", hamming64("sh_a", "sh_b")).withColumn(
+        "is_match", F.col("hamming") <= max_hamming
+    )
+    return assign_clusters(recs, "record_id", match_edges(scored))
+
+
+def embedding_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    cosine_threshold: float = 0.95,
+    n_planes: int = 12,
+) -> DataFrame:
+    """Embedding-cosine near-dup clustering: hashing-trick embeddings
+    (Arrow-batched UDF), sign-LSH bucket blocking, exact cosine
+    verification."""
+    from blink_spark.functions.hashing import sign_lsh_bucket
+
+    recs = df.select(
+        F.col(id_col).cast("string").alias("record_id"),
+        embed_text_udf(df[text_col]).alias("emb"),
+    ).persist()
+    blocks = recs.select(
+        "record_id",
+        F.concat(F.lit("e:"), sign_lsh_bucket("emb", n_planes=n_planes)).alias(
+            "block_key"
+        ),
+    ).select("block_key", "record_id")
+    pairs = _pairs_from_blocks(blocks)
+    attrs = pairs_with_attrs(pairs, recs, "record_id", ["emb"])
+    scored = attrs.withColumn(
+        "cos", F.round(cosine("emb_a", "emb_b"), 6)
+    ).withColumn("is_match", F.col("cos") >= cosine_threshold)
+    return assign_clusters(recs, "record_id", match_edges(scored))

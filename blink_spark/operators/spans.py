@@ -1,0 +1,103 @@
+"""ELQ-style span operators: enumeration, bounds conversion, greedy overlap
+pruning (SURVEY.md §2.6).
+
+The reference detects mentions by scoring every (start <= end) token span
+(/root/reference/elq/biencoder/biencoder.py:64-126), converts exclusive to
+inclusive bounds (/root/reference/elq/biencoder/data_process.py:410-411),
+sorts spans by (start, end) (/root/reference/elq/biencoder/
+data_process.py:202-248) and greedily keeps the best non-overlapping spans
+(/root/reference/elq/main_dense.py:451-466). Here spans come pre-delimited
+in the documents table, so enumeration is a generator expression and the
+only inherently sequential piece — the greedy overlap prune — is a grouped
+``applyInPandas`` with one document of state at a time.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def enumerate_token_spans(
+    df: DataFrame, id_col: str, text_col: str, max_len: int = 3
+) -> DataFrame:
+    """All token spans of length 1..max_len per row: (id, start, end_excl,
+    span_text). Pure generator (sequence + transform + explode), no shuffle —
+    the relational form of MentionScoresHead's span enumeration
+    (/root/reference/elq/biencoder/biencoder.py:103-119)."""
+    toks = F.split(F.trim(df[text_col]), r"\s+")
+    n = F.size(toks)
+    spans = F.flatten(
+        F.transform(
+            F.sequence(F.lit(0), n - 1),
+            lambda s: F.transform(
+                F.sequence(
+                    F.lit(1), F.least(F.lit(max_len), n - s)
+                ),
+                lambda ln: F.struct(
+                    s.alias("start"),
+                    (s + ln).alias("end_excl"),
+                    F.array_join(F.slice(toks, s + 1, ln), " ").alias("span_text"),
+                ),
+            ),
+        )
+    )
+    return df.select(df[id_col].alias("record_id"), F.explode(spans).alias("sp")).select(
+        "record_id",
+        F.col("sp.start").alias("start"),
+        F.col("sp.end_excl").alias("end_excl"),
+        F.col("sp.span_text").alias("span_text"),
+    )
+
+
+def exclusive_to_inclusive(df: DataFrame, end_col: str = "end_excl") -> DataFrame:
+    """[start, end) → [start, end] — the off-by-one discipline of
+    /root/reference/elq/biencoder/data_process.py:410-411."""
+    return df.withColumn("end_incl", F.col(end_col) - 1)
+
+
+def greedy_overlap_prune(
+    scored_spans: DataFrame,
+    group_col: str = "record_id",
+    score_col: str = "score",
+) -> DataFrame:
+    """Greedy best-first non-overlap selection per group — accept a span
+    unless any of its token positions is already covered. Inherently
+    sequential per document (bounded state: one doc), hence grouped-map
+    applyInPandas (/root/reference/elq/main_dense.py:451-466).
+
+    Expects columns (group_col, start, end_excl, score_col). Deterministic
+    order: score DESC, start ASC, end_excl ASC.
+    """
+    schema = scored_spans.schema
+
+    def prune(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(
+            [score_col, "start", "end_excl"], ascending=[False, True, True]
+        )
+        covered: set[int] = set()
+        keep = []
+        for idx, row in pdf.iterrows():
+            rng = range(int(row["start"]), int(row["end_excl"]))
+            if any(p in covered for p in rng):
+                continue
+            covered.update(rng)
+            keep.append(idx)
+        return pdf.loc[keep]
+
+    return scored_spans.groupBy(group_col).applyInPandas(prune, schema)
+
+
+def sort_spans_canonical(df: DataFrame, group_col: str = "record_id") -> DataFrame:
+    """Canonical (start, end) span order within each group — the span-order
+    invariant of /root/reference/elq/biencoder/data_process.py:202-248.
+    Returns one row per group with the sorted span struct array."""
+    return (
+        df.groupBy(group_col)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("start", "end_excl", "span_text"))
+            ).alias("spans_sorted")
+        )
+    )

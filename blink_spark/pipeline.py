@@ -59,6 +59,9 @@ class PipelineConfig:
     # bigram) or their baseline shingle-Jaccard is high enough that every
     # band collides and candidate generation degenerates quadratic.
     minhash_shingle_n: int = 3
+    # rich per-stage metrics (match counts, distinct clusters) cost extra
+    # full scans — keep for observability, disable for throughput benches
+    rich_metrics: bool = True
     stages: tuple[str, ...] = (
         "mentions",
         "blocks",
@@ -178,14 +181,10 @@ def run_pipeline(
             p_scored,
         )
         sdf = spark.read.parquet(p_scored)
-        _log_lineage(
-            out_dir,
-            "scored_pairs",
-            {
-                "rows": sdf.count(),
-                "matches": sdf.filter("is_match").count(),
-            },
-        )
+        metrics = {"rows": sdf.count()}
+        if cfg.rich_metrics:
+            metrics["matches"] = sdf.filter("is_match").count()
+        _log_lineage(out_dir, "scored_pairs", metrics)
     scored = spark.read.parquet(p_scored)
 
     # S5 — clustering
@@ -195,14 +194,10 @@ def run_pipeline(
         clusters = assign_clusters(mentions, "mention_id", edges)
         _write_stage(clusters, p_clusters)
         cdf = spark.read.parquet(p_clusters)
-        _log_lineage(
-            out_dir,
-            "clusters",
-            {
-                "rows": cdf.count(),
-                "n_clusters": cdf.select("cluster_id").distinct().count(),
-            },
-        )
+        metrics = {"rows": cdf.count()}
+        if cfg.rich_metrics:
+            metrics["n_clusters"] = cdf.select("cluster_id").distinct().count()
+        _log_lineage(out_dir, "clusters", metrics)
     return spark.read.parquet(p_clusters)
 
 

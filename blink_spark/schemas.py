@@ -26,6 +26,24 @@ DOCUMENTS = T.StructType(
     ]
 )
 
+# On-disk variant: pandas/pyarrow-written fixtures store offset as INT64 and
+# file schemas must match exactly for streaming reads (batch reads infer).
+SPAN_PARQUET = T.StructType(
+    [
+        T.StructField("kind", T.StringType(), True),
+        T.StructField("text", T.StringType(), True),
+        T.StructField("media_ref", T.StringType(), True),
+        T.StructField("offset", T.LongType(), True),
+    ]
+)
+
+DOCUMENTS_PARQUET = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType(), True),
+        T.StructField("spans", T.ArrayType(SPAN_PARQUET, True), True),
+    ]
+)
+
 # Entity catalogue (KB) — mirrors blink/main_dense.py:119-151 JSONL records.
 ENTITIES = T.StructType(
     [

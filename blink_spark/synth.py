@@ -219,18 +219,58 @@ def make_gold_pairs(mentions: pd.DataFrame) -> pd.DataFrame:
     return pd.DataFrame(rows, columns=["mention_id_a", "mention_id_b", "same_entity", "block_key"])
 
 
+def make_questions(entities: pd.DataFrame, n_questions: int = 300) -> pd.DataFrame:
+    """ELQ-style multi-mention rows with parallel arrays (FIXTURES.md §6;
+    schema documented at /root/reference/elq/main_dense.py:150-172):
+    mentions are [start, end) char offsets (exclusive end, raw-data
+    convention before the inclusive conversion at
+    /root/reference/elq/biencoder/data_process.py:410-411)."""
+    ents = entities.to_dict("records")
+    rows = []
+    for q in range(n_questions):
+        n_m = 1 + _h("nm", q) % 3
+        parts: list[str] = []
+        bounds: list[list[int]] = []
+        label_id: list[int] = []
+        label: list[str] = []
+        pos = 0
+        for m in range(n_m):
+            lead = " ".join(_pick(_WORDS, "qL", q, m, j) for j in range(3))
+            parts.append(lead)
+            pos += len(lead) + 1
+            ent = ents[_h("qe", q, m) % len(ents)]
+            surface = ent["title"]
+            parts.append(surface)
+            bounds.append([pos, pos + len(surface)])
+            label_id.append(ent["entity_id"])
+            label.append(ent["title"])
+            pos += len(surface) + 1
+        rows.append(
+            {
+                "id": f"q{q:06d}",
+                "text": " ".join(parts),
+                "mentions": bounds,
+                "label_id": label_id,
+                "entity": label,
+            }
+        )
+    return pd.DataFrame(rows)
+
+
 def write_fixtures(out_dir: str, n_docs: int = 2000, n_entities: int = 500) -> dict[str, str]:
     """Write all fixture parquet files; returns {table: path}. Idempotent."""
     os.makedirs(out_dir, exist_ok=True)
     paths = {t: os.path.join(out_dir, f"{t}.parquet") for t in
-             ("entities", "documents", "mentions", "gold_pairs")}
+             ("entities", "documents", "mentions", "gold_pairs", "questions")}
     if all(os.path.exists(p) for p in paths.values()):
         return paths
     ents = make_entities(n_entities)
     docs, ments = make_documents_and_mentions(ents, n_docs=n_docs)
     gold = make_gold_pairs(ments)
+    questions = make_questions(ents)
     ents.to_parquet(paths["entities"], index=False)
     docs.to_parquet(paths["documents"], index=False)
     ments.to_parquet(paths["mentions"], index=False)
     gold.to_parquet(paths["gold_pairs"], index=False)
+    questions.to_parquet(paths["questions"], index=False)
     return paths

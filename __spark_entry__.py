@@ -929,12 +929,13 @@ def _simhash_dups(spark: SparkSession, sf: str) -> DataFrame:
     """SimHash near-dup candidates: 60-bit simhash, pairs within hamming<=8
     among docs sharing a 15-bit simhash band (rows-only check; simhash bit
     arithmetic is validated by pytest instead of a SQL oracle)."""
-    from blink_spark.functions.hashing import hamming64, simhash64
+    from blink_spark.functions.hashing import hamming64
+    from blink_spark.operators.dedup import simhash_relational
 
-    d = _t(spark, sf, "documents").select(
-        F.col("doc_id").cast("string").alias("doc_id"), "text"
-    )
-    sh = d.select("doc_id", simhash64("text").alias("sh")).persist()
+    d = _t(spark, sf, "documents")
+    sh = simhash_relational(d, "doc_id", "text").withColumnRenamed(
+        "record_id", "doc_id"
+    ).persist()
     banded = sh.select(
         "doc_id",
         "sh",

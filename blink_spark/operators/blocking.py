@@ -62,13 +62,50 @@ def minhash_blocks(
     rows: int = 4,
     shingle_n: int = 3,
 ) -> DataFrame:
-    """MinHash-LSH band keys as blocks (near-dup blocking)."""
-    return df.select(
+    """MinHash-LSH band keys as blocks (near-dup blocking).
+
+    Relational formulation — identical values to
+    ``functions.hashing.minhash_band_keys`` but ~10x faster: Spark's
+    higher-order array functions (transform/aggregate/zip_with) are
+    CodegenFallback, i.e. interpreted per element, so the array fold is
+    rewritten as explode → codegen md5/substring columns → groupBy with
+    per-component ``min`` (map-side partial agg collapses each partition to
+    one row per record before the shuffle). Shingle multiplicity doesn't
+    matter (min over multiset == min over set), so no dedup is needed.
+    """
+    from blink_spark.functions.text import normalize_text
+
+    k = bands * rows
+    n_md5 = (k * 4 + 31) // 32
+    norm = normalize_text(df[text_col])
+    sh = df.select(
         df[id_col].alias("record_id"),
-        df[text_col].alias("text"),
+        norm.alias("t"),
         F.explode(
-            minhash_band_keys(df[text_col], bands=bands, rows=rows, shingle_n=shingle_n)
-        ).alias("block_key"),
+            F.sequence(F.lit(1), F.greatest(F.length(norm) - (shingle_n - 1), F.lit(1)))
+        ).alias("i"),
+    ).select(
+        "record_id", F.expr(f"substring(t, i, {shingle_n})").alias("g")
+    )
+    h = F.concat(*[F.md5(F.concat(F.lit(f"h{j}:"), F.col("g"))) for j in range(n_md5)])
+    windows = sh.select(
+        "record_id",
+        *[F.substring(h, i * 4 + 1, 4).alias(f"w{i}") for i in range(k)],
+    )
+    sig = windows.groupBy("record_id").agg(
+        *[F.min(f"w{i}").alias(f"s{i}") for i in range(k)]
+    )
+    band_keys = F.array(
+        *[
+            F.concat(
+                F.lit(f"b{b}:"),
+                F.md5(F.concat_ws(",", *[F.col(f"s{b * rows + r}") for r in range(rows)])),
+            )
+            for b in range(bands)
+        ]
+    )
+    return sig.select(
+        "record_id", F.explode(band_keys).alias("block_key")
     )
 
 

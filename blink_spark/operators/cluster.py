@@ -82,14 +82,20 @@ def connected_components(
     shrinks the serial fraction at scale.
     """
     cur = _canonical(edges).localCheckpoint()
+    prev = cur
     for i in range(max_iter):
         after_large = _large_star(cur)
-        after_small = _small_star(after_large).localCheckpoint()
+        after_small = _small_star(after_large)
         converged = False
         if (i + 1) % check_every == 0 or i == max_iter - 1:
-            # fixed point: edge sets equal (both canonical u>v distinct)
-            diff = after_small.exceptAll(cur).limit(1).count()
-            converged = diff == 0 and after_small.count() == cur.count()
+            # materialize + fixed-point test (edge sets equal; both are
+            # canonical u>v distinct). Checkpointing only on test rounds
+            # halves the number of barriers; two supersteps of lineage is
+            # still bounded.
+            after_small = after_small.localCheckpoint()
+            diff = after_small.exceptAll(prev).limit(1).count()
+            converged = diff == 0 and after_small.count() == prev.count()
+            prev = after_small
         cur = after_small
         if converged:
             break

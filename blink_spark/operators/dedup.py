@@ -11,12 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from blink_spark.functions.hashing import (
-    embed_text_udf,
-    hamming64,
-    minhash_band_keys,
-    simhash64,
-)
+from blink_spark.functions.hashing import embed_text_udf, hamming64
 from blink_spark.functions.similarity import cosine
 from blink_spark.functions.text import fingerprint, shingles
 from blink_spark.operators.cluster import assign_clusters
@@ -43,6 +38,34 @@ def _pairs_from_blocks(blocks: DataFrame, **kw) -> DataFrame:
     return pairs
 
 
+def simhash_relational(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(record_id, sh): 60-bit token SimHash via explode + 60 conditional-sum
+    aggregates — the codegen-friendly form of ``functions.hashing.simhash64``
+    (whose per-bit array filters are interpreted CodegenFallback HOFs).
+    Identical values: majority vote over distinct-token hash bits."""
+    from blink_spark.functions.hashing import _hash16
+    from blink_spark.functions.text import tokens
+
+    tok = (
+        df.select(F.col(id_col).cast("string").alias("record_id"),
+                  F.explode(tokens(df[text_col])).alias("tok"))
+        .dropDuplicates(["record_id", "tok"])
+        .withColumn("h", _hash16(F.col("tok"), 99))
+    )
+    aggs = [F.count("*").alias("n")] + [
+        F.sum(F.shiftright("h", b).bitwiseAND(F.lit(1))).alias(f"c{b}")
+        for b in range(60)
+    ]
+    per = tok.groupBy("record_id").agg(*aggs)
+    sh = None
+    for b in range(60):
+        term = F.when(F.col(f"c{b}") * 2 > F.col("n"), F.lit(1 << b)).otherwise(
+            F.lit(0)
+        ).cast("long")
+        sh = term if sh is None else sh + term
+    return per.select("record_id", sh.alias("sh"))
+
+
 def minhash_dedup(
     df: DataFrame,
     id_col: str,
@@ -56,16 +79,15 @@ def minhash_dedup(
     shingle-Jaccard verification, CC. The verification step makes LSH a
     candidate generator, not the decision — false band collisions are
     filtered by the true Jaccard."""
+    from blink_spark.operators.blocking import minhash_blocks
+
     recs = df.select(
         F.col(id_col).cast("string").alias("record_id"),
         df[text_col].alias("text"),
         shingles(df[text_col], n=shingle_n).alias("sh"),
     ).persist()
-    blocks = recs.select(
-        "record_id",
-        F.explode(
-            minhash_band_keys(F.col("text"), bands=bands, rows=rows, shingle_n=shingle_n)
-        ).alias("block_key"),
+    blocks = minhash_blocks(
+        recs, "record_id", "text", bands=bands, rows=rows, shingle_n=shingle_n
     ).select("block_key", "record_id")
     pairs = _pairs_from_blocks(blocks)
     attrs = pairs_with_attrs(pairs, recs, "record_id", ["sh"])
@@ -87,10 +109,7 @@ def simhash_dedup(
     blocking (any pair within hamming<=15-bit-band distance shares >= 1 of 4
     bands by pigeonhole when hamming <= 3; wider radii trade recall), exact
     hamming verification."""
-    recs = df.select(
-        F.col(id_col).cast("string").alias("record_id"),
-        simhash64(df[text_col]).alias("sh"),
-    ).persist()
+    recs = simhash_relational(df, id_col, text_col).persist()
     banded = recs.select(
         "record_id",
         "sh",

@@ -42,6 +42,51 @@ from blink_spark.operators.scoring import (
     score_pairs_cascade,
     score_pairs_prepped_cheap,
 )
+from blink_spark.functions.text import normalize_text
+
+
+def exact_contract(mentions: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Contract exact-duplicate normalized surfaces before pair generation.
+
+    Mentions with identical normalized text are same-cluster by the match
+    rule (norm_eq), so only one representative per distinct surface — the
+    min id, which is also what makes the final min-id cluster labels come
+    out identical to the uncontracted run — needs to enter blocking /
+    scoring / clustering. Classic dedupe-before-match: cuts the pair table
+    by the square of the duplication factor, with provably unchanged
+    cluster assignments.
+
+    Returns (record_id, norm) — one row per distinct surface.
+    """
+    return (
+        mentions.select(
+            mentions[id_col].alias("mention_id"),
+            normalize_text(mentions[text_col]).alias("norm"),
+        )
+        .groupBy("norm")
+        .agg(F.min("mention_id").alias("record_id"))
+        .select("record_id", "norm")
+    )
+
+
+def expand_contracted_clusters(
+    mentions: DataFrame, id_col: str, text_col: str, rep_clusters: DataFrame
+) -> DataFrame:
+    """Map every mention to its representative's cluster id."""
+    with_norm = mentions.select(
+        mentions[id_col].alias("record_id"),
+        normalize_text(mentions[text_col]).alias("norm"),
+    )
+    norm_to_cluster = (
+        with_norm.groupBy("norm").agg(F.min("record_id").alias("rep_id"))
+        .join(
+            rep_clusters.withColumnRenamed("record_id", "rep_id"),
+            "rep_id",
+            "left",
+        )
+        .select("norm", F.coalesce("cluster_id", "rep_id").alias("cluster_id"))
+    )
+    return with_norm.join(norm_to_cluster, "norm").select("record_id", "cluster_id")
 
 
 @dataclass
@@ -62,6 +107,12 @@ class PipelineConfig:
     # rich per-stage metrics (match counts, distinct clusters) cost extra
     # full scans — keep for observability, disable for throughput benches
     rich_metrics: bool = True
+    # write every stage to parquet (resumable checkpoints). False = fused
+    # plan: only clusters are written; intermediates persist in memory/disk
+    # cache. Checkpointing costs ~2 full materializations of the pair table
+    # in disk bandwidth, which does not scale with cores — on a real cluster
+    # the same trade is checkpoint-to-object-store vs fused stages.
+    checkpoints: bool = True
     stages: tuple[str, ...] = (
         "mentions",
         "blocks",
@@ -100,6 +151,8 @@ def run_pipeline(
 ) -> DataFrame:
     """Run (or resume) the full pipeline; returns the clusters DataFrame."""
     cfg = config or PipelineConfig()
+    if not cfg.checkpoints:
+        return _run_pipeline_fused(spark, documents_path, out_dir, cfg)
     os.makedirs(out_dir, exist_ok=True)
 
     # S1 — extract
@@ -114,22 +167,29 @@ def run_pipeline(
         _log_lineage(out_dir, "mentions", {"rows": spark.read.parquet(p_mentions).count()})
     mentions = spark.read.parquet(p_mentions)
 
-    # S2 — blocking (df-aware token keys ∪ MinHash-LSH bands)
+    # S2a — exact contraction: one representative per distinct surface
+    p_reps = _stage_path(out_dir, "reps")
+    if force or not _exists(p_reps):
+        _write_stage(exact_contract(mentions, "mention_id", "mention"), p_reps)
+        _log_lineage(out_dir, "reps", {"rows": spark.read.parquet(p_reps).count()})
+    reps = spark.read.parquet(p_reps)
+
+    # S2b — blocking over representatives (df-aware keys ∪ MinHash-LSH)
     p_blocks = _stage_path(out_dir, "blocks")
     if force or not _exists(p_blocks):
         tb, token_stats = df_aware_blocks(
-            mentions,
-            "mention_id",
-            "mention",
+            reps,
+            "record_id",
+            "norm",
             rare_df=cfg.max_block_size,
             max_df=cfg.hard_cap,
         )
         assignments = tb
         if cfg.use_minhash:
             mh = minhash_blocks(
-                mentions,
-                "mention_id",
-                "mention",
+                reps,
+                "record_id",
+                "norm",
                 bands=cfg.minhash_bands,
                 rows=cfg.minhash_rows,
                 shingle_n=cfg.minhash_shingle_n,
@@ -165,7 +225,7 @@ def run_pipeline(
     # S4 — cascade scoring with biencoder-style embeddings on the hot branch
     p_scored = _stage_path(out_dir, "scored_pairs")
     if force or not _exists(p_scored):
-        prep = prepare_records(mentions, "mention_id", "mention", with_emb=True)
+        prep = prepare_records(reps, "record_id", "norm", with_emb=True)
         attrs = pairs_with_attrs(pairs, prep, "record_id", ["norm", "toks", "emb"])
         scored = score_pairs_cascade(attrs, with_emb=True)
         _write_stage(
@@ -187,17 +247,72 @@ def run_pipeline(
         _log_lineage(out_dir, "scored_pairs", metrics)
     scored = spark.read.parquet(p_scored)
 
-    # S5 — clustering
+    # S5 — clustering over representatives, expanded back to all mentions
     p_clusters = _stage_path(out_dir, "clusters")
     if force or not _exists(p_clusters):
         edges = match_edges(scored)
-        clusters = assign_clusters(mentions, "mention_id", edges)
+        rep_clusters = assign_clusters(reps, "record_id", edges)
+        clusters = expand_contracted_clusters(
+            mentions, "mention_id", "mention", rep_clusters
+        )
         _write_stage(clusters, p_clusters)
         cdf = spark.read.parquet(p_clusters)
         metrics = {"rows": cdf.count()}
         if cfg.rich_metrics:
             metrics["n_clusters"] = cdf.select("cluster_id").distinct().count()
         _log_lineage(out_dir, "clusters", metrics)
+    return spark.read.parquet(p_clusters)
+
+
+def _run_pipeline_fused(
+    spark: SparkSession,
+    documents_path: str,
+    out_dir: str,
+    cfg: PipelineConfig,
+) -> DataFrame:
+    """Checkpoint-free variant: one fused DAG from documents to clusters.
+
+    Multi-consumer frames persist in the block cache instead of parquet, so
+    the pair table is never round-tripped through disk. Same operators,
+    same results; no resumability (that's what checkpoints=True is for).
+    """
+    os.makedirs(out_dir, exist_ok=True)
+    documents = spark.read.parquet(documents_path)
+    documents = documents.repartition(spark.sparkContext.defaultParallelism)
+    mentions = extract_mentions(documents).persist()
+    reps = exact_contract(mentions, "mention_id", "mention").persist()
+
+    tb, _ = df_aware_blocks(
+        reps, "record_id", "norm",
+        rare_df=cfg.max_block_size, max_df=cfg.hard_cap,
+    )
+    assignments = tb
+    if cfg.use_minhash:
+        mh = minhash_blocks(
+            reps, "record_id", "norm",
+            bands=cfg.minhash_bands, rows=cfg.minhash_rows,
+            shingle_n=cfg.minhash_shingle_n,
+        ).select("block_key", "record_id")
+        assignments = union_blocks(tb, mh)
+
+    pairs, _ = candidate_pairs(
+        assignments,
+        max_block_size=cfg.max_block_size,
+        hard_cap=cfg.hard_cap,
+        n_salt=cfg.n_salt,
+    )
+    prep = prepare_records(reps, "record_id", "norm", with_emb=True)
+    attrs = pairs_with_attrs(pairs, prep, "record_id", ["norm", "toks", "emb"])
+    scored = score_pairs_cascade(attrs, with_emb=True)
+    edges = match_edges(scored)
+    rep_clusters = assign_clusters(reps, "record_id", edges)
+    clusters = expand_contracted_clusters(
+        mentions, "mention_id", "mention", rep_clusters
+    )
+    p_clusters = _stage_path(out_dir, "clusters")
+    _write_stage(clusters, p_clusters)
+    mentions.unpersist()
+    reps.unpersist()
     return spark.read.parquet(p_clusters)
 
 
@@ -216,7 +331,8 @@ def dedup_documents_pipeline(
         F.col(id_col).cast("string").alias("record_id"), F.col(text_col).alias("text")
     ).repartition(spark.sparkContext.defaultParallelism)
     recs = recs.persist()
-    mh = minhash_blocks(recs, "record_id", "text",
+    reps = exact_contract(recs, "record_id", "text").persist()
+    mh = minhash_blocks(reps, "record_id", "norm",
                         bands=cfg.minhash_bands, rows=cfg.minhash_rows,
                         shingle_n=cfg.minhash_shingle_n)
     pairs, _ = candidate_pairs(
@@ -225,8 +341,9 @@ def dedup_documents_pipeline(
         hard_cap=cfg.hard_cap,
         n_salt=cfg.n_salt,
     )
-    prep = prepare_records(recs, "record_id", "text")
+    prep = prepare_records(reps, "record_id", "norm")
     attrs = pairs_with_attrs(pairs, prep, "record_id", ["norm", "toks"])
     scored = score_pairs_prepped_cheap(attrs)
     edges = match_edges(scored)
-    return assign_clusters(recs, "record_id", edges)
+    rep_clusters = assign_clusters(reps, "record_id", edges)
+    return expand_contracted_clusters(recs, "record_id", "text", rep_clusters)

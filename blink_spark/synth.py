@@ -67,8 +67,12 @@ def entity_words(eid: int) -> tuple[str, str, str]:
     return (_WORDS[eid % n], _WORDS[(eid // n) % n], _WORDS[(eid // (n * n)) % n])
 
 
-def make_entities(n_entities: int = 500) -> pd.DataFrame:
-    assert n_entities <= 2000, "separation guarantee needs eid < 45^2"
+def make_entities(n_entities: int = 500, allow_large: bool = False) -> pd.DataFrame:
+    """allow_large lifts the 45^2 cap for throughput fixtures: beyond 2025
+    entities the whole-word separation guarantee weakens to the id-token
+    lev>=2 guarantee, so F1 oracles should stick to <=2000 entities."""
+    assert allow_large or n_entities <= 2000, "separation guarantee needs eid < 45^2"
+    assert n_entities <= 45**3, "id space exhausted"
     rows = []
     for eid in range(n_entities):
         w1, w2, w3 = entity_words(eid)

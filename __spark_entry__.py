@@ -249,12 +249,13 @@ def _event_neighbors(spark: SparkSession, sf: str) -> DataFrame:
     """
     SELECT user_id, event_id, session_seq FROM (
       SELECT user_id, event_id,
-             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                               ROWS UNBOUNDED PRECEDING) AS session_seq
+             cast(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
       FROM (
         SELECT user_id, event_id, ts,
-               CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-                         <= INTERVAL 30 MINUTE THEN 0 ELSE 1 END AS is_new
+               CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                           OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                         <= 1800000000 THEN 0 ELSE 1 END AS is_new
         FROM events
       )
     )
@@ -263,16 +264,24 @@ def _event_neighbors(spark: SparkSession, sf: str) -> DataFrame:
 def _sessionize(spark: SparkSession, sf: str) -> DataFrame:
     """Gap-based sessionization via running sum over a marker (the
     -DOCSTART- document sessionization,
-    /root/reference/blink/candidate_retrieval/dataset.py:73-110)."""
+    /root/reference/blink/candidate_retrieval/dataset.py:73-110).
+
+    Gap compared at full microsecond precision on BOTH sides — truncating to
+    whole seconds diverges from the oracle's exact interval whenever a gap
+    lands in (1800, 1801)s. Oracle sums cast to BIGINT (DuckDB sum(int) is
+    HUGEINT, which the driver formats differently)."""
     e = _t(spark, sf, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    secs = F.col("ts").cast("timestamp").cast("long")
-    gap = secs - F.lag(secs).over(w)
-    marked = e.select(
+    lagged = e.select(
+        "user_id", "event_id", "ts", F.lag("ts").over(w).alias("prev_ts")
+    )
+    # timestampdiff works on TIMESTAMP_NTZ directly (timezone-free)
+    gap = F.expr("timestampdiff(MICROSECOND, prev_ts, ts)")
+    marked = lagged.select(
         "user_id",
         "event_id",
         "ts",
-        F.when(gap <= 1800, 0).otherwise(1).alias("is_new"),
+        F.when(gap <= 1800 * 1_000_000, 0).otherwise(1).alias("is_new"),
     )
     return marked.select(
         "user_id",
@@ -754,13 +763,16 @@ def _er_two_key_join(spark: SparkSession, sf: str) -> DataFrame:
     trailing id-token, count how each row resolved."""
     m = _fx(spark, "mentions").select("mention_id", "mention")
     e = _fx(spark, "entities").select("entity_id", "title")
-    by_title = e.select(
-        F.lower("title").alias("mention"), F.col("entity_id").alias("eid_title")
-    ).dropDuplicates(["mention"])
-    by_idtok = e.select(
-        F.element_at(F.split(F.lower("title"), " "), -1).alias("idtok"),
-        F.col("entity_id").alias("eid_idtok"),
-    ).dropDuplicates(["idtok"])
+    # deterministic key reduction: min(entity_id) per key (dropDuplicates
+    # keeps an arbitrary row — nondeterministic across partitionings)
+    by_title = (
+        e.groupBy(F.lower("title").alias("mention"))
+        .agg(F.min("entity_id").alias("eid_title"))
+    )
+    by_idtok = (
+        e.groupBy(F.element_at(F.split(F.lower("title"), " "), -1).alias("idtok"))
+        .agg(F.min("entity_id").alias("eid_idtok"))
+    )
     joined = (
         m.join(by_title, "mention", "left")
         .withColumn("idtok", F.element_at(F.split("mention", " "), -1))
@@ -838,16 +850,18 @@ def _cube_rf_ls(spark: SparkSession, sf: str) -> DataFrame:
     "pivot_event_counts",
     """
     SELECT user_id,
-           sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n_click,
-           sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_error,
-           sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchase,
-           sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS n_signup,
-           sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS n_view
+           cast(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+           cast(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+           cast(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+           cast(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+           cast(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view
     FROM events GROUP BY user_id
     """,
 )
 def _pivot_events(spark: SparkSession, sf: str) -> DataFrame:
-    """Pivot via conditional aggregation (engine-portable form)."""
+    """Pivot via conditional aggregation (engine-portable form). Oracle sums
+    cast to BIGINT — DuckDB's bare sum(int) is HUGEINT, which the driver
+    formats differently from Spark's LongType."""
     e = _t(spark, sf, "events")
     aggs = [
         F.sum(F.when(F.col("event_type") == t, 1).otherwise(0)).alias(f"n_{t}")
@@ -924,14 +938,54 @@ def _emb_centroids(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-@_q("simhash_near_dups", None)
-def _simhash_dups(spark: SparkSession, sf: str) -> DataFrame:
-    """SimHash near-dup candidates: 60-bit simhash, pairs within hamming<=8
-    among docs sharing a 15-bit simhash band (rows-only check; simhash bit
-    arithmetic is validated by pytest instead of a SQL oracle)."""
-    from blink_spark.functions.hashing import hamming64
-    from blink_spark.operators.dedup import simhash_relational
+def _simhash_oracle_sql(max_hamming: int = 3) -> str:
+    """DuckDB mirror of simhash_relational + pigeonhole banding: identical
+    md5-derived 60-bit signatures, identical band keys, exact hamming."""
+    from blink_spark.operators.dedup import simhash_band_splits
 
+    bit_sums = ", ".join(f"sum((h >> {b}) & 1) AS c{b}" for b in range(60))
+    sh_terms = " + ".join(
+        f"(CASE WHEN 2*c{b} > n THEN {1 << b} ELSE 0 END)::BIGINT" for b in range(60)
+    )
+    band_exprs = ", ".join(
+        f"'{b}:' || ((sh >> {off}) & {(1 << width) - 1})::varchar"
+        for b, (off, width) in enumerate(simhash_band_splits(max_hamming))
+    )
+    return f"""
+    WITH n0 AS (
+      SELECT doc_id::varchar AS record_id,
+             trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+      FROM documents
+    ),
+    tok AS (
+      SELECT record_id, unnest(list_distinct(string_split(t, ' '))) AS tok FROM n0
+    ),
+    h AS (
+      SELECT record_id, ('0x' || substr(md5('s99:' || tok), 1, 15))::BIGINT AS h
+      FROM tok
+    ),
+    agg AS (SELECT record_id, count(*) AS n, {bit_sums} FROM h GROUP BY record_id),
+    shs AS (SELECT record_id, {sh_terms} AS sh FROM agg),
+    banded AS (SELECT record_id, sh, unnest([{band_exprs}]) AS band FROM shs)
+    SELECT a, b, hamming FROM (
+      SELECT DISTINCT x.record_id AS a, y.record_id AS b,
+             cast(bit_count(xor(x.sh, y.sh)) AS INT) AS hamming
+      FROM banded x JOIN banded y
+        ON x.band = y.band AND x.record_id < y.record_id
+    ) WHERE hamming <= {max_hamming}
+    """
+
+
+@_q("simhash_near_dups", _simhash_oracle_sql(3))
+def _simhash_dups(spark: SparkSession, sf: str) -> DataFrame:
+    """SimHash near-dup candidates: 60-bit simhash, pigeonhole banding with
+    max_hamming+1 bands (GUARANTEED recall at the verification radius —
+    dedup.simhash_band_splits), exact hamming verify. Full SQL oracle: the
+    signature is md5-derived, so DuckDB computes the identical bits."""
+    from blink_spark.functions.hashing import hamming64
+    from blink_spark.operators.dedup import simhash_band_cols, simhash_relational
+
+    max_hamming = 3
     d = _t(spark, sf, "documents")
     sh = simhash_relational(d, "doc_id", "text").withColumnRenamed(
         "record_id", "doc_id"
@@ -939,15 +993,7 @@ def _simhash_dups(spark: SparkSession, sf: str) -> DataFrame:
     banded = sh.select(
         "doc_id",
         "sh",
-        F.explode(
-            F.array(*[
-                F.concat(
-                    F.lit(f"{b}:"),
-                    F.shiftright(F.col("sh"), b * 15).bitwiseAND(F.lit(0x7FFF)).cast("string"),
-                )
-                for b in range(4)
-            ])
-        ).alias("band"),
+        F.explode(F.array(*simhash_band_cols(F.col("sh"), max_hamming))).alias("band"),
     )
     a = banded.select(F.col("doc_id").alias("a"), F.col("sh").alias("sha"), "band")
     b = banded.select(F.col("doc_id").alias("b"), F.col("sh").alias("shb"), "band")
@@ -956,16 +1002,17 @@ def _simhash_dups(spark: SparkSession, sf: str) -> DataFrame:
         .filter(F.col("a") < F.col("b"))
         .select("a", "b", hamming64("sha", "shb").alias("hamming"))
         .distinct()
-        .filter(F.col("hamming") <= 8)
+        .filter(F.col("hamming") <= max_hamming)
     )
     return pairs
 
 
-@_q("er_overlap_prune", None)
+@_q("er_overlap_prune", None)  # oracle injected below (needs fixture path)
 def _er_overlap_prune(spark: SparkSession, sf: str) -> DataFrame:
     """Greedy non-overlap span selection per question (applyInPandas,
-    /root/reference/elq/main_dense.py:451-466). Rows-only check; exact
-    semantics are pytest-verified against a python oracle."""
+    /root/reference/elq/main_dense.py:451-466). Full SQL oracle: the greedy
+    scan is a recursive CTE walking spans per group in priority order; the
+    span score is md5-derived (portable) rather than crc32 (Spark-only)."""
     from blink_spark.operators.spans import enumerate_token_spans, greedy_overlap_prune
 
     q = _fx(spark, "questions")
@@ -973,7 +1020,10 @@ def _er_overlap_prune(spark: SparkSession, sf: str) -> DataFrame:
     scored = spans.withColumn(
         "score",
         F.length("span_text").cast("double")
-        + (F.crc32(F.col("span_text")) % 97).cast("double") / 100.0,
+        + (
+            F.conv(F.substring(F.md5("span_text"), 1, 4), 16, 10).cast("int") % 97
+        ).cast("double")
+        / 100.0,
     )
     return greedy_overlap_prune(scored, "record_id", "score")
 
@@ -1061,49 +1111,178 @@ def _doc_minhash_dedup(spark: SparkSession, sf: str) -> DataFrame:
                          bands=4, rows=8, shingle_n=7, jaccard_threshold=0.8)
 
 
-@_q("ann_lsh_recall", None)
+def _q_emb(col: str = "embedding") -> str:
+    """DuckDB mirror of hashing.quantize_emb: floor(v * 10^6) per component."""
+    return f"[floor(x::double * 1000000)::BIGINT for x in {col}]"
+
+
+def _bucket_sql(qcol: str, n_planes: int, dim: int, seed: int = 7) -> str:
+    """DuckDB mirror of hashing.sign_lsh_bucket_exact: integer-plane sign
+    bits (list_dot_product of BIGINT lists stays < 2^53 — exact in double)."""
+    from blink_spark.functions.hashing import int_plane_sql_literal
+
+    terms = " + ".join(
+        f"(CASE WHEN list_dot_product({qcol}, {int_plane_sql_literal(seed, p, dim)})"
+        f" >= 0 THEN {1 << p} ELSE 0 END)"
+        for p in range(n_planes)
+    )
+    return f"({terms})"
+
+
+_COS_EXACT_SQL = (
+    "round(CASE WHEN sqrt(list_dot_product({a}, {a}))"
+    " * sqrt(list_dot_product({b}, {b})) > 0"
+    " THEN list_dot_product({a}, {b})"
+    " / (sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
+    " ELSE 0.0 END, 6)"
+)
+
+
+_ANN_PLANES = 4  # 16 buckets over ~500 vectors: measured recall ~0.5 with
+# 1-bit multi-probe; more planes over-partition this corpus (recall 0.13 at 8)
+
+
+def _ann_lsh_oracle_sql() -> str:
+    bucket_i = _bucket_sql("iv", _ANN_PLANES, 64)
+    bucket_q = _bucket_sql("qv", _ANN_PLANES, 64)
+    probes = ", ".join(
+        ["bucket0"] + [f"xor(bucket0, {1 << b})" for b in range(_ANN_PLANES)]
+    )
+    cos_ex = _COS_EXACT_SQL.format(a="qv", b="iv")
+    return f"""
+    WITH e AS (SELECT vec_id, {_q_emb('embedding')} AS q FROM embeddings),
+    qs AS (SELECT vec_id AS query_id, q AS qv FROM e WHERE vec_id < 64),
+    it AS (SELECT vec_id AS item_id, q AS iv FROM e),
+    ex_scored AS (
+      SELECT query_id, item_id, {cos_ex} AS score
+      FROM qs CROSS JOIN it WHERE item_id <> query_id
+    ),
+    ex_top AS (
+      SELECT query_id, item_id FROM (
+        SELECT query_id, item_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY score DESC, item_id ASC) AS rank
+        FROM ex_scored
+      ) WHERE rank <= 10
+    ),
+    itb AS (SELECT item_id, iv, {bucket_i} AS bucket FROM it),
+    qb AS (SELECT query_id, qv, {bucket_q} AS bucket0 FROM qs),
+    probes AS (SELECT query_id, qv, unnest([{probes}]) AS bucket FROM qb),
+    ap_pairs AS (
+      SELECT DISTINCT p.query_id, i.item_id
+      FROM probes p JOIN itb i USING (bucket)
+      WHERE i.item_id <> p.query_id
+    ),
+    ap_scored AS (
+      SELECT a.query_id, a.item_id, {cos_ex} AS score
+      FROM ap_pairs a
+      JOIN qs ON qs.query_id = a.query_id
+      JOIN it ON it.item_id = a.item_id
+    ),
+    ap_top AS (
+      SELECT query_id, item_id FROM (
+        SELECT query_id, item_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY score DESC, item_id ASC) AS rank
+        FROM ap_scored
+      ) WHERE rank <= 10
+    )
+    SELECT count(*) AS n_exact,
+           cast(sum(CASE WHEN a.item_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_found,
+           round(avg(CASE WHEN a.item_id IS NOT NULL THEN 1.0 ELSE 0.0 END), 6)
+             AS recall
+    FROM ex_top x LEFT JOIN ap_top a
+      ON a.query_id = x.query_id AND a.item_id = x.item_id
+    """
+
+
+@_q("ann_lsh_recall", _ann_lsh_oracle_sql())
 def _ann_lsh_recall(spark: SparkSession, sf: str) -> DataFrame:
     """Approximate (sign-LSH bucketed, multi-probe) vs exact cosine top-k —
-    the HNSW-vs-flat recall evaluation (rows-only; bucket signs depend on
-    float dot products that a portable SQL oracle can't reproduce bit-exactly)."""
+    the HNSW-vs-flat recall evaluation. Fully oracled: embeddings are
+    quantized to integers and hyperplanes are integer-valued, so bucket
+    signs and dot products are exact in BOTH engines; the only float ops are
+    one sqrt + one division on identical doubles (IEEE-deterministic)."""
+    from blink_spark.functions.hashing import (
+        cosine_exact,
+        quantize_emb,
+        sign_lsh_bucket_exact,
+    )
     from blink_spark.operators.ann import ann_recall_vs_exact, brute_force_topk, lsh_topk
 
-    e = _t(spark, sf, "embeddings")
-    q = e.filter(F.col("vec_id") < 64).select(
-        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    e = _t(spark, sf, "embeddings").select(
+        "vec_id", quantize_emb("embedding").alias("q")
     )
+    q = e.filter(F.col("vec_id") < 64).select(
+        F.col("vec_id").alias("qid"), F.col("q").alias("qv")
+    )
+    scorer = lambda a, b: F.round(cosine_exact(a, b), 6)  # noqa: E731
     exact = brute_force_topk(
         q, e, k=10, query_id="qid", query_emb="qv",
-        item_id="vec_id", item_emb="embedding",
+        item_id="vec_id", item_emb="q", scorer=scorer,
     )
     approx = lsh_topk(
-        q, e, k=10, n_planes=8, probe_bits=1, query_id="qid", query_emb="qv",
-        item_id="vec_id", item_emb="embedding",
+        q, e, k=10, n_planes=_ANN_PLANES, probe_bits=1, query_id="qid",
+        query_emb="qv", item_id="vec_id", item_emb="q", scorer=scorer,
+        bucket_fn=lambda c: sign_lsh_bucket_exact(c, n_planes=_ANN_PLANES, dim=64),
     )
     return ann_recall_vs_exact(approx, exact)
 
 
-@_q("embedding_cosine_dups", None)
+def _emb_cos_dups_oracle_sql() -> str:
+    embfx = _fxp("embeddings_fx")
+    bucket = _bucket_sql("q", 6, 16)
+    cos_ex = _COS_EXACT_SQL.format(a="qa", b="qb")
+    return f"""
+    WITH e AS (
+      SELECT vec_id::varchar AS record_id, {_q_emb('embedding')} AS q
+      FROM read_parquet('{embfx}')
+    ),
+    b AS (SELECT record_id, q, 'e:' || {bucket}::varchar AS block_key FROM e),
+    sized AS (SELECT *, count(*) OVER (PARTITION BY block_key) AS bs FROM b),
+    kept AS (SELECT * FROM sized WHERE bs <= 4096),
+    pairs AS (
+      SELECT x.record_id AS record_id_a, y.record_id AS record_id_b,
+             any_value(x.q) AS qa, any_value(y.q) AS qb
+      FROM kept x JOIN kept y
+        ON x.block_key = y.block_key AND x.record_id < y.record_id
+      GROUP BY 1, 2
+    )
+    SELECT record_id_a, record_id_b, cos FROM (
+      SELECT record_id_a, record_id_b, {cos_ex} AS cos FROM pairs
+    ) WHERE cos >= 0.9
+    """
+
+
+@_q("embedding_cosine_dups", None)  # oracle injected below (fixture path)
 def _emb_cos_dups(spark: SparkSession, sf: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs among the embeddings table via
-    sign-LSH blocking + exact cosine verification (rows-only: float-sign
-    buckets)."""
-    from blink_spark.functions.hashing import sign_lsh_bucket
-    from blink_spark.functions.similarity import cosine
+    """Embedding-cosine near-dup pairs over the PLANTED-near-dup embedding
+    fixture (synth.make_embeddings_fx — 50 known cos>0.98 pairs, so the
+    check is no longer vacuous) via exact integer sign-LSH blocking + exact
+    quantized-cosine verification. Fully oracled."""
+    from blink_spark.functions.hashing import (
+        cosine_exact,
+        quantize_emb,
+        sign_lsh_bucket_exact,
+    )
     from blink_spark.operators.pairs import candidate_pairs, pairs_with_attrs
 
-    e = _t(spark, sf, "embeddings").select(
+    e = _fx(spark, "embeddings_fx").select(
         F.col("vec_id").cast("string").alias("record_id"),
-        F.col("embedding").alias("emb"),
-    ).persist()
+        quantize_emb("embedding").alias("q"),
+    )
     blocks = e.select(
-        F.concat(F.lit("e:"), sign_lsh_bucket("emb", n_planes=6)).alias("block_key"),
+        F.concat(
+            F.lit("e:"),
+            sign_lsh_bucket_exact("q", n_planes=6, dim=16).cast("string"),
+        ).alias("block_key"),
         "record_id",
     )
     pairs, _ = candidate_pairs(blocks)
-    attrs = pairs_with_attrs(pairs, e, "record_id", ["emb"])
+    attrs = pairs_with_attrs(pairs, e, "record_id", ["q"])
     return (
-        attrs.withColumn("cos", F.round(cosine("emb_a", "emb_b"), 6))
+        attrs.withColumn("cos", F.round(cosine_exact("q_a", "q_b"), 6))
         .filter(F.col("cos") >= 0.9)
         .select("record_id_a", "record_id_b", "cos")
     )
@@ -1148,24 +1327,35 @@ def _er_oracles() -> dict[str, str]:
     mentions_cte = _er_oracle_mentions_sql()
 
     toks_m = "list_distinct(string_split(mention, ' '))"
+    # Boundary-exact mirror of blink_spark.operators.scoring.score_pairs:
+    # Spark decides on (a) normalized-text equality, (b) jaccard ROUNDED to
+    # 6dp >= 0.65, (c) banded integer levenshtein dist <= floor(7*maxlen/100).
+    # The oracle encodes the IDENTICAL integer/rounded comparisons so both
+    # engines agree at threshold boundaries (e.g. d/m exactly 0.07).
+    _norm_m = "trim(regexp_replace(lower(mention), '\\s+', ' ', 'g'))"
     match_expr = (
-        "(ma.mention = mb.mention) OR "
-        "(len(list_intersect(ta, tb))::double / len(list_distinct(list_concat(ta, tb))) >= 0.65) OR "
-        "(1.0 - levenshtein(ma.mention, mb.mention)::double / "
-        "greatest(length(ma.mention), length(mb.mention), 1) >= 0.93)"
+        "(ma.norm = mb.norm) OR "
+        "(round(len(list_intersect(ta, tb))::double"
+        " / greatest(len(list_distinct(list_concat(ta, tb))), 1), 6) >= 0.65) OR "
+        "(levenshtein(ma.norm, mb.norm)"
+        " <= floor(greatest(length(ma.norm), length(mb.norm)) * 7 / 100))"
     )
     scored_cte = f"""
-      WITH RECURSIVE m AS (SELECT mention_id, mention, {toks_m} AS t FROM read_parquet('{men}')),
+      WITH RECURSIVE m AS (
+        SELECT mention_id, {_norm_m} AS norm,
+               list_distinct(string_split({_norm_m}, ' ')) AS t
+        FROM read_parquet('{men}')
+      ),
       j AS (
         SELECT g.mention_id_a AS record_id_a, g.mention_id_b AS record_id_b,
-               ma.mention AS mention_a, mb.mention AS mention_b,
+               ma.norm AS mention_a, mb.norm AS mention_b,
                ma.t AS ta, mb.t AS tb,
                ({match_expr}) AS is_match,
-               (ma.mention = mb.mention) AS norm_eq,
+               (ma.norm = mb.norm) AS norm_eq,
                round(len(list_intersect(ta, tb))::double
                      / greatest(len(list_distinct(list_concat(ta, tb))), 1), 6) AS jaccard,
-               round(1.0 - levenshtein(ma.mention, mb.mention)::double
-                     / greatest(length(ma.mention), length(mb.mention), 1), 6) AS lev_ratio
+               round(1.0 - levenshtein(ma.norm, mb.norm)::double
+                     / greatest(length(ma.norm), length(mb.norm), 1), 6) AS lev_ratio
         FROM read_parquet('{gold}') g
         JOIN m ma ON ma.mention_id = g.mention_id_a
         JOIN m mb ON mb.mention_id = g.mention_id_b
@@ -1207,9 +1397,9 @@ def _er_oracles() -> dict[str, str]:
         JOIN cl cb ON cb.id = g.mention_id_b
       ),
       counts AS (
-        SELECT sum(CASE WHEN pred AND same_entity THEN 1 ELSE 0 END) AS tp,
-               sum(CASE WHEN pred AND NOT same_entity THEN 1 ELSE 0 END) AS fp,
-               sum(CASE WHEN NOT pred AND same_entity THEN 1 ELSE 0 END) AS fn
+        SELECT cast(sum(CASE WHEN pred AND same_entity THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+               cast(sum(CASE WHEN pred AND NOT same_entity THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+               cast(sum(CASE WHEN NOT pred AND same_entity THEN 1 ELSE 0 END) AS BIGINT) AS fn
         FROM verdict
       )
       SELECT tp, fp, fn,
@@ -1275,8 +1465,9 @@ def _er_oracles() -> dict[str, str]:
                    / sum(exp(sim - mx)) OVER (PARTITION BY mention_id), 6) AS prob
       FROM withmax
     """
-    span_enum_sql = f"""
-      WITH t AS (
+    def _span_enum_ctes(max_len: int) -> str:
+        return f"""
+      t AS (
         SELECT id, regexp_split_to_array(trim(text), '\\s+') AS toks
         FROM read_parquet('{qst}')
       ),
@@ -1284,13 +1475,59 @@ def _er_oracles() -> dict[str, str]:
         SELECT id, unnest(flatten([
           [{{'start': s, 'end_excl': s + l,
              'span_text': array_to_string(toks[s+1:s+l], ' ')}}
-           for l in range(1, least(3, len(toks) - s) + 1)]
+           for l in range(1, least({max_len}, len(toks) - s) + 1)]
           for s in range(0, len(toks))])) AS sp
         FROM t
+      ),
+      spans AS (
+        SELECT id AS record_id, sp.start AS start, sp.end_excl AS end_excl,
+               sp.span_text AS span_text
+        FROM s
+      )"""
+
+    span_enum_sql = f"WITH {_span_enum_ctes(3)} SELECT * FROM spans"
+    overlap_prune_sql = f"""
+      WITH RECURSIVE {_span_enum_ctes(2)},
+      scored AS (
+        SELECT record_id, start, end_excl, span_text,
+               length(span_text)::double
+                 + (('0x' || substr(md5(span_text), 1, 4))::INT % 97)::double / 100.0
+                 AS score
+        FROM spans
+      ),
+      ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY record_id
+                                     ORDER BY score DESC, start, end_excl) AS rk,
+               count(*) OVER (PARTITION BY record_id) AS n
+        FROM scored
+      ),
+      -- greedy best-first scan as a lockstep walk: one state row per group,
+      -- advance one priority rank per iteration, accept iff no overlap with
+      -- the accepted-intervals list (the applyInPandas greedy of
+      -- /root/reference/elq/main_dense.py:451-466, relationalized)
+      walk AS (
+        SELECT record_id, 0::BIGINT AS rk,
+               CAST([] AS STRUCT(s BIGINT, e BIGINT)[]) AS covered,
+               CAST([] AS BIGINT[]) AS kept, n
+        FROM (SELECT DISTINCT record_id, n FROM ranked)
+        UNION ALL
+        SELECT w.record_id, w.rk + 1,
+               CASE WHEN len(list_filter(w.covered,
+                           c -> c.s < r.end_excl AND r.start < c.e)) = 0
+                    THEN list_append(w.covered,
+                           {{'s': r.start::BIGINT, 'e': r.end_excl::BIGINT}})
+                    ELSE w.covered END,
+               CASE WHEN len(list_filter(w.covered,
+                           c -> c.s < r.end_excl AND r.start < c.e)) = 0
+                    THEN list_append(w.kept, r.rk) ELSE w.kept END,
+               w.n
+        FROM walk w JOIN ranked r ON r.record_id = w.record_id AND r.rk = w.rk + 1
+        WHERE w.rk < w.n
       )
-      SELECT id AS record_id, sp.start AS start, sp.end_excl AS end_excl,
-             sp.span_text AS span_text
-      FROM s
+      SELECT r.record_id, r.start, r.end_excl, r.span_text, r.score
+      FROM walk w JOIN ranked r
+        ON r.record_id = w.record_id AND list_contains(w.kept, r.rk)
+      WHERE w.rk = w.n
     """
     question_mentions_sql = f"""
       SELECT id,
@@ -1305,11 +1542,11 @@ def _er_oracles() -> dict[str, str]:
     """
     two_key_sql = f"""
       WITH m AS (SELECT mention_id, mention FROM read_parquet('{men}')),
-      bt AS (SELECT lower(title) AS mention, entity_id AS eid_title
-             FROM read_parquet('{ent}')),
+      bt AS (SELECT lower(title) AS mention, min(entity_id) AS eid_title
+             FROM read_parquet('{ent}') GROUP BY 1),
       bi AS (SELECT string_split(lower(title), ' ')[-1] AS idtok,
-                    entity_id AS eid_idtok
-             FROM read_parquet('{ent}')),
+                    min(entity_id) AS eid_idtok
+             FROM read_parquet('{ent}') GROUP BY 1),
       j AS (
         SELECT m.mention_id,
                bt.eid_title, bi.eid_idtok,
@@ -1382,6 +1619,8 @@ def _er_oracles() -> dict[str, str]:
     return {
         "softmax_confidence": softmax_sql,
         "er_span_enumeration": span_enum_sql,
+        "er_overlap_prune": overlap_prune_sql,
+        "embedding_cosine_dups": _emb_cos_dups_oracle_sql(),
         "er_question_mentions": question_mentions_sql,
         "er_two_key_fallback_join": two_key_sql,
         "er_inverted_index_topk": inv_index_sql,

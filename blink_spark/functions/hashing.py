@@ -171,3 +171,82 @@ def _plane(seed: int, p: int, dim: int) -> list[float]:
         u = int.from_bytes(d, "big") / 2**64
         vals.append(2.0 * u - 1.0)
     return vals
+
+
+# --- exact-arithmetic (oracle-portable) sign-LSH + cosine -------------------
+#
+# Float dot products are order-sensitive at the last ulp, so a bucket sign or
+# a 6dp-rounded cosine can differ between engines exactly at a boundary. The
+# *_exact family removes that: embeddings are quantized to integers
+# (floor(v * 10^6)), hyperplanes are integer-valued, and every dot product is
+# an exact integer in both Spark (long fold) and DuckDB (list_dot_product —
+# values stay < 2^53, exactly representable in double). The only float ops
+# left are one sqrt and one division on identical inputs — IEEE-deterministic.
+
+QUANT_SCALE = 1_000_000
+_PLANE_INT_SCALE = 1 << 20
+
+
+def int_plane(seed: int, p: int, dim: int) -> list[int]:
+    """Deterministic integer hyperplane, components in [-2^20, 2^20)."""
+    vals = []
+    for i in range(dim):
+        d = hashlib.blake2b(f"iplane:{seed}:{p}:{i}".encode(), digest_size=8).digest()
+        u = int.from_bytes(d, "big") % (2 * _PLANE_INT_SCALE)
+        vals.append(u - _PLANE_INT_SCALE)
+    return vals
+
+
+def quantize_emb(emb: Column | str) -> Column:
+    """array<float> → array<long>: floor(v * 10^6) (floor is unambiguous
+    across engines, unlike half-even/half-up rounding)."""
+    c = F.col(emb) if isinstance(emb, str) else emb
+    return F.transform(c, lambda x: F.floor(x.cast("double") * QUANT_SCALE).cast("long"))
+
+
+def int_dot(a: Column | str, b: Column | str) -> Column:
+    """Exact integer inner product of two array<long> columns."""
+    ca = F.col(a) if isinstance(a, str) else a
+    cb = F.col(b) if isinstance(b, str) else b
+    return F.aggregate(
+        F.zip_with(ca, cb, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def cosine_exact(a_q: Column | str, b_q: Column | str) -> Column:
+    """Cosine over quantized (array<long>) embeddings — bit-reproducible:
+    three exact integer dots, then sqrt/divide on identical doubles."""
+    ca = F.col(a_q) if isinstance(a_q, str) else a_q
+    cb = F.col(b_q) if isinstance(b_q, str) else b_q
+    denom = F.sqrt(int_dot(ca, ca).cast("double")) * F.sqrt(
+        int_dot(cb, cb).cast("double")
+    )
+    return F.when(denom > 0, int_dot(ca, cb).cast("double") / denom).otherwise(
+        F.lit(0.0)
+    )
+
+
+def sign_lsh_bucket_exact(
+    emb_q: Column | str, n_planes: int = 8, seed: int = 7, dim: int = EMB_DIM
+) -> Column:
+    """Sign-LSH bucket over a QUANTIZED embedding with integer hyperplanes —
+    the sign test is exact integer arithmetic (no float-boundary flips), so
+    the identical bucket is computable in ANSI SQL."""
+    c = F.col(emb_q) if isinstance(emb_q, str) else emb_q
+    acc = F.lit(0)
+    for p in range(n_planes):
+        plane = F.array(*[F.lit(x).cast("long") for x in int_plane(seed, p, dim)])
+        proj = F.aggregate(
+            F.zip_with(c, plane, lambda x, y: x * y),
+            F.lit(0).cast("long"),
+            lambda a, x: a + x,
+        )
+        acc = acc + F.when(proj >= 0, F.lit(1 << p)).otherwise(F.lit(0))
+    return acc
+
+
+def int_plane_sql_literal(seed: int, p: int, dim: int) -> str:
+    """The same hyperplane as a DuckDB BIGINT[] literal (oracle side)."""
+    return "[" + ",".join(str(x) for x in int_plane(seed, p, dim)) + "]::BIGINT[]"

@@ -23,6 +23,10 @@ from blink_spark.functions.hashing import sign_lsh_bucket
 from blink_spark.functions.similarity import cosine
 
 
+def _default_scorer(qv, iv):
+    return F.round(cosine(qv, iv), 6)
+
+
 def _rank_topk(pairs: DataFrame, k: int) -> DataFrame:
     w = Window.partitionBy("query_id").orderBy(
         F.col("score").desc(), F.col("item_id").asc()
@@ -43,18 +47,22 @@ def brute_force_topk(
     item_id: str = "item_id",
     item_emb: str = "item_emb",
     exclude_self: bool = True,
+    scorer=None,
 ) -> DataFrame:
     """Exact cosine top-k: queries × items scored, per-query window top-k.
 
     Spark computes this as partial top-k per partition then merge (the
     chunked-topk of /root/reference/elq/main_dense.py:304-334 for free).
-    Broadcast the smaller side when it fits.
+    Broadcast the smaller side when it fits. ``scorer(qv, iv) -> Column``
+    overrides the rounded-cosine score (e.g. ``cosine_exact`` over quantized
+    embeddings for bit-reproducible oracle parity).
     """
+    scorer = scorer or _default_scorer
     q = queries.select(F.col(query_id).alias("query_id"), F.col(query_emb).alias("qv"))
     it = items.select(F.col(item_id).alias("item_id"), F.col(item_emb).alias("iv"))
     cond = F.lit(True) if not exclude_self else (F.col("item_id") != F.col("query_id"))
     pairs = q.crossJoin(it).filter(cond).select(
-        "query_id", "item_id", F.round(cosine("qv", "iv"), 6).alias("score")
+        "query_id", "item_id", scorer(F.col("qv"), F.col("iv")).alias("score")
     )
     return _rank_topk(pairs, k)
 
@@ -69,21 +77,26 @@ def lsh_topk(
     query_emb: str = "query_emb",
     item_id: str = "item_id",
     item_emb: str = "item_emb",
+    scorer=None,
+    bucket_fn=None,
 ) -> DataFrame:
     """Approximate cosine top-k via random-hyperplane buckets.
 
     Items land in their own bucket; queries probe their bucket plus every
     bucket at Hamming distance <= probe_bits (the nprobe analogue). The
     scoring join is an equi-join on bucket id — co-partitioned, no cross
-    join anywhere.
+    join anywhere. ``bucket_fn(emb) -> Column`` overrides the float sign-LSH
+    bucket (e.g. ``sign_lsh_bucket_exact`` over quantized embeddings).
     """
+    scorer = scorer or _default_scorer
+    bucket_fn = bucket_fn or (lambda c: sign_lsh_bucket(c, n_planes=n_planes))
     it = items.select(
         F.col(item_id).alias("item_id"), F.col(item_emb).alias("iv")
-    ).withColumn("bucket", sign_lsh_bucket("iv", n_planes=n_planes))
+    ).withColumn("bucket", bucket_fn(F.col("iv")))
 
     q = queries.select(
         F.col(query_id).alias("query_id"), F.col(query_emb).alias("qv")
-    ).withColumn("bucket0", sign_lsh_bucket("qv", n_planes=n_planes))
+    ).withColumn("bucket0", bucket_fn(F.col("qv")))
     probes = [F.col("bucket0")]
     if probe_bits >= 1:
         probes += [F.col("bucket0").bitwiseXOR(F.lit(1 << b)) for b in range(n_planes)]
@@ -92,7 +105,7 @@ def lsh_topk(
     )
 
     pairs = qp.join(it, "bucket").filter(F.col("item_id") != F.col("query_id")).select(
-        "query_id", "item_id", F.round(cosine("qv", "iv"), 6).alias("score")
+        "query_id", "item_id", scorer(F.col("qv"), F.col("iv")).alias("score")
     ).dropDuplicates(["query_id", "item_id"])
     return _rank_topk(pairs, k)
 

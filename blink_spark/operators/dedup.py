@@ -99,33 +99,54 @@ def minhash_dedup(
     return assign_clusters(recs, "record_id", match_edges(scored))
 
 
+SIMHASH_BITS = 60
+
+
+def simhash_band_splits(max_hamming: int) -> list[tuple[int, int]]:
+    """(offset, width) per band such that recall is GUARANTEED at the given
+    radius: ``max_hamming + 1`` bands partitioning the 60 signature bits —
+    by pigeonhole, any pair within hamming <= max_hamming agrees exactly on
+    at least one whole band. (4 bands of 15 bits guarantee radius 3 only;
+    radius 8 needs 9 bands — the round-1 default silently mixed the two.)"""
+    n_bands = max_hamming + 1
+    assert 1 <= n_bands <= SIMHASH_BITS
+    base, extra = divmod(SIMHASH_BITS, n_bands)
+    splits, off = [], 0
+    for b in range(n_bands):
+        width = base + (1 if b < extra else 0)
+        splits.append((off, width))
+        off += width
+    return splits
+
+
+def simhash_band_cols(sh_col, max_hamming: int):
+    """One block-key Column per band: '<b>:<band bits>'."""
+    return [
+        F.concat(
+            F.lit(f"{b}:"),
+            F.shiftright(sh_col, off).bitwiseAND(F.lit((1 << width) - 1)).cast("string"),
+        )
+        for b, (off, width) in enumerate(simhash_band_splits(max_hamming))
+    ]
+
+
 def simhash_dedup(
     df: DataFrame,
     id_col: str,
     text_col: str,
-    max_hamming: int = 8,
+    max_hamming: int = 3,
 ) -> DataFrame:
-    """SimHash near-dup clustering: 60-bit token simhash, 15-bit band
-    blocking (any pair within hamming<=15-bit-band distance shares >= 1 of 4
-    bands by pigeonhole when hamming <= 3; wider radii trade recall), exact
-    hamming verification."""
+    """SimHash near-dup clustering: 60-bit token simhash, pigeonhole-banded
+    blocking with ``max_hamming + 1`` bands (guaranteed recall at the
+    verification radius — see ``simhash_band_splits``), exact hamming
+    verification."""
     recs = simhash_relational(df, id_col, text_col).persist()
     banded = recs.select(
         "record_id",
         "sh",
-        F.explode(
-            F.array(
-                *[
-                    F.concat(
-                        F.lit(f"{b}:"),
-                        F.shiftright(F.col("sh"), b * 15)
-                        .bitwiseAND(F.lit(0x7FFF))
-                        .cast("string"),
-                    )
-                    for b in range(4)
-                ]
-            )
-        ).alias("block_key"),
+        F.explode(F.array(*simhash_band_cols(F.col("sh"), max_hamming))).alias(
+            "block_key"
+        ),
     )
     pairs = _pairs_from_blocks(banded.select("block_key", "record_id"))
     attrs = pairs_with_attrs(pairs, recs, "record_id", ["sh"])

@@ -261,11 +261,45 @@ def make_questions(entities: pd.DataFrame, n_questions: int = 300) -> pd.DataFra
     return pd.DataFrame(rows)
 
 
+EMB_FX_DIM = 16
+EMB_FX_BASE = 150
+EMB_FX_DUPS = 50
+
+
+def make_embeddings_fx() -> pd.DataFrame:
+    """Embedding fixture WITH PLANTED NEAR-DUPLICATES: 150 base unit vectors
+    plus 50 perturbed copies of bases 0,3,6,... (cosine > 0.98 by
+    construction), so embedding-cosine dedup at threshold 0.9 has a non-empty
+    known answer (round-1 fixture had none — the check was vacuous).
+    vec_id of the dup of base 3j is 150+j."""
+    import numpy as np
+
+    def unit(vals: list[float]) -> list[float]:
+        v = np.asarray(vals, dtype=np.float64)
+        v /= np.linalg.norm(v)
+        return v.astype(np.float32).tolist()
+
+    rows = []
+    base_vecs = []
+    for i in range(EMB_FX_BASE):
+        vals = [(_h("embfx", i, d) % 20001 - 10000) / 10000.0 for d in range(EMB_FX_DIM)]
+        v = unit(vals)
+        base_vecs.append(v)
+        rows.append({"vec_id": i, "embedding": v})
+    for j in range(EMB_FX_DUPS):
+        src = base_vecs[3 * j]
+        noise = [(_h("embnz", j, d) % 2001 - 1000) / 20000.0 for d in range(EMB_FX_DIM)]
+        v = unit([s + n for s, n in zip(src, noise)])
+        rows.append({"vec_id": EMB_FX_BASE + j, "embedding": v})
+    return pd.DataFrame(rows)
+
+
 def write_fixtures(out_dir: str, n_docs: int = 2000, n_entities: int = 500) -> dict[str, str]:
     """Write all fixture parquet files; returns {table: path}. Idempotent."""
     os.makedirs(out_dir, exist_ok=True)
     paths = {t: os.path.join(out_dir, f"{t}.parquet") for t in
-             ("entities", "documents", "mentions", "gold_pairs", "questions")}
+             ("entities", "documents", "mentions", "gold_pairs", "questions",
+              "embeddings_fx")}
     if all(os.path.exists(p) for p in paths.values()):
         return paths
     ents = make_entities(n_entities)
@@ -277,4 +311,5 @@ def write_fixtures(out_dir: str, n_docs: int = 2000, n_entities: int = 500) -> d
     ments.to_parquet(paths["mentions"], index=False)
     gold.to_parquet(paths["gold_pairs"], index=False)
     questions.to_parquet(paths["questions"], index=False)
+    make_embeddings_fx().to_parquet(paths["embeddings_fx"], index=False)
     return paths

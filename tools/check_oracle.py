@@ -30,7 +30,9 @@ def _cell(v) -> str:
     if isinstance(v, float):
         if math.isnan(v):
             return "nan"
-        return f"{v:.9g}"
+        # full-precision shortest-roundtrip repr: %.9g masked 1-ulp
+        # engine differences the driver's comparison is sensitive to
+        return repr(v)
     if isinstance(v, bool):
         return str(bool(v)).lower()
     return str(v)

@@ -45,3 +45,11 @@ def has_broadcast_join(df: DataFrame) -> bool:
 
 def count_shuffles(df: DataFrame) -> int:
     return explain_str(df).count("Exchange")
+
+
+def has_single_partition_exchange(df: DataFrame) -> bool:
+    """True when the plan funnels data through ONE task (Exchange
+    SinglePartition) — the global-sort/global-window scale-killer pattern.
+    Final single-row aggregates legitimately do this; scans, id assignment
+    and sessionization must not."""
+    return "Exchange SinglePartition" in explain_str(df)

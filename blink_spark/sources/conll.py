@@ -21,14 +21,18 @@ def read_conll(spark: SparkSession, path: str) -> DataFrame:
     sum of DOCSTART markers is the document id — the sessionization pattern
     (SURVEY.md §2.10).
     """
+    from blink_spark.operators.ids import partitioned_running_sum
+
     lines = spark.read.text(path).rdd.zipWithIndex().map(
         lambda pair: (pair[0].value, pair[1])
     )
     df = spark.createDataFrame(lines, "line string, line_no long")
-    w = Window.orderBy("line_no")
-    tagged = df.withColumn(
+    marked = df.withColumn(
         "is_doc_start", F.when(F.col("line").startswith("-DOCSTART-"), 1).otherwise(0)
-    ).withColumn("doc_id", F.sum("is_doc_start").over(w))
+    )
+    # two-phase prefix sum (ids.partitioned_running_sum) — a no-partition
+    # Window.orderBy here would shuffle the entire dump into one task
+    tagged = partitioned_running_sum(marked, "line_no", "is_doc_start", "doc_id")
     toks = (
         tagged.filter((F.col("is_doc_start") == 0) & (F.trim("line") != ""))
         .select(

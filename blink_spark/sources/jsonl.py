@@ -11,25 +11,30 @@ Spark-first re-expression of the reference's line-by-line JSONL loaders:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
 def read_entity_catalogue(spark: SparkSession, path: str) -> DataFrame:
     """JSONL {title, text, idx:'...curid=<id>'} → (entity_id, title, text,
     wikipedia_id). The reference's mutable ``local_idx += 1`` becomes a
-    deterministic row_number over a total order (SURVEY.md §4 custom #3)."""
+    deterministic dense id over a total order (SURVEY.md §4 custom #3) —
+    two-phase partition-offset assignment (operators.ids.dense_ids), NOT a
+    global no-partition window: that plan funnels the whole 5.9M-entity
+    catalogue through ONE task at scale."""
+    from blink_spark.operators.ids import dense_ids
+
     raw = spark.read.json(path)
-    w = Window.orderBy(F.col("wikipedia_id").asc_nulls_last(), F.col("title").asc())
-    return (
-        raw.select(
-            "title",
-            "text",
-            F.regexp_extract("idx", r"curid=(\d+)", 1).cast("long").alias("wikipedia_id"),
-        )
-        .withColumn("entity_id", F.row_number().over(w) - 1)
-        .select("entity_id", "title", "text", "wikipedia_id")
+    parsed = raw.select(
+        "title",
+        "text",
+        F.regexp_extract("idx", r"curid=(\d+)", 1).cast("long").alias("wikipedia_id"),
     )
+    return dense_ids(
+        parsed,
+        [F.col("wikipedia_id").asc_nulls_last(), F.col("title").asc()],
+        "entity_id",
+    ).select("entity_id", "title", "text", "wikipedia_id")
 
 
 def read_mentions_jsonl(

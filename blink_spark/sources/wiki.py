@@ -14,7 +14,7 @@ from __future__ import annotations
 from urllib.parse import unquote
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -27,14 +27,18 @@ def read_wiki_extractor(spark: SparkSession, path: str, full_text: bool = False)
     only unless full_text — the reference keeps line 3 of each block,
     process_wiki_extractor_output.py:62-76).
     """
+    from blink_spark.operators.ids import partitioned_running_sum
+
     lines = spark.read.text(path).rdd.zipWithIndex().map(
         lambda pair: (pair[0].value, pair[1])
     )
     df = spark.createDataFrame(lines, "line string, line_no long")
-    w = Window.orderBy("line_no")
-    blocks = df.withColumn(
+    marked = df.withColumn(
         "is_open", F.when(F.col("line").startswith("<doc id="), 1).otherwise(0)
-    ).withColumn("block_id", F.sum("is_open").over(w))
+    )
+    # two-phase prefix sum (ids.partitioned_running_sum) — a no-partition
+    # Window.orderBy here would shuffle the entire dump into one task
+    blocks = partitioned_running_sum(marked, "line_no", "is_open", "block_id")
     grouped = blocks.groupBy("block_id").agg(
         F.array_sort(F.collect_list(F.struct("line_no", "line"))).alias("ls")
     )

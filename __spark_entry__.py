@@ -899,6 +899,98 @@ def _set_ops(spark: SparkSession, sf: str) -> DataFrame:
     return out
 
 
+# ---- crossencoder pair-construction family --------------------------------
+
+_CTX_LEN = 12   # small on purpose: quotas must BITE on the 4+4-word contexts
+_CAND_LEN = 16
+_PAIR_LEN = 24
+
+
+def _ids_csv(ids) -> "F.Column":
+    return F.array_join(F.transform(ids, lambda x: x.cast("string")), ",")
+
+
+@_q("er_pair_tokens", None)  # oracle injected below (fixture path)
+def _er_pair_tokens(spark: SparkSession, sf: str) -> DataFrame:
+    """Mention context token ids with left/right quota rebalancing
+    (/root/reference/blink/biencoder/data_process.py:26-69): [CLS] left
+    [unused0] mention [unused1] right [SEP], zero-padded. max_seq_length=12
+    so the quota arithmetic is exercised (fixture contexts are 4+4 words)."""
+    from blink_spark.functions.tokenize import context_input_ids
+
+    m = _fx(spark, "mentions")
+    ids = context_input_ids("context_left", "mention", "context_right", _CTX_LEN)
+    return m.select("mention_id", _ids_csv(ids).alias("ids_csv"))
+
+
+@_q("er_pair_concat", None)  # oracle injected below (fixture path)
+def _er_pair_concat(spark: SparkSession, sf: str) -> DataFrame:
+    """Crossencoder pair tensor rows: context ids + candidate ids (title +
+    [unused2] + description, /root/reference/blink/biencoder/
+    data_process.py:72-97) with candidate [CLS] dropped, truncated —
+    `modify` (/root/reference/blink/crossencoder/train_cross.py:43-60) —
+    plus the gold rank recorded per mention (label_id=jdx, -1 when the gold
+    is outside the candidate set, /root/reference/blink/crossencoder/
+    data_process.py:46-86)."""
+    from blink_spark.functions.tokenize import (
+        candidate_input_ids,
+        context_input_ids,
+        pair_input_ids,
+    )
+
+    topk = _er_topk(spark, sf).select("mention_id", "entity_id", "rank")
+    m = _fx(spark, "mentions").select(
+        "mention_id", "context_left", "mention", "context_right", "label_id"
+    )
+    e = _fx(spark, "entities").select("entity_id", "title", "text")
+    ctx = m.select(
+        "mention_id",
+        "label_id",
+        context_input_ids("context_left", "mention", "context_right", _CTX_LEN).alias(
+            "ctx_ids"
+        ),
+    )
+    cand = e.select(
+        "entity_id", candidate_input_ids("title", "text", _CAND_LEN).alias("cand_ids")
+    )
+    joined = topk.join(ctx, "mention_id").join(cand, "entity_id")
+    w = Window.partitionBy("mention_id")
+    gold_rank = F.coalesce(
+        F.min(F.when(F.col("entity_id") == F.col("label_id"), F.col("rank"))).over(w),
+        F.lit(-1),
+    )
+    return joined.select(
+        "mention_id",
+        "entity_id",
+        "rank",
+        gold_rank.alias("gold_rank"),
+        _ids_csv(pair_input_ids("ctx_ids", "cand_ids", _PAIR_LEN)).alias("pair_csv"),
+    )
+
+
+@_q("er_pair_rerank", None)  # oracle injected below (fixture path)
+def _er_pair_rerank(spark: SparkSession, sf: str) -> DataFrame:
+    """Rerank candidates by a score computed ON the tokenized pair row —
+    the crossencoder scoring shape (/root/reference/blink/crossencoder/
+    crossencoder.py:135-144: one joint input, one logit) as a relational
+    kernel: overlap between the context segment and the candidate segment of
+    the pair tensor (segment boundary = fixed context length, the reference's
+    context_len argument). Deterministic rerank: (score DESC, entity_id)."""
+    pairs = _er_pair_concat(spark, sf)
+    ids = F.split("pair_csv", ",").cast("array<long>")
+    ctx_seg = F.slice(ids, 1, _CTX_LEN)
+    cand_seg = F.slice(ids, _CTX_LEN + 1, _PAIR_LEN - _CTX_LEN)
+    real = lambda seg: F.array_distinct(F.filter(seg, lambda x: x > 102))  # noqa: E731
+    score = F.size(F.array_intersect(real(ctx_seg), real(cand_seg)))
+    scored = pairs.select(
+        "mention_id", "entity_id", "gold_rank", score.alias("pair_score")
+    )
+    w = Window.partitionBy("mention_id").orderBy(
+        F.col("pair_score").desc(), F.col("entity_id").asc()
+    )
+    return scored.withColumn("new_rank", F.row_number().over(w))
+
+
 @_q("er_media_decode", None)
 def _er_media_decode(spark: SparkSession, sf: str) -> DataFrame:
     """Multimodal decode plumbing: mapInPandas stub over media spans
@@ -1606,6 +1698,125 @@ def _er_oracles() -> dict[str, str]:
                   ELSE 1 + ascii(substr(h, 4, 1)) END AS n_frames
       FROM media
     """
+    def _tok_ids_sql(expr: str) -> str:
+        norm = f"trim(regexp_replace(lower({expr}), '\\s+', ' ', 'g'))"
+        return (
+            "[(('0x' || substr(md5('tok:' || t), 1, 8))::BIGINT + 1000) "
+            f"for t in list_filter(string_split({norm}, ' '), t -> t <> '')]"
+        )
+
+    _L, _CL, _PL = 12, 16, 24  # must match _CTX_LEN/_CAND_LEN/_PAIR_LEN
+    ctx_ids_ctes = f"""
+      tk AS (
+        SELECT mention_id, label_id,
+               {_tok_ids_sql('context_left')} AS lt,
+               {_tok_ids_sql('mention')} AS mt0,
+               {_tok_ids_sql('context_right')} AS rt
+        FROM read_parquet('{men}')
+      ),
+      tm AS (
+        SELECT mention_id, label_id, lt, rt,
+               CASE WHEN len(mt0) > 0 THEN [1::BIGINT] || mt0 || [2::BIGINT]
+                    ELSE []::BIGINT[] END AS mt
+        FROM tk
+      ),
+      tq AS (SELECT *, (floor(({_L} - len(mt)) / 2) - 1)::INT AS lq FROM tm),
+      tq2 AS (SELECT *, ({_L} - len(mt) - lq - 2)::INT AS rq FROM tq),
+      tq3 AS (
+        SELECT *,
+          greatest(CASE WHEN len(lt) > lq AND len(rt) <= rq
+                        THEN lq + (rq - len(rt)) ELSE lq END, 0) AS lq2,
+          greatest(CASE WHEN len(lt) <= lq AND len(rt) > rq
+                        THEN rq + (lq - len(lt)) ELSE rq END, 0) AS rq2
+        FROM tq2
+      ),
+      tctx AS (
+        SELECT mention_id, label_id,
+               list_resize(list_slice(
+                 [101::BIGINT]
+                 || (CASE WHEN len(lt) <= lq2 THEN lt
+                          WHEN lq2 > 0 THEN list_slice(lt, len(lt)-lq2+1, len(lt))
+                          ELSE []::BIGINT[] END)
+                 || mt
+                 || (CASE WHEN len(rt) <= rq2 THEN rt
+                          WHEN rq2 > 0 THEN list_slice(rt, 1, rq2)
+                          ELSE []::BIGINT[] END)
+                 || [102::BIGINT], 1, {_L}), {_L}, 0) AS ctx_ids
+        FROM tq3
+      )"""
+    pair_tokens_sql = f"""
+      WITH {ctx_ids_ctes}
+      SELECT mention_id, array_to_string(ctx_ids, ',') AS ids_csv FROM tctx
+    """
+    pair_concat_sql = f"""
+      WITH {ctx_ids_ctes},
+      cbody AS (
+        SELECT entity_id,
+               list_slice({_tok_ids_sql('title')} || [3::BIGINT]
+                          || {_tok_ids_sql('text')}, 1, {_CL} - 2) AS body
+        FROM read_parquet('{ent}')
+      ),
+      ccand AS (
+        SELECT entity_id,
+               list_resize([101::BIGINT] || body || [102::BIGINT], {_CL}, 0)
+                 AS cand_ids
+        FROM cbody
+      ),
+      mb AS (
+        SELECT mention_id, mention, substr(string_split(mention, ' ')[1], 1, 4) AS bk
+        FROM read_parquet('{men}')
+      ),
+      eb AS (
+        SELECT entity_id, lower(title) AS title_l,
+               substr(string_split(lower(title), ' ')[1], 1, 4) AS bk
+        FROM read_parquet('{ent}')
+      ),
+      simp AS (
+        SELECT mention_id, entity_id,
+               round(1.0 - levenshtein(mention, title_l)::double
+                     / greatest(length(mention), length(title_l), 1), 6) AS sim
+        FROM mb JOIN eb USING (bk)
+      ),
+      tk3 AS (
+        SELECT mention_id, entity_id, rank FROM (
+          SELECT mention_id, entity_id,
+                 row_number() OVER (PARTITION BY mention_id
+                                    ORDER BY sim DESC, entity_id ASC) AS rank
+          FROM simp
+        ) WHERE rank <= 3
+      ),
+      j AS (
+        SELECT t.mention_id, t.entity_id, t.rank, x.label_id, x.ctx_ids, c.cand_ids
+        FROM tk3 t
+        JOIN tctx x ON x.mention_id = t.mention_id
+        JOIN ccand c ON c.entity_id = t.entity_id
+      )
+      SELECT mention_id, entity_id, rank,
+             coalesce(min(CASE WHEN entity_id = label_id THEN rank END)
+                        OVER (PARTITION BY mention_id), -1) AS gold_rank,
+             array_to_string(list_slice(ctx_ids || list_slice(cand_ids, 2, {_CL}),
+                                        1, {_PL}), ',') AS pair_csv
+      FROM j
+    """
+    pair_rerank_sql = f"""
+      WITH base AS ({pair_concat_sql}),
+      seg AS (
+        SELECT mention_id, entity_id, gold_rank,
+               len(list_intersect(
+                 list_distinct(list_filter(
+                   list_slice(string_split(pair_csv, ',')::BIGINT[], 1, {_L}),
+                   x -> x > 102)),
+                 list_distinct(list_filter(
+                   list_slice(string_split(pair_csv, ',')::BIGINT[],
+                              {_L} + 1, {_PL}),
+                   x -> x > 102)))) AS pair_score
+        FROM base
+      )
+      SELECT mention_id, entity_id, gold_rank, pair_score,
+             row_number() OVER (PARTITION BY mention_id
+                                ORDER BY pair_score DESC, entity_id ASC) AS new_rank
+      FROM seg
+    """
     jsonl_scan_sql = f"""
       SELECT row_number() OVER (ORDER BY wikipedia_id ASC NULLS LAST, title ASC) - 1
                AS entity_id,
@@ -1621,6 +1832,9 @@ def _er_oracles() -> dict[str, str]:
         "er_span_enumeration": span_enum_sql,
         "er_overlap_prune": overlap_prune_sql,
         "embedding_cosine_dups": _emb_cos_dups_oracle_sql(),
+        "er_pair_tokens": pair_tokens_sql,
+        "er_pair_concat": pair_concat_sql,
+        "er_pair_rerank": pair_rerank_sql,
         "er_question_mentions": question_mentions_sql,
         "er_two_key_fallback_join": two_key_sql,
         "er_inverted_index_topk": inv_index_sql,

@@ -754,6 +754,51 @@ def _er_question_mentions(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@_q("er_span_f1_weak_strong", None)  # oracle injected below (fixture path)
+def _er_span_f1(spark: SparkSession, sf: str) -> DataFrame:
+    """Weak/strong span F1 via per-doc LCS DP — the reference's headline ELQ
+    metric (/root/reference/elq/vcg_utils/measures.py:9-88, driver sum at
+    elq/main_dense.py:591-602). Predictions are a deterministic md5-keyed
+    perturbation of gold (drop / boundary-shift / wrong-entity / exact), so
+    the metric exercises every match class and the oracle can reproduce it."""
+    from blink_spark.operators.eval import span_f1_weak_strong
+
+    def _qm() -> DataFrame:
+        # fresh scan per side: deriving gold and pred from ONE plan makes
+        # cogroup drop a column (duplicate attribute ids across the self-pair)
+        return _er_question_mentions(spark, sf).select(
+            "id",
+            "mention_idx",
+            "entity",
+            "start",
+            (F.col("end_incl") + 1).alias("end"),
+        )
+
+    mode = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("id"), F.lit(":"), F.col("mention_idx").cast("string"))),
+                1,
+                4,
+            ),
+            16,
+            10,
+        ).cast("int")
+        % 4
+    )
+    pm = _qm().withColumn("mode", mode)
+    pred = pm.filter(F.col("mode") != 0).select(
+        "id",
+        F.when(F.col("mode") == 2, F.concat(F.col("entity"), F.lit("_wrong")))
+        .otherwise(F.col("entity"))
+        .alias("entity"),
+        "start",
+        F.when(F.col("mode") == 1, F.col("end") - 1).otherwise(F.col("end")).alias("end"),
+    )
+    gold = _qm().select("id", "entity", "start", "end")
+    return span_f1_weak_strong(gold, pred, group_col="id")
+
+
 @_q("er_two_key_fallback_join", None)
 def _er_two_key_join(spark: SparkSession, sf: str) -> DataFrame:
     """Two-key left join with coalesce + match-source counters — the
@@ -1698,6 +1743,94 @@ def _er_oracles() -> dict[str, str]:
                   ELSE 1 + ascii(substr(h, 4, 1)) END AS n_frames
       FROM media
     """
+    span_f1_sql = f"""
+      WITH RECURSIVE qm AS (
+        SELECT id,
+               generate_subscripts(mentions, 1) - 1 AS mention_idx,
+               unnest(entity) AS entity,
+               unnest(mentions)[1] AS start,
+               unnest(mentions)[2] AS e
+        FROM read_parquet('{qst}')
+      ),
+      gold AS (SELECT id, entity, start, e FROM qm),
+      pm AS (
+        SELECT *, ('0x' || substr(md5(id || ':' || mention_idx::varchar), 1, 4))::INT
+                    % 4 AS mode
+        FROM qm
+      ),
+      pred AS (
+        SELECT id,
+               CASE WHEN mode = 2 THEN entity || '_wrong' ELSE entity END AS entity,
+               start,
+               CASE WHEN mode = 1 THEN e - 1 ELSE e END AS e
+        FROM pm WHERE mode <> 0
+      ),
+      gs AS (
+        SELECT id, entity, start, e,
+               row_number() OVER (PARTITION BY id ORDER BY e, start, entity) AS i
+        FROM gold
+      ),
+      ps AS (
+        SELECT id, entity, start, e,
+               row_number() OVER (PARTITION BY id ORDER BY e, start, entity) AS j
+        FROM pred
+      ),
+      cells AS (
+        SELECT g.id, g.i, p.j,
+               (lower(g.entity) = lower(p.entity))
+                 AND NOT (g.start >= p.e OR p.start >= g.e) AS w,
+               (lower(g.entity) = lower(p.entity))
+                 AND g.start = p.start AND g.e = p.e AS s
+        FROM gs g JOIN ps p USING (id)
+      ),
+      dims AS (SELECT id, max(i) AS n, max(j) AS m FROM cells GROUP BY id),
+      -- LCS DP unrolled cell by cell (row-major): state carries the flat dp
+      -- matrices; per-question span counts are tiny so depth n*m is small
+      walk AS (
+        SELECT id, 0::BIGINT AS k, CAST([] AS BIGINT[]) AS dpw,
+               CAST([] AS BIGINT[]) AS dps, n, m
+        FROM dims
+        UNION ALL
+        SELECT w.id, w.k + 1,
+               list_append(w.dpw, CASE WHEN c.w
+                 THEN (CASE WHEN c.i > 1 AND c.j > 1
+                            THEN w.dpw[(c.i-2)*w.m + c.j - 1] ELSE 0 END) + 1
+                 ELSE greatest(
+                        CASE WHEN c.i > 1 THEN w.dpw[(c.i-2)*w.m + c.j] ELSE 0 END,
+                        CASE WHEN c.j > 1 THEN w.dpw[(c.i-1)*w.m + c.j - 1] ELSE 0 END)
+                 END),
+               list_append(w.dps, CASE WHEN c.s
+                 THEN (CASE WHEN c.i > 1 AND c.j > 1
+                            THEN w.dps[(c.i-2)*w.m + c.j - 1] ELSE 0 END) + 1
+                 ELSE greatest(
+                        CASE WHEN c.i > 1 THEN w.dps[(c.i-2)*w.m + c.j] ELSE 0 END,
+                        CASE WHEN c.j > 1 THEN w.dps[(c.i-1)*w.m + c.j - 1] ELSE 0 END)
+                 END),
+               w.n, w.m
+        FROM walk w
+        JOIN cells c ON c.id = w.id
+          AND c.i = (w.k // w.m + 1) AND c.j = (w.k % w.m + 1)
+        WHERE w.k < w.n * w.m
+      ),
+      finals AS (
+        SELECT id, dpw[n*m] AS wtp, dps[n*m] AS stp FROM walk WHERE k = n*m
+      ),
+      tot AS (
+        SELECT (SELECT cast(coalesce(sum(wtp), 0) AS BIGINT) FROM finals) AS weak_tp,
+               (SELECT cast(coalesce(sum(stp), 0) AS BIGINT) FROM finals) AS strong_tp,
+               (SELECT count(*) FROM gold) AS n_gold,
+               (SELECT count(*) FROM pred) AS n_pred
+      )
+      SELECT weak_tp, strong_tp, n_gold, n_pred,
+        round(2 * (weak_tp / greatest(n_pred, 1)) * (weak_tp / greatest(n_gold, 1))
+              / greatest(weak_tp / greatest(n_pred, 1)
+                         + weak_tp / greatest(n_gold, 1), 1e-12), 6) AS weak_f1,
+        round(2 * (strong_tp / greatest(n_pred, 1)) * (strong_tp / greatest(n_gold, 1))
+              / greatest(strong_tp / greatest(n_pred, 1)
+                         + strong_tp / greatest(n_gold, 1), 1e-12), 6) AS strong_f1
+      FROM tot
+    """
+
     def _tok_ids_sql(expr: str) -> str:
         norm = f"trim(regexp_replace(lower({expr}), '\\s+', ' ', 'g'))"
         return (
@@ -1835,6 +1968,7 @@ def _er_oracles() -> dict[str, str]:
         "er_pair_tokens": pair_tokens_sql,
         "er_pair_concat": pair_concat_sql,
         "er_pair_rerank": pair_rerank_sql,
+        "er_span_f1_weak_strong": span_f1_sql,
         "er_question_mentions": question_mentions_sql,
         "er_two_key_fallback_join": two_key_sql,
         "er_inverted_index_topk": inv_index_sql,

@@ -125,6 +125,120 @@ def macro_micro_accuracy(
     return macro.unionByName(micro).select("kind", "acc")
 
 
+def _span_lcs_counts(gold: list, pred: list) -> tuple[int, int]:
+    """Weak/strong match counts for one document's (entity, start, end)
+    triples — the LCS dynamic program of the reference's headline ELQ metric
+    (/root/reference/elq/vcg_utils/measures.py:9-88), reimplemented:
+    both lists sorted by span end; dp[i][j] = diag+1 on a match else
+    max(up, left); a weak match is entity equality + span overlap, a strong
+    match is entity equality + exact bounds."""
+    if not gold or not pred:
+        return 0, 0
+    # span-less rows (tuples shorter than 3): everything overlaps by default
+    if any(len(e) != 3 for e in gold):
+        gold = [(e[0], 0, 1) for e in gold]
+        pred = [(e[0], 0, 1) for e in pred]
+    # reference sorts by end only and leaves ties to input order; we fix a
+    # total order (end, start, entity) so the count is partition-independent
+    gold = sorted(((e or "", s, t) for e, s, t in gold), key=lambda x: (x[2], x[1], x[0]))
+    pred = sorted(((e or "", s, t) for e, s, t in pred), key=lambda x: (x[2], x[1], x[0]))
+    n, m = len(gold), len(pred)
+    prev_w = [0] * (m + 1)
+    prev_s = [0] * (m + 1)
+    for gi in range(1, n + 1):
+        cur_w = [0] * (m + 1)
+        cur_s = [0] * (m + 1)
+        ge, gs, gt = gold[gi - 1]
+        for pj in range(1, m + 1):
+            pe, ps, pt = pred[pj - 1]
+            same_entity = ge.lower() == pe.lower()
+            overlaps = not (gs >= pt or ps >= gt)
+            if same_entity and overlaps:
+                cur_w[pj] = prev_w[pj - 1] + 1
+            else:
+                cur_w[pj] = max(prev_w[pj], cur_w[pj - 1])
+            if same_entity and gs == ps and gt == pt:
+                cur_s[pj] = prev_s[pj - 1] + 1
+            else:
+                cur_s[pj] = max(prev_s[pj], cur_s[pj - 1])
+        prev_w, prev_s = cur_w, cur_s
+    return prev_w[m], prev_s[m]
+
+
+def span_f1_weak_strong(
+    gold: DataFrame,
+    pred: DataFrame,
+    group_col: str = "doc_id",
+    entity_col: str = "entity",
+    start_col: str = "start",
+    end_col: str = "end",
+) -> DataFrame:
+    """Micro-averaged weak/strong span F1 across documents — the reference's
+    ELQ evaluation (/root/reference/elq/main_dense.py:591-602: sum per-doc
+    LCS match counts, then P/R/F1 over totals). Per-doc DP runs in a
+    cogrouped applyInPandas (tiny n×m state per doc); the cross-doc
+    aggregation is a plain sum."""
+    import pandas as pd
+
+    cols = [group_col, entity_col, start_col, end_col]
+    g = gold.select(*cols)
+    p = pred.select(*cols)
+
+    def _triples(pdf: pd.DataFrame) -> list:
+        # a side with no rows for this key arrives with ONLY the grouping
+        # column (pyspark cogroup quirk) — treat as empty
+        if len(pdf) == 0 or entity_col not in pdf.columns:
+            return []
+        return list(
+            zip(pdf[entity_col], pdf[start_col].astype(int), pdf[end_col].astype(int))
+        )
+
+    def per_doc(key, gpdf: pd.DataFrame, ppdf: pd.DataFrame) -> pd.DataFrame:
+        triples_g = _triples(gpdf)
+        triples_p = _triples(ppdf)
+        w, s = _span_lcs_counts(triples_g, triples_p)
+        return pd.DataFrame(
+            [
+                {
+                    group_col: key[0],
+                    "weak_tp": w,
+                    "strong_tp": s,
+                    "n_gold": len(triples_g),
+                    "n_pred": len(triples_p),
+                }
+            ]
+        )
+
+    schema = (
+        f"{group_col} string, weak_tp long, strong_tp long, n_gold long, n_pred long"
+    )
+    per = g.groupBy(group_col).cogroup(p.groupBy(group_col)).applyInPandas(
+        per_doc, schema
+    )
+    tot = per.agg(
+        F.sum("weak_tp").alias("weak_tp"),
+        F.sum("strong_tp").alias("strong_tp"),
+        F.sum("n_gold").alias("n_gold"),
+        F.sum("n_pred").alias("n_pred"),
+    )
+
+    def f1(tp):
+        prec = F.col(tp) / F.greatest(F.col("n_pred"), F.lit(1))
+        rec = F.col(tp) / F.greatest(F.col("n_gold"), F.lit(1))
+        return F.round(
+            2 * prec * rec / F.greatest(prec + rec, F.lit(1e-12)), 6
+        )
+
+    return tot.select(
+        "weak_tp",
+        "strong_tp",
+        "n_gold",
+        "n_pred",
+        f1("weak_tp").alias("weak_f1"),
+        f1("strong_tp").alias("strong_f1"),
+    )
+
+
 def topk_per_group(
     scored: DataFrame, group_col: str, score_col: str, tiebreak_col: str, k: int
 ) -> DataFrame:

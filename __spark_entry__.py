@@ -944,6 +944,268 @@ def _set_ops(spark: SparkSession, sf: str) -> DataFrame:
     return out
 
 
+# ---- wikidata / sentences / IR / coref / eval coverage batch ---------------
+
+@_q("wikidata_scan", None)  # oracle injected below (fixture path)
+def _wikidata_scan(spark: SparkSession, sf: str) -> DataFrame:
+    """Wikidata dump scan: bz2 lines with array brackets + trailing commas,
+    enwiki-sitelink filter, nested en label/alias/description projection
+    (/root/reference/blink/candidate_retrieval/process_wikidata.py:42-103)."""
+    from blink_spark.sources.wiki import read_wikidata_dump
+
+    d = read_wikidata_dump(spark, _fixtures()["wikidata_bz2"])
+    return d.select(
+        "wikidata_id",
+        "title",
+        "wikidata_label",
+        "description",
+        F.size("aliases").alias("n_aliases"),
+        F.col("enwikiquote_title").isNotNull().alias("has_quote"),
+    )
+
+
+@_q("doc_sentences", None)  # oracle injected below (fixture path)
+def _doc_sentences(spark: SparkSession, sf: str) -> DataFrame:
+    """Sentence split + first-N-sentences projection
+    (/root/reference/blink/utils.py:15-30, process_intro_sents.py:61-64)."""
+    from blink_spark.functions.text import first_n_sentences, sentences
+
+    s = _fx(spark, "sentences_fx")
+    return s.select(
+        "sent_id",
+        F.size(sentences("text")).alias("n_sentences"),
+        first_n_sentences("text", 2).alias("first_two"),
+    )
+
+
+@_q("er_threshold_prune", None)  # oracle injected below (fixture path)
+def _er_threshold_prune(spark: SparkSession, sf: str) -> DataFrame:
+    """Threshold pruning with top-K fallback (prune_ctxt_mentions,
+    /root/reference/elq/biencoder/biencoder.py:318-363): keep spans whose
+    score clears the threshold; groups with none keep their top-K."""
+    from blink_spark.operators.spans import enumerate_token_spans, threshold_prune_topk
+
+    q = _fx(spark, "questions")
+    spans = enumerate_token_spans(q, "id", "text", max_len=2)
+    scored = spans.withColumn(
+        "score",
+        F.length("span_text").cast("double")
+        + (
+            F.conv(F.substring(F.md5("span_text"), 1, 4), 16, 10).cast("int") % 97
+        ).cast("double")
+        / 100.0,
+    )
+    return threshold_prune_topk(
+        scored, "record_id", "score", threshold=14.0, k=2
+    )
+
+
+@_q("er_bm25_topk", None)  # oracle injected below (fixture path)
+def _er_bm25_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """True BM25/edismax-style candidate generation: idf-weighted multi-field
+    token match (title^1.0, aliases^0.7, description^0.5 — the edismax field
+    boosts of /root/reference/blink/candidate_generation.py:68-115) plus the
+    log(1 + num_incoming_links) boost. Scores summed in exact integer
+    milli-units so aggregation order can't flip a bit."""
+    from blink_spark.functions.text import tokens
+
+    m = _fx(spark, "mentions").select("mention_id", "mention")
+    e = _fx(spark, "entities").select(
+        "entity_id", "title", "aliases", "text", "num_incoming_links"
+    )
+    fields = (
+        e.select("entity_id", F.explode(tokens(F.lower("title"))).alias("tok"),
+                 F.lit(1.0).alias("w"))
+        .unionByName(
+            e.select(
+                "entity_id",
+                F.explode(
+                    F.array_distinct(
+                        F.flatten(F.transform("aliases", lambda a: F.split(F.lower(a), " ")))
+                    )
+                ).alias("tok"),
+                F.lit(0.7).alias("w"),
+            )
+        )
+        .unionByName(
+            e.select("entity_id", F.explode(tokens(F.lower("text"))).alias("tok"),
+                     F.lit(0.5).alias("w"))
+        )
+    )
+    best = fields.groupBy("entity_id", "tok").agg(F.max("w").alias("w"))
+    df_tok = best.groupBy("tok").agg(F.count("*").alias("df"))
+    total = e.agg(F.count("*").alias("n_ents"))
+    inv = (
+        best.join(df_tok, "tok")
+        .crossJoin(F.broadcast(total))
+        .withColumn(
+            "milli",
+            F.round(F.log(F.col("n_ents") / F.col("df")) * F.col("w") * 1000).cast("long"),
+        )
+    )
+    boost = e.select(
+        "entity_id",
+        F.round(F.log1p("num_incoming_links") * 100).cast("long").alias("boost_milli"),
+    )
+    mtok = m.select("mention_id", F.explode(tokens("mention")).alias("tok"))
+    hits = (
+        mtok.join(inv, "tok")
+        .groupBy("mention_id", "entity_id")
+        .agg(F.sum("milli").alias("tok_milli"))
+        .join(boost, "entity_id")
+        .withColumn("score_milli", F.col("tok_milli") + F.col("boost_milli"))
+    )
+    w = Window.partitionBy("mention_id").orderBy(
+        F.col("score_milli").desc(), F.col("entity_id").asc()
+    )
+    return (
+        hits.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("mention_id", "entity_id", "score_milli", "rank")
+    )
+
+
+@_q("er_coref_merge", None)  # oracle injected below (fixture path)
+def _er_coref_merge(spark: SparkSession, sf: str) -> DataFrame:
+    """Coreference theta self-join + candidate-distribution merge
+    (/root/reference/blink/candidate_retrieval/dataset.py:153-187): short
+    mentions (first token — the 'surname' form) find same-doc mentions whose
+    top candidate is a person (entity_id % 3 == 0, the gazetteer stand-in)
+    and that contain them word-bounded; their candidate distributions are
+    averaged in exact micro-units."""
+    from blink_spark.operators.coref import coref_candidate_merge
+
+    m = _fx(spark, "mentions").select("mention_id", "doc_id", "mention")
+    shorts = m.select(
+        F.concat(F.col("mention_id"), F.lit(":t0")).alias("mention_id"),
+        "doc_id",
+        F.element_at(F.split("mention", " "), 1).alias("mention"),
+    )
+    all_m = m.unionByName(shorts)
+    cands = _softmax_confidence(spark, sf).select(
+        "mention_id", "entity_id", "rank", "prob"
+    )
+    persons = _fx(spark, "entities").filter(F.col("entity_id") % 3 == 0).select(
+        "entity_id"
+    )
+    return coref_candidate_merge(all_m, cands, persons)
+
+
+@_q("er_rank_histogram", None)  # oracle injected below (fixture path)
+def _er_rank_histogram(spark: SparkSession, sf: str) -> DataFrame:
+    """hit@rank histogram + cumulative recall-vs-rank curve
+    (/root/reference/blink/biencoder/zeshel_utils.py:70-99 and
+    candidate_retrieval/evaluator.py:92-124): counts per gold rank (-1 =
+    gold missing from candidates), running total, cumulative share."""
+    ranked = _er_topk(spark, sf)
+    gold = _fx(spark, "mentions").select("mention_id", "label_id")
+    gr = (
+        ranked.join(gold, "mention_id")
+        .groupBy("mention_id")
+        .agg(
+            F.coalesce(
+                F.min(F.when(F.col("entity_id") == F.col("label_id"), F.col("rank"))),
+                F.lit(-1),
+            ).alias("gold_rank")
+        )
+    )
+    hist = gr.groupBy("gold_rank").agg(F.count("*").alias("n"))
+    w = Window.orderBy(F.col("gold_rank").asc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    total = gr.agg(F.count("*").alias("total"))
+    return (
+        hist.crossJoin(F.broadcast(total))
+        .withColumn("cum_n", F.sum(F.when(F.col("gold_rank") > 0, F.col("n")).otherwise(0)).over(w))
+        .select(
+            "gold_rank",
+            "n",
+            "cum_n",
+            F.round(F.col("cum_n") / F.col("total"), 6).alias("cum_share"),
+        )
+    )
+
+
+@_q("er_world_macro_micro", None)  # oracle injected below (fixture path)
+def _er_world_macro_micro(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-world (zeshel) macro vs global micro accuracy of the rank-1
+    candidate (/root/reference/blink/crossencoder/train_cross.py:104-127,
+    worlds at biencoder/zeshel_utils.py:14-33)."""
+    from blink_spark.operators.eval import macro_micro_accuracy
+
+    ranked = _er_topk(spark, sf).filter(F.col("rank") == 1)
+    gold = _fx(spark, "mentions").select("mention_id", "label_id", "world")
+    preds = ranked.join(gold, "mention_id")
+    return macro_micro_accuracy(preds, "label_id", "entity_id", "world")
+
+
+@_q("er_span_embedding_agg", None)  # oracle injected below (fixture path)
+def _er_span_embedding_agg(spark: SparkSession, sf: str) -> DataFrame:
+    """Span embedding aggregation — average the per-token embeddings across
+    each span (the 'all_avg' mode of /root/reference/elq/biencoder/
+    biencoder.py:145-219). Token embeddings are exact integer vectors
+    (md5-derived, dim 4) so the mean is bit-reproducible in SQL."""
+    from blink_spark.operators.spans import enumerate_token_spans
+
+    q = _fx(spark, "questions")
+    spans = enumerate_token_spans(q, "id", "text", max_len=2)
+    toks = F.split("span_text", " ")
+
+    def dim(d: int):
+        per_tok = F.transform(
+            toks,
+            lambda t: F.conv(
+                F.substring(F.md5(F.concat(F.lit(f"emb{d}:"), t)), 1, 4), 16, 10
+            ).cast("long")
+            - 32768,
+        )
+        s = F.aggregate(per_tok, F.lit(0).cast("long"), lambda a, x: a + x)
+        return F.round(s / F.size(toks), 6).alias(f"e{d}")
+
+    return spans.select(
+        "record_id", "start", "end_excl", *[dim(d) for d in range(4)]
+    )
+
+
+@_q("conll_csv_scan", None)  # oracle injected below (fixture path)
+def _conll_csv_scan(spark: SparkSession, sf: str) -> DataFrame:
+    """CoNLL/AIDA CSV scan with candidate-list parse (variable arity,
+    comma-bearing names, EMPTYCAND, both gold variants —
+    /root/reference/blink/candidate_retrieval/dataset.py:18-69)."""
+    from blink_spark.sources.conll import read_conll_csv
+
+    d = read_conll_csv(spark, _fixtures()["conll_tsv"])
+    ex = d.select(
+        "doc_name",
+        "mention",
+        "gold_entity",
+        F.size("candidates").alias("n_cands"),
+        F.posexplode_outer("candidates").alias("idx0", "c"),
+    )
+    return ex.select(
+        "doc_name",
+        "mention",
+        "gold_entity",
+        "n_cands",
+        F.coalesce("idx0", F.lit(-1)).alias("cand_idx"),
+        F.col("c.entity").alias("cand_entity"),
+        F.col("c.prior").alias("cand_prior"),
+    )
+
+
+@_q("scalar_wiki_forms", None)  # oracle injected below (fixture path)
+def _scalar_wiki_forms(spark: SparkSession, sf: str) -> DataFrame:
+    """Scalar stragglers: .title() casing (initcap,
+    /root/reference/blink/candidate_retrieval/dataset.py:322-330) and the
+    char-map rewrite (translate, dataset.py:30-34)."""
+    m = _fx(spark, "mentions").select("mention_id", "mention")
+    return m.select(
+        "mention_id",
+        F.initcap("mention").alias("title_case"),
+        F.translate("mention", " .", "_-").alias("underscored"),
+    )
+
+
 # ---- crossencoder pair-construction family --------------------------------
 
 _CTX_LEN = 12   # small on purpose: quotas must BITE on the 4+4-word contexts
@@ -1460,6 +1722,8 @@ def _er_oracles() -> dict[str, str]:
     ent = _fxp("entities")
     gold = _fxp("gold_pairs")
     qst = _fxp("questions")
+    wik = _fixtures()["wikidata_plain"].replace("'", "''")
+    sfx = _fxp("sentences_fx")
     jsonl = _jsonl_fixture().replace("'", "''")
     mentions_cte = _er_oracle_mentions_sql()
 
@@ -1743,6 +2007,273 @@ def _er_oracles() -> dict[str, str]:
                   ELSE 1 + ascii(substr(h, 4, 1)) END AS n_frames
       FROM media
     """
+    wikidata_sql = f"""
+      SELECT id AS wikidata_id,
+             sitelinks.enwiki.title AS title,
+             labels.en.value AS wikidata_label,
+             descriptions.en.value AS description,
+             coalesce(len(aliases.en), 0) AS n_aliases,
+             sitelinks.enwikiquote.title IS NOT NULL AS has_quote
+      FROM read_json('{wik}')
+      WHERE sitelinks.enwiki.title IS NOT NULL
+    """
+    sentences_sql = f"""
+      WITH s AS (
+        SELECT sent_id,
+               list_filter([trim(x) for x in string_split(
+                 regexp_replace(text, '([.!?])\\s+', '\\1' || chr(1), 'g'), chr(1))],
+                 t -> t <> '') AS sents
+        FROM read_parquet('{sfx}')
+      )
+      SELECT sent_id, len(sents) AS n_sentences,
+             array_to_string(list_slice(sents, 1, 2), ' ') AS first_two
+      FROM s
+    """
+    _SPAN_SCORE = ("length(span_text)::double"
+                   " + (('0x' || substr(md5(span_text), 1, 4))::INT % 97)::double"
+                   " / 100.0")
+    threshold_prune_sql = f"""
+      WITH {{span_ctes}},
+      scored AS (
+        SELECT record_id, start, end_excl, span_text, {_SPAN_SCORE} AS score
+        FROM spans
+      ),
+      st AS (
+        SELECT *,
+               sum(CASE WHEN score > 14.0 THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY record_id) AS np,
+               row_number() OVER (PARTITION BY record_id
+                                  ORDER BY score DESC, start, end_excl) AS rk
+        FROM scored
+      )
+      SELECT record_id, start, end_excl, span_text, score FROM st
+      WHERE score > 14.0 OR (np = 0 AND rk <= 2)
+    """
+    bm25_sql = f"""
+      WITH ents AS (SELECT * FROM read_parquet('{ent}')),
+      f AS (
+        SELECT entity_id, unnest(list_distinct(string_split(lower(title), ' '))) AS tok,
+               1.0 AS w
+        FROM ents
+        UNION ALL
+        SELECT entity_id,
+               unnest(list_distinct(flatten([string_split(lower(a), ' ') for a in aliases]))),
+               0.7
+        FROM ents
+        UNION ALL
+        SELECT entity_id, unnest(list_distinct(string_split(lower(text), ' '))), 0.5
+        FROM ents
+      ),
+      best AS (SELECT entity_id, tok, max(w) AS w FROM f GROUP BY 1, 2),
+      dfk AS (SELECT tok, count(*) AS df FROM best GROUP BY 1),
+      tot AS (SELECT count(*) AS n_ents FROM ents),
+      inv AS (
+        SELECT b.entity_id, b.tok,
+               round(ln(n_ents / df) * w * 1000)::BIGINT AS milli
+        FROM best b JOIN dfk USING (tok) CROSS JOIN tot
+      ),
+      boost AS (
+        SELECT entity_id, round(ln(1 + num_incoming_links) * 100)::BIGINT AS bm
+        FROM ents
+      ),
+      mt AS (SELECT mention_id, unnest({_toks('mention')}) AS tok
+             FROM read_parquet('{men}')),
+      hits AS (
+        SELECT mention_id, entity_id, cast(sum(milli) AS BIGINT) AS tok_milli
+        FROM mt JOIN inv USING (tok) GROUP BY 1, 2
+      ),
+      sc AS (
+        SELECT mention_id, h.entity_id, tok_milli + bm AS score_milli
+        FROM hits h JOIN boost USING (entity_id)
+      )
+      SELECT mention_id, entity_id, score_milli, rank FROM (
+        SELECT mention_id, entity_id, score_milli,
+               row_number() OVER (PARTITION BY mention_id
+                                  ORDER BY score_milli DESC, entity_id ASC) AS rank
+        FROM sc
+      ) WHERE rank <= 5
+    """
+    _softmax_ctes = f"""
+      mb AS (
+        SELECT mention_id, mention, substr(string_split(mention, ' ')[1], 1, 4) AS bk
+        FROM read_parquet('{men}')
+      ),
+      eb AS (
+        SELECT entity_id, lower(title) AS title_l,
+               substr(string_split(lower(title), ' ')[1], 1, 4) AS bk
+        FROM read_parquet('{ent}')
+      ),
+      lpairs AS (
+        SELECT mention_id, entity_id,
+               round(1.0 - levenshtein(mention, title_l)::double
+                     / greatest(length(mention), length(title_l), 1), 6) AS sim
+        FROM mb JOIN eb USING (bk)
+      ),
+      ltopk AS (
+        SELECT mention_id, entity_id, sim, rank FROM (
+          SELECT mention_id, entity_id, sim,
+                 row_number() OVER (PARTITION BY mention_id
+                                    ORDER BY sim DESC, entity_id ASC) AS rank
+          FROM lpairs
+        ) WHERE rank <= 3
+      ),
+      cands AS (
+        SELECT mention_id, entity_id, rank,
+               round(exp(sim - mx) / sum(exp(sim - mx))
+                       OVER (PARTITION BY mention_id), 6) AS prob
+        FROM (
+          SELECT mention_id, entity_id, rank, sim,
+                 max(sim) OVER (PARTITION BY mention_id) AS mx
+          FROM ltopk
+        )
+      )"""
+    coref_sql = f"""
+      WITH {_softmax_ctes},
+      mm AS (SELECT mention_id, doc_id, mention FROM read_parquet('{men}')),
+      allm AS (
+        SELECT mention_id, doc_id, lower(mention) AS mention FROM mm
+        UNION ALL
+        SELECT mention_id || ':t0', doc_id, string_split(lower(mention), ' ')[1] FROM mm
+      ),
+      partnerids AS (
+        SELECT c.mention_id FROM cands c
+        WHERE c.rank = 1 AND c.entity_id % 3 = 0
+      ),
+      cur AS (SELECT mention_id AS cur_id, doc_id AS doc, mention AS cur_text FROM allm),
+      oth AS (
+        SELECT mention_id AS partner_id, doc_id AS doc, mention AS partner_text
+        FROM allm WHERE mention_id IN (SELECT mention_id FROM partnerids)
+      ),
+      prs AS (
+        SELECT DISTINCT cur_id, partner_id
+        FROM cur JOIN oth USING (doc)
+        WHERE strpos(partner_text, cur_text) > 0
+          AND partner_text <> cur_text
+          AND (strpos(partner_text, cur_text) = 1
+               OR substr(partner_text, strpos(partner_text, cur_text) - 1, 1) = ' ')
+          AND (strpos(partner_text, cur_text) + length(cur_text)
+                 = length(partner_text) + 1
+               OR substr(partner_text,
+                         strpos(partner_text, cur_text) + length(cur_text), 1) = ' ')
+      ),
+      np AS (SELECT cur_id, count(*) AS n_partners FROM prs GROUP BY 1),
+      cm AS (
+        SELECT mention_id AS partner_id, entity_id,
+               round(prob * 1000000)::BIGINT AS p_micro
+        FROM cands
+      ),
+      merged AS (
+        SELECT prs.cur_id, cm.entity_id, cast(sum(p_micro) AS BIGINT) AS sum_micro
+        FROM prs JOIN cm USING (partner_id) GROUP BY 1, 2
+      )
+      SELECT m.cur_id AS mention_id, m.entity_id,
+             round(m.sum_micro / (np.n_partners * 1000000.0), 6) AS merged_p,
+             np.n_partners
+      FROM merged m JOIN np ON np.cur_id = m.cur_id
+    """
+    rank_hist_sql = f"""
+      WITH {_softmax_ctes},
+      gr AS (
+        SELECT t.mention_id,
+               coalesce(min(CASE WHEN t.entity_id = g.label_id THEN t.rank END), -1)
+                 AS gold_rank
+        FROM ltopk t JOIN read_parquet('{men}') g USING (mention_id)
+        GROUP BY 1
+      ),
+      hist AS (SELECT gold_rank, count(*) AS n FROM gr GROUP BY 1),
+      tot AS (SELECT count(*) AS total FROM gr)
+      SELECT gold_rank, n,
+             cast(sum(CASE WHEN gold_rank > 0 THEN n ELSE 0 END)
+                    OVER (ORDER BY gold_rank ASC ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS cum_n,
+             round(cast(sum(CASE WHEN gold_rank > 0 THEN n ELSE 0 END)
+                    OVER (ORDER BY gold_rank ASC ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                   / total, 6) AS cum_share
+      FROM hist CROSS JOIN tot
+    """
+    world_mm_sql = f"""
+      WITH {_softmax_ctes},
+      r1 AS (SELECT mention_id, entity_id FROM ltopk WHERE rank = 1),
+      p AS (
+        SELECT r1.entity_id, g.label_id, g.world
+        FROM r1 JOIN read_parquet('{men}') g USING (mention_id)
+      ),
+      pw AS (
+        SELECT world,
+               avg(CASE WHEN entity_id = label_id THEN 1.0 ELSE 0.0 END) AS acc
+        FROM p GROUP BY 1
+      )
+      SELECT 'macro' AS kind, round(avg(acc), 6) AS acc FROM pw
+      UNION ALL
+      SELECT 'micro',
+             round(avg(CASE WHEN entity_id = label_id THEN 1.0 ELSE 0.0 END), 6)
+      FROM p
+    """
+
+    def _emb_dim_sql(d: int) -> str:
+        return (
+            f"round(cast(list_sum([(('0x' || substr(md5('emb{d}:' || t), 1, 4))::INT"
+            f" - 32768)::BIGINT for t in tks]) AS BIGINT)::double / len(tks), 6)"
+            f" AS e{d}"
+        )
+
+    span_emb_sql = f"""
+      WITH {{span_ctes}},
+      ex AS (SELECT record_id, start, end_excl, string_split(span_text, ' ') AS tks
+             FROM spans)
+      SELECT record_id, start, end_excl,
+             {', '.join(_emb_dim_sql(d) for d in range(4))}
+      FROM ex
+    """
+    conll = _fixtures()["conll_tsv"].replace("'", "''")
+    conll_sql = f"""
+      WITH raw AS (
+        SELECT value FROM read_csv('{conll}', delim=chr(2), header=false, quote='',
+                                   columns={{'value': 'VARCHAR'}})
+        WHERE trim(value) <> ''
+      ),
+      parsed AS (
+        SELECT string_split(value, chr(9)) AS comps,
+               string_split(string_split(value, chr(9))[-1], ',') AS gp
+        FROM raw
+      ),
+      rows0 AS (
+        SELECT comps[1] || ' ' || comps[2] AS doc_name,
+               comps[3] AS mention,
+               replace(replace(array_to_string(
+                 list_slice(gp, (CASE WHEN gp[1] = '-1' THEN 2 ELSE 3 END) + 1,
+                            len(gp)), ','), '"', '%22'), ' ', '_') AS gold_entity,
+               CASE WHEN comps[7] = 'EMPTYCAND'
+                    THEN CAST([] AS STRUCT(entity VARCHAR, prior DOUBLE)[])
+                    ELSE [{{'entity': replace(replace(array_to_string(
+                             list_slice(string_split(c, ','), 3,
+                                        len(string_split(c, ','))), ','),
+                             '"', '%22'), ' ', '_'),
+                           'prior': string_split(c, ',')[2]::DOUBLE}}
+                          for c in list_slice(comps, 7, len(comps) - 2)]
+               END AS cands
+        FROM parsed
+      )
+      SELECT doc_name, mention, gold_entity, len(cands) AS n_cands,
+             generate_subscripts(cands, 1) - 1 AS cand_idx,
+             unnest(cands).entity AS cand_entity,
+             unnest(cands).prior AS cand_prior
+      FROM rows0 WHERE len(cands) > 0
+      UNION ALL
+      SELECT doc_name, mention, gold_entity, 0, -1, NULL, NULL
+      FROM rows0 WHERE len(cands) = 0
+    """
+    initcap_sql = (
+        "array_to_string([CASE WHEN w = '' THEN ''"
+        " ELSE upper(substr(w, 1, 1)) || lower(substr(w, 2)) END"
+        " for w in string_split(mention, ' ')], ' ')"
+    )
+    scalar_forms_sql = f"""
+      SELECT mention_id,
+             {initcap_sql} AS title_case,
+             translate(mention, ' .', '_-') AS underscored
+      FROM read_parquet('{men}')
+    """
     span_f1_sql = f"""
       WITH RECURSIVE qm AS (
         SELECT id,
@@ -1969,6 +2500,18 @@ def _er_oracles() -> dict[str, str]:
         "er_pair_concat": pair_concat_sql,
         "er_pair_rerank": pair_rerank_sql,
         "er_span_f1_weak_strong": span_f1_sql,
+        "wikidata_scan": wikidata_sql,
+        "doc_sentences": sentences_sql,
+        "er_threshold_prune": threshold_prune_sql.format(
+            span_ctes=_span_enum_ctes(2)
+        ),
+        "er_bm25_topk": bm25_sql,
+        "er_coref_merge": coref_sql,
+        "er_rank_histogram": rank_hist_sql,
+        "er_world_macro_micro": world_mm_sql,
+        "er_span_embedding_agg": span_emb_sql.format(span_ctes=_span_enum_ctes(2)),
+        "conll_csv_scan": conll_sql,
+        "scalar_wiki_forms": scalar_forms_sql,
         "er_question_mentions": question_mentions_sql,
         "er_two_key_fallback_join": two_key_sql,
         "er_inverted_index_topk": inv_index_sql,

@@ -95,6 +95,25 @@ def lang_id(col: Column | str) -> Column:
     return result
 
 
+def sentences(col: Column | str) -> Column:
+    """Sentence split as an array<string> column (sentence-file scan /
+    first-N-sentences family, /root/reference/blink/utils.py:15-30 and
+    process_intro_sents.py:46-64). Terminator [.!?] + whitespace marks a
+    boundary; pieces are trimmed, empties dropped. Marker-replace + split
+    instead of lookbehind regex (RE2 engines have no lookbehind — keeps the
+    construction portable to the SQL oracle)."""
+    c = F.col(col) if isinstance(col, str) else col
+    marked = F.regexp_replace(c, r"([.!?])\s+", "$1\x01")
+    parts = F.transform(F.split(marked, "\x01"), lambda s: F.trim(s))
+    return F.filter(parts, lambda s: s != "")
+
+
+def first_n_sentences(col: Column | str, n: int = 10) -> Column:
+    """First N sentences re-joined (the intro-sentence projection,
+    /root/reference/blink/candidate_retrieval/process_intro_sents.py:61-64)."""
+    return F.array_join(F.slice(sentences(col), 1, n), " ")
+
+
 def fingerprint(col: Column | str) -> Column:
     """Order-insensitive document fingerprint: md5 of the sorted distinct
     token list (dedup key robust to token reordering)."""

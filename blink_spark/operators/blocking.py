@@ -139,6 +139,7 @@ def df_aware_blocks(
     max_df: int = 4096,
     max_tokens_per_record: int = 8,
     emit_fallback: bool = True,
+    freq: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Document-frequency-aware blocking — the scalable default.
 
@@ -161,13 +162,17 @@ def df_aware_blocks(
     ``emit_fallback`` (their oversized block is then capped/logged
     downstream by candidate_pairs).
 
+    ``freq`` (tok, df) overrides the corpus frequencies — the incremental
+    path maintains a frequency store and blocks only the new batch with it.
+
     Returns (assignments(block_key, record_id), token_stats).
     """
     recs = df.select(F.col(id_col).alias("record_id"), F.col(text_col).alias("text"))
     tok = recs.select(
         "record_id", F.explode(tokens("text")).alias("tok")
     )
-    freq = tok.groupBy("tok").agg(F.count("*").alias("df")).persist()
+    if freq is None:
+        freq = tok.groupBy("tok").agg(F.count("*").alias("df")).persist()
 
     token_stats = freq.select(
         F.when(F.col("df") <= rare_df, F.lit("rare"))

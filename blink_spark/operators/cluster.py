@@ -88,13 +88,21 @@ def connected_components(
         after_small = _small_star(after_large)
         converged = False
         if (i + 1) % check_every == 0 or i == max_iter - 1:
-            # materialize + fixed-point test (edge sets equal; both are
-            # canonical u>v distinct). Checkpointing only on test rounds
-            # halves the number of barriers; two supersteps of lineage is
-            # still bounded.
+            # materialize + fixed-point test. Checkpointing only on test
+            # rounds halves the number of barriers; the equality test is ONE
+            # job (full-outer join + aggregate over the symmetric
+            # difference), not the count+exceptAll+count trio of round 1 —
+            # each extra action is a full barrier, i.e. serial fraction.
             after_small = after_small.localCheckpoint()
-            diff = after_small.exceptAll(prev).limit(1).count()
-            converged = diff == 0 and after_small.count() == prev.count()
+            l = prev.select("u", "v", F.lit(1).alias("_l"))
+            r = after_small.select("u", "v", F.lit(1).alias("_r"))
+            n_diff = (
+                l.join(r, ["u", "v"], "full_outer")
+                .filter(F.col("_l").isNull() | F.col("_r").isNull())
+                .limit(1)
+                .count()
+            )
+            converged = n_diff == 0
             prev = after_small
         cur = after_small
         if converged:

@@ -125,6 +125,16 @@ def macro_micro_accuracy(
     return macro.unionByName(micro).select("kind", "acc")
 
 
+def valid_candidate_mask(
+    scored: DataFrame, score_col: str = "score", sentinel: float = -1.0
+) -> DataFrame:
+    """Drop invalid candidate rows: NaN scores and the -1 'no result'
+    sentinel (/root/reference/scripts/tune_hyperparams_new.py:144:
+    ``(dists[:,0] != -1) & (dists == dists)``)."""
+    c = F.col(score_col)
+    return scored.filter(c.isNotNull() & ~F.isnan(c) & (c != F.lit(sentinel)))
+
+
 def _span_lcs_counts(gold: list, pred: list) -> tuple[int, int]:
     """Weak/strong match counts for one document's (entity, start, end)
     triples — the LCS dynamic program of the reference's headline ELQ metric

@@ -121,6 +121,7 @@ def score_pairs_cascade(
     pairs_attrs: DataFrame,
     with_emb: bool = False,
     plausible_threshold: float = 0.9,
+    with_jw: bool = True,
 ) -> DataFrame:
     """Cascade scoring over **prepped** pair attributes (see
     ``prepare_records``: columns norm_a/b, toks_a/b, optional emb_a/b).
@@ -138,6 +139,11 @@ def score_pairs_cascade(
 
     ``plausible_threshold`` is the fraction of the match thresholds a pair
     must reach to be worth full scoring.
+
+    ``with_jw=False`` drops the Jaro-Winkler pandas UDF entirely (the only
+    Python in the plan): ``is_match`` never depends on JW, so clustering
+    results are identical — it only feeds the diagnostic ``score`` — and
+    the whole stage stays in codegen. Default for the clustering pipeline.
     """
     base = _base_features(pairs_attrs).withColumn(
         "plausible",
@@ -148,32 +154,35 @@ def score_pairs_cascade(
     exact_lev = F.when(
         m > 0, 1.0 - F.levenshtein("norm_a", "norm_b").cast("double") / m
     ).otherwise(F.lit(1.0))
+    jw_col = (
+        F.round(jaro_winkler_udf("norm_a", "norm_b"), 6)
+        if with_jw
+        else F.lit(None).cast("double")
+    )
     hot = (
         base.filter(F.col("plausible"))
         .withColumn("lev_ratio", F.round(exact_lev, 6))
-        .withColumn("jw", F.round(jaro_winkler_udf("norm_a", "norm_b"), 6))
+        .withColumn("jw", jw_col)
     )
     cold = (
         base.filter(~F.col("plausible"))
         .withColumn("lev_ratio", F.lit(None).cast("double"))
         .withColumn("jw", F.lit(None).cast("double"))
     )
+    lexical = (
+        0.5 * F.col("jw") + 0.5 * F.col("lev_ratio")
+        if with_jw
+        else F.col("lev_ratio")
+    )
     if with_emb:
         hot = hot.withColumn("emb_cos", F.round(cosine("emb_a", "emb_b"), 6))
         cold = cold.withColumn("emb_cos", F.lit(None).cast("double"))
         hot = hot.withColumn(
             "score",
-            F.round(
-                0.4 * (F.col("emb_cos") + 1.0) / 2.0
-                + 0.3 * F.col("jw")
-                + 0.3 * F.col("lev_ratio"),
-                6,
-            ),
+            F.round(0.4 * (F.col("emb_cos") + 1.0) / 2.0 + 0.6 * lexical, 6),
         )
     else:
-        hot = hot.withColumn(
-            "score", F.round(0.5 * F.col("jw") + 0.5 * F.col("lev_ratio"), 6)
-        )
+        hot = hot.withColumn("score", F.round(lexical, 6))
     cold = cold.withColumn("score", F.col("jaccard") * 0.5)
     return hot.unionByName(cold).drop("plausible")
 

@@ -89,6 +89,38 @@ def greedy_overlap_prune(
     return scored_spans.groupBy(group_col).applyInPandas(prune, schema)
 
 
+def threshold_prune_topk(
+    scored_spans: DataFrame,
+    group_col: str = "record_id",
+    score_col: str = "score",
+    threshold: float = 0.0,
+    k: int = 2,
+    tiebreak_cols: tuple[str, ...] = ("start", "end_excl"),
+) -> DataFrame:
+    """Threshold pruning with top-K fallback — the combined semantics of
+    /root/reference/elq/biencoder/biencoder.py:318-363 (prune_ctxt_mentions):
+    keep spans whose score clears the threshold; for groups where NOTHING
+    clears it, fall back to the top-K spans by score. One window pass, no
+    per-group Python."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group_col)
+    wr = w.orderBy(
+        F.col(score_col).desc(), *[F.col(c).asc() for c in tiebreak_cols]
+    )
+    n_pass = F.sum((F.col(score_col) > threshold).cast("int")).over(w)
+    rank = F.row_number().over(wr)
+    return (
+        scored_spans.withColumn("_np", n_pass)
+        .withColumn("_rk", rank)
+        .filter(
+            (F.col(score_col) > threshold)
+            | ((F.col("_np") == 0) & (F.col("_rk") <= k))
+        )
+        .drop("_np", "_rk")
+    )
+
+
 def sort_spans_canonical(df: DataFrame, group_col: str = "record_id") -> DataFrame:
     """Canonical (start, end) span order within each group — the span-order
     invariant of /root/reference/elq/biencoder/data_process.py:202-248.

@@ -104,9 +104,14 @@ class PipelineConfig:
     # bigram) or their baseline shingle-Jaccard is high enough that every
     # band collides and candidate generation degenerates quadratic.
     minhash_shingle_n: int = 3
-    # rich per-stage metrics (match counts, distinct clusters) cost extra
-    # full scans — keep for observability, disable for throughput benches
+    # rich per-stage metrics (row counts, match counts, distinct clusters)
+    # cost extra full scans — keep for observability, disable for throughput
+    # benches. rich_metrics=False logs stages WITHOUT any counting action.
     rich_metrics: bool = True
+    # Jaro-Winkler (the only Python UDF in the plan) feeds only the
+    # diagnostic `score` column — is_match and the clusters are identical
+    # without it, so the clustering pipeline defaults it off.
+    with_jw: bool = False
     # write every stage to parquet (resumable checkpoints). False = fused
     # plan: only clusters are written; intermediates persist in memory/disk
     # cache. Checkpointing costs ~2 full materializations of the pair table
@@ -155,6 +160,10 @@ def run_pipeline(
         return _run_pipeline_fused(spark, documents_path, out_dir, cfg)
     os.makedirs(out_dir, exist_ok=True)
 
+    def _rows(path: str) -> dict:
+        # counting is an extra full scan per stage — only under rich_metrics
+        return {"rows": spark.read.parquet(path).count()} if cfg.rich_metrics else {}
+
     # S1 — extract
     p_mentions = _stage_path(out_dir, "mentions")
     if force or not _exists(p_mentions):
@@ -164,14 +173,14 @@ def run_pipeline(
         documents = documents.repartition(spark.sparkContext.defaultParallelism)
         mentions = extract_mentions(documents)
         _write_stage(mentions, p_mentions)
-        _log_lineage(out_dir, "mentions", {"rows": spark.read.parquet(p_mentions).count()})
+        _log_lineage(out_dir, "mentions", _rows(p_mentions))
     mentions = spark.read.parquet(p_mentions)
 
     # S2a — exact contraction: one representative per distinct surface
     p_reps = _stage_path(out_dir, "reps")
     if force or not _exists(p_reps):
         _write_stage(exact_contract(mentions, "mention_id", "mention"), p_reps)
-        _log_lineage(out_dir, "reps", {"rows": spark.read.parquet(p_reps).count()})
+        _log_lineage(out_dir, "reps", _rows(p_reps))
     reps = spark.read.parquet(p_reps)
 
     # S2b — blocking over representatives (df-aware keys ∪ MinHash-LSH)
@@ -196,12 +205,10 @@ def run_pipeline(
             ).select("block_key", "record_id")
             assignments = union_blocks(tb, mh)
         _write_stage(assignments.select("block_key", "record_id"), p_blocks)
-        stats_rows = [r.asDict() for r in token_stats.collect()]
-        _log_lineage(
-            out_dir,
-            "blocks",
-            {"rows": spark.read.parquet(p_blocks).count(), "token_classes": stats_rows},
-        )
+        metrics = _rows(p_blocks)
+        if cfg.rich_metrics:
+            metrics["token_classes"] = [r.asDict() for r in token_stats.collect()]
+        _log_lineage(out_dir, "blocks", metrics)
     blocks = spark.read.parquet(p_blocks)
 
     # S3 — candidate pairs (skew-aware)
@@ -214,12 +221,11 @@ def run_pipeline(
             n_salt=cfg.n_salt,
         )
         _write_stage(pairs, p_pairs)
-        skew_rows = [r.asDict() for r in skew.collect()]
-        _log_lineage(
-            out_dir,
-            "cand_pairs",
-            {"rows": spark.read.parquet(p_pairs).count(), "skew": skew_rows},
-        )
+        blocks.unpersist()  # candidate_pairs persisted it; pairs are on disk
+        metrics = _rows(p_pairs)
+        if cfg.rich_metrics:
+            metrics["skew"] = [r.asDict() for r in skew.collect()]
+        _log_lineage(out_dir, "cand_pairs", metrics)
     pairs = spark.read.parquet(p_pairs)
 
     # S4 — cascade scoring with biencoder-style embeddings on the hot branch
@@ -227,7 +233,7 @@ def run_pipeline(
     if force or not _exists(p_scored):
         prep = prepare_records(reps, "record_id", "norm", with_emb=True)
         attrs = pairs_with_attrs(pairs, prep, "record_id", ["norm", "toks", "emb"])
-        scored = score_pairs_cascade(attrs, with_emb=True)
+        scored = score_pairs_cascade(attrs, with_emb=True, with_jw=cfg.with_jw)
         _write_stage(
             scored.select(
                 "record_id_a",
@@ -240,10 +246,11 @@ def run_pipeline(
             ),
             p_scored,
         )
-        sdf = spark.read.parquet(p_scored)
-        metrics = {"rows": sdf.count()}
+        metrics = _rows(p_scored)
         if cfg.rich_metrics:
-            metrics["matches"] = sdf.filter("is_match").count()
+            metrics["matches"] = (
+                spark.read.parquet(p_scored).filter("is_match").count()
+            )
         _log_lineage(out_dir, "scored_pairs", metrics)
     scored = spark.read.parquet(p_scored)
 
@@ -256,10 +263,11 @@ def run_pipeline(
             mentions, "mention_id", "mention", rep_clusters
         )
         _write_stage(clusters, p_clusters)
-        cdf = spark.read.parquet(p_clusters)
-        metrics = {"rows": cdf.count()}
+        metrics = _rows(p_clusters)
         if cfg.rich_metrics:
-            metrics["n_clusters"] = cdf.select("cluster_id").distinct().count()
+            metrics["n_clusters"] = (
+                spark.read.parquet(p_clusters).select("cluster_id").distinct().count()
+            )
         _log_lineage(out_dir, "clusters", metrics)
     return spark.read.parquet(p_clusters)
 
@@ -303,7 +311,7 @@ def _run_pipeline_fused(
     )
     prep = prepare_records(reps, "record_id", "norm", with_emb=True)
     attrs = pairs_with_attrs(pairs, prep, "record_id", ["norm", "toks", "emb"])
-    scored = score_pairs_cascade(attrs, with_emb=True)
+    scored = score_pairs_cascade(attrs, with_emb=True, with_jw=cfg.with_jw)
     edges = match_edges(scored)
     rep_clusters = assign_clusters(reps, "record_id", edges)
     clusters = expand_contracted_clusters(

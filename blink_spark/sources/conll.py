@@ -45,6 +45,57 @@ def read_conll(spark: SparkSession, path: str) -> DataFrame:
     return toks
 
 
+def read_conll_csv(spark: SparkSession, path: str) -> DataFrame:
+    """CoNLL/AIDA TSV scan with candidate-list parse
+    (/root/reference/blink/candidate_retrieval/dataset.py:18-69): variable
+    column count (candidates are columns 7..n-2, 1-based), each candidate
+    'id,prior,name...' where the name may itself contain commas; names get
+    the '\"'→'%22' and ' '→'_' wiki-form rewrite; the gold column drops 2 or
+    3 leading fields depending on the -1 marker. All array ops — the
+    variable arity rules out a fixed-schema CSV reader."""
+    lines = spark.read.text(path).filter(F.trim("value") != "")
+    comps = F.split("value", "\t")
+    n = F.size(comps)
+
+    def _wiki_form(c):
+        return F.regexp_replace(F.regexp_replace(c, '"', "%22"), " ", "_")
+
+    def _cand(c):
+        parts = F.split(c, ",")
+        name = _wiki_form(
+            F.array_join(F.slice(parts, 3, F.greatest(F.size(parts) - 2, F.lit(0))), ",")
+        )
+        return F.struct(
+            name.alias("entity"), parts[1].cast("double").alias("prior")
+        )
+
+    gold_parts = F.split(F.element_at(comps, -1), ",")
+    gold_skip = F.when(gold_parts[0] == "-1", 2).otherwise(3)
+    gold_name = _wiki_form(
+        F.array_join(
+            F.slice(
+                gold_parts,
+                gold_skip + 1,
+                F.greatest(F.size(gold_parts) - gold_skip, F.lit(0)),
+            ),
+            ",",
+        )
+    )
+    cands = F.when(
+        F.element_at(comps, 7) == "EMPTYCAND", F.array().cast("array<struct<entity:string,prior:double>>")
+    ).otherwise(
+        F.transform(F.slice(comps, 7, F.greatest(n - 8, F.lit(0))), _cand)
+    )
+    return lines.select(
+        F.concat(comps[0], F.lit(" "), comps[1]).alias("doc_name"),
+        comps[2].alias("mention"),
+        comps[3].alias("context_left"),
+        comps[4].alias("context_right"),
+        cands.alias("candidates"),
+        gold_name.alias("gold_entity"),
+    )
+
+
 def conll_mention_spans(tokens: DataFrame) -> DataFrame:
     """B/I tag runs → (doc_id, start_line, mention) via run-id windows:
     a new run starts at every B tag or at an I tag following O."""

@@ -62,6 +62,76 @@ def read_wiki_extractor(spark: SparkSession, path: str, full_text: bool = False)
     )
 
 
+WIKIDATA_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.StringType()),
+        T.StructField(
+            "sitelinks",
+            T.StructType(
+                [
+                    T.StructField(
+                        "enwiki", T.StructType([T.StructField("title", T.StringType())])
+                    ),
+                    T.StructField(
+                        "enwikiquote",
+                        T.StructType([T.StructField("title", T.StringType())]),
+                    ),
+                ]
+            ),
+        ),
+        T.StructField(
+            "labels",
+            T.StructType(
+                [T.StructField("en", T.StructType([T.StructField("value", T.StringType())]))]
+            ),
+        ),
+        T.StructField(
+            "descriptions",
+            T.StructType(
+                [T.StructField("en", T.StructType([T.StructField("value", T.StringType())]))]
+            ),
+        ),
+        T.StructField(
+            "aliases",
+            T.StructType(
+                [
+                    T.StructField(
+                        "en",
+                        T.ArrayType(
+                            T.StructType([T.StructField("value", T.StringType())])
+                        ),
+                    )
+                ]
+            ),
+        ),
+    ]
+)
+
+
+def read_wikidata_dump(spark: SparkSession, path: str) -> DataFrame:
+    """Wikidata JSON dump scan (/root/reference/blink/candidate_retrieval/
+    process_wikidata.py:42-103): bz2 lines (codec is a Spark built-in),
+    strip the array brackets and trailing commas the dump format carries,
+    keep rows with an enwiki sitelink, project the English
+    label/aliases/description + optional enwikiquote title."""
+    lines = spark.read.text(path)
+    cleaned = lines.select(
+        F.regexp_replace(F.trim("value"), r",\s*$", "").alias("line")
+    ).filter(~F.col("line").isin("[", "]", ""))
+    parsed = cleaned.select(F.from_json("line", WIKIDATA_SCHEMA).alias("o"))
+    kept = parsed.filter(F.col("o.sitelinks.enwiki.title").isNotNull())
+    return kept.select(
+        F.col("o.id").alias("wikidata_id"),
+        F.col("o.sitelinks.enwiki.title").alias("title"),
+        F.col("o.labels.en.value").alias("wikidata_label"),
+        F.col("o.descriptions.en.value").alias("description"),
+        F.transform(F.coalesce("o.aliases.en", F.array()), lambda a: a["value"]).alias(
+            "aliases"
+        ),
+        F.col("o.sitelinks.enwikiquote.title").alias("enwikiquote_title"),
+    )
+
+
 @F.pandas_udf(T.StringType())
 def url_unquote_udf(s: pd.Series) -> pd.Series:
     """%xx-unquote — Arrow-batched

@@ -294,12 +294,115 @@ def make_embeddings_fx() -> pd.DataFrame:
     return pd.DataFrame(rows)
 
 
+def make_sentences_fx(n_rows: int = 200) -> pd.DataFrame:
+    """Multi-sentence text fixture (the testdata documents carry no sentence
+    punctuation, so sentence ops need their own fixture). 1-5 sentences per
+    row with ., !, ? terminators and irregular spacing."""
+    terms = [". ", "! ", "? ", ".  "]
+    rows = []
+    for i in range(n_rows):
+        n_sent = 1 + _h("ns", i) % 5
+        parts = []
+        for s in range(n_sent):
+            words = " ".join(_pick(_WORDS, "sw", i, s, j) for j in range(2 + _h("sl", i, s) % 5))
+            parts.append(words + terms[_h("st", i, s) % len(terms)])
+        rows.append({"sent_id": f"s{i:05d}", "text": "".join(parts).strip()})
+    return pd.DataFrame(rows)
+
+
+def make_wikidata_rows(entities: pd.DataFrame) -> list[dict]:
+    """Wikidata-dump-shaped rows (nested sitelinks/labels/aliases/
+    descriptions; /root/reference/blink/candidate_retrieval/
+    process_wikidata.py:42-103): some rows lack the enwiki sitelink, an en
+    label, en aliases, or an en description — all the branches the scan's
+    filters/projections must handle."""
+    rows = []
+    for e in entities.head(80).to_dict("records"):
+        i = e["entity_id"]
+        obj: dict = {"id": f"Q{1000 + i}", "sitelinks": {}, "labels": {},
+                     "aliases": {}, "descriptions": {}}
+        if i % 4 != 3:
+            obj["sitelinks"]["enwiki"] = {"title": e["title"]}
+        if i % 5 == 0:
+            obj["sitelinks"]["enwikiquote"] = {"title": e["title"] + " (quotes)"}
+        if i % 3 != 2:
+            obj["labels"]["en"] = {"value": e["title"].lower()}
+        if i % 2 == 0:
+            obj["aliases"]["en"] = [{"value": a} for a in e["aliases"]]
+        if i % 3 != 1:
+            obj["descriptions"]["en"] = {"value": e["text"]}
+        rows.append(obj)
+    return rows
+
+
+def _write_wikidata_fixture(out_dir: str, entities: pd.DataFrame) -> tuple[str, str]:
+    """bz2 dump in the reference's on-disk shape ('[', rows with trailing
+    commas, ']') for the Spark scan, plus a clean JSONL copy of the same
+    rows for the DuckDB oracle (which verifies semantics, not the codec)."""
+    import bz2 as _bz2
+    import json as _json
+
+    rows = make_wikidata_rows(entities)
+    bz2_path = os.path.join(out_dir, "wikidata.jsonl.bz2")
+    plain_path = os.path.join(out_dir, "wikidata_plain.jsonl")
+    if not os.path.exists(bz2_path):
+        with _bz2.open(bz2_path, "wt") as f:
+            f.write("[\n")
+            for r in rows:
+                f.write(_json.dumps(r) + ",\n")
+            f.write("]\n")
+    if not os.path.exists(plain_path):
+        with open(plain_path, "w") as f:
+            for r in rows:
+                f.write(_json.dumps(r) + "\n")
+    return bz2_path, plain_path
+
+
+def _write_conll_csv_fixture(out_dir: str, entities: pd.DataFrame) -> str:
+    """AIDA-style TSV rows (variable arity, candidate lists 'id,prior,name'
+    where names may contain commas/quotes/spaces, EMPTYCAND rows, both gold
+    marker variants) — the parse branches of dataset.py:18-69."""
+    path = os.path.join(out_dir, "conll.tsv")
+    if os.path.exists(path):
+        return path
+    ents = entities.head(40).to_dict("records")
+    lines = []
+    for i in range(60):
+        e = ents[i % len(ents)]
+        doc = f"doc{i % 7}"
+        mention = e["title"].split()[0]
+        lctx, rctx = f"left ctx {i}", f"right ctx {i}"
+        if i % 5 == 4:
+            cand_cols = ["EMPTYCAND"]
+            gold = f"-1,{e['entity_id']},{e['title']}"
+        else:
+            n_c = 1 + _h("nc", i) % 3
+            cand_cols = []
+            for c in range(n_c):
+                ce = ents[(i + c) % len(ents)]
+                name = ce["title"]
+                if c == 1:
+                    name = f'{name}, "the {c}nd"'  # comma + quote in name
+                cand_cols.append(f"{ce['entity_id']},{0.5 + c / 10:.2f},{name}")
+            gold = f"{i},x,{e['entity_id']},{e['title']}"
+        lines.append(
+            "\t".join([doc, f"part{i % 3}", mention, lctx, rctx, "CANDIDATES",
+                       *cand_cols, gold])
+        )
+    with open(path, "w") as f:
+        f.write("\n".join(lines) + "\n")
+    return path
+
+
 def write_fixtures(out_dir: str, n_docs: int = 2000, n_entities: int = 500) -> dict[str, str]:
     """Write all fixture parquet files; returns {table: path}. Idempotent."""
     os.makedirs(out_dir, exist_ok=True)
     paths = {t: os.path.join(out_dir, f"{t}.parquet") for t in
              ("entities", "documents", "mentions", "gold_pairs", "questions",
-              "embeddings_fx")}
+              "embeddings_fx", "sentences_fx")}
+    paths["wikidata_bz2"] = os.path.join(out_dir, "wikidata.jsonl.bz2")
+    paths["wikidata_plain"] = os.path.join(out_dir, "wikidata_plain.jsonl")
+    paths["conll_tsv"] = os.path.join(out_dir, "conll.tsv")
     if all(os.path.exists(p) for p in paths.values()):
         return paths
     ents = make_entities(n_entities)
@@ -312,4 +415,7 @@ def write_fixtures(out_dir: str, n_docs: int = 2000, n_entities: int = 500) -> d
     gold.to_parquet(paths["gold_pairs"], index=False)
     questions.to_parquet(paths["questions"], index=False)
     make_embeddings_fx().to_parquet(paths["embeddings_fx"], index=False)
+    make_sentences_fx().to_parquet(paths["sentences_fx"], index=False)
+    _write_wikidata_fixture(out_dir, ents)
+    _write_conll_csv_fixture(out_dir, ents)
     return paths

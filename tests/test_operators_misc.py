@@ -148,8 +148,17 @@ def test_jsonl_catalogue_roundtrip(spark, tmp_path):
 
 def test_incremental_linking_stream(spark, tmp_path):
     """Structured Streaming foreachBatch incremental linking: two batches of
-    documents arrive; final clusters match a one-shot batch run."""
+    documents arrive; final clusters must equal a one-shot batch run of the
+    SAME operators, and per-batch pair work must be incremental (no old-old
+    pair is ever re-scored → the edge store stays duplicate-free)."""
+    from blink_spark.operators.blocking import df_aware_blocks
     from blink_spark.operators.cluster import assign_clusters
+    from blink_spark.operators.pairs import candidate_pairs, pairs_with_attrs
+    from blink_spark.operators.scoring import (
+        match_edges,
+        prepare_records,
+        score_pairs_cascade,
+    )
     from blink_spark.streaming.incremental import incremental_link_stream
     from blink_spark.synth import make_documents_and_mentions, make_entities
 
@@ -177,3 +186,73 @@ def test_incremental_linking_stream(spark, tmp_path):
         .filter(F.col("n") > 1)
     )
     assert per_surface.count() == 0
+
+    # incremental pair work: old-old pairs are never re-scored, so the edge
+    # store accumulated across batches has no duplicate rows
+    edges = spark.read.parquet(os.path.join(store, "edges"))
+    assert edges.count() == edges.distinct().count()
+
+    # final clusters equal the one-shot batch run of the same operators
+    from blink_spark.operators.extract import extract_mentions
+
+    all_docs = spark.createDataFrame(docs)
+    all_mentions = extract_mentions(all_docs)
+    blocks, _ = df_aware_blocks(all_mentions, "mention_id", "mention")
+    pairs, _ = candidate_pairs(blocks)
+    prep = prepare_records(all_mentions, "mention_id", "mention", with_emb=True)
+    attrs = pairs_with_attrs(pairs, prep, "record_id", ["norm", "toks", "emb"])
+    batch_edges = match_edges(score_pairs_cascade(attrs, with_emb=True, with_jw=False))
+    batch_clusters = assign_clusters(all_mentions, "mention_id", batch_edges)
+    diff = clusters.exceptAll(batch_clusters).count() + batch_clusters.exceptAll(
+        clusters
+    ).count()
+    assert diff == 0
+
+
+def test_incremental_disjoint_batch_produces_no_cross_edges(spark, tmp_path):
+    """A second batch with disjoint vocabulary shares no block keys with the
+    store: the incremental path must add only within-batch edges (touched
+    blocks only — the O(corpus)-per-batch rework of round 1 is gone)."""
+    import pandas as pd
+
+    from blink_spark.streaming.incremental import _link_batch
+
+    def mk_docs(prefix, n):
+        rows = []
+        for i in range(n):
+            surf = f"{prefix}sur {prefix}name tok{prefix}{i % 3}"
+            rows.append(
+                {
+                    "doc_id": f"{prefix}{i:04d}",
+                    "spans": [
+                        {"kind": "text", "text": f"{prefix}ctx left", "media_ref": None, "offset": 0},
+                        {"kind": "mention", "text": surf, "media_ref": None, "offset": 10},
+                        {"kind": "text", "text": f"{prefix}ctx right", "media_ref": None, "offset": 40},
+                    ],
+                }
+            )
+        return pd.DataFrame(rows)
+
+    store = str(tmp_path / "store2")
+    _link_batch(spark, spark.createDataFrame(mk_docs("aa", 6)), store)
+    edges_1 = spark.read.parquet(os.path.join(store, "edges")).count()
+    _link_batch(spark, spark.createDataFrame(mk_docs("zz", 6)), store)
+    edges = spark.read.parquet(os.path.join(store, "edges"))
+    cross = edges.filter(
+        (F.col("src").startswith("aa") & F.col("dst").startswith("zz"))
+        | (F.col("src").startswith("zz") & F.col("dst").startswith("aa"))
+    )
+    assert cross.count() == 0
+    # batch 2 added only zz-zz edges
+    assert edges.count() > edges_1
+
+
+def test_valid_candidate_mask(spark):
+    from blink_spark.operators.eval import valid_candidate_mask
+
+    df = spark.createDataFrame(
+        [(1, 0.5), (2, float("nan")), (3, -1.0), (4, None), (5, 0.0)],
+        "id int, score double",
+    )
+    kept = valid_candidate_mask(df)
+    assert sorted(r.id for r in kept.collect()) == [1, 5]

@@ -1167,6 +1167,85 @@ def _er_span_embedding_agg(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@_q("wiki_extractor_scan", None)  # oracle injected below (fixture path)
+def _wiki_extractor_scan(spark: SparkSession, sf: str) -> DataFrame:
+    """Wiki-extractor block scan, full-text variant + token count
+    (/root/reference/blink/candidate_retrieval/
+    process_wiki_extractor_output_full.py:52-94)."""
+    from blink_spark.sources.wiki import read_wiki_extractor
+
+    d = read_wiki_extractor(spark, _fixtures()["wiki_extractor"], full_text=True)
+    return d.select(
+        "wikipedia_id", "title", "num_tokens", F.md5("text").alias("text_md5")
+    )
+
+
+@_q("wiki_links", None)  # oracle injected below (fixture path)
+def _wiki_links(spark: SparkSession, sf: str) -> DataFrame:
+    """Anchor-link extraction with url-unquote
+    (/root/reference/blink/candidate_retrieval/
+    process_wiki_extractor_output_links.py:56-131)."""
+    from blink_spark.sources.wiki import extract_anchor_links, read_wiki_extractor
+
+    d = read_wiki_extractor(spark, _fixtures()["wiki_extractor"], full_text=True)
+    return extract_anchor_links(d)
+
+
+@_q("wiki_incoming_links", None)  # oracle injected below (fixture path)
+def _wiki_incoming_links(spark: SparkSession, sf: str) -> DataFrame:
+    """Incoming-link enrichment: resolve anchors (exact title, normalized
+    fallback) then count per target — groupBy-count + join replacing the
+    reference's two-pass dict mutation
+    (/root/reference/blink/candidate_retrieval/enrich_data.py:74-164)."""
+    from blink_spark.sources.wiki import (
+        extract_anchor_links,
+        incoming_link_counts,
+        read_wiki_extractor,
+    )
+
+    d = read_wiki_extractor(spark, _fixtures()["wiki_extractor"], full_text=True)
+    ents = d.select(F.col("wikipedia_id").alias("entity_id"), "title")
+    return incoming_link_counts(extract_anchor_links(d), ents)
+
+
+@_q("jsonl_mention_scan", None)  # oracle injected below (fixture path)
+def _jsonl_mention_scan(spark: SparkSession, sf: str) -> DataFrame:
+    """Test-mention scan: lowercase everything, keep only rows whose label
+    resolves in the entity catalogue (left-semi join — the keep side of
+    /root/reference/blink/main_dense.py:173-207)."""
+    from blink_spark.sources.jsonl import read_entity_catalogue, read_mentions_jsonl
+
+    ents = read_entity_catalogue(spark, _jsonl_fixture())
+    m = read_mentions_jsonl(spark, _fixtures()["mentions_jsonl"], entities=ents)
+    return m.select("mention_id", "mention", "label_title")
+
+
+@_q("er_blocking_recall", None)  # oracle injected below (fixture path)
+def _er_blocking_recall(spark: SparkSession, sf: str) -> DataFrame:
+    """Candidate-generation (blocking) recall: share of gold positive pairs
+    the candidate pair set covers (/root/reference/blink/candidate_retrieval/
+    evaluator.py:16-90)."""
+    from blink_spark.operators.eval import blocking_recall
+
+    cand = _er_cand_pairs(spark, sf)
+    gold = _fx(spark, "gold_pairs")
+    r = blocking_recall(gold, cand)
+    return r.select(
+        "n_gold_pos", "n_covered", F.round("recall", 6).alias("recall")
+    )
+
+
+@_q("conll_stream_spans", None)  # oracle injected below (fixture path)
+def _conll_stream_spans(spark: SparkSession, sf: str) -> DataFrame:
+    """CoNLL token-stream scan + B/I run assembly into mention spans
+    (/root/reference/blink/candidate_retrieval/dataset.py:73-138), including
+    the orphan-I-after-O run-start edge case."""
+    from blink_spark.sources.conll import conll_mention_spans, read_conll
+
+    toks = read_conll(spark, _fixtures()["conll_stream"])
+    return conll_mention_spans(toks)
+
+
 @_q("conll_csv_scan", None)  # oracle injected below (fixture path)
 def _conll_csv_scan(spark: SparkSession, sf: str) -> DataFrame:
     """CoNLL/AIDA CSV scan with candidate-list parse (variable arity,
@@ -2225,6 +2304,135 @@ def _er_oracles() -> dict[str, str]:
              {', '.join(_emb_dim_sql(d) for d in range(4))}
       FROM ex
     """
+    wext = _fixtures()["wiki_extractor"].replace("'", "''")
+    mjsonl = _fixtures()["mentions_jsonl"].replace("'", "''")
+    cstream = _fixtures()["conll_stream"].replace("'", "''")
+    # wiki-extractor blocks parsed order-free from the whole file (DuckDB
+    # 1.0 has no file_row_number; read_text + block split mirrors the scan)
+    _wiki_ctes = f"""
+      wt AS (SELECT content FROM read_text('{wext}')),
+      wb AS (SELECT unnest(string_split(content, '<doc ')) AS blk FROM wt),
+      wdoc AS (
+        SELECT regexp_extract(blk, 'id="(\\d+)"', 1)::BIGINT AS wikipedia_id,
+               regexp_extract(blk, 'title="([^"]*)"', 1) AS title,
+               array_to_string(
+                 [x for x in string_split(
+                    regexp_extract(blk, '>\n([\\s\\S]*?)</doc>', 1), chr(10))
+                  if trim(x) <> ''], chr(10)) AS text
+        FROM wb WHERE blk LIKE 'id=%'
+      ),
+      wlinks AS (
+        SELECT wikipedia_id AS src_id,
+               replace(regexp_extract(a, '<a href="([^"]+)">', 1), '%20', ' ')
+                 AS href_title,
+               regexp_extract(a, '>([^<]*)</a>', 1) AS anchor_text
+        FROM (
+          SELECT wikipedia_id,
+                 unnest(regexp_extract_all(text,
+                   '<a href="([^"]+)">([^<]*)</a>', 0)) AS a
+          FROM wdoc
+        )
+      )"""
+    wiki_scan_sql = f"""
+      WITH {_wiki_ctes}
+      SELECT wikipedia_id, title,
+             len(regexp_split_to_array(trim(text), '\\s+')) AS num_tokens,
+             md5(text) AS text_md5
+      FROM wdoc
+    """
+    wiki_links_sql = f"WITH {_wiki_ctes} SELECT src_id, href_title, anchor_text FROM wlinks"
+    wiki_incoming_sql = f"""
+      WITH {_wiki_ctes},
+      resolved AS (
+        SELECT coalesce(e1.wikipedia_id, e2.wikipedia_id) AS target
+        FROM wlinks l
+        LEFT JOIN wdoc e1 ON e1.title = l.href_title
+        LEFT JOIN wdoc e2
+          ON lower(e2.title) = lower(replace(l.href_title, '_', ' '))
+      )
+      SELECT target AS entity_id, count(*) AS num_incoming_links
+      FROM resolved WHERE target IS NOT NULL GROUP BY 1
+    """
+    mention_scan_sql = f"""
+      SELECT id AS mention_id, lower(mention) AS mention,
+             lower(label) AS label_title
+      FROM read_json('{mjsonl}')
+      WHERE lower(label) IN (SELECT lower(title) FROM read_json('{jsonl}'))
+    """
+    blocking_recall_sql = f"""
+      WITH m AS (SELECT mention_id, list_sort({toks_m}) AS toks FROM read_parquet('{men}')),
+      assign AS (
+        SELECT mention_id AS record_id, unnest(
+          CASE WHEN len(toks) >= 2 THEN
+            flatten([[('tp:' || toks[i] || '|' || toks[j])
+                      for j in range(i+1, len(toks)+1)]
+                     for i in range(1, len(toks)+1)])
+          ELSE ['t1:' || toks[1]] END) AS block_key
+        FROM m
+      ),
+      sized AS (
+        SELECT block_key, record_id,
+               count(*) OVER (PARTITION BY block_key) AS bs
+        FROM assign
+      ),
+      kept AS (SELECT * FROM sized WHERE bs <= 4096),
+      cand AS (
+        SELECT DISTINCT a.record_id AS record_id_a, b.record_id AS record_id_b
+        FROM kept a JOIN kept b
+          ON a.block_key = b.block_key AND a.record_id < b.record_id
+      ),
+      g AS (SELECT mention_id_a, mention_id_b FROM read_parquet('{gold}')
+            WHERE same_entity),
+      j AS (
+        SELECT (c.record_id_a IS NOT NULL) AS covered
+        FROM g LEFT JOIN cand c
+          ON c.record_id_a = g.mention_id_a AND c.record_id_b = g.mention_id_b
+      )
+      SELECT count(*) AS n_gold_pos,
+             cast(sum(CASE WHEN covered THEN 1 ELSE 0 END) AS BIGINT) AS n_covered,
+             round(avg(CASE WHEN covered THEN 1.0 ELSE 0.0 END), 6) AS recall
+      FROM j
+    """
+    conll_stream_sql = f"""
+      WITH ct AS (SELECT content FROM read_text('{cstream}')),
+      cl AS (
+        SELECT unnest(string_split(content, chr(10))) AS line,
+               generate_subscripts(string_split(content, chr(10)), 1) - 1 AS line_no
+        FROM ct
+      ),
+      cd AS (
+        SELECT line, line_no,
+               sum(CASE WHEN starts_with(line, '-DOCSTART-') THEN 1 ELSE 0 END)
+                 OVER (ORDER BY line_no ROWS UNBOUNDED PRECEDING) AS doc_id
+        FROM cl
+      ),
+      ctoks AS (
+        SELECT doc_id, line_no,
+               regexp_split_to_array(line, '\\s+')[1] AS token,
+               coalesce(regexp_split_to_array(line, '\\s+')[2], 'O') AS tag
+        FROM cd WHERE NOT starts_with(line, '-DOCSTART-') AND trim(line) <> ''
+      ),
+      r1 AS (
+        SELECT *, lag(tag) OVER (PARTITION BY doc_id ORDER BY line_no) AS prev_tag
+        FROM ctoks
+      ),
+      r2 AS (
+        SELECT *, CASE WHEN starts_with(tag, 'B')
+                         OR (starts_with(tag, 'I') AND NOT coalesce(
+                              starts_with(prev_tag, 'B') OR starts_with(prev_tag, 'I'),
+                              false))
+                       THEN 1 ELSE 0 END AS run_start
+        FROM r1
+      ),
+      r3 AS (
+        SELECT *, sum(run_start) OVER (PARTITION BY doc_id ORDER BY line_no
+                                       ROWS UNBOUNDED PRECEDING) AS run_id
+        FROM r2
+      )
+      SELECT doc_id, min(line_no) AS start_line,
+             string_agg(token, ' ' ORDER BY line_no) AS mention
+      FROM r3 WHERE tag <> 'O' GROUP BY doc_id, run_id
+    """
     conll = _fixtures()["conll_tsv"].replace("'", "''")
     conll_sql = f"""
       WITH raw AS (
@@ -2512,6 +2720,12 @@ def _er_oracles() -> dict[str, str]:
         "er_span_embedding_agg": span_emb_sql.format(span_ctes=_span_enum_ctes(2)),
         "conll_csv_scan": conll_sql,
         "scalar_wiki_forms": scalar_forms_sql,
+        "wiki_extractor_scan": wiki_scan_sql,
+        "wiki_links": wiki_links_sql,
+        "wiki_incoming_links": wiki_incoming_sql,
+        "jsonl_mention_scan": mention_scan_sql,
+        "er_blocking_recall": blocking_recall_sql,
+        "conll_stream_spans": conll_stream_sql,
         "er_question_mentions": question_mentions_sql,
         "er_two_key_fallback_join": two_key_sql,
         "er_inverted_index_topk": inv_index_sql,

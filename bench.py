@@ -40,7 +40,7 @@ def _bench_fixture_docs() -> str:
 
         ents = make_entities(2000)
         docs, _ = make_documents_and_mentions(ents, n_docs=BENCH_DOCS)
-        docs.to_parquet(path, index=False)
+        docs.to_parquet(path, index=False, row_group_size=20_000)
     return path
 
 

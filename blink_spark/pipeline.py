@@ -128,6 +128,19 @@ class PipelineConfig:
     extra: dict = field(default_factory=dict)
 
 
+def _read_documents(spark: SparkSession, documents_path: str) -> DataFrame:
+    """Read the input at full parallelism. Row-group splitting (see
+    session.py maxPartitionBytes) usually parallelizes the scan itself; the
+    explicit repartition only fires for inputs that still arrive in fewer
+    partitions than cores (tiny or single-row-group files) — repartitioning
+    an already-parallel scan would just add a full shuffle of the corpus."""
+    documents = spark.read.parquet(documents_path)
+    par = spark.sparkContext.defaultParallelism
+    if documents.rdd.getNumPartitions() < par:
+        documents = documents.repartition(par)
+    return documents
+
+
 def _stage_path(out_dir: str, stage: str) -> str:
     return os.path.join(out_dir, stage)
 
@@ -167,10 +180,7 @@ def run_pipeline(
     # S1 — extract
     p_mentions = _stage_path(out_dir, "mentions")
     if force or not _exists(p_mentions):
-        # small/few-file inputs arrive as 1-2 partitions — spread them before
-        # the per-row-heavy stages or everything downstream runs on one core
-        documents = spark.read.parquet(documents_path)
-        documents = documents.repartition(spark.sparkContext.defaultParallelism)
+        documents = _read_documents(spark, documents_path)
         mentions = extract_mentions(documents)
         _write_stage(mentions, p_mentions)
         _log_lineage(out_dir, "mentions", _rows(p_mentions))
@@ -285,8 +295,7 @@ def _run_pipeline_fused(
     same results; no resumability (that's what checkpoints=True is for).
     """
     os.makedirs(out_dir, exist_ok=True)
-    documents = spark.read.parquet(documents_path)
-    documents = documents.repartition(spark.sparkContext.defaultParallelism)
+    documents = _read_documents(spark, documents_path)
     mentions = extract_mentions(documents).persist()
     reps = exact_contract(mentions, "mention_id", "mention").persist()
 
@@ -337,7 +346,9 @@ def dedup_documents_pipeline(
     cfg = cfg or PipelineConfig(minhash_shingle_n=7, minhash_rows=4)
     recs = documents.select(
         F.col(id_col).cast("string").alias("record_id"), F.col(text_col).alias("text")
-    ).repartition(spark.sparkContext.defaultParallelism)
+    )
+    if recs.rdd.getNumPartitions() < spark.sparkContext.defaultParallelism:
+        recs = recs.repartition(spark.sparkContext.defaultParallelism)
     recs = recs.persist()
     reps = exact_contract(recs, "record_id", "text").persist()
     mh = minhash_blocks(reps, "record_id", "norm",

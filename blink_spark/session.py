@@ -42,6 +42,9 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # split big parquet files at row-group boundaries: a single-file
+        # input must not serialize the scan through one task
+        .config("spark.sql.files.maxPartitionBytes", str(16 * 1024 * 1024))
     )
     if extra_conf:
         for k, v in extra_conf.items():

@@ -394,6 +394,86 @@ def _write_conll_csv_fixture(out_dir: str, entities: pd.DataFrame) -> str:
     return path
 
 
+def _write_wiki_extractor_fixture(out_dir: str, entities: pd.DataFrame) -> str:
+    """Wiki-extractor-shaped text: <doc id=.. title=..> blocks whose body
+    carries <a href> anchors (percent-encoded) pointing at other entities."""
+    from urllib.parse import quote
+
+    path = os.path.join(out_dir, "wiki_extractor.txt")
+    if os.path.exists(path):
+        return path
+    ents = entities.head(50).to_dict("records")
+    blocks = []
+    for i, e in enumerate(ents):
+        tgt = ents[(i * 7 + 3) % len(ents)]
+        tgt2 = ents[(i * 11 + 5) % len(ents)]
+        body = (
+            f"{e['title']}\n"
+            f"{e['title']} links to "
+            f'<a href="{quote(tgt["title"])}">{tgt["title"].split()[0]}</a> and '
+            f'<a href="{quote(tgt2["title"])}">{tgt2["title"].split()[0]}</a>.\n'
+        )
+        blocks.append(
+            f'<doc id="{e["wikipedia_id"]}" url="https://x/?curid={e["wikipedia_id"]}" '
+            f'title="{e["title"]}">\n{body}</doc>\n'
+        )
+    with open(path, "w") as f:
+        f.write("".join(blocks))
+    return path
+
+
+def _write_mentions_jsonl_fixture(out_dir: str, mentions: pd.DataFrame) -> str:
+    """Mention records in the reference's test-set shape (main_dense.py
+    __load_test), with some labels that do NOT resolve in the catalogue."""
+    import json as _json
+
+    path = os.path.join(out_dir, "mentions.jsonl")
+    if os.path.exists(path):
+        return path
+    with open(path, "w") as f:
+        for i, r in enumerate(mentions.head(300).itertuples(index=False)):
+            label = r.label_title if i % 7 != 6 else f"unresolvable {i}"
+            f.write(
+                _json.dumps(
+                    {
+                        "id": r.mention_id,
+                        "context_left": r.context_left,
+                        "mention": r.mention,
+                        "context_right": r.context_right,
+                        "label": label,
+                    }
+                )
+                + "\n"
+            )
+    return path
+
+
+def _write_conll_stream_fixture(out_dir: str, entities: pd.DataFrame) -> str:
+    """CoNLL token/tag stream: -DOCSTART- markers, B/I runs, orphan I tags
+    (continuation after O — the run-start edge case), blank separators."""
+    path = os.path.join(out_dir, "conll_stream.txt")
+    if os.path.exists(path):
+        return path
+    ents = entities.head(20).to_dict("records")
+    lines = []
+    for d in range(10):
+        lines.append(f"-DOCSTART- ({d})")
+        e = ents[d % len(ents)]
+        words = e["title"].split()
+        for w in words[:2]:
+            lines.append(f"{w} {'B' if w == words[0] else 'I'}")
+        lines.append("said O")
+        if d % 3 == 0:
+            lines.append(f"{words[2]} I")  # orphan I after O → new run
+        lines.append("that O")
+        if d % 2 == 0:
+            lines.append(f"{words[-1]} B")
+        lines.append("")
+    with open(path, "w") as f:
+        f.write("\n".join(lines) + "\n")
+    return path
+
+
 def write_fixtures(out_dir: str, n_docs: int = 2000, n_entities: int = 500) -> dict[str, str]:
     """Write all fixture parquet files; returns {table: path}. Idempotent."""
     os.makedirs(out_dir, exist_ok=True)
@@ -403,6 +483,9 @@ def write_fixtures(out_dir: str, n_docs: int = 2000, n_entities: int = 500) -> d
     paths["wikidata_bz2"] = os.path.join(out_dir, "wikidata.jsonl.bz2")
     paths["wikidata_plain"] = os.path.join(out_dir, "wikidata_plain.jsonl")
     paths["conll_tsv"] = os.path.join(out_dir, "conll.tsv")
+    paths["wiki_extractor"] = os.path.join(out_dir, "wiki_extractor.txt")
+    paths["mentions_jsonl"] = os.path.join(out_dir, "mentions.jsonl")
+    paths["conll_stream"] = os.path.join(out_dir, "conll_stream.txt")
     if all(os.path.exists(p) for p in paths.values()):
         return paths
     ents = make_entities(n_entities)
@@ -418,4 +501,7 @@ def write_fixtures(out_dir: str, n_docs: int = 2000, n_entities: int = 500) -> d
     make_sentences_fx().to_parquet(paths["sentences_fx"], index=False)
     _write_wikidata_fixture(out_dir, ents)
     _write_conll_csv_fixture(out_dir, ents)
+    _write_wiki_extractor_fixture(out_dir, ents)
+    _write_mentions_jsonl_fixture(out_dir, ments)
+    _write_conll_stream_fixture(out_dir, ents)
     return paths

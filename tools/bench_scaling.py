@@ -79,7 +79,10 @@ def _fixture(n_docs: int) -> str:
         os.makedirs(os.path.dirname(path), exist_ok=True)
         ents = make_entities(n_entities, allow_large=True)
         docs, _ = make_documents_and_mentions(ents, n_docs=n_docs)
-        docs.to_parquet(path, index=False)
+        # small row groups so the single-file scan SPLITS (parquet is only
+        # splittable at row-group boundaries — one giant row group would
+        # serialize the read through one task)
+        docs.to_parquet(path, index=False, row_group_size=20_000)
     return path
 
 

@@ -648,7 +648,12 @@ def _er_clusters(spark: SparkSession, sf: str) -> DataFrame:
 def _er_topk(spark: SparkSession, sf: str) -> DataFrame:
     """Top-k entity candidates per mention within first-token blocks — the
     reference's --fast biencoder mode (main_dense.py:479-498), tie rule
-    (score DESC, entity_id ASC)."""
+    (score DESC, entity_id ASC).
+
+    NB the 4-char-prefix block key is the ORACLE-PORTABLE fixture-scale
+    construction; the production path is df-aware blocking
+    (blocking.df_aware_blocks: corpus-frequency-classified keys, skew
+    capped) — a bare prefix key is skew-prone and recall-fragile at 100×."""
     from blink_spark.functions.similarity import lev_ratio
 
     m = _fx(spark, "mentions").select("mention_id", "mention")
@@ -1167,6 +1172,43 @@ def _er_span_embedding_agg(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@_q("ann_ivf_recall", None)  # oracle injected below (relational codebook)
+def _ann_ivf_recall(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF coarse-quantizer ANN (nlist cells + nprobe probes,
+    /root/reference/elq/index/faiss_indexer.py:71-91) vs exact top-k recall.
+    Exact-integer quantized scoring → fully oracled."""
+    from blink_spark.functions.hashing import cosine_exact, quantize_emb
+    from blink_spark.operators.ann import ann_recall_vs_exact, brute_force_topk, ivf_topk
+
+    e = _t(spark, sf, "embeddings").select(
+        "vec_id", quantize_emb("embedding").alias("q")
+    )
+    q = e.filter(F.col("vec_id") < 64).select(
+        F.col("vec_id").alias("qid"), F.col("q").alias("qv")
+    )
+    scorer = lambda a, b: F.round(cosine_exact(a, b), 6)  # noqa: E731
+    exact = brute_force_topk(
+        q, e, k=10, query_id="qid", query_emb="qv",
+        item_id="vec_id", item_emb="q", scorer=scorer,
+    )
+    approx = ivf_topk(
+        q, e, k=10, n_centroids=16, nprobe=4, query_id="qid", query_emb="qv",
+        item_id="vec_id", item_emb="q", scorer=scorer,
+    )
+    return ann_recall_vs_exact(approx, exact)
+
+
+@_q("er_span_scores", None)  # oracle injected below (fixture path)
+def _er_span_scores(spark: SparkSession, sf: str) -> DataFrame:
+    """Span score head with the prefix-sum trick
+    (/root/reference/elq/biencoder/biencoder.py:64-126): every span scored
+    as start_logit + end_logit + cumulative-sum inside mass."""
+    from blink_spark.operators.spans import span_scores_prefix_sum
+
+    q = _fx(spark, "questions")
+    return span_scores_prefix_sum(q, "id", "text", max_len=3)
+
+
 @_q("wiki_extractor_scan", None)  # oracle injected below (fixture path)
 def _wiki_extractor_scan(spark: SparkSession, sf: str) -> DataFrame:
     """Wiki-extractor block scan, full-text variant + token count
@@ -1388,6 +1430,28 @@ def _er_media_decode(spark: SparkSession, sf: str) -> DataFrame:
     return decode_media_stub(media_spans(d)).select(
         "doc_id", "span_idx", "media_ref", "media_kind", "width", "height", "n_frames"
     )
+
+
+@_q("er_media_frames", None)  # oracle injected below (fixture path)
+def _er_media_frames(spark: SparkSession, sf: str) -> DataFrame:
+    """Frame-sampling plan over decoded video rows (every-Nth frame index,
+    relational sequence+explode — the cheap half of video ingestion)."""
+    from blink_spark.operators.extract import media_spans
+    from blink_spark.operators.multimodal import decode_media_stub, frame_sample
+
+    d = _fx(spark, "documents")
+    return frame_sample(decode_media_stub(media_spans(d)), every_n=10)
+
+
+@_q("er_media_resize", None)  # oracle injected below (fixture path)
+def _er_media_resize(spark: SparkSession, sf: str) -> DataFrame:
+    """Resize metadata for visual media: integer-exact aspect-preserving
+    target dims for rows whose longest side exceeds the cap."""
+    from blink_spark.operators.extract import media_spans
+    from blink_spark.operators.multimodal import decode_media_stub, resize_plan
+
+    d = _fx(spark, "documents")
+    return resize_plan(decode_media_stub(media_spans(d)), max_dim=700)
 
 
 @_q(
@@ -2066,8 +2130,8 @@ def _er_oracles() -> dict[str, str]:
         FROM hits
       ) WHERE rank <= 5
     """
-    media_decode_sql = f"""
-      WITH e AS (
+    _media_ctes = f"""
+      e AS (
         SELECT doc_id, generate_subscripts(spans, 1) - 1 AS span_idx,
                unnest(spans) AS sp
         FROM read_parquet('{doc}')
@@ -2076,15 +2140,39 @@ def _er_oracles() -> dict[str, str]:
         SELECT doc_id, span_idx, sp.media_ref AS media_ref,
                md5(sp.media_ref) AS h
         FROM e WHERE sp.kind = 'media'
-      )
+      ),
+      decoded AS (
+        SELECT doc_id, span_idx, media_ref,
+               CASE ascii(substr(h, 1, 1)) % 3 WHEN 0 THEN 'image'
+                    WHEN 1 THEN 'audio' ELSE 'video' END AS media_kind,
+               640 + ascii(substr(h, 2, 1)) AS width,
+               360 + ascii(substr(h, 3, 1)) AS height,
+               CASE WHEN ascii(substr(h, 1, 1)) % 3 = 0 THEN 1
+                    ELSE 1 + ascii(substr(h, 4, 1)) END AS n_frames
+        FROM media
+      )"""
+    media_decode_sql = f"""
+      WITH {_media_ctes}
+      SELECT doc_id, span_idx, media_ref, media_kind, width, height, n_frames
+      FROM decoded
+    """
+    media_frames_sql = f"""
+      WITH {_media_ctes}
       SELECT doc_id, span_idx, media_ref,
-             CASE ascii(substr(h, 1, 1)) % 3 WHEN 0 THEN 'image'
-                  WHEN 1 THEN 'audio' ELSE 'video' END AS media_kind,
-             640 + ascii(substr(h, 2, 1)) AS width,
-             360 + ascii(substr(h, 3, 1)) AS height,
-             CASE WHEN ascii(substr(h, 1, 1)) % 3 = 0 THEN 1
-                  ELSE 1 + ascii(substr(h, 4, 1)) END AS n_frames
-      FROM media
+             unnest(range(0, n_frames, 10)) AS frame_idx
+      FROM decoded WHERE media_kind = 'video'
+    """
+    media_resize_sql = f"""
+      WITH {_media_ctes}
+      SELECT doc_id, span_idx, media_ref, width, height,
+             CASE WHEN greatest(width, height) <= 700 THEN width
+                  ELSE floor(width * 700 / greatest(width, height))::INT END
+               AS target_w,
+             CASE WHEN greatest(width, height) <= 700 THEN height
+                  ELSE floor(height * 700 / greatest(width, height))::INT END
+               AS target_h,
+             greatest(width, height) > 700 AS needs_resize
+      FROM decoded WHERE media_kind IN ('image', 'video')
     """
     wikidata_sql = f"""
       SELECT id AS wikidata_id,
@@ -2303,6 +2391,97 @@ def _er_oracles() -> dict[str, str]:
       SELECT record_id, start, end_excl,
              {', '.join(_emb_dim_sql(d) for d in range(4))}
       FROM ex
+    """
+    cos_qi = _COS_EXACT_SQL.format(a="qv", b="iv")
+    cos_ic = _COS_EXACT_SQL.format(a="iv", b="cv")
+    cos_qc = _COS_EXACT_SQL.format(a="qv", b="cv")
+    ivf_sql = f"""
+    WITH e AS (SELECT vec_id, {_q_emb('embedding')} AS q FROM embeddings),
+    qs AS (SELECT vec_id AS query_id, q AS qv FROM e WHERE vec_id < 64),
+    it AS (SELECT vec_id AS item_id, q AS iv FROM e),
+    cent AS (SELECT vec_id AS cid, q AS cv FROM e ORDER BY vec_id ASC LIMIT 16),
+    assigned AS (
+      SELECT item_id, iv, cid FROM (
+        SELECT i.item_id, i.iv, c.cid,
+               row_number() OVER (PARTITION BY i.item_id
+                                  ORDER BY {cos_ic} DESC, c.cid ASC) AS crank
+        FROM it i CROSS JOIN cent c
+      ) WHERE crank = 1
+    ),
+    probes AS (
+      SELECT query_id, qv, cid FROM (
+        SELECT s.query_id, s.qv, c.cid,
+               row_number() OVER (PARTITION BY s.query_id
+                                  ORDER BY {cos_qc} DESC, c.cid ASC) AS crank
+        FROM qs s CROSS JOIN cent c
+      ) WHERE crank <= 4
+    ),
+    ap_scored AS (
+      SELECT DISTINCT p.query_id, a.item_id,
+             {_COS_EXACT_SQL.format(a="p.qv", b="a.iv")} AS score
+      FROM probes p JOIN assigned a USING (cid)
+      WHERE a.item_id <> p.query_id
+    ),
+    ap_top AS (
+      SELECT query_id, item_id FROM (
+        SELECT query_id, item_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY score DESC, item_id ASC) AS rank
+        FROM ap_scored
+      ) WHERE rank <= 10
+    ),
+    ex_scored AS (
+      SELECT query_id, item_id, {cos_qi} AS score
+      FROM qs CROSS JOIN it WHERE item_id <> query_id
+    ),
+    ex_top AS (
+      SELECT query_id, item_id FROM (
+        SELECT query_id, item_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY score DESC, item_id ASC) AS rank
+        FROM ex_scored
+      ) WHERE rank <= 10
+    )
+    SELECT count(*) AS n_exact,
+           cast(sum(CASE WHEN a.item_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_found,
+           round(avg(CASE WHEN a.item_id IS NOT NULL THEN 1.0 ELSE 0.0 END), 6)
+             AS recall
+    FROM ex_top x LEFT JOIN ap_top a
+      ON a.query_id = x.query_id AND a.item_id = x.item_id
+    """
+
+    def _logit_sql(kind: str) -> str:
+        return (
+            f"(('0x' || substr(md5('{kind}:' || tok || ':' || pos::varchar), 1, 4))"
+            f"::BIGINT % 2001 - 1000)"
+        )
+
+    span_scores_sql = f"""
+      WITH {{span_ctes}},
+      tk AS (
+        SELECT id AS record_id,
+               generate_subscripts(regexp_split_to_array(trim(text), '\\s+'), 1) - 1
+                 AS pos,
+               unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+        FROM read_parquet('{qst}')
+      ),
+      lg AS (
+        SELECT record_id, pos, {_logit_sql('st')} AS start_l,
+               {_logit_sql('en')} AS end_l, {_logit_sql('in')} AS in_l
+        FROM tk
+      ),
+      cm AS (
+        SELECT *, cast(sum(in_l) OVER (PARTITION BY record_id ORDER BY pos
+                                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_in
+        FROM lg
+      ),
+      cm2 AS (SELECT *, cum_in - in_l AS prev_cum FROM cm)
+      SELECT s.record_id, s.start, s.end_excl, s.span_text,
+             a.start_l + b.end_l + b.cum_in - a.prev_cum AS score_milli
+      FROM spans s
+      JOIN cm2 a ON a.record_id = s.record_id AND a.pos = s.start
+      JOIN cm2 b ON b.record_id = s.record_id AND b.pos = s.end_excl - 1
     """
     wext = _fixtures()["wiki_extractor"].replace("'", "''")
     mjsonl = _fixtures()["mentions_jsonl"].replace("'", "''")
@@ -2726,6 +2905,10 @@ def _er_oracles() -> dict[str, str]:
         "jsonl_mention_scan": mention_scan_sql,
         "er_blocking_recall": blocking_recall_sql,
         "conll_stream_spans": conll_stream_sql,
+        "ann_ivf_recall": ivf_sql,
+        "er_span_scores": span_scores_sql.format(span_ctes=_span_enum_ctes(3)),
+        "er_media_frames": media_frames_sql,
+        "er_media_resize": media_resize_sql,
         "er_question_mentions": question_mentions_sql,
         "er_two_key_fallback_join": two_key_sql,
         "er_inverted_index_topk": inv_index_sql,

@@ -110,6 +110,67 @@ def lsh_topk(
     return _rank_topk(pairs, k)
 
 
+def ivf_topk(
+    queries: DataFrame,
+    items: DataFrame,
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    query_id: str = "query_id",
+    query_emb: str = "query_emb",
+    item_id: str = "item_id",
+    item_emb: str = "item_emb",
+    scorer=None,
+) -> DataFrame:
+    """IVF-style approximate top-k — the coarse-quantizer analogue of
+    /root/reference/elq/index/faiss_indexer.py:71-91 (nlist cells, nprobe
+    probes): every item is assigned to its nearest centroid (one cell),
+    queries probe their ``nprobe`` nearest centroids, and scoring is an
+    equi-join on the cell id.
+
+    The codebook is the ``n_centroids`` lowest-id items (a deterministic
+    sample — IVF semantics live in the assign/probe structure, not codebook
+    quality; swap in KMeans centroids at scale). Assignment is a broadcast
+    join against the tiny centroid table + window argmax — fully relational,
+    no driver-side state.
+    """
+    scorer = scorer or _default_scorer
+    it = items.select(F.col(item_id).alias("item_id"), F.col(item_emb).alias("iv"))
+    cents = (
+        it.orderBy(F.col("item_id").asc())
+        .limit(n_centroids)
+        .select(F.col("item_id").alias("cid"), F.col("iv").alias("cv"))
+    )
+    w_item = Window.partitionBy("item_id").orderBy(
+        F.col("c_sim").desc(), F.col("cid").asc()
+    )
+    assigned = (
+        it.crossJoin(F.broadcast(cents))
+        .select("item_id", "iv", "cid", scorer(F.col("iv"), F.col("cv")).alias("c_sim"))
+        .withColumn("crank", F.row_number().over(w_item))
+        .filter(F.col("crank") == 1)
+        .select("item_id", "iv", "cid")
+    )
+    q = queries.select(F.col(query_id).alias("query_id"), F.col(query_emb).alias("qv"))
+    w_q = Window.partitionBy("query_id").orderBy(
+        F.col("c_sim").desc(), F.col("cid").asc()
+    )
+    probes = (
+        q.crossJoin(F.broadcast(cents))
+        .select("query_id", "qv", "cid", scorer(F.col("qv"), F.col("cv")).alias("c_sim"))
+        .withColumn("crank", F.row_number().over(w_q))
+        .filter(F.col("crank") <= nprobe)
+        .select("query_id", "qv", "cid")
+    )
+    pairs = (
+        probes.join(assigned, "cid")
+        .filter(F.col("item_id") != F.col("query_id"))
+        .select("query_id", "item_id", scorer(F.col("qv"), F.col("iv")).alias("score"))
+        .dropDuplicates(["query_id", "item_id"])
+    )
+    return _rank_topk(pairs, k)
+
+
 def ann_recall_vs_exact(approx: DataFrame, exact: DataFrame) -> DataFrame:
     """recall@k of the approximate result against the exact one (the
     evaluation the reference runs for HNSW vs flat)."""

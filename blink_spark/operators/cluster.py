@@ -70,16 +70,21 @@ def _small_star(edges: DataFrame) -> DataFrame:
 
 
 def connected_components(
-    edges: DataFrame, max_iter: int = 20, check_every: int = 2
+    edges: DataFrame, max_iter: int = 20, check_every: int = 1
 ) -> DataFrame:
     """edges(src, dst) → assignments(record_id, cluster_id).
 
     Converges when the edge set is a star forest (every u points at its
     component minimum). Each superstep localCheckpoints to cut lineage
-    (plan blowup is the classic iterative-Spark failure mode); the
-    fixed-point test runs every ``check_every`` supersteps — each test is
-    two counts, i.e. a full barrier, so halving the tests meaningfully
-    shrinks the serial fraction at scale.
+    (plan blowup is the classic iterative-Spark failure mode).
+
+    ``check_every=1``: the fixed-point test is ONE cheap job over the small
+    edge set, while a superstep is ~6 shuffles — testing every round stops
+    near-clique graphs (our contracted match components converge in 1-2
+    rounds) several whole supersteps earlier. The round-1 cadence of 2 was
+    strictly worse: ``prev`` only updates on test rounds, so the first test
+    compared against the INITIAL edge set and always failed, forcing 4
+    supersteps on a 1-superstep-converging graph.
     """
     cur = _canonical(edges).localCheckpoint()
     prev = cur

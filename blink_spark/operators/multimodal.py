@@ -89,6 +89,29 @@ def decode_media_real(media_spans: DataFrame) -> DataFrame:  # pragma: no cover
     raise NotImplementedError("real decode not implemented in the sandbox")
 
 
+def resize_plan(decoded: DataFrame, max_dim: int = 512) -> DataFrame:
+    """Resize metadata for visual rows whose longest side exceeds
+    ``max_dim``: integer-exact target dims preserving aspect ratio
+    (new = dim * max_dim // longest). The pixel work would live in a further
+    mapInPandas stage; this is the plan/metadata half, fully relational."""
+    longest = F.greatest("width", "height")
+    vis = decoded.filter(F.col("media_kind").isin("image", "video"))
+    return vis.select(
+        "doc_id",
+        "span_idx",
+        "media_ref",
+        "width",
+        "height",
+        F.when(longest <= max_dim, F.col("width"))
+        .otherwise(F.floor(F.col("width") * max_dim / longest).cast("int"))
+        .alias("target_w"),
+        F.when(longest <= max_dim, F.col("height"))
+        .otherwise(F.floor(F.col("height") * max_dim / longest).cast("int"))
+        .alias("target_h"),
+        (longest > max_dim).alias("needs_resize"),
+    )
+
+
 def frame_sample(decoded: DataFrame, every_n: int = 10) -> DataFrame:
     """Frame-sampling plan for video rows: one row per sampled frame index.
 

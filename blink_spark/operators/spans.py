@@ -89,6 +89,82 @@ def greedy_overlap_prune(
     return scored_spans.groupBy(group_col).applyInPandas(prune, schema)
 
 
+def span_scores_prefix_sum(
+    df: DataFrame, id_col: str, text_col: str, max_len: int = 3
+) -> DataFrame:
+    """Score EVERY (start <= end) span with the prefix-sum trick of the
+    reference's mention score head (/root/reference/elq/biencoder/
+    biencoder.py:64-126): span score = start_logit[s] + end_logit[e] +
+    sum(inside_logits[s..e]), where the inside sum comes from one running
+    cumulative sum per document instead of per-span re-summation.
+
+    Logits are deterministic md5-derived integers in milli-units (the
+    model-free stand-in; exact integer arithmetic → oracle-portable).
+    Returns (record_id, start, end_excl, span_text, score_milli).
+    """
+    from pyspark.sql import Window
+
+    toks = F.split(F.trim(df[text_col]), r"\s+")
+    tk = df.select(
+        df[id_col].alias("record_id"), F.posexplode(toks).alias("pos", "tok")
+    )
+
+    def _milli(kind: str):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit(f"{kind}:"), F.col("tok"), F.lit(":"),
+                            F.col("pos").cast("string"),
+                        )
+                    ),
+                    1,
+                    4,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 2001
+            - 1000
+        )
+
+    w = Window.partitionBy("record_id").orderBy("pos").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    scored_toks = (
+        tk.select(
+            "record_id",
+            "pos",
+            _milli("st").alias("start_l"),
+            _milli("en").alias("end_l"),
+            _milli("in").alias("in_l"),
+        )
+        .withColumn("cum_in", F.sum("in_l").over(w))
+        .withColumn("prev_cum", F.col("cum_in") - F.col("in_l"))
+    )
+    spans = enumerate_token_spans(df, id_col, text_col, max_len=max_len)
+    s_start = scored_toks.select(
+        "record_id", F.col("pos").alias("start"), "start_l", "prev_cum"
+    )
+    s_end = scored_toks.select(
+        "record_id", (F.col("pos") + 1).alias("end_excl"), "end_l", "cum_in"
+    )
+    return (
+        spans.join(s_start, ["record_id", "start"])
+        .join(s_end, ["record_id", "end_excl"])
+        .select(
+            "record_id",
+            "start",
+            "end_excl",
+            "span_text",
+            (
+                F.col("start_l") + F.col("end_l") + F.col("cum_in") - F.col("prev_cum")
+            ).alias("score_milli"),
+        )
+    )
+
+
 def threshold_prune_topk(
     scored_spans: DataFrame,
     group_col: str = "record_id",

@@ -31,15 +31,17 @@ BENCH_FIXTURE_DIR = os.path.join(_REPO, "tests", "fixtures_bench")
 BENCH_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "10000"))
 
 
-def _bench_fixture_docs() -> str:
+def _bench_fixture_docs(n_docs: int | None = None) -> str:
     """Docs-only synthetic fixture at bench scale (no O(n^2) gold pairs)."""
+    n_docs = n_docs or BENCH_DOCS
     os.makedirs(BENCH_FIXTURE_DIR, exist_ok=True)
-    path = os.path.join(BENCH_FIXTURE_DIR, f"documents_{BENCH_DOCS}.parquet")
+    path = os.path.join(BENCH_FIXTURE_DIR, f"documents_{n_docs}.parquet")
     if not os.path.exists(path):
         from blink_spark.synth import make_documents_and_mentions, make_entities
 
-        ents = make_entities(2000)
-        docs, _ = make_documents_and_mentions(ents, n_docs=BENCH_DOCS)
+        ents = make_entities(max(2000, min(n_docs // 20, 45**3 - 1)),
+                             allow_large=True)
+        docs, _ = make_documents_and_mentions(ents, n_docs=n_docs)
         docs.to_parquet(path, index=False, row_group_size=20_000)
     return path
 
@@ -61,7 +63,8 @@ def main() -> None:
         fn()
         timings[name] = round(time.time() - t0, 3)
 
-    # ER pipeline end to end (fresh output dir each run)
+    # ER pipeline end to end (fresh output dir each run) — the checkpointed
+    # observability path at 10k docs, comparable across rounds
     out_dir = os.path.join("/tmp", f"blink_bench_{os.getpid()}")
     shutil.rmtree(out_dir, ignore_errors=True)
     timed(
@@ -69,6 +72,23 @@ def main() -> None:
         lambda: run_pipeline(spark, docs_path, out_dir).count(),
     )
     shutil.rmtree(out_dir, ignore_errors=True)
+
+    # throughput-regime run: 10x docs, fused plan, no metric scans — the
+    # configuration BENCH/BASELINE.md measures scaling efficiency with.
+    # 10k-doc runs are dominated by fixed per-stage overhead, not work.
+    from blink_spark.pipeline import PipelineConfig
+
+    docs_100k = _bench_fixture_docs(BENCH_DOCS * 10)
+    out_dir2 = out_dir + "_tp"
+    shutil.rmtree(out_dir2, ignore_errors=True)
+    timed(
+        "er_pipeline_100k_fused",
+        lambda: run_pipeline(
+            spark, docs_100k, out_dir2,
+            config=PipelineConfig(rich_metrics=False, checkpoints=False),
+        ).count(),
+    )
+    shutil.rmtree(out_dir2, ignore_errors=True)
 
     docs_df = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
     timed(
@@ -93,6 +113,9 @@ def main() -> None:
         "er_docs": BENCH_DOCS,
         "er_docs_per_sec": round(BENCH_DOCS / timings["er_pipeline"], 1),
         "er_mentions_per_sec": round(n_mentions / timings["er_pipeline"], 1),
+        "er_100k_docs_per_sec": round(
+            BENCH_DOCS * 10 / timings["er_pipeline_100k_fused"], 1
+        ),
     }
     print(json.dumps(result))
 

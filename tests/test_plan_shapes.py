@@ -1,0 +1,71 @@
+"""Physical-plan assertions (build-brief efficiency bar): filters reach the
+parquet scan, projections prune the read schema, small dimensions broadcast,
+approximate similarity never degenerates to a cartesian product."""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as entry
+from blink_spark.plans.inspect import (
+    explain_str,
+    has_broadcast_join,
+    pushed_filters,
+    scan_read_schema,
+)
+
+TESTDATA = "/root/testdata/sf0.001"
+
+
+def test_pricing_summary_pushes_filter_and_prunes_columns(spark):
+    df = entry.queries()["pricing_summary"](spark, TESTDATA)
+    pushed = " ".join(pushed_filters(df))
+    assert "l_shipdate" in pushed, f"shipdate filter not pushed: {pushed}"
+    schemas = scan_read_schema(df)
+    assert schemas, "no parquet scan found"
+    # 16-column lineitem scan must read only the 4 referenced columns
+    for s in schemas:
+        assert "l_comment" not in s and "l_orderkey" not in s
+        assert "l_shipdate" in s and "l_quantity" in s
+
+
+def test_revenue_by_region_broadcasts_dimensions(spark):
+    df = entry.queries()["revenue_by_region"](spark, TESTDATA)
+    assert has_broadcast_join(df)
+
+
+def test_lsh_topk_is_not_a_cross_join(spark):
+    """The approximate path must be a bucket equi-join; only the documented
+    exact baseline (brute_force_topk) is allowed a cartesian product."""
+    from pyspark.sql import functions as F
+
+    from blink_spark.functions.hashing import cosine_exact, quantize_emb, sign_lsh_bucket_exact
+    from blink_spark.operators.ann import brute_force_topk, lsh_topk
+
+    e = spark.read.parquet(f"{TESTDATA}/embeddings.parquet").select(
+        "vec_id", quantize_emb("embedding").alias("q")
+    )
+    q = e.limit(8).select(F.col("vec_id").alias("qid"), F.col("q").alias("qv"))
+    scorer = lambda a, b: F.round(cosine_exact(a, b), 6)  # noqa: E731
+    approx = lsh_topk(
+        q, e, k=5, n_planes=4, query_id="qid", query_emb="qv",
+        item_id="vec_id", item_emb="q", scorer=scorer,
+        bucket_fn=lambda c: sign_lsh_bucket_exact(c, n_planes=4, dim=64),
+    )
+    plan_a = explain_str(approx)
+    assert "CartesianProduct" not in plan_a and "BroadcastNestedLoopJoin" not in plan_a
+    exact = brute_force_topk(
+        q, e, k=5, query_id="qid", query_emb="qv", item_id="vec_id",
+        item_emb="q", scorer=scorer,
+    )
+    plan_e = explain_str(exact)
+    assert "CartesianProduct" in plan_e or "BroadcastNestedLoopJoin" in plan_e
+
+
+def test_mention_projection_prunes_documents_scan(spark, fixture_paths):
+    from blink_spark.operators.extract import media_spans
+
+    docs = spark.read.parquet(fixture_paths["documents"])
+    out = media_spans(docs).select("doc_id", "media_ref")
+    schemas = scan_read_schema(out)
+    assert schemas and all("spans" in s for s in schemas)

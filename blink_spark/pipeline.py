@@ -104,9 +104,9 @@ class PipelineConfig:
     # bigram) or their baseline shingle-Jaccard is high enough that every
     # band collides and candidate generation degenerates quadratic.
     minhash_shingle_n: int = 3
-    # rich per-stage metrics (row counts, match counts, distinct clusters)
-    # cost extra full scans — keep for observability, disable for throughput
-    # benches. rich_metrics=False logs stages WITHOUT any counting action.
+    # Row/match counts are observed DURING stage writes (Observation API —
+    # zero extra scans, always on). rich_metrics additionally collects the
+    # token-class and skew stats tables (small extra jobs).
     rich_metrics: bool = True
     # Jaro-Winkler (the only Python UDF in the plan) feeds only the
     # diagnostic `score` column — is_match and the clusters are identical
@@ -149,8 +149,19 @@ def _exists(path: str) -> bool:
     return os.path.exists(os.path.join(path, "_SUCCESS"))
 
 
-def _write_stage(df: DataFrame, path: str) -> None:
+def _write_stage(df: DataFrame, path: str, observe: dict | None = None) -> dict:
+    """Write a stage table; optionally collect aggregate metrics DURING the
+    write via Observation — row/match counts cost zero extra scans (the
+    round-1 pipeline re-read and re-counted every stage table)."""
+    if observe:
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        df = df.observe(obs, *[expr.alias(name) for name, expr in observe.items()])
+        df.write.mode("overwrite").parquet(path)
+        return dict(obs.get)
     df.write.mode("overwrite").parquet(path)
+    return {}
 
 
 def _log_lineage(out_dir: str, stage: str, metrics: dict) -> None:
@@ -173,24 +184,25 @@ def run_pipeline(
         return _run_pipeline_fused(spark, documents_path, out_dir, cfg)
     os.makedirs(out_dir, exist_ok=True)
 
-    def _rows(path: str) -> dict:
-        # counting is an extra full scan per stage — only under rich_metrics
-        return {"rows": spark.read.parquet(path).count()} if cfg.rich_metrics else {}
+    _rows_obs = {"rows": F.count(F.lit(1))}
 
     # S1 — extract
     p_mentions = _stage_path(out_dir, "mentions")
     if force or not _exists(p_mentions):
         documents = _read_documents(spark, documents_path)
         mentions = extract_mentions(documents)
-        _write_stage(mentions, p_mentions)
-        _log_lineage(out_dir, "mentions", _rows(p_mentions))
+        m = _write_stage(mentions, p_mentions, observe=_rows_obs)
+        _log_lineage(out_dir, "mentions", m)
     mentions = spark.read.parquet(p_mentions)
 
     # S2a — exact contraction: one representative per distinct surface
     p_reps = _stage_path(out_dir, "reps")
     if force or not _exists(p_reps):
-        _write_stage(exact_contract(mentions, "mention_id", "mention"), p_reps)
-        _log_lineage(out_dir, "reps", _rows(p_reps))
+        m = _write_stage(
+            exact_contract(mentions, "mention_id", "mention"), p_reps,
+            observe=_rows_obs,
+        )
+        _log_lineage(out_dir, "reps", m)
     reps = spark.read.parquet(p_reps)
 
     # S2b — blocking over representatives (df-aware keys ∪ MinHash-LSH)
@@ -214,8 +226,10 @@ def run_pipeline(
                 shingle_n=cfg.minhash_shingle_n,
             ).select("block_key", "record_id")
             assignments = union_blocks(tb, mh)
-        _write_stage(assignments.select("block_key", "record_id"), p_blocks)
-        metrics = _rows(p_blocks)
+        metrics = _write_stage(
+            assignments.select("block_key", "record_id"), p_blocks,
+            observe=_rows_obs,
+        )
         if cfg.rich_metrics:
             metrics["token_classes"] = [r.asDict() for r in token_stats.collect()]
         _log_lineage(out_dir, "blocks", metrics)
@@ -230,9 +244,8 @@ def run_pipeline(
             hard_cap=cfg.hard_cap,
             n_salt=cfg.n_salt,
         )
-        _write_stage(pairs, p_pairs)
+        metrics = _write_stage(pairs, p_pairs, observe=_rows_obs)
         blocks.unpersist()  # candidate_pairs persisted it; pairs are on disk
-        metrics = _rows(p_pairs)
         if cfg.rich_metrics:
             metrics["skew"] = [r.asDict() for r in skew.collect()]
         _log_lineage(out_dir, "cand_pairs", metrics)
@@ -244,7 +257,7 @@ def run_pipeline(
         prep = prepare_records(reps, "record_id", "norm", with_emb=True)
         attrs = pairs_with_attrs(pairs, prep, "record_id", ["norm", "toks", "emb"])
         scored = score_pairs_cascade(attrs, with_emb=True, with_jw=cfg.with_jw)
-        _write_stage(
+        metrics = _write_stage(
             scored.select(
                 "record_id_a",
                 "record_id_b",
@@ -255,12 +268,11 @@ def run_pipeline(
                 "is_match",
             ),
             p_scored,
+            observe={
+                "rows": F.count(F.lit(1)),
+                "matches": F.sum(F.col("is_match").cast("long")),
+            },
         )
-        metrics = _rows(p_scored)
-        if cfg.rich_metrics:
-            metrics["matches"] = (
-                spark.read.parquet(p_scored).filter("is_match").count()
-            )
         _log_lineage(out_dir, "scored_pairs", metrics)
     scored = spark.read.parquet(p_scored)
 
@@ -272,12 +284,15 @@ def run_pipeline(
         clusters = expand_contracted_clusters(
             mentions, "mention_id", "mention", rep_clusters
         )
-        _write_stage(clusters, p_clusters)
-        metrics = _rows(p_clusters)
-        if cfg.rich_metrics:
-            metrics["n_clusters"] = (
-                spark.read.parquet(p_clusters).select("cluster_id").distinct().count()
-            )
+        metrics = _write_stage(
+            clusters, p_clusters,
+            observe={
+                "rows": F.count(F.lit(1)),
+                # observed during the write (no second scan); approximate by
+                # construction — the exact distinct needs its own aggregate
+                "n_clusters_approx": F.approx_count_distinct("cluster_id"),
+            },
+        )
         _log_lineage(out_dir, "clusters", metrics)
     return spark.read.parquet(p_clusters)
 

@@ -101,6 +101,28 @@ def test_candidate_and_pair_construction(spark):
     assert out.cand[0] == CLS_ID and ENT_TITLE_ID in out.cand
 
 
+def test_context_quota_property_random(spark):
+    """Hypothesis-style randomized parity (fixed seed corpus): random
+    word-count combinations of (left, mention, right) at several max lengths
+    must all match the python transcription of the reference rule."""
+    import itertools
+
+    words = "aa bb cc dd ee ff gg hh ii jj kk ll".split()
+    cases = []
+    for nl, nm, nr in itertools.product((0, 1, 3, 6, 9), (0, 1, 3, 5), (0, 2, 7)):
+        cases.append(
+            (" ".join(words[:nl]), " ".join(words[2 : 2 + nm]), " ".join(words[5 : 5 + nr]))
+        )
+    for L in (8, 12, 20):
+        df = spark.createDataFrame(cases, "l string, m string, r string")
+        got = [
+            r.ids
+            for r in df.select(context_input_ids("l", "m", "r", L).alias("ids")).collect()
+        ]
+        expected = [_py_context(l, m, r, L) for l, m, r in cases]
+        assert got == expected, f"max_seq_length={L}"
+
+
 def test_token_ids_deterministic_and_offset(spark):
     df = spark.createDataFrame([("Alpha  BRAVO ",)], "t string")
     ids = df.select(token_ids("t").alias("ids")).collect()[0].ids

@@ -1396,6 +1396,43 @@ def _er_pair_concat(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@_q("er_candidate_fetch", None)  # oracle injected below (fixture path)
+def _er_candidate_fetch(spark: SparkSession, sf: str) -> DataFrame:
+    """Pregenerated-candidate data fetch: the reference's per-id Solr point
+    lookups (rows=1 RPC per wikidata_id,
+    /root/reference/blink/candidate_retrieval/candidate_generators.py:119-179)
+    become ONE broadcast join of the candidate list against the entity
+    dimension — no RPC, no per-row anything."""
+    topk = _er_topk(spark, sf).select("mention_id", "entity_id", "rank")
+    e = _fx(spark, "entities").select(
+        "entity_id", "title", "wikipedia_id", "num_incoming_links"
+    )
+    return topk.join(F.broadcast(e), "entity_id").select(
+        "mention_id", "entity_id", "rank", "title", "wikipedia_id",
+        "num_incoming_links",
+    )
+
+
+@_q("er_zeshel_doc_join", None)  # oracle injected below (fixture path)
+def _er_zeshel_doc_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Zeshel doc-id join shape (/root/reference/examples/zeshel/
+    create_BLINK_zeshel_data.py:74-88,113-125): resolve each mention's
+    context document (span count as the doc payload) and its label entity,
+    carrying the world partition key through."""
+    m = _fx(spark, "mentions").select("mention_id", "doc_id", "world", "label_id")
+    d = _fx(spark, "documents").select(
+        "doc_id", F.size("spans").alias("n_doc_spans")
+    )
+    e = _fx(spark, "entities").select(
+        F.col("entity_id").alias("label_id"), F.col("title").alias("label_title")
+    )
+    return (
+        m.join(d, "doc_id")
+        .join(F.broadcast(e), "label_id")
+        .select("mention_id", "world", "n_doc_spans", "label_title")
+    )
+
+
 @_q("er_pair_rerank", None)  # oracle injected below (fixture path)
 def _er_pair_rerank(spark: SparkSession, sf: str) -> DataFrame:
     """Rerank candidates by a score computed ON the tokenized pair row —
@@ -2612,6 +2649,41 @@ def _er_oracles() -> dict[str, str]:
              string_agg(token, ' ' ORDER BY line_no) AS mention
       FROM r3 WHERE tag <> 'O' GROUP BY doc_id, run_id
     """
+    cand_fetch_sql = f"""
+      WITH mb AS (
+        SELECT mention_id, mention, substr(string_split(mention, ' ')[1], 1, 4) AS bk
+        FROM read_parquet('{men}')
+      ),
+      eb AS (
+        SELECT entity_id, lower(title) AS title_l,
+               substr(string_split(lower(title), ' ')[1], 1, 4) AS bk
+        FROM read_parquet('{ent}')
+      ),
+      fpairs AS (
+        SELECT mention_id, entity_id,
+               round(1.0 - levenshtein(mention, title_l)::double
+                     / greatest(length(mention), length(title_l), 1), 6) AS sim
+        FROM mb JOIN eb USING (bk)
+      ),
+      ftop AS (
+        SELECT mention_id, entity_id, rank FROM (
+          SELECT mention_id, entity_id,
+                 row_number() OVER (PARTITION BY mention_id
+                                    ORDER BY sim DESC, entity_id ASC) AS rank
+          FROM fpairs
+        ) WHERE rank <= 3
+      )
+      SELECT t.mention_id, t.entity_id, t.rank, e.title, e.wikipedia_id,
+             e.num_incoming_links
+      FROM ftop t JOIN read_parquet('{ent}') e USING (entity_id)
+    """
+    zeshel_join_sql = f"""
+      SELECT m.mention_id, m.world, len(d.spans) AS n_doc_spans,
+             e.title AS label_title
+      FROM read_parquet('{men}') m
+      JOIN read_parquet('{doc}') d USING (doc_id)
+      JOIN read_parquet('{ent}') e ON e.entity_id = m.label_id
+    """
     conll = _fixtures()["conll_tsv"].replace("'", "''")
     conll_sql = f"""
       WITH raw AS (
@@ -2909,6 +2981,8 @@ def _er_oracles() -> dict[str, str]:
         "er_span_scores": span_scores_sql.format(span_ctes=_span_enum_ctes(3)),
         "er_media_frames": media_frames_sql,
         "er_media_resize": media_resize_sql,
+        "er_candidate_fetch": cand_fetch_sql,
+        "er_zeshel_doc_join": zeshel_join_sql,
         "er_question_mentions": question_mentions_sql,
         "er_two_key_fallback_join": two_key_sql,
         "er_inverted_index_topk": inv_index_sql,

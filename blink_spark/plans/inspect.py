@@ -47,6 +47,18 @@ def count_shuffles(df: DataFrame) -> int:
     return explain_str(df).count("Exchange")
 
 
+def partition_filters(df: DataFrame) -> list[str]:
+    """PartitionFilters entries across scans — non-empty means the scan
+    prunes hive-style partitions instead of reading them all."""
+    text = explain_str(df)
+    out: list[str] = []
+    for m in re.finditer(r"PartitionFilters: \[([^\]]*)\]", text):
+        inner = m.group(1).strip()
+        if inner:
+            out.extend(s.strip() for s in inner.split(","))
+    return out
+
+
 def has_single_partition_exchange(df: DataFrame) -> bool:
     """True when the plan funnels data through ONE task (Exchange
     SinglePartition) — the global-sort/global-window scale-killer pattern.

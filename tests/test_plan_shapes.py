@@ -69,3 +69,21 @@ def test_mention_projection_prunes_documents_scan(spark, fixture_paths):
     out = media_spans(docs).select("doc_id", "media_ref")
     schemas = scan_read_schema(out)
     assert schemas and all("spans" in s for s in schemas)
+
+
+def test_world_partition_pruning(spark, fixture_paths, tmp_path):
+    """Writing mentions partitioned by the zeshel world key and filtering on
+    one world must prune partitions at the scan (SURVEY §4: per-world
+    candidate pools → Iceberg/hive partition column)."""
+    from pyspark.sql import functions as F
+
+    from blink_spark.plans.inspect import partition_filters
+
+    p = str(tmp_path / "mentions_by_world")
+    spark.read.parquet(fixture_paths["mentions"]).write.partitionBy(
+        "world"
+    ).mode("overwrite").parquet(p)
+    one_world = spark.read.parquet(p).filter(F.col("world") == "world_03")
+    pf = " ".join(partition_filters(one_world))
+    assert "world" in pf, f"no partition pruning: {pf!r}"
+    assert one_world.count() > 0

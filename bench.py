@@ -47,8 +47,6 @@ def _bench_fixture_docs(n_docs: int | None = None) -> str:
 
 
 def main() -> None:
-    from pyspark.sql import functions as F
-
     import __spark_entry__ as entry_mod
     from blink_spark.pipeline import dedup_documents_pipeline, run_pipeline
     from blink_spark.session import get_spark

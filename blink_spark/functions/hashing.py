@@ -18,7 +18,7 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from blink_spark.functions.text import normalize_text, shingles, tokens
+from blink_spark.functions.text import shingles, tokens
 
 
 def _hash16(c: Column, salt: int) -> Column:

@@ -11,7 +11,6 @@ embedding-similarity + lexical features per BASELINE.json north_star.
 
 from __future__ import annotations
 
-import numpy as np
 import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F

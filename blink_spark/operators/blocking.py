@@ -19,11 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from blink_spark.functions.hashing import (
-    embed_text_udf,
-    minhash_band_keys,
-    sign_lsh_bucket,
-)
+from blink_spark.functions.hashing import embed_text_udf, sign_lsh_bucket
 from blink_spark.functions.text import tokens
 
 

@@ -87,3 +87,36 @@ def test_world_partition_pruning(spark, fixture_paths, tmp_path):
     pf = " ".join(partition_filters(one_world))
     assert "world" in pf, f"no partition pruning: {pf!r}"
     assert one_world.count() > 0
+
+
+def test_bucketed_prep_table_avoids_its_shuffle(spark, tmp_path):
+    """Bucketing the per-record prep table by record_id co-locates the
+    pair-attribute join: the bucketed side is scanned pre-partitioned
+    (SelectedBucketsCount in the scan, no Exchange on that side) — the
+    bucketing story for repeated joins against the same key at scale."""
+    from pyspark.sql import functions as F
+
+    from blink_spark.plans.inspect import explain_str
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        recs = spark.range(0, 10000).select(
+            F.concat(F.lit("r"), F.col("id")).alias("record_id"),
+            (F.col("id") * 7).alias("attr"),
+        )
+        pairs = spark.range(0, 5000).select(
+            F.concat(F.lit("r"), F.col("id")).alias("record_id_a")
+        )
+        spark.sql("DROP TABLE IF EXISTS prep_bucketed_t")
+        recs.write.mode("overwrite").bucketBy(8, "record_id").sortBy(
+            "record_id"
+        ).saveAsTable("prep_bucketed_t")
+        t = spark.table("prep_bucketed_t")
+        plan_b = explain_str(pairs.join(t, pairs.record_id_a == t.record_id))
+        plan_p = explain_str(pairs.join(recs, pairs.record_id_a == recs.record_id))
+        assert "SelectedBucketsCount" in plan_b
+        assert plan_b.count("Exchange") < plan_p.count("Exchange")
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS prep_bucketed_t")

@@ -1776,6 +1776,107 @@ def _ann_lsh_oracle_sql() -> str:
     """
 
 
+def _ngram_containment_oracle_sql() -> str:
+    """Same MinHash-LSH block construction as doc_minhash_dedup's oracle,
+    verified with word-bigram Jaccard + containment instead."""
+    return """
+    WITH n AS (
+      SELECT doc_id::varchar AS record_id,
+             trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+      FROM documents
+    ),
+    g AS (
+      SELECT record_id,
+             list_distinct([tk[i] || ' ' || tk[i+1] for i in range(1, len(tk))])
+               AS grams
+      FROM (SELECT record_id, string_split(t, ' ') AS tk FROM n)
+    ),
+    sh AS (
+      SELECT record_id,
+             list_distinct([substr(t, i, 7) for i in range(1, greatest(length(t)-6, 1)+1)]) AS sh
+      FROM n
+    ),
+    hs AS (
+      SELECT record_id,
+             [md5('h0:' || x) || md5('h1:' || x) || md5('h2:' || x) || md5('h3:' || x)
+              for x in sh] AS hh
+      FROM sh
+    ),
+    sig AS (
+      SELECT record_id,
+             [list_min([substr(h, i*4 + 1, 4) for h in hh]) for i in range(0, 32)] AS sig
+      FROM hs
+    ),
+    assign AS (
+      SELECT record_id,
+             unnest(['b' || b || ':' || md5(array_to_string(sig[b*8+1:b*8+8], ','))
+                     for b in range(0, 4)]) AS block_key
+      FROM sig
+    ),
+    sized AS (
+      SELECT record_id, block_key, count(*) OVER (PARTITION BY block_key) AS bs
+      FROM assign
+    ),
+    kept AS (SELECT * FROM sized WHERE bs <= 4096),
+    prs AS (
+      SELECT DISTINCT a.record_id AS ra, b.record_id AS rb
+      FROM kept a JOIN kept b
+        ON a.block_key = b.block_key AND a.record_id < b.record_id
+    ),
+    j AS (
+      SELECT ra AS record_id_a, rb AS record_id_b,
+             len(list_intersect(ga.grams, gb.grams))::double AS inter,
+             len(list_distinct(list_concat(ga.grams, gb.grams))) AS un,
+             least(len(ga.grams), len(gb.grams)) AS mn
+      FROM prs
+      JOIN g ga ON ga.record_id = prs.ra
+      JOIN g gb ON gb.record_id = prs.rb
+    )
+    SELECT record_id_a, record_id_b,
+           round(inter / greatest(un, 1), 6) AS ngram_jaccard,
+           round(inter / greatest(mn, 1), 6) AS containment
+    FROM j
+    WHERE round(inter / greatest(un, 1), 6) >= 0.5
+       OR round(inter / greatest(mn, 1), 6) >= 0.9
+    """
+
+
+@_q("doc_ngram_containment_dups", _ngram_containment_oracle_sql())
+def _doc_ngram_containment(spark: SparkSession, sf: str) -> DataFrame:
+    """Word-bigram near-dup detection over MinHash-LSH candidate blocks,
+    with BOTH symmetric n-gram Jaccard and asymmetric CONTAINMENT
+    (|A∩B| / min(|A|,|B|) — catches excerpts/quotes that plain Jaccard
+    misses because the container dilutes the union). Training-data dedup
+    staples beyond the reference's surface."""
+    from blink_spark.functions.text import word_ngrams
+    from blink_spark.operators.blocking import minhash_blocks
+    from blink_spark.operators.pairs import candidate_pairs, pairs_with_attrs
+
+    d = _t(spark, sf, "documents")
+    recs = d.select(
+        F.col("doc_id").cast("string").alias("record_id"),
+        F.col("text").alias("text"),
+        word_ngrams("text", 2).alias("grams"),
+    )
+    blocks = minhash_blocks(
+        recs, "record_id", "text", bands=4, rows=8, shingle_n=7
+    ).select("block_key", "record_id")
+    pairs, _ = candidate_pairs(blocks)
+    attrs = pairs_with_attrs(pairs, recs, "record_id", ["grams"])
+    inter = F.size(F.array_intersect("grams_a", "grams_b")).cast("double")
+    union = F.size(F.array_union("grams_a", "grams_b"))
+    mn = F.least(F.size("grams_a"), F.size("grams_b"))
+    out = attrs.select(
+        "record_id_a",
+        "record_id_b",
+        F.round(inter / F.greatest(union, F.lit(1)), 6).alias("ngram_jaccard"),
+        F.round(inter / F.greatest(mn, F.lit(1)), 6).alias("containment"),
+    )
+    return out.filter(
+        (F.col("ngram_jaccard") >= 0.5) | (F.col("containment") >= 0.9)
+    )
+
+
 @_q("ann_lsh_recall", _ann_lsh_oracle_sql())
 def _ann_lsh_recall(spark: SparkSession, sf: str) -> DataFrame:
     """Approximate (sign-LSH bucketed, multi-probe) vs exact cosine top-k —

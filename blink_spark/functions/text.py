@@ -52,6 +52,21 @@ def shingles(col: Column | str, n: int = 3) -> Column:
     )
 
 
+def word_ngrams(col: Column | str, n: int = 2) -> Column:
+    """Distinct word n-grams of the normalized text (n-gram-Jaccard dedup
+    input — word-level, vs the char shingles MinHash uses). Built by zipping
+    shifted token slices — pure array expressions, no UDF."""
+    toks = F.split(normalize_text(col), " ")
+    if n == 1:
+        return F.array_distinct(toks)
+    size = F.size(toks)
+    slices = [F.slice(toks, i + 1, F.greatest(size - (n - 1), F.lit(0))) for i in range(n)]
+    grams = slices[0]
+    for s in slices[1:]:
+        grams = F.zip_with(grams, s, lambda a, b: F.concat_ws(" ", a, b))
+    return F.array_distinct(grams)
+
+
 def quality_features(col: Column | str) -> dict[str, Column]:
     """Document-quality scoring features: length, punctuation ratio,
     stopword ratio, mean token length (training-data pipeline staple)."""

@@ -35,29 +35,34 @@ def dense_ids(
     the driver, then id = partition offset + (local rank - 1). Identical
     output to the global window for any total order; fully parallel.
     """
-    n_parts = max(df.sparkSession.sparkContext.defaultParallelism, 2)
+    spark = df.sparkSession
+    n_parts = max(spark.sparkContext.defaultParallelism, 2)
     ordered = (
         df.repartitionByRange(n_parts, *sort_cols)
         .withColumn("_pid", F.spark_partition_id())
-        .persist()  # pin partition ids across the two passes
+        # pin partition ids across the two passes. NB the cache must stay
+        # alive until the caller consumes the result (unpersisting forces a
+        # recompute that could re-sample range boundaries); it is the input
+        # itself — bounded — and evicts LRU.
+        .persist()
     )
     counts = {
         r["_pid"]: r["n"]
         for r in ordered.groupBy("_pid").agg(F.count("*").alias("n")).collect()
     }
-    offsets, acc = {}, 0
+    offsets, acc = [], 0
     for pid in sorted(counts):
-        offsets[pid] = acc
+        offsets.append((pid, acc))
         acc += counts[pid]
-    offset_expr = F.lit(0).cast("long")
-    for pid, off in offsets.items():
-        offset_expr = F.when(F.col("_pid") == pid, F.lit(off).cast("long")).otherwise(
-            offset_expr
-        )
+    # broadcast-join the tiny offset table (one row per partition) — a
+    # when()-chain expression would grow the plan linearly in #partitions
+    off_df = spark.createDataFrame(offsets, "_pid int, _offset long")
     w = Window.partitionBy("_pid").orderBy(*sort_cols)
-    out = ordered.withColumn(
-        id_col, offset_expr + F.row_number().over(w) - 1
-    ).drop("_pid")
+    out = (
+        ordered.join(F.broadcast(off_df), "_pid")
+        .withColumn(id_col, F.col("_offset") + F.row_number().over(w) - 1)
+        .drop("_pid", "_offset")
+    )
     return out
 
 
@@ -73,11 +78,12 @@ def partitioned_running_sum(
     within-partition running sum to the broadcast prefix of earlier
     partitions.
     """
-    n_parts = max(df.sparkSession.sparkContext.defaultParallelism, 2)
+    spark = df.sparkSession
+    n_parts = max(spark.sparkContext.defaultParallelism, 2)
     part = (
         df.repartitionByRange(n_parts, F.col(order_col).asc())
         .withColumn("_pid", F.spark_partition_id())
-        .persist()
+        .persist()  # see dense_ids: pins pids; bounded cache, evicts LRU
     )
     partials = {
         r["_pid"]: r["s"]
@@ -85,20 +91,18 @@ def partitioned_running_sum(
         .agg(F.coalesce(F.sum(value_col), F.lit(0)).alias("s"))
         .collect()
     }
-    prefix, acc = {}, 0
+    prefix, acc = [], 0
     for pid in sorted(partials):
-        prefix[pid] = acc
+        prefix.append((pid, acc))
         acc += partials[pid]
-    prefix_expr = F.lit(0).cast("long")
-    for pid, off in prefix.items():
-        prefix_expr = F.when(F.col("_pid") == pid, F.lit(off).cast("long")).otherwise(
-            prefix_expr
-        )
+    pre_df = spark.createDataFrame(prefix, "_pid int, _prefix long")
     w = (
         Window.partitionBy("_pid")
         .orderBy(order_col)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    return part.withColumn(out_col, prefix_expr + F.sum(value_col).over(w)).drop(
-        "_pid"
+    return (
+        part.join(F.broadcast(pre_df), "_pid")
+        .withColumn(out_col, F.col("_prefix") + F.sum(value_col).over(w))
+        .drop("_pid", "_prefix")
     )

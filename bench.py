@@ -8,7 +8,10 @@ JSON line: {"metric": ..., "value": N, "unit": "sec", "queries": {...},
 Headline set:
 - er_pipeline      — full blocking → scoring → CC record-linkage run on the
                      deterministic synthetic mention fixture (10k docs /
-                     30k mentions), measured end to end (docs/sec derivable)
+                     30k mentions), checkpointed observability path,
+                     comparable across rounds
+- er_pipeline_100k_fused — 10x docs, fused plan: the throughput regime
+                     (10k-doc runs are fixed-overhead-dominated)
 - dedup_documents  — MinHash-LSH near-dup clustering of the sf documents
 - ann_topk         — brute-force cosine top-k over the sf embeddings
 - pricing_summary / top_orders / sessionize — generic relational ops at sf

@@ -2719,8 +2719,8 @@ def _er_oracles() -> dict[str, str]:
       ),
       cd AS (
         SELECT line, line_no,
-               sum(CASE WHEN starts_with(line, '-DOCSTART-') THEN 1 ELSE 0 END)
-                 OVER (ORDER BY line_no ROWS UNBOUNDED PRECEDING) AS doc_id
+               cast(sum(CASE WHEN starts_with(line, '-DOCSTART-') THEN 1 ELSE 0 END)
+                 OVER (ORDER BY line_no ROWS UNBOUNDED PRECEDING) AS BIGINT) AS doc_id
         FROM cl
       ),
       ctoks AS (

@@ -168,7 +168,10 @@ def df_aware_blocks(
         "record_id", F.explode(tokens("text")).alias("tok")
     )
     if freq is None:
-        freq = tok.groupBy("tok").agg(F.count("*").alias("df")).persist()
+        # localCheckpoint, not persist: same multi-consumer reuse (stats +
+        # join), but the cache entry is owned by the GC/ContextCleaner
+        # instead of leaking a persist() the caller can't see or release.
+        freq = tok.groupBy("tok").agg(F.count("*").alias("df")).localCheckpoint()
 
     token_stats = freq.select(
         F.when(F.col("df") <= rare_df, F.lit("rare"))

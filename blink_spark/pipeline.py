@@ -57,14 +57,25 @@ def exact_contract(mentions: DataFrame, id_col: str, text_col: str) -> DataFrame
     cluster assignments.
 
     Returns (record_id, norm) — one row per distinct surface.
+
+    The shuffle is keyed by ``md5(norm)`` (32 bytes), never by the full
+    normalized text: for whole-document inputs (dedup_documents_pipeline)
+    the text is KBs per row, and hash-partitioning + sort-comparing on it
+    dominates the exchange. All norms within an md5 group are identical
+    (collision probability ≪ anything else in the system), so ``min(norm)``
+    recovers the surface exactly and the cluster labels are unchanged.
     """
     return (
         mentions.select(
             mentions[id_col].alias("mention_id"),
             normalize_text(mentions[text_col]).alias("norm"),
         )
-        .groupBy("norm")
-        .agg(F.min("mention_id").alias("record_id"))
+        .withColumn("norm_h", F.md5("norm"))
+        .groupBy("norm_h")
+        .agg(
+            F.min("mention_id").alias("record_id"),
+            F.min("norm").alias("norm"),
+        )
         .select("record_id", "norm")
     )
 
@@ -72,21 +83,26 @@ def exact_contract(mentions: DataFrame, id_col: str, text_col: str) -> DataFrame
 def expand_contracted_clusters(
     mentions: DataFrame, id_col: str, text_col: str, rep_clusters: DataFrame
 ) -> DataFrame:
-    """Map every mention to its representative's cluster id."""
+    """Map every mention to its representative's cluster id.
+
+    Only ``md5(norm)`` ever leaves the scan — the expansion never shuffles
+    the text at all (the groupBy and the final join are both keyed by the
+    32-byte hash), versus two full-text-keyed exchanges in the naive form.
+    """
     with_norm = mentions.select(
         mentions[id_col].alias("record_id"),
-        normalize_text(mentions[text_col]).alias("norm"),
+        F.md5(normalize_text(mentions[text_col])).alias("norm_h"),
     )
     norm_to_cluster = (
-        with_norm.groupBy("norm").agg(F.min("record_id").alias("rep_id"))
+        with_norm.groupBy("norm_h").agg(F.min("record_id").alias("rep_id"))
         .join(
             rep_clusters.withColumnRenamed("record_id", "rep_id"),
             "rep_id",
             "left",
         )
-        .select("norm", F.coalesce("cluster_id", "rep_id").alias("cluster_id"))
+        .select("norm_h", F.coalesce("cluster_id", "rep_id").alias("cluster_id"))
     )
-    return with_norm.join(norm_to_cluster, "norm").select("record_id", "cluster_id")
+    return with_norm.join(norm_to_cluster, "norm_h").select("record_id", "cluster_id")
 
 
 @dataclass
@@ -345,6 +361,7 @@ def _run_pipeline_fused(
     _write_stage(clusters, p_clusters)
     mentions.unpersist()
     reps.unpersist()
+    assignments.unpersist()  # candidate_pairs persisted its input
     return spark.read.parquet(p_clusters)
 
 
@@ -369,8 +386,9 @@ def dedup_documents_pipeline(
     mh = minhash_blocks(reps, "record_id", "norm",
                         bands=cfg.minhash_bands, rows=cfg.minhash_rows,
                         shingle_n=cfg.minhash_shingle_n)
+    assignments = mh.select("block_key", "record_id")
     pairs, _ = candidate_pairs(
-        mh.select("block_key", "record_id"),
+        assignments,
         max_block_size=cfg.max_block_size,
         hard_cap=cfg.hard_cap,
         n_salt=cfg.n_salt,
@@ -380,4 +398,13 @@ def dedup_documents_pipeline(
     scored = score_pairs_prepped_cheap(attrs)
     edges = match_edges(scored)
     rep_clusters = assign_clusters(reps, "record_id", edges)
-    return expand_contracted_clusters(recs, "record_id", "text", rep_clusters)
+    # localCheckpoint is eager: the whole plan materializes here, so every
+    # persist this pipeline (or candidate_pairs) registered can be released
+    # before returning — no leaked cached RDDs outlive the call.
+    out = expand_contracted_clusters(
+        recs, "record_id", "text", rep_clusters
+    ).localCheckpoint()
+    assignments.unpersist()
+    reps.unpersist()
+    recs.unpersist()
+    return out

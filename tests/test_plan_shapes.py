@@ -120,3 +120,32 @@ def test_bucketed_prep_table_avoids_its_shuffle(spark, tmp_path):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         spark.sql("DROP TABLE IF EXISTS prep_bucketed_t")
+
+
+def test_contraction_shuffles_are_keyed_by_hash_not_text(spark):
+    """exact_contract / expand_contracted_clusters must never hash-partition
+    on the full normalized text (KBs per row for whole-document dedup): every
+    exchange in both plans is keyed by the 32-byte md5 (round-2 verdict #4)."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from blink_spark.pipeline import exact_contract, expand_contracted_clusters
+
+    docs = spark.range(0, 100).select(
+        F.concat(F.lit("d"), F.col("id")).alias("id"),
+        F.concat(F.lit("some very long document text "), (F.col("id") % 10)).alias(
+            "text"
+        ),
+    )
+    reps = exact_contract(docs, "id", "text")
+    rep_clusters = reps.select("record_id", F.col("record_id").alias("cluster_id"))
+    expanded = expand_contracted_clusters(docs, "id", "text", rep_clusters)
+    for df in (reps, expanded):
+        plan = explain_str(df)
+        for m in re.finditer(r"hashpartitioning\(([^#]+)#", plan):
+            key = m.group(1)
+            assert key in ("norm_h", "rep_id", "record_id", "cluster_id"), (
+                f"exchange keyed by {key}: {plan}"
+            )
+    assert reps.count() == 10 and expanded.count() == 100

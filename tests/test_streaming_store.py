@@ -1,0 +1,119 @@
+"""Store-level incrementality of the streaming linker.
+
+Round-2 verdict items: the block store must be read O(touched buckets) per
+micro-batch (hive partition pruning, not a full-store scan), and clustering
+must merge batch edges into the persisted star forest instead of re-running
+connected components over all accumulated edges.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from blink_spark.streaming.incremental import (
+    N_BLOCK_BUCKETS,
+    _block_bucket,
+    _link_batch,
+    _read_blocks_pruned,
+)
+
+
+def _mk_docs(prefix: str, n: int) -> pd.DataFrame:
+    rows = []
+    for i in range(n):
+        surf = f"{prefix}sur {prefix}name tok{prefix}{i % 3}"
+        rows.append(
+            {
+                "doc_id": f"{prefix}{i:04d}",
+                "spans": [
+                    {"kind": "text", "text": f"{prefix}ctx left",
+                     "media_ref": None, "offset": 0},
+                    {"kind": "mention", "text": surf,
+                     "media_ref": None, "offset": 10},
+                    {"kind": "text", "text": f"{prefix}ctx right",
+                     "media_ref": None, "offset": 40},
+                ],
+            }
+        )
+    return pd.DataFrame(rows)
+
+
+@pytest.fixture(scope="module")
+def store(spark, tmp_path_factory):
+    """A block/edge/cluster store populated by three vocab-diverse batches."""
+    d = str(tmp_path_factory.mktemp("incr_store"))
+    for prefix in ("aa", "bb", "cc"):
+        _link_batch(spark, spark.createDataFrame(_mk_docs(prefix, 8)), d)
+    return d
+
+
+def test_block_store_is_hive_bucketed(spark, store):
+    p_blocks = os.path.join(store, "blocks")
+    bkt_dirs = [d for d in os.listdir(p_blocks) if d.startswith("bkt=")]
+    assert len(bkt_dirs) >= 2, "store must be partitioned on bkt"
+    for d in bkt_dirs:
+        assert 0 <= int(d.split("=")[1]) < N_BLOCK_BUCKETS
+
+
+def test_pruned_scan_opens_only_touched_bucket_files(spark, store):
+    """The per-batch read must scale with touched buckets, not store size:
+    the pruned scan's input files all live under touched bkt= directories,
+    and untouched buckets exist that it never opens."""
+    p_blocks = os.path.join(store, "blocks")
+    all_bkts = sorted(
+        int(d.split("=")[1])
+        for d in os.listdir(p_blocks)
+        if d.startswith("bkt=")
+    )
+    assert len(all_bkts) >= 2
+    touched = all_bkts[:1]  # a batch touching a single bucket
+    pruned = _read_blocks_pruned(spark, p_blocks, touched)
+    files = [
+        r["f"]
+        for r in pruned.select(F.input_file_name().alias("f")).distinct().collect()
+    ]
+    assert files, "pruned scan read something"
+    assert all(f"bkt={touched[0]}/" in f for f in files), files
+    # plan-level: the isin is a partition filter, not a post-scan filter
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "bkt" in plan.split("PartitionFilters")[1][:200]
+
+
+def test_link_batch_bucket_assignment_matches_store_layout(spark, store):
+    """Every stored row sits in the bucket its block_key hashes to — the
+    invariant partition pruning relies on."""
+    p_blocks = os.path.join(store, "blocks")
+    df = spark.read.parquet(p_blocks)
+    bad = df.filter(F.col("bkt") != _block_bucket()).count()
+    assert bad == 0
+
+
+def test_star_forest_merge_across_batches(spark, tmp_path):
+    """Same surface arriving in three separate batches collapses to one
+    cluster labeled with the GLOBAL minimum id — i.e. the incremental
+    star-forest merge composes exactly like a from-scratch CC run."""
+    d = str(tmp_path / "merge_store")
+    # same vocabulary each batch → cross-batch edges every time
+    for i, prefix in enumerate(("xx", "xx", "xx")):
+        docs = _mk_docs(prefix, 4)
+        docs["doc_id"] = [f"b{i}{j:03d}" for j in range(len(docs))]
+        _link_batch(spark, spark.createDataFrame(docs), d)
+    clusters = spark.read.parquet(os.path.join(d, "clusters"))
+    mentions = spark.read.parquet(os.path.join(d, "mentions"))
+    joined = mentions.join(
+        clusters, mentions.mention_id == clusters.record_id
+    )
+    # one cluster per surface, spanning all three batches
+    per_surface = joined.groupBy("mention").agg(
+        F.count_distinct("cluster_id").alias("n_clusters")
+    )
+    assert per_surface.filter(F.col("n_clusters") != 1).count() == 0
+    # min-id labeling invariant: every cluster is labeled by its own minimum
+    per_cluster = clusters.groupBy("cluster_id").agg(
+        F.min("record_id").alias("mn")
+    )
+    assert per_cluster.filter(F.col("cluster_id") != F.col("mn")).count() == 0

@@ -82,12 +82,21 @@ def main() -> int:
         try:
             rel = con.sql(oracles[name])
             d_cols = rel.columns
+            d_types = [str(t) for t in rel.types]
             d_rows = rel.fetchall()
         except Exception as e:  # noqa: BLE001
             failures.append(name)
             print(f"FAIL {name}: duckdb error: {type(e).__name__}: {e}")
             continue
         problems = []
+        # The driver hashes TYPED values; DuckDB HUGEINT/DECIMAL outputs
+        # hash-mismatch Spark BIGINT/DOUBLE even when the Python values are
+        # equal (round-1/2 bug class) — fail them here before the driver does.
+        for c, t in zip(d_cols, d_types):
+            tu = t.upper()
+            if "HUGEINT" in tu or tu.startswith("DECIMAL"):
+                problems.append(f"oracle col {c} has driver-hostile type {t} "
+                                f"(add an explicit ::BIGINT/::DOUBLE cast)")
         if len(s_rows) != len(d_rows):
             problems.append(f"rowcount spark={len(s_rows)} duckdb={len(d_rows)}")
         if sorted(s_cols) != sorted(d_cols):

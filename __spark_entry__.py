@@ -1616,6 +1616,177 @@ def _jsonl_entity_scan(spark: SparkSession, sf: str) -> DataFrame:
     return read_entity_catalogue(spark, _jsonl_fixture())
 
 
+def _pred_entity_col() -> F.Column:
+    """Deterministic predicted-entity stand-in for span-pruning queries: an
+    md5 bucket of the span's first token, so spans sharing a head word share
+    a 'predicted entity' (repeats exist) while overlap and repetition stay
+    independent dimensions."""
+    return F.concat(
+        F.lit("e"),
+        F.substring(F.md5(F.element_at(F.split(F.col("span_text"), " "), 1)), 1, 2),
+    )
+
+
+def _span_score_col() -> F.Column:
+    """The md5-derived span score shared by the pruning queries (portable:
+    DuckDB computes identical values)."""
+    return (
+        F.length("span_text").cast("double")
+        + (
+            F.conv(F.substring(F.md5("span_text"), 1, 4), 16, 10).cast("int") % 97
+        ).cast("double")
+        / 100.0
+    )
+
+
+@_q("er_span_repeat_prune", None)  # oracle injected below (fixture path)
+def _er_span_repeat_prune(spark: SparkSession, sf: str) -> DataFrame:
+    """filter_repeats (/root/reference/scripts/tune_hyperparams_new.py:43-59):
+    sort spans by score desc, keep the FIRST occurrence of each predicted
+    entity per question. Purely relational (one window row_number)."""
+    from blink_spark.operators.spans import enumerate_token_spans, filter_repeats
+
+    q = _fx(spark, "questions")
+    spans = enumerate_token_spans(q, "id", "text", max_len=2)
+    scored = spans.withColumn("score", _span_score_col()).withColumn(
+        "entity", _pred_entity_col()
+    )
+    return filter_repeats(scored, "record_id", "entity", "score")
+
+
+@_q("er_repeat_overlap_prune", None)  # oracle injected below (fixture path)
+def _er_repeat_overlap_prune(spark: SparkSession, sf: str) -> DataFrame:
+    """filter_repeat_overlaps (/root/reference/scripts/
+    tune_hyperparams_new.py:75-87): greedy overlap pruning with a coverage
+    mask PER predicted entity — different entities may overlap, same-entity
+    spans may not. Full SQL oracle: the recursive-CTE greedy walk of
+    er_overlap_prune, partitioned by (question, entity)."""
+    from blink_spark.operators.spans import (
+        enumerate_token_spans,
+        filter_repeat_overlaps,
+    )
+
+    q = _fx(spark, "questions")
+    spans = enumerate_token_spans(q, "id", "text", max_len=2)
+    scored = spans.withColumn("score", _span_score_col()).withColumn(
+        "entity", _pred_entity_col()
+    )
+    return filter_repeat_overlaps(scored, "record_id", "entity", "score")
+
+
+@_q("er_kb_ingest_filter", None)  # oracle injected below (fixture path)
+def _er_kb_ingest_filter(spark: SparkSession, sf: str) -> DataFrame:
+    """KB-ingestion quality gate (/root/reference/blink/candidate_retrieval/
+    data_ingestion.py:81-155): drop short stubs (num_tokens < 5) and
+    disambiguation pages (title or wikidata description), strip pure-emoji
+    aliases. Single codegen'd filter pass, counters cap-and-report."""
+    from blink_spark.sources.kb_filters import kb_ingestion_filter
+
+    kb = _fx(spark, "kb_raw")
+    kept, _counters = kb_ingestion_filter(kb, min_tokens=5)
+    return kept.select(
+        "entity_id",
+        "title",
+        "num_tokens",
+        F.array_join("aliases", "|").alias("aliases_kept"),
+        "n_aliases_dropped",
+    )
+
+
+@_q("er_pem_lookup", None)  # oracle injected below (fixture path)
+def _er_pem_lookup(spark: SparkSession, sf: str) -> DataFrame:
+    """p_e_m 3-casing-variant prior lookup with fallback priority
+    (/root/reference/blink/candidate_retrieval/dataset.py:300-347):
+    mention_total_freq decides between the raw span and its .title() form;
+    if both are unseen, try p_e_m[span.lower()], then p_e_m_lower
+    [span.lower()], else no candidates. The priors dim derives from the
+    entity fixture with eid%3-alternating key casings (Title/lower/UPPER),
+    and the query side re-cases each (all-lowercase) fixture mention
+    deterministically (raw/UPPER/Title by md5 of the mention id) so every
+    branch — including the lower-of-an-uppercase-surface fallbacks — is
+    populated. All four lookups are broadcast joins on the small priors
+    side — the mention table is never shuffled."""
+    ents = _fx(spark, "entities")
+    sel = (
+        F.conv(F.substring(F.md5("mention_id"), 1, 2), 16, 10).cast("int") % 3
+    )
+    men = _fx(spark, "mentions").select(
+        "mention_id",
+        F.when(sel == 0, F.upper("mention"))
+        .when(sel == 1, F.initcap("mention"))
+        .otherwise(F.col("mention"))
+        .alias("mention"),
+    )
+
+    key = (
+        F.when(F.col("entity_id") % 3 == 0, F.initcap("title"))
+        .when(F.col("entity_id") % 3 == 1, F.col("title"))
+        .otherwise(F.upper("title"))
+    )
+    pem = ents.select(
+        key.alias("k"),
+        "entity_id",
+        (F.col("num_incoming_links") + 1).alias("freq"),
+    )
+    wk = Window.partitionBy("k").orderBy(F.col("freq").desc(), F.col("entity_id").asc())
+    best = (
+        pem.withColumn("_r", F.row_number().over(wk)).filter(F.col("_r") == 1).drop("_r")
+    )
+    wl = Window.partitionBy("lk").orderBy(
+        F.col("freq").desc(), F.col("entity_id").asc()
+    )
+    pem_lower = (
+        best.select(F.lower("k").alias("lk"), "entity_id", "freq")
+        .withColumn("_r", F.row_number().over(wl))
+        .filter(F.col("_r") == 1)
+        .select("lk", F.col("entity_id").alias("le"))
+    )
+
+    def dim(prefix: str):
+        return F.broadcast(
+            best.select(
+                F.col("k").alias(f"{prefix}_k"),
+                F.col("entity_id").alias(f"{prefix}_e"),
+                F.col("freq").alias(f"{prefix}_f"),
+            )
+        )
+
+    m = men.select(
+        "mention_id",
+        "mention",
+        F.initcap("mention").alias("title_v"),
+        F.lower("mention").alias("low"),
+    )
+    j = (
+        m.join(dim("s"), m["mention"] == F.col("s_k"), "left")
+        .join(dim("t"), F.col("title_v") == F.col("t_k"), "left")
+        .join(dim("c"), F.col("low") == F.col("c_k"), "left")
+        .join(F.broadcast(pem_lower), F.col("low") == F.col("lk"), "left")
+    )
+    sf_ = F.coalesce("s_f", F.lit(0))
+    tf = F.coalesce("t_f", F.lit(0))
+    source = (
+        F.when(
+            (sf_ > 0) | (tf > 0),
+            F.when(sf_ > tf, F.lit("pem_span")).otherwise(F.lit("pem_title")),
+        )
+        .when(F.col("c_e").isNotNull(), F.lit("pem_lower_org"))
+        .when(F.col("le").isNotNull(), F.lit("pem_lower_lower"))
+        .otherwise(F.lit("none"))
+    )
+    entity = (
+        F.when(
+            (sf_ > 0) | (tf > 0),
+            F.when(sf_ > tf, F.col("s_e")).otherwise(F.col("t_e")),
+        )
+        .when(F.col("c_e").isNotNull(), F.col("c_e"))
+        .otherwise(F.col("le"))
+    )
+    return j.select(
+        "mention_id", source.alias("source"), entity.alias("entity_id")
+    )
+
+
 @_q(
     "doc_minhash_dedup",
     """
@@ -2003,6 +2174,7 @@ def _er_oracles() -> dict[str, str]:
     ent = _fxp("entities")
     gold = _fxp("gold_pairs")
     qst = _fxp("questions")
+    kb = _fxp("kb_raw")
     wik = _fixtures()["wikidata_plain"].replace("'", "''")
     sfx = _fxp("sentences_fx")
     jsonl = _jsonl_fixture().replace("'", "''")
@@ -2210,6 +2382,148 @@ def _er_oracles() -> dict[str, str]:
       FROM walk w JOIN ranked r
         ON r.record_id = w.record_id AND list_contains(w.kept, r.rk)
       WHERE w.rk = w.n
+    """
+    _SPAN_SCORE_PORTABLE = (
+        "length(span_text)::double"
+        " + (('0x' || substr(md5(span_text), 1, 4))::INT % 97)::double / 100.0"
+    )
+    _PRED_ENTITY = "'e' || substr(md5(string_split(span_text, ' ')[1]), 1, 2)"
+    repeat_prune_sql = f"""
+      WITH {_span_enum_ctes(2)},
+      scored AS (
+        SELECT record_id, start, end_excl, span_text,
+               {_SPAN_SCORE_PORTABLE} AS score,
+               {_PRED_ENTITY} AS entity
+        FROM spans
+      ),
+      r AS (
+        SELECT *, row_number() OVER (PARTITION BY record_id, entity
+                                     ORDER BY score DESC, start, end_excl) AS rk
+        FROM scored
+      )
+      SELECT record_id, start, end_excl, span_text, score, entity
+      FROM r WHERE rk = 1
+    """
+    repeat_overlap_sql = f"""
+      WITH RECURSIVE {_span_enum_ctes(2)},
+      scored AS (
+        SELECT record_id, start, end_excl, span_text,
+               {_SPAN_SCORE_PORTABLE} AS score,
+               {_PRED_ENTITY} AS entity
+        FROM spans
+      ),
+      ranked AS (
+        SELECT *, record_id || chr(31) || entity AS grp,
+               row_number() OVER (PARTITION BY record_id, entity
+                                  ORDER BY score DESC, start, end_excl) AS rk,
+               count(*) OVER (PARTITION BY record_id, entity) AS n
+        FROM scored
+      ),
+      -- the greedy walk of er_overlap_prune, but the coverage state lives
+      -- PER (question, predicted-entity) group — filter_repeat_overlaps'
+      -- per-entity token mask (tune_hyperparams_new.py:75-87)
+      walk AS (
+        SELECT grp, 0::BIGINT AS rk,
+               CAST([] AS STRUCT(s BIGINT, e BIGINT)[]) AS covered,
+               CAST([] AS BIGINT[]) AS kept, n
+        FROM (SELECT DISTINCT grp, n FROM ranked)
+        UNION ALL
+        SELECT w.grp, w.rk + 1,
+               CASE WHEN len(list_filter(w.covered,
+                           c -> c.s < r.end_excl AND r.start < c.e)) = 0
+                    THEN list_append(w.covered,
+                           {{'s': r.start::BIGINT, 'e': r.end_excl::BIGINT}})
+                    ELSE w.covered END,
+               CASE WHEN len(list_filter(w.covered,
+                           c -> c.s < r.end_excl AND r.start < c.e)) = 0
+                    THEN list_append(w.kept, r.rk) ELSE w.kept END,
+               w.n
+        FROM walk w JOIN ranked r ON r.grp = w.grp AND r.rk = w.rk + 1
+        WHERE w.rk < w.n
+      )
+      SELECT r.record_id, r.start, r.end_excl, r.span_text, r.score, r.entity
+      FROM walk w JOIN ranked r
+        ON r.grp = w.grp AND list_contains(w.kept, r.rk)
+      WHERE w.rk = w.n
+    """
+    kb_filter_sql = f"""
+      WITH f AS (
+        SELECT entity_id, title, num_tokens,
+               list_filter(aliases, a -> NOT regexp_full_match(a,
+                 '[\\x{{1F000}}-\\x{{1FAFF}}\\x{{2600}}-\\x{{27BF}}\\x{{2B00}}-\\x{{2BFF}}]+')) AS ka,
+               len(aliases)::BIGINT AS na
+        FROM read_parquet('{kb}')
+        WHERE num_tokens >= 5
+          AND NOT (contains(title, 'disambiguation')
+                   OR contains(title, 'Disambiguation')
+                   OR contains(description, 'disambiguation page')
+                   OR contains(description, 'Disambiguation page'))
+      )
+      SELECT entity_id, title, num_tokens,
+             array_to_string(ka, '|') AS aliases_kept,
+             (na - len(ka))::BIGINT AS n_aliases_dropped
+      FROM f
+    """
+    pem_sql = f"""
+      WITH e AS (
+        SELECT entity_id, title, num_incoming_links + 1 AS freq
+        FROM read_parquet('{ent}')
+      ),
+      pem AS (
+        SELECT CASE WHEN entity_id % 3 = 0 THEN {{ic_title}}
+                    WHEN entity_id % 3 = 1 THEN title
+                    ELSE upper(title) END AS k,
+               entity_id, freq
+        FROM e
+      ),
+      best AS (
+        SELECT k, entity_id, freq FROM (
+          SELECT *, row_number() OVER (PARTITION BY k
+                                       ORDER BY freq DESC, entity_id) AS r
+          FROM pem) WHERE r = 1
+      ),
+      pl AS (
+        SELECT lk, entity_id AS le FROM (
+          SELECT lower(k) AS lk, entity_id,
+                 row_number() OVER (PARTITION BY lower(k)
+                                    ORDER BY freq DESC, entity_id) AS r
+          FROM best) WHERE r = 1
+      ),
+      m0 AS (
+        SELECT mention_id,
+               CASE ('0x' || substr(md5(mention_id), 1, 2))::INT % 3
+                 WHEN 0 THEN upper(mention)
+                 WHEN 1 THEN {{ic_mention}}
+                 ELSE mention END AS mention
+        FROM read_parquet('{men}')
+      ),
+      m AS (
+        SELECT mention_id, mention, {{ic_mention2}} AS title_v,
+               lower(mention) AS low
+        FROM m0
+      ),
+      j AS (
+        SELECT m.mention_id,
+               s.entity_id AS se, coalesce(s.freq, 0) AS sf_,
+               t.entity_id AS te, coalesce(t.freq, 0) AS tf,
+               c.entity_id AS ce, pl.le AS le
+        FROM m
+        LEFT JOIN best s ON s.k = m.mention
+        LEFT JOIN best t ON t.k = m.title_v
+        LEFT JOIN best c ON c.k = m.low
+        LEFT JOIN pl ON pl.lk = m.low
+      )
+      SELECT mention_id,
+             CASE WHEN sf_ > 0 OR tf > 0 THEN
+                    CASE WHEN sf_ > tf THEN 'pem_span' ELSE 'pem_title' END
+                  WHEN ce IS NOT NULL THEN 'pem_lower_org'
+                  WHEN le IS NOT NULL THEN 'pem_lower_lower'
+                  ELSE 'none' END AS source,
+             CASE WHEN sf_ > 0 OR tf > 0 THEN
+                    CASE WHEN sf_ > tf THEN se ELSE te END
+                  WHEN ce IS NOT NULL THEN ce
+                  ELSE le END AS entity_id
+      FROM j
     """
     question_mentions_sql = f"""
       SELECT id,
@@ -2823,11 +3137,16 @@ def _er_oracles() -> dict[str, str]:
       SELECT doc_name, mention, gold_entity, 0, -1, NULL, NULL
       FROM rows0 WHERE len(cands) = 0
     """
-    initcap_sql = (
-        "array_to_string([CASE WHEN w = '' THEN ''"
-        " ELSE upper(substr(w, 1, 1)) || lower(substr(w, 2)) END"
-        " for w in string_split(mention, ' ')], ' ')"
-    )
+    def _ic(col: str) -> str:
+        """Spark initcap replica for space-separated text (DuckDB has no
+        initcap builtin)."""
+        return (
+            "array_to_string([CASE WHEN w = '' THEN ''"
+            " ELSE upper(substr(w, 1, 1)) || lower(substr(w, 2)) END"
+            f" for w in string_split({col}, ' ')], ' ')"
+        )
+
+    initcap_sql = _ic("mention")
     scalar_forms_sql = f"""
       SELECT mention_id,
              {initcap_sql} AS title_case,
@@ -3055,6 +3374,14 @@ def _er_oracles() -> dict[str, str]:
         "softmax_confidence": softmax_sql,
         "er_span_enumeration": span_enum_sql,
         "er_overlap_prune": overlap_prune_sql,
+        "er_span_repeat_prune": repeat_prune_sql,
+        "er_repeat_overlap_prune": repeat_overlap_sql,
+        "er_kb_ingest_filter": kb_filter_sql,
+        "er_pem_lookup": pem_sql.format(
+            ic_title=_ic("title"),
+            ic_mention=_ic("mention"),
+            ic_mention2=_ic("mention"),
+        ),
         "embedding_cosine_dups": _emb_cos_dups_oracle_sql(),
         "er_pair_tokens": pair_tokens_sql,
         "er_pair_concat": pair_concat_sql,

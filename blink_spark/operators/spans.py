@@ -61,14 +61,22 @@ def greedy_overlap_prune(
     scored_spans: DataFrame,
     group_col: str = "record_id",
     score_col: str = "score",
+    extra_group_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Greedy best-first non-overlap selection per group — accept a span
     unless any of its token positions is already covered. Inherently
     sequential per document (bounded state: one doc), hence grouped-map
-    applyInPandas (/root/reference/elq/main_dense.py:451-466).
+    applyInPandas (/root/reference/elq/main_dense.py:451-466,
+    ``filter_overlaps`` at /root/reference/scripts/tune_hyperparams_new.py:
+    60-73).
 
     Expects columns (group_col, start, end_excl, score_col). Deterministic
     order: score DESC, start ASC, end_excl ASC.
+
+    ``extra_group_cols`` refines the coverage state: grouping additionally
+    by a predicted-entity column gives the reference's
+    ``filter_repeat_overlaps`` (tune_hyperparams_new.py:75-87), where each
+    entity keeps its own token mask and only same-entity overlaps prune.
     """
     schema = scored_spans.schema
 
@@ -86,7 +94,51 @@ def greedy_overlap_prune(
             keep.append(idx)
         return pdf.loc[keep]
 
-    return scored_spans.groupBy(group_col).applyInPandas(prune, schema)
+    return scored_spans.groupBy(group_col, *extra_group_cols).applyInPandas(
+        prune, schema
+    )
+
+
+def filter_repeats(
+    scored_spans: DataFrame,
+    group_col: str = "record_id",
+    entity_col: str = "entity",
+    score_col: str = "score",
+    tiebreak_cols: tuple[str, ...] = ("start", "end_excl"),
+) -> DataFrame:
+    """Keep only the best-scoring span per predicted entity per group — the
+    reference's ``filter_repeats`` (/root/reference/scripts/
+    tune_hyperparams_new.py:43-59: sort by score desc, keep the first
+    occurrence of each entity id). Purely relational: one window
+    row_number, no per-group Python."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group_col, entity_col).orderBy(
+        F.col(score_col).desc(), *[F.col(c).asc() for c in tiebreak_cols]
+    )
+    return (
+        scored_spans.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .drop("_rk")
+    )
+
+
+def filter_repeat_overlaps(
+    scored_spans: DataFrame,
+    group_col: str = "record_id",
+    entity_col: str = "entity",
+    score_col: str = "score",
+) -> DataFrame:
+    """Greedy overlap pruning with a PER-ENTITY coverage mask — the
+    reference's ``filter_repeat_overlaps`` (/root/reference/scripts/
+    tune_hyperparams_new.py:75-87). Spans of different entities may overlap;
+    within one entity the usual greedy non-overlap rule applies."""
+    return greedy_overlap_prune(
+        scored_spans,
+        group_col=group_col,
+        score_col=score_col,
+        extra_group_cols=(entity_col,),
+    )
 
 
 def span_scores_prefix_sum(

@@ -310,6 +310,48 @@ def make_sentences_fx(n_rows: int = 200) -> pd.DataFrame:
     return pd.DataFrame(rows)
 
 
+_KB_EMOJI = ["\U0001F600", "\U0001F680", "☀", "\U0001F40D"]
+
+
+def make_kb_raw(entities: pd.DataFrame, min_tokens: int = 5) -> pd.DataFrame:
+    """Pre-ingestion KB rows with the defects the reference's ingestion
+    filter drops (/root/reference/blink/candidate_retrieval/
+    data_ingestion.py:81-155): short stubs (num_tokens < min), disambiguation
+    pages (in the title or in the wikidata description), and pure-emoji
+    aliases. Injection is deterministic by entity_id so every drop class is
+    non-empty and the kept set is stable."""
+    rows = []
+    for r in entities.itertuples():
+        eid = int(r.entity_id)
+        title, text = r.title, r.text
+        description = " ".join(text.split()[:5])
+        aliases = list(r.aliases)
+        if eid % 7 == 3:
+            title = f"{title} (disambiguation)"
+        elif eid % 7 == 5:
+            title = f"{title} (Disambiguation)"
+        elif eid % 11 == 4:
+            description = f"disambiguation page for {description}"
+        elif eid % 11 == 8:
+            description = f"Disambiguation page listing {description}"
+        if eid % 5 == 2:
+            text = " ".join(text.split()[: eid % 3 + 1])  # 1-3 token stub
+        if eid % 4 == 1:
+            aliases.append(_KB_EMOJI[eid % len(_KB_EMOJI)])
+        rows.append(
+            {
+                "entity_id": eid,
+                "title": title,
+                "text": text,
+                "description": description,
+                "num_tokens": len(text.split()),
+                "aliases": aliases,
+                "num_incoming_links": int(r.num_incoming_links),
+            }
+        )
+    return pd.DataFrame(rows)
+
+
 def make_wikidata_rows(entities: pd.DataFrame) -> list[dict]:
     """Wikidata-dump-shaped rows (nested sitelinks/labels/aliases/
     descriptions; /root/reference/blink/candidate_retrieval/
@@ -479,7 +521,7 @@ def write_fixtures(out_dir: str, n_docs: int = 2000, n_entities: int = 500) -> d
     os.makedirs(out_dir, exist_ok=True)
     paths = {t: os.path.join(out_dir, f"{t}.parquet") for t in
              ("entities", "documents", "mentions", "gold_pairs", "questions",
-              "embeddings_fx", "sentences_fx")}
+              "embeddings_fx", "sentences_fx", "kb_raw")}
     paths["wikidata_bz2"] = os.path.join(out_dir, "wikidata.jsonl.bz2")
     paths["wikidata_plain"] = os.path.join(out_dir, "wikidata_plain.jsonl")
     paths["conll_tsv"] = os.path.join(out_dir, "conll.tsv")
@@ -499,6 +541,7 @@ def write_fixtures(out_dir: str, n_docs: int = 2000, n_entities: int = 500) -> d
     questions.to_parquet(paths["questions"], index=False)
     make_embeddings_fx().to_parquet(paths["embeddings_fx"], index=False)
     make_sentences_fx().to_parquet(paths["sentences_fx"], index=False)
+    make_kb_raw(ents).to_parquet(paths["kb_raw"], index=False)
     _write_wikidata_fixture(out_dir, ents)
     _write_conll_csv_fixture(out_dir, ents)
     _write_wiki_extractor_fixture(out_dir, ents)

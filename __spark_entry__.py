@@ -1566,9 +1566,11 @@ def _simhash_dups(spark: SparkSession, sf: str) -> DataFrame:
 
     max_hamming = 3
     d = _t(spark, sf, "documents")
+    # localCheckpoint (eager, GC-owned), not persist: the query returns a
+    # lazy frame, so a persist() here could never be paired with unpersist.
     sh = simhash_relational(d, "doc_id", "text").withColumnRenamed(
         "record_id", "doc_id"
-    ).persist()
+    ).localCheckpoint()
     banded = sh.select(
         "doc_id",
         "sh",

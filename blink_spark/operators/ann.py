@@ -110,6 +110,38 @@ def lsh_topk(
     return _rank_topk(pairs, k)
 
 
+def kmeans_codebook(
+    items_iv: DataFrame, n_centroids: int, seed: int = 42, max_iter: int = 20
+) -> DataFrame:
+    """Trained IVF codebook: seeded ``pyspark.ml.clustering.KMeans`` centers
+    over the item embeddings — the coarse-quantizer *training* step of
+    /root/reference/elq/index/faiss_indexer.py:71-91 (faiss
+    ``train()`` before ``add()``). The fitted centers (a tiny driver-side
+    list, <= n_centroids × dim floats) become the broadcastable centroid
+    table; everything downstream stays the same relational assign/probe.
+
+    Seeded and single-job deterministic; across different partitionings
+    k-means|| init can legitimately differ, which is why the ORACLE path
+    keeps the ``first_items`` codebook (bit-reproducible anywhere) and this
+    is the quality path.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feats = items_iv.select(
+        array_to_vector(F.col("iv").cast("array<double>")).alias("features")
+    )
+    model = KMeans(
+        k=n_centroids, seed=seed, maxIter=max_iter, initMode="k-means||"
+    ).fit(feats)
+    rows = [
+        (i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
+    ]
+    return items_iv.sparkSession.createDataFrame(
+        rows, "cid BIGINT, cv ARRAY<DOUBLE>"
+    )
+
+
 def ivf_topk(
     queries: DataFrame,
     items: DataFrame,
@@ -121,6 +153,8 @@ def ivf_topk(
     item_id: str = "item_id",
     item_emb: str = "item_emb",
     scorer=None,
+    codebook: str = "first_items",
+    seed: int = 42,
 ) -> DataFrame:
     """IVF-style approximate top-k — the coarse-quantizer analogue of
     /root/reference/elq/index/faiss_indexer.py:71-91 (nlist cells, nprobe
@@ -128,19 +162,23 @@ def ivf_topk(
     queries probe their ``nprobe`` nearest centroids, and scoring is an
     equi-join on the cell id.
 
-    The codebook is the ``n_centroids`` lowest-id items (a deterministic
-    sample — IVF semantics live in the assign/probe structure, not codebook
-    quality; swap in KMeans centroids at scale). Assignment is a broadcast
-    join against the tiny centroid table + window argmax — fully relational,
-    no driver-side state.
+    ``codebook`` picks the centroid source: ``"kmeans"`` trains a seeded
+    KMeans codebook (better cells → higher recall at equal nprobe — the
+    production path); ``"first_items"`` uses the ``n_centroids`` lowest-id
+    items — bit-reproducible on any engine, which is what the DuckDB oracle
+    requires. Assignment is a broadcast join against the tiny centroid
+    table + window argmax — fully relational, no driver-side state.
     """
     scorer = scorer or _default_scorer
     it = items.select(F.col(item_id).alias("item_id"), F.col(item_emb).alias("iv"))
-    cents = (
-        it.orderBy(F.col("item_id").asc())
-        .limit(n_centroids)
-        .select(F.col("item_id").alias("cid"), F.col("iv").alias("cv"))
-    )
+    if codebook == "kmeans":
+        cents = kmeans_codebook(it, n_centroids, seed=seed)
+    else:
+        cents = (
+            it.orderBy(F.col("item_id").asc())
+            .limit(n_centroids)
+            .select(F.col("item_id").alias("cid"), F.col("iv").alias("cv"))
+        )
     w_item = Window.partitionBy("item_id").orderBy(
         F.col("c_sim").desc(), F.col("cid").asc()
     )

@@ -96,7 +96,13 @@ def minhash_dedup(
     scored = attrs.withColumn(
         "shingle_jaccard", F.round(F.when(union > 0, inter / union).otherwise(0.0), 6)
     ).withColumn("is_match", F.col("shingle_jaccard") >= jaccard_threshold)
-    return assign_clusters(recs, "record_id", match_edges(scored))
+    # assign_clusters materializes the edge set eagerly (CC localCheckpoint),
+    # so both caches can be released before returning; the returned frame
+    # only re-reads recs' pruned id column.
+    out = assign_clusters(recs, "record_id", match_edges(scored))
+    blocks.unpersist()  # candidate_pairs persisted it
+    recs.unpersist()
+    return out
 
 
 SIMHASH_BITS = 60
@@ -148,12 +154,16 @@ def simhash_dedup(
             "block_key"
         ),
     )
-    pairs = _pairs_from_blocks(banded.select("block_key", "record_id"))
+    blocks = banded.select("block_key", "record_id")
+    pairs = _pairs_from_blocks(blocks)
     attrs = pairs_with_attrs(pairs, recs, "record_id", ["sh"])
     scored = attrs.withColumn("hamming", hamming64("sh_a", "sh_b")).withColumn(
         "is_match", F.col("hamming") <= max_hamming
     )
-    return assign_clusters(recs, "record_id", match_edges(scored))
+    out = assign_clusters(recs, "record_id", match_edges(scored))
+    blocks.unpersist()  # candidate_pairs persisted it
+    recs.unpersist()
+    return out
 
 
 def embedding_dedup(
@@ -183,4 +193,7 @@ def embedding_dedup(
     scored = attrs.withColumn(
         "cos", F.round(cosine("emb_a", "emb_b"), 6)
     ).withColumn("is_match", F.col("cos") >= cosine_threshold)
-    return assign_clusters(recs, "record_id", match_edges(scored))
+    out = assign_clusters(recs, "record_id", match_edges(scored))
+    blocks.unpersist()  # candidate_pairs persisted it
+    recs.unpersist()
+    return out

@@ -81,3 +81,19 @@ def test_link_batch_releases_caches(spark, tmp_path):
     _link_batch(spark, docs, str(tmp_path / "store"))
     leaked = _persistent_noncheckpoint_ids(spark) - before
     assert not leaked, f"leaked persisted RDD ids: {leaked}"
+
+
+def test_dedup_operators_release_caches(spark):
+    from blink_spark.operators.dedup import (
+        embedding_dedup,
+        minhash_dedup,
+        simhash_dedup,
+    )
+
+    docs = _docs_df(spark, 40)
+    before = _persistent_noncheckpoint_ids(spark)
+    for fn in (minhash_dedup, simhash_dedup, embedding_dedup):
+        out = fn(docs, "id", "text")
+        assert out.count() == 40
+    leaked = _persistent_noncheckpoint_ids(spark) - before
+    assert not leaked, f"leaked persisted RDD ids: {leaked}"

@@ -149,3 +149,13 @@ def test_contraction_shuffles_are_keyed_by_hash_not_text(spark):
                 f"exchange keyed by {key}: {plan}"
             )
     assert reps.count() == 10 and expanded.count() == 100
+
+
+def test_pem_lookup_broadcasts_priors_and_never_shuffles_mentions(spark):
+    """All four p_e_m lookups must be broadcast-hash joins on the priors
+    side: the (large) mention table is never exchanged. At 100 TB the
+    priors dictionary is the classic small dimension."""
+    df = entry.queries()["er_pem_lookup"](spark, TESTDATA)
+    plan = explain_str(df)
+    assert plan.count("BroadcastHashJoin") >= 4, plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan

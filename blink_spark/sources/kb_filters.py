@@ -52,23 +52,25 @@ def kb_ingestion_filter(
     and ``n_aliases_dropped`` recording the strip. counters = one row per
     drop class (kept / dropped_short / dropped_disambiguation) with counts.
     """
-    classified = kb.withColumn(
+    counters = kb.withColumn(
         "_class",
         F.when(F.col("num_tokens") < min_tokens, F.lit("dropped_short"))
         .when(_is_disambiguation(), F.lit("dropped_disambiguation"))
         .otherwise(F.lit("kept")),
-    )
-    counters = classified.groupBy(F.col("_class").alias("drop_class")).agg(
+    ).groupBy(F.col("_class").alias("drop_class")).agg(
         F.count(F.lit(1)).alias("n")
     )
     kept_aliases = strip_emoji_aliases(F.col("aliases"))
+    # kept path uses plain conjunctive filters (not the when-chain above) so
+    # the num_tokens comparison reaches the parquet scan as a pushed filter;
+    # the when-chain exists only for the counters aggregate.
     kept = (
-        classified.filter(F.col("_class") == "kept")
+        kb.filter(F.col("num_tokens") >= min_tokens)
+        .filter(~_is_disambiguation())
         .withColumn(
             "n_aliases_dropped",
             (F.size("aliases") - F.size(kept_aliases)).cast("long"),
         )
         .withColumn("aliases", kept_aliases)
-        .drop("_class")
     )
     return kept, counters

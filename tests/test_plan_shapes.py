@@ -159,3 +159,14 @@ def test_pem_lookup_broadcasts_priors_and_never_shuffles_mentions(spark):
     plan = explain_str(df)
     assert plan.count("BroadcastHashJoin") >= 4, plan
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+
+
+def test_kb_ingest_filter_pushes_predicates_to_scan(spark):
+    """The KB-ingestion gate must reach the parquet scan as pushed filters
+    (min-token comparison AND the disambiguation StringContains) — a
+    catalogue scan that reads every row to drop half of them is wrong at
+    KB scale."""
+    df = entry.queries()["er_kb_ingest_filter"](spark, TESTDATA)
+    pushed = " ".join(pushed_filters(df))
+    assert "num_tokens" in pushed and "GreaterThanOrEqual" in pushed, pushed
+    assert "StringContains" in pushed and "disambiguation" in pushed, pushed

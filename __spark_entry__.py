@@ -2141,6 +2141,42 @@ def _emb_cos_dups(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@_q("er_jdbc_mapping_scan", None)  # oracle injected below (fixture path)
+def _er_jdbc_mapping(spark: SparkSession, sf: str) -> DataFrame:
+    """JDBC mapping-store scan — the reference's sqlite mapping database
+    (/root/reference/blink/candidate_retrieval/generate_wiki2wikidata_mappings.py:35-58
+    reads ``SELECT wikipedia_title, wikidata_id FROM mapping`` into a
+    driver-side dict). Spark-first: the mapping table is a JDBC relation,
+    loaded with a partitioned ``spark.read.jdbc`` (4 range-bounded parallel
+    connections on ``wikipedia_id``), and surface resolution is a dimension
+    join instead of a pickle lookup. Derby stands in for sqlite (the only
+    JDBC engine in this sandbox; the source is driver-agnostic). The JDBC
+    write→read roundtrip is value-exact, so the oracle derives the same
+    mapping relationally from the entity fixture."""
+    import tempfile
+
+    from blink_spark.sources.jdbc import read_mapping_jdbc, write_mapping_jdbc
+
+    mapping_src = _fx(spark, "entities").select(
+        "wikipedia_id",
+        F.col("title").alias("wikipedia_title"),
+        F.concat(
+            F.lit("Q"), (F.col("wikipedia_id") * 7 + 11).cast("string")
+        ).alias("wikidata_id"),
+    )
+    db = os.path.join(tempfile.mkdtemp(prefix="blink_derby_"), "mapping_db")
+    write_mapping_jdbc(mapping_src, db)
+    mapping = read_mapping_jdbc(spark, db, num_partitions=4, upper_bound=100_000)
+    by_title = mapping.groupBy(F.lower("wikipedia_title").alias("mention")).agg(
+        F.min("wikidata_id").alias("wikidata_id")
+    )
+    m = _fx(spark, "mentions").select("mention_id", "mention")
+    return m.join(by_title, "mention", "left").select(
+        "mention_id",
+        F.coalesce("wikidata_id", F.lit("NIL")).alias("wikidata_id"),
+    )
+
+
 # --------------------------------------------------------------------------
 # ER oracle SQL (DuckDB) — built lazily because fixture paths are absolute
 # --------------------------------------------------------------------------
@@ -3516,6 +3552,21 @@ def _er_oracles() -> dict[str, str]:
             round(avg(CASE WHEN gold_rank IS NOT NULL AND gold_rank <= 2 THEN 1.0 ELSE 0.0 END), 6) AS recall_at_2,
             round(avg(CASE WHEN gold_rank IS NOT NULL AND gold_rank <= 3 THEN 1.0 ELSE 0.0 END), 6) AS recall_at_3
           FROM per_group
+        """,
+        "er_jdbc_mapping_scan": f"""
+          WITH mapping AS (
+            SELECT wikipedia_id, title AS wikipedia_title,
+                   'Q' || CAST(wikipedia_id * 7 + 11 AS VARCHAR) AS wikidata_id
+            FROM read_parquet('{ent}')
+          ),
+          by_title AS (
+            SELECT lower(wikipedia_title) AS mention,
+                   min(wikidata_id) AS wikidata_id
+            FROM mapping GROUP BY 1
+          )
+          SELECT m.mention_id,
+                 coalesce(b.wikidata_id, 'NIL') AS wikidata_id
+          FROM read_parquet('{men}') m LEFT JOIN by_title b USING (mention)
         """,
     }
 

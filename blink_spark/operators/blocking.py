@@ -136,6 +136,7 @@ def df_aware_blocks(
     max_tokens_per_record: int = 8,
     emit_fallback: bool = True,
     freq: DataFrame | None = None,
+    cache_freq: bool = True,
 ) -> tuple[DataFrame, DataFrame]:
     """Document-frequency-aware blocking — the scalable default.
 
@@ -168,10 +169,17 @@ def df_aware_blocks(
         "record_id", F.explode(tokens("text")).alias("tok")
     )
     if freq is None:
-        # localCheckpoint, not persist: same multi-consumer reuse (stats +
-        # join), but the cache entry is owned by the GC/ContextCleaner
-        # instead of leaking a persist() the caller can't see or release.
-        freq = tok.groupBy("tok").agg(F.count("*").alias("df")).localCheckpoint()
+        freq = tok.groupBy("tok").agg(F.count("*").alias("df"))
+        if cache_freq:
+            # localCheckpoint, not persist: same multi-consumer reuse
+            # (stats + join), but the cache entry is owned by the
+            # GC/ContextCleaner instead of leaking a persist() the caller
+            # can't see or release. ``cache_freq=False`` when the caller
+            # won't consume token_stats (fused throughput mode): freq then
+            # has ONE consumer and inlining it into the main DAG avoids an
+            # eager materialization job — one less barrier, pure serial
+            # fraction at high parallelism.
+            freq = freq.localCheckpoint()
 
     token_stats = freq.select(
         F.when(F.col("df") <= rare_df, F.lit("rare"))

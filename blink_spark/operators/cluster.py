@@ -69,8 +69,74 @@ def _small_star(edges: DataFrame) -> DataFrame:
     )
 
 
+def _is_star_forest(edges: DataFrame) -> bool:
+    """A canonical (u > v) edge set is a min-rooted star forest iff no node
+    is both an edge source and an edge target: canonical orientation forces
+    every star's center below its leaves, so 'no 2-chain' ⇔ every component
+    is a star centered at its minimum ⇔ the large/small-star fixed point.
+    ONE cheap job (self equi-join, limit 1) on the small edge set."""
+    return (
+        edges.select(F.col("v").alias("x"))
+        .join(edges.select(F.col("u").alias("x")), "x")
+        .limit(1)
+        .count()
+        == 0
+    )
+
+
+# Canonical-edge count below which CC runs as ONE union-find task instead of
+# distributed supersteps. 2M edges ≈ tens of MB — the same "small side goes
+# local" judgment call as a broadcast join. The contracted match graph is
+# usually far below this (exact contraction removed duplicate surfaces;
+# components are per-entity); corpora whose edge set exceeds it take the
+# superstep path unchanged.
+LOCAL_CC_THRESHOLD = 2_000_000
+
+
+def _local_cc(cur: DataFrame) -> DataFrame:
+    """Single-task min-root union-find over a small canonical edge set.
+
+    Labels are identical to the superstep fixed point: union always roots
+    the smaller id (roots are component minima by induction), so every node
+    maps to its component minimum. Runs as ONE Arrow-batched task
+    (mapInPandas over coalesce(1)) — an executor task with bounded input,
+    not a driver collect. Replaces ~3 supersteps × ~6 shuffles of
+    fixed-latency small-data stages: pure serial fraction at any cluster
+    size, which is exactly the term that caps N→4N scaling efficiency.
+    """
+    import pandas as pd
+
+    def uf(batches):
+        parent: dict = {}
+
+        def find(x):
+            root = x
+            while parent.get(root, root) != root:
+                root = parent[root]
+            while parent.get(x, x) != root:
+                parent[x], x = root, parent[x]
+            return root
+
+        nodes = set()
+        for pdf in batches:
+            for u, v in zip(pdf["u"], pdf["v"]):
+                nodes.add(u)
+                nodes.add(v)
+                ru, rv = find(u), find(v)
+                if ru != rv:
+                    lo, hi = (ru, rv) if ru < rv else (rv, ru)
+                    parent[hi] = lo
+        out = sorted(nodes)
+        yield pd.DataFrame(
+            {"record_id": out, "cluster_id": [find(x) for x in out]}
+        )
+
+    return cur.coalesce(1).mapInPandas(uf, "record_id string, cluster_id string")
+
+
 def connected_components(
-    edges: DataFrame, max_iter: int = 20, check_every: int = 1
+    edges: DataFrame, max_iter: int = 20, check_every: int = 1,
+    local_threshold: int = LOCAL_CC_THRESHOLD,
 ) -> DataFrame:
     """edges(src, dst) → assignments(record_id, cluster_id).
 
@@ -78,40 +144,26 @@ def connected_components(
     component minimum). Each superstep localCheckpoints to cut lineage
     (plan blowup is the classic iterative-Spark failure mode).
 
-    ``check_every=1``: the fixed-point test is ONE cheap job over the small
-    edge set, while a superstep is ~6 shuffles — testing every round stops
-    near-clique graphs (our contracted match components converge in 1-2
-    rounds) several whole supersteps earlier. The round-1 cadence of 2 was
-    strictly worse: ``prev`` only updates on test rounds, so the first test
-    compared against the INITIAL edge set and always failed, forcing 4
-    supersteps on a 1-superstep-converging graph.
+    The convergence test is the DIRECT star-forest property of the current
+    edge set (``_is_star_forest``), tested before each superstep — unlike
+    the round-2 prev-vs-cur equality test it needs no second identical
+    superstep to observe a fixed point, so a graph that converges in one
+    superstep costs 1 superstep + 2 tests instead of 2 supersteps + 2
+    tests (~6 shuffles saved — pure serial fraction, the term that caps
+    N→4N scaling efficiency). Already-forest inputs (common in incremental
+    micro-batches) exit before any superstep. ``check_every`` is kept for
+    signature compatibility; the per-round test is one cheap job.
     """
     cur = _canonical(edges).localCheckpoint()
-    prev = cur
-    for i in range(max_iter):
-        after_large = _large_star(cur)
-        after_small = _small_star(after_large)
-        converged = False
-        if (i + 1) % check_every == 0 or i == max_iter - 1:
-            # materialize + fixed-point test. Checkpointing only on test
-            # rounds halves the number of barriers; the equality test is ONE
-            # job (full-outer join + aggregate over the symmetric
-            # difference), not the count+exceptAll+count trio of round 1 —
-            # each extra action is a full barrier, i.e. serial fraction.
-            after_small = after_small.localCheckpoint()
-            l = prev.select("u", "v", F.lit(1).alias("_l"))
-            r = after_small.select("u", "v", F.lit(1).alias("_r"))
-            n_diff = (
-                l.join(r, ["u", "v"], "full_outer")
-                .filter(F.col("_l").isNull() | F.col("_r").isNull())
-                .limit(1)
-                .count()
-            )
-            converged = n_diff == 0
-            prev = after_small
-        cur = after_small
-        if converged:
+    if local_threshold and cur.count() <= local_threshold:
+        # the count is free (cur is already materialized). Only the INITIAL
+        # canonical set may go local — it provably contains every
+        # edge-connected node, which mid-iteration sets need not.
+        return _local_cc(cur)
+    for _ in range(max_iter):
+        if _is_star_forest(cur):
             break
+        cur = _small_star(_large_star(cur)).localCheckpoint()
     # star forest: u → v(=min). cluster_id of u is v; roots map to themselves.
     members = cur.select(F.col("u").alias("record_id"), F.col("v").alias("cluster_id"))
     roots = cur.select(F.col("v").alias("record_id")).distinct().withColumn(

@@ -58,20 +58,26 @@ def exact_contract(mentions: DataFrame, id_col: str, text_col: str) -> DataFrame
 
     Returns (record_id, norm) — one row per distinct surface.
 
-    The shuffle is keyed by ``md5(norm)`` (32 bytes), never by the full
-    normalized text: for whole-document inputs (dedup_documents_pipeline)
-    the text is KBs per row, and hash-partitioning + sort-comparing on it
-    dominates the exchange. All norms within an md5 group are identical
-    (collision probability ≪ anything else in the system), so ``min(norm)``
-    recovers the surface exactly and the cluster labels are unchanged.
+    The shuffle is keyed by ``(xxhash64(norm), length(norm))`` — a 12-byte
+    numeric composite, never the full normalized text: for whole-document
+    inputs (dedup_documents_pipeline) the text is KBs per row, and
+    hash-partitioning + sort-comparing on it dominates the exchange. A
+    numeric key beats a hex-digest string key (round-3 A/B: the 32-char md5
+    key cost ~15% end-to-end at 600k docs — string grouping keys sort/probe
+    byte-wise). All norms within a (hash, length) group are identical
+    (64-bit+length collision: ~n²/2^65 · P(len_eq), negligible to ~10^9
+    distinct surfaces per job; beyond that, widen to two seeded hashes), so
+    ``min(norm)`` recovers the surface exactly and the cluster labels are
+    unchanged.
     """
     return (
         mentions.select(
             mentions[id_col].alias("mention_id"),
             normalize_text(mentions[text_col]).alias("norm"),
         )
-        .withColumn("norm_h", F.md5("norm"))
-        .groupBy("norm_h")
+        .withColumn("norm_h", F.xxhash64("norm"))
+        .withColumn("norm_l", F.length("norm"))
+        .groupBy("norm_h", "norm_l")
         .agg(
             F.min("mention_id").alias("record_id"),
             F.min("norm").alias("norm"),
@@ -85,24 +91,33 @@ def expand_contracted_clusters(
 ) -> DataFrame:
     """Map every mention to its representative's cluster id.
 
-    Only ``md5(norm)`` ever leaves the scan — the expansion never shuffles
-    the text at all (the groupBy and the final join are both keyed by the
-    32-byte hash), versus two full-text-keyed exchanges in the naive form.
+    Only the numeric ``(xxhash64(norm), length(norm))`` key ever leaves the
+    scan — the expansion never shuffles the text at all (the groupBy and the
+    final join are both keyed by the 12-byte composite), versus two
+    full-text-keyed exchanges in the naive form.
     """
+    norm = normalize_text(mentions[text_col])
     with_norm = mentions.select(
         mentions[id_col].alias("record_id"),
-        F.md5(normalize_text(mentions[text_col])).alias("norm_h"),
+        F.xxhash64(norm).alias("norm_h"),
+        F.length(norm).alias("norm_l"),
     )
     norm_to_cluster = (
-        with_norm.groupBy("norm_h").agg(F.min("record_id").alias("rep_id"))
+        with_norm.groupBy("norm_h", "norm_l")
+        .agg(F.min("record_id").alias("rep_id"))
         .join(
             rep_clusters.withColumnRenamed("record_id", "rep_id"),
             "rep_id",
             "left",
         )
-        .select("norm_h", F.coalesce("cluster_id", "rep_id").alias("cluster_id"))
+        .select(
+            "norm_h", "norm_l",
+            F.coalesce("cluster_id", "rep_id").alias("cluster_id"),
+        )
     )
-    return with_norm.join(norm_to_cluster, "norm_h").select("record_id", "cluster_id")
+    return with_norm.join(norm_to_cluster, ["norm_h", "norm_l"]).select(
+        "record_id", "cluster_id"
+    )
 
 
 @dataclass
@@ -230,6 +245,7 @@ def run_pipeline(
             "norm",
             rare_df=cfg.max_block_size,
             max_df=cfg.hard_cap,
+            cache_freq=cfg.rich_metrics,  # stats unread ⇒ freq has 1 consumer
         )
         assignments = tb
         if cfg.use_minhash:
@@ -333,6 +349,7 @@ def _run_pipeline_fused(
     tb, _ = df_aware_blocks(
         reps, "record_id", "norm",
         rare_df=cfg.max_block_size, max_df=cfg.hard_cap,
+        cache_freq=False,  # fused mode never reads token_stats
     )
     assignments = tb
     if cfg.use_minhash:

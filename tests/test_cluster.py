@@ -67,3 +67,36 @@ def test_cc_deterministic_across_runs(spark):
     a = sorted(map(tuple, connected_components(edf).collect()))
     b = sorted(map(tuple, connected_components(edf.repartition(7)).collect()))
     assert a == b
+
+
+def test_local_and_superstep_cc_agree(spark):
+    """The size-gated single-task union-find must produce byte-identical
+    assignments to the distributed superstep path (min-id labels both)."""
+    import random
+
+    rng = random.Random(11)
+    edges = []
+    # chains, cliques, stars, singleton-free random components
+    for c in range(40):
+        ids = [f"n{c:02d}_{i:02d}" for i in range(rng.randint(2, 12))]
+        kind = c % 3
+        if kind == 0:  # chain
+            edges += list(zip(ids, ids[1:]))
+        elif kind == 1:  # star from a random center
+            ctr = rng.choice(ids)
+            edges += [(ctr, x) for x in ids if x != ctr]
+        else:  # random spanning-ish
+            for x in ids[1:]:
+                edges.append((rng.choice(ids), x))
+    rng.shuffle(edges)
+    edf = spark.createDataFrame(edges, "src string, dst string")
+    local = sorted(map(tuple, connected_components(edf, local_threshold=10**6).collect()))
+    dist = sorted(map(tuple, connected_components(edf, local_threshold=0).collect()))
+    assert local == dist
+    # min-id labeling invariant on both
+    for rows in (local, dist):
+        by_cluster = {}
+        for rid, cid in rows:
+            by_cluster.setdefault(cid, []).append(rid)
+        for cid, members in by_cluster.items():
+            assert cid == min(members + [cid])

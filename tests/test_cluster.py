@@ -100,3 +100,15 @@ def test_local_and_superstep_cc_agree(spark):
             by_cluster.setdefault(cid, []).append(rid)
         for cid, members in by_cluster.items():
             assert cid == min(members + [cid])
+
+
+def test_local_cc_edge_cases(spark):
+    """The single-task union-find path on degenerate inputs: empty edge set
+    (no rows through mapInPandas) and self-loops (canonicalized away)."""
+    empty = spark.createDataFrame([], "src string, dst string")
+    assert connected_components(empty, local_threshold=10**6).count() == 0
+    loops = spark.createDataFrame(
+        [("a", "a"), ("b", "a"), ("b", "b")], "src string, dst string"
+    )
+    got = sorted(map(tuple, connected_components(loops, local_threshold=10**6).collect()))
+    assert got == [("a", "a"), ("b", "a")]

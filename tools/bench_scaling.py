@@ -29,6 +29,10 @@ WARM_DOCS = 40000
 # 8->32 (clock/memory-bandwidth ceiling), so 8->32 cannot reach 0.8
 # efficiency for ANY workload here; 2->8 is the honest N->4N regime.
 SCALE_N = int(os.environ.get("SPARK_GRAFT_SCALE_N", "2"))
+# Reps per leg. The min-of-reps estimator needs at least one burst-free rep
+# per leg; on a noisy evening raise this (5 reps catch a quiet window far
+# more reliably than 3 at +30 min total cost).
+REPS = int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "3"))
 
 _CHILD = r"""
 import json, os, shutil, sys, time
@@ -44,7 +48,7 @@ cfg = PipelineConfig(rich_metrics=False, checkpoints=False)
 
 # warmup on a smaller fixture with the SAME plan shapes compiles all
 # codegen/JIT paths (first-run compile costs dominate otherwise — measured
-# 4-5x first-vs-warm in this sandbox); then 3 measured reps, min taken
+# 4-5x first-vs-warm in this sandbox); then the measured reps, min taken
 # (noisy multi-tenant host).
 warm_path = sys.argv[4]
 out = f"/tmp/scale_warm_{{cores}}"
@@ -53,7 +57,7 @@ run_pipeline(spark, warm_path, out, config=cfg)
 shutil.rmtree(out, ignore_errors=True)
 
 times = []
-for rep in range(3):
+for rep in range({reps}):
     out = f"/tmp/scale_run_{{cores}}_{{rep}}"
     shutil.rmtree(out, ignore_errors=True)
     t0 = time.time()
@@ -98,12 +102,14 @@ def _fixture(n_docs: int) -> str:
 
 
 def _run(cores: int, docs_path: str, warm_path: str) -> dict:
-    script = _CHILD.format(repo=REPO)
+    script = _CHILD.format(repo=REPO, reps=REPS)
     out = subprocess.run(
         [sys.executable, "-c", script, str(cores), docs_path, str(DOCS), warm_path],
         capture_output=True,
         text=True,
-        timeout=3000,
+        # warmup + REPS reps; the slowest leg (local[2] at 2.4M) runs ~10
+        # min/rep on a quiet host, far more under a co-tenant burst
+        timeout=1200 + 1200 * REPS,
     )
     for line in reversed(out.stdout.strip().splitlines()):
         if line.startswith("{"):
@@ -127,7 +133,7 @@ def main() -> None:
 
 Scaling evidence for the north rule's two-cluster-size criterion, produced
 by `python tools/bench_scaling.py` (same job, same input, two parallelism
-levels, fresh JVM per level, full-shape JIT warmup, min of 3 reps — see estimator note in the tool).
+levels, fresh JVM per level, full-shape JIT warmup, min of {REPS} reps — see estimator note in the tool).
 
 Input: deterministic synthetic interleaved documents, n_docs={DOCS:,}
 ({DOCS * 3:,} mentions), job = extract → exact-contraction → df-aware +

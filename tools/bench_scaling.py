@@ -179,10 +179,20 @@ Round 1 measured 0.480 at 600k docs. Rounds 2-3 attacked both Amdahl terms:
 | r2: splittable parquet row groups, conditional repartition, CC cadence fix | 5,731 | 12,607 | 0.55 @600k |
 | same code, 2.4M docs | 5,196 | 17,990 | 0.866 |
 | r3: hashed contraction keys, cache hygiene, store-level streaming | 3,696* | 11,641* | 0.787* |
-| r3: direct star-forest convergence test + size-gated single-task union-find CC | (current table above) | | |
+| r3: star-forest convergence test + size-gated single-task union-find CC | 4,277 | 13,253 | 0.775 |
 
 *the 0.787 row ran during a noisy-host window (all-rep spread 627-679s at
 local[2]); its code also predates the CC union-find change.
+
+Round-3 reading: the host itself ran 20-35% slower than during round 2's
+0.866 window (round-2 code re-measured the same night at local[8] never
+beat 44s at 600k where the r2 artifact implies ~37s; the co-tenant
+baseline held ~2 cores all night), and the single-task union-find — though
+5-10s FASTER absolute than supersteps at BOTH parallelism levels (probe at
+2.4M/local[8]: 8.3s vs 18.2s) — converts parallel superstep work into
+serial time, which the efficiency RATIO penalizes even as wall-clock
+improves. Reverting to supersteps would raise the ratio by slowing the
+N-core leg ~10%; we keep the faster build and report the honest ratio.
 
 The Amdahl decomposition of the 600k runs (T_2 = s + p/2, T_8 = s + p/8)
 gives s ~= 29s of FIXED per-job overhead (stage scheduling barriers, plan
@@ -193,7 +203,7 @@ this host. A 1000-executor cluster on 100 TB sits far further into the
 amortized regime than 2.4M docs does — the fixed-overhead term vanishes.
 
 The round-3 CC change attacks the serial term directly: the contracted
-match graph's canonical edge set (~385k edges at 2.4M docs) is far below
+match graph's canonical edge set (385k edges at 600k docs, 1.4M at 2.4M) is far below
 executor memory, so connected components runs as ONE Arrow-batched
 union-find task (the broadcast-join "small side goes local" judgment call)
 instead of ~3 supersteps x ~6 fixed-latency shuffles; edge sets beyond the

@@ -104,31 +104,53 @@ def _local_cc(cur: DataFrame) -> DataFrame:
     fixed-latency small-data stages: pure serial fraction at any cluster
     size, which is exactly the term that caps N→4N scaling efficiency.
     """
+    import numpy as np
     import pandas as pd
 
     def uf(batches):
-        parent: dict = {}
-
-        def find(x):
-            root = x
-            while parent.get(root, root) != root:
-                root = parent[root]
-            while parent.get(x, x) != root:
-                parent[x], x = root, parent[x]
-            return root
-
-        nodes = set()
-        for pdf in batches:
-            for u, v in zip(pdf["u"], pdf["v"]):
-                nodes.add(u)
-                nodes.add(v)
-                ru, rv = find(u), find(v)
-                if ru != rv:
-                    lo, hi = (ru, rv) if ru < rv else (rv, ru)
-                    parent[hi] = lo
-        out = sorted(nodes)
+        frames = [pdf for pdf in batches if len(pdf)]
+        if not frames:
+            yield pd.DataFrame({"record_id": pd.Series([], dtype=object),
+                                "cluster_id": pd.Series([], dtype=object)})
+            return
+        us = pd.concat([f["u"] for f in frames], ignore_index=True)
+        vs = pd.concat([f["v"] for f in frames], ignore_index=True)
+        # C-speed interning, then a RANK remap so integer order equals
+        # lexicographic string order — min-int root ⇔ min-string root, the
+        # labeling the superstep fixed point produces.
+        codes, uniques = pd.factorize(pd.concat([us, vs], ignore_index=True))
+        order = np.argsort(uniques)
+        rank = np.empty(len(uniques), dtype=np.int64)
+        rank[order] = np.arange(len(uniques))
+        ids = rank[codes]
+        m = len(us)
+        par = list(range(len(uniques)))
+        # the only Python-speed loop: one union per edge with path halving
+        # (list indexing; ~1-2s per million edges vs ~8s for the previous
+        # string-keyed dict version — this loop is pure SERIAL time, the
+        # exact term that caps N→4N scaling efficiency)
+        for a, b in zip(ids[:m].tolist(), ids[m:].tolist()):
+            while par[a] != a:
+                par[a] = par[par[a]]
+                a = par[a]
+            while par[b] != b:
+                par[b] = par[par[b]]
+                b = par[b]
+            if a != b:
+                if a < b:
+                    par[b] = a
+                else:
+                    par[a] = b
+        # vectorized full path compression to the roots
+        parr = np.asarray(par, dtype=np.int64)
+        while True:
+            nxt = parr[parr]
+            if np.array_equal(nxt, parr):
+                break
+            parr = nxt
+        by_rank = uniques[order]
         yield pd.DataFrame(
-            {"record_id": out, "cluster_id": [find(x) for x in out]}
+            {"record_id": by_rank, "cluster_id": by_rank[parr]}
         )
 
     return cur.coalesce(1).mapInPandas(uf, "record_id string, cluster_id string")

@@ -70,18 +70,22 @@ def _small_star(edges: DataFrame) -> DataFrame:
 
 
 def _is_star_forest(edges: DataFrame) -> bool:
-    """A canonical (u > v) edge set is a min-rooted star forest iff no node
-    is both an edge source and an edge target: canonical orientation forces
-    every star's center below its leaves, so 'no 2-chain' ⇔ every component
-    is a star centered at its minimum ⇔ the large/small-star fixed point.
-    ONE cheap job (self equi-join, limit 1) on the small edge set."""
-    return (
-        edges.select(F.col("v").alias("x"))
-        .join(edges.select(F.col("u").alias("x")), "x")
-        .limit(1)
-        .count()
-        == 0
+    """A canonical (u > v) edge set is a min-rooted star forest iff
+    (a) no node is both an edge source and an edge target (no 2-chain), AND
+    (b) every source u appears exactly once (a node points at ONE root).
+    (a) alone is insufficient: (3,1),(3,2) has no 2-chain yet 3 belongs to
+    two 'clusters' and {1,2} are never merged. Both violations are unioned
+    into ONE cheap job (limit 1) on the small edge set."""
+    chain = edges.select(F.col("v").alias("x")).join(
+        edges.select(F.col("u").alias("x")), "x"
     )
+    dup_src = (
+        edges.groupBy("u")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 1)
+        .select(F.col("u").alias("x"))
+    )
+    return chain.unionByName(dup_src).limit(1).count() == 0
 
 
 # Canonical-edge count below which CC runs as ONE union-find task instead of
@@ -153,7 +157,18 @@ def _local_cc(cur: DataFrame) -> DataFrame:
             {"record_id": by_rank, "cluster_id": by_rank[parr]}
         )
 
-    return cur.coalesce(1).mapInPandas(uf, "record_id string, cluster_id string")
+    # derive the output type from the edge frame so numeric-id callers keep
+    # their dtype on the local path (same contract as the superstep path)
+    from pyspark.sql.types import StructField, StructType
+
+    id_type = cur.schema["u"].dataType
+    out_schema = StructType(
+        [
+            StructField("record_id", id_type, True),
+            StructField("cluster_id", id_type, True),
+        ]
+    )
+    return cur.coalesce(1).mapInPandas(uf, out_schema)
 
 
 def connected_components(

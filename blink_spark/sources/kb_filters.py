@@ -30,11 +30,18 @@ EMOJI_ALIAS_RE = r"^[\x{1F000}-\x{1FAFF}\x{2600}-\x{27BF}\x{2B00}-\x{2BFF}]+$"
 
 
 def _is_disambiguation() -> F.Column:
+    # NULL-safe: coalesce to '' so a missing title/description classifies the
+    # row identically in the counters when-chain (where NULL would fall
+    # through to 'kept') and the kept-path filter (where ~NULL would DROP it)
+    # — otherwise the cap-and-report invariant sum(counters.kept) ==
+    # kept.count() breaks on real KB rows with absent descriptions.
+    title = F.coalesce(F.col("title"), F.lit(""))
+    desc = F.coalesce(F.col("description"), F.lit(""))
     return (
-        F.col("title").contains("disambiguation")
-        | F.col("title").contains("Disambiguation")
-        | F.col("description").contains("disambiguation page")
-        | F.col("description").contains("Disambiguation page")
+        title.contains("disambiguation")
+        | title.contains("Disambiguation")
+        | desc.contains("disambiguation page")
+        | desc.contains("Disambiguation page")
     )
 
 

@@ -102,6 +102,51 @@ def test_local_and_superstep_cc_agree(spark):
             assert cid == min(members + [cid])
 
 
+def test_superstep_duplicate_source_converges(spark):
+    """Regression (round-4 ADVICE): (3,1),(3,2) has no 2-chain, so the old
+    source∩target-only convergence test declared it a star forest before any
+    superstep — emitting node 3 in TWO clusters and never merging {1,2}. The
+    fixed test also rejects duplicate sources, forcing the superstep to run."""
+    edf = spark.createDataFrame(
+        [("3", "1"), ("3", "2")], "src string, dst string"
+    )
+    got = sorted(map(tuple, connected_components(edf, local_threshold=0).collect()))
+    assert got == [("1", "1"), ("2", "1"), ("3", "1")]
+    _run(spark, [("3", "1"), ("3", "2")], ["1", "2", "3"])
+
+
+def test_local_cc_preserves_numeric_id_type(spark):
+    """The size-gated local path must not stringify numeric-id edge frames
+    (superstep path is type-generic; local path derives its Arrow schema
+    from the input)."""
+    edf = spark.createDataFrame([(3, 1), (3, 2), (7, 5)], "src long, dst long")
+    out = connected_components(edf, local_threshold=10**6)
+    assert out.schema["record_id"].dataType.simpleString() == "bigint"
+    got = sorted(map(tuple, out.collect()))
+    assert got == [(1, 1), (2, 1), (3, 1), (5, 5), (7, 5)]
+
+
+def test_kb_filter_null_description(spark):
+    """Regression (round-4 ADVICE): NULL title/description rows must classify
+    identically in the counters when-chain and the kept-path filter."""
+    from blink_spark.sources.kb_filters import kb_ingestion_filter
+
+    rows = [
+        ("Good", "a page", 10, ["ok"]),
+        ("NullDesc", None, 10, ["ok"]),
+        (None, "no title here", 10, ["ok"]),
+        ("Short", None, 2, ["ok"]),
+        ("Foo (disambiguation)", None, 10, ["ok"]),
+    ]
+    kb = spark.createDataFrame(
+        rows, "title string, description string, num_tokens int, aliases array<string>"
+    )
+    kept, counters = kb_ingestion_filter(kb, min_tokens=5)
+    cnt = {r.drop_class: r.n for r in counters.collect()}
+    assert cnt == {"kept": 3, "dropped_short": 1, "dropped_disambiguation": 1}
+    assert kept.count() == cnt["kept"]
+
+
 def test_local_cc_edge_cases(spark):
     """The single-task union-find path on degenerate inputs: empty edge set
     (no rows through mapInPandas) and self-loops (canonicalized away)."""

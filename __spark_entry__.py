@@ -3571,13 +3571,58 @@ def _er_oracles() -> dict[str, str]:
     }
 
 
+# Explicit driver-facing query order (round 4). The external driver verifies
+# the FIRST 50 entries of queries() each round, so the 22 queries defined
+# after position 49 (rounds 2-3 additions) could never earn a driver row in
+# definition order. This list rotates them into the verification window and
+# moves 22 triple-green veterans (driver-green in r1+r2+r3) to the tail.
+# Bodies and oracles are untouched — this is a dict-order permutation only.
+_DRIVER_ORDER = [
+    # 28 retained from the old window (original relative order)
+    "sessionize_events", "er_clusters", "er_pairwise_f1",
+    "er_span_enumeration", "er_question_mentions", "er_span_f1_weak_strong",
+    "er_two_key_fallback_join", "er_inverted_index_topk",
+    "cube_returnflag_status", "pivot_event_counts", "order_key_set_ops",
+    "wikidata_scan", "doc_sentences", "er_threshold_prune", "er_bm25_topk",
+    "er_coref_merge", "er_rank_histogram", "er_world_macro_micro",
+    "er_span_embedding_agg", "ann_ivf_recall", "er_span_scores",
+    "wiki_extractor_scan", "wiki_links", "wiki_incoming_links",
+    "jsonl_mention_scan", "er_blocking_recall", "conll_stream_spans",
+    "conll_csv_scan",
+    # 22 rotated INTO the window (former positions 50-71)
+    "scalar_wiki_forms", "er_pair_tokens", "er_pair_concat",
+    "er_candidate_fetch", "er_zeshel_doc_join", "er_pair_rerank",
+    "er_media_decode", "er_media_frames", "er_media_resize",
+    "embedding_label_centroids", "simhash_near_dups", "er_overlap_prune",
+    "jsonl_entity_scan", "er_span_repeat_prune", "er_repeat_overlap_prune",
+    "er_kb_ingest_filter", "er_pem_lookup", "doc_minhash_dedup",
+    "doc_ngram_containment_dups", "ann_lsh_recall", "embedding_cosine_dups",
+    "er_jdbc_mapping_scan",
+    # 22 triple-green veterans rotated OUT (keep their definitions + oracles)
+    "pricing_summary", "top_orders_per_customer", "revenue_by_region",
+    "customers_with_orders", "customers_without_orders", "event_neighbors",
+    "macro_micro_value", "doc_token_stats", "doc_quality", "doc_lang_id",
+    "doc_fingerprint_dedup", "doc_minhash_bands", "ann_bruteforce_topk",
+    "er_extract_mentions", "er_media_spans", "er_span_invariant",
+    "er_token_pair_blocks", "er_candidate_pairs", "er_scored_gold_pairs",
+    "er_topk_candidates", "er_recall_at_k", "softmax_confidence",
+]
+
+
+def _driver_sorted(d: dict) -> dict:
+    assert set(_DRIVER_ORDER) == set(_QUERIES), (
+        sorted(set(_DRIVER_ORDER) ^ set(_QUERIES))
+    )
+    return {k: d[k] for k in _DRIVER_ORDER if k in d}
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
-    return dict(_QUERIES)
+    return _driver_sorted(_QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-equivalent SQL for each query (driver correctness gate)."""
     out = dict(_ORACLES)
     out.update(_er_oracles())
-    return out
+    return _driver_sorted(out)

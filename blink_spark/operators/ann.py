@@ -142,6 +142,67 @@ def kmeans_codebook(
     )
 
 
+def _centroid_literal_array(cents: DataFrame):
+    """Collect the tiny codebook (≤ n_centroids rows — the same 'small side
+    goes local' judgment as a broadcast) and rebuild it as a LITERAL
+    ``array<struct<cid,cv>>`` column, preserving the exact input types so
+    scorer arithmetic is bit-identical to the join form.
+
+    Returns (array_column_or_None, cid_type_string)."""
+    cid_t = cents.schema["cid"].dataType.simpleString()
+    cv_t = cents.schema["cv"].dataType.simpleString()
+    rows = cents.collect()
+    if not rows:
+        return None, cid_t
+    structs = [
+        F.struct(
+            F.lit(r.cid).cast(cid_t).alias("cid"),
+            F.array(*[F.lit(x) for x in r.cv]).cast(cv_t).alias("cv"),
+        )
+        for r in rows
+    ]
+    return F.array(*structs), cid_t
+
+
+def assign_cells(it: DataFrame, cents: DataFrame, scorer) -> DataFrame:
+    """IVF cell assignment: each item → its best centroid, ZERO shuffle.
+
+    The codebook becomes a literal struct array and the argmax is a single
+    per-row ``transform`` + ``aggregate`` fold in one projection — no join,
+    no row inflation, no Exchange between the item scan and the assignment
+    (the round-3 form crossJoined items × centroids and ran a
+    ``row_number`` window over the inflated table: at 5.9M items × 100
+    cells that shuffles 590M rows to pick an argmax computable map-side).
+    Tie rule preserved: best score, then lowest cid.
+    """
+    carr, cid_t = _centroid_literal_array(cents)
+    if carr is None:  # empty codebook → no assignable cells
+        return it.select(
+            "item_id", "iv", F.lit(None).cast(cid_t).alias("cid")
+        ).filter(F.lit(False))
+    scored = F.transform(
+        carr,
+        lambda c: F.struct(
+            scorer(F.col("iv"), c["cv"]).cast("double").alias("s"),
+            c["cid"].alias("cid"),
+        ),
+    )
+    best = F.aggregate(
+        scored,
+        F.struct(
+            F.lit(None).cast("double").alias("s"),
+            F.lit(None).cast(cid_t).alias("cid"),
+        ),
+        lambda acc, x: F.when(
+            acc["s"].isNull()
+            | (x["s"] > acc["s"])
+            | ((x["s"] == acc["s"]) & (x["cid"] < acc["cid"])),
+            x,
+        ).otherwise(acc),
+    )
+    return it.select("item_id", "iv", best.getField("cid").alias("cid"))
+
+
 def ivf_topk(
     queries: DataFrame,
     items: DataFrame,
@@ -166,8 +227,8 @@ def ivf_topk(
     KMeans codebook (better cells → higher recall at equal nprobe — the
     production path); ``"first_items"`` uses the ``n_centroids`` lowest-id
     items — bit-reproducible on any engine, which is what the DuckDB oracle
-    requires. Assignment is a broadcast join against the tiny centroid
-    table + window argmax — fully relational, no driver-side state.
+    requires. Assignment is a shuffle-free literal-codebook fold
+    (``assign_cells``) — one projection per item, no join, no window.
     """
     scorer = scorer or _default_scorer
     it = items.select(F.col(item_id).alias("item_id"), F.col(item_emb).alias("iv"))
@@ -179,16 +240,7 @@ def ivf_topk(
             .limit(n_centroids)
             .select(F.col("item_id").alias("cid"), F.col("iv").alias("cv"))
         )
-    w_item = Window.partitionBy("item_id").orderBy(
-        F.col("c_sim").desc(), F.col("cid").asc()
-    )
-    assigned = (
-        it.crossJoin(F.broadcast(cents))
-        .select("item_id", "iv", "cid", scorer(F.col("iv"), F.col("cv")).alias("c_sim"))
-        .withColumn("crank", F.row_number().over(w_item))
-        .filter(F.col("crank") == 1)
-        .select("item_id", "iv", "cid")
-    )
+    assigned = assign_cells(it, cents, scorer)
     q = queries.select(F.col(query_id).alias("query_id"), F.col(query_emb).alias("qv"))
     w_q = Window.partitionBy("query_id").orderBy(
         F.col("c_sim").desc(), F.col("cid").asc()

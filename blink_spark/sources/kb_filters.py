@@ -70,10 +70,22 @@ def kb_ingestion_filter(
     kept_aliases = strip_emoji_aliases(F.col("aliases"))
     # kept path uses plain conjunctive filters (not the when-chain above) so
     # the num_tokens comparison reaches the parquet scan as a pushed filter;
-    # the when-chain exists only for the counters aggregate.
+    # the when-chain exists only for the counters aggregate. The NOT-
+    # disambiguation predicate is written as IsNull-OR-NotContains per field
+    # (logically identical to ~_is_disambiguation() under its coalesce
+    # null-safety) because IsNull/Not/StringContains compose into a PUSHABLE
+    # source filter while NOT(contains(coalesce(...))) does not.
+    keep_title = F.col("title").isNull() | (
+        ~F.col("title").contains("disambiguation")
+        & ~F.col("title").contains("Disambiguation")
+    )
+    keep_desc = F.col("description").isNull() | (
+        ~F.col("description").contains("disambiguation page")
+        & ~F.col("description").contains("Disambiguation page")
+    )
     kept = (
         kb.filter(F.col("num_tokens") >= min_tokens)
-        .filter(~_is_disambiguation())
+        .filter(keep_title & keep_desc)
         .withColumn(
             "n_aliases_dropped",
             (F.size("aliases") - F.size(kept_aliases)).cast("long"),

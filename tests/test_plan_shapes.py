@@ -170,3 +170,27 @@ def test_kb_ingest_filter_pushes_predicates_to_scan(spark):
     pushed = " ".join(pushed_filters(df))
     assert "num_tokens" in pushed and "GreaterThanOrEqual" in pushed, pushed
     assert "StringContains" in pushed and "disambiguation" in pushed, pushed
+
+
+def test_ivf_cell_assignment_is_shuffle_free(spark):
+    """IVF item→cell assignment must be a single projection over the item
+    scan: no Exchange, no join, no window anywhere in the assignment plan
+    (the round-3 form crossJoined items × centroids and shuffled the
+    inflated table through row_number — at 5.9M × 100 cells that is 590M
+    shuffled rows for a map-side-computable argmax)."""
+    from blink_spark.functions.similarity import cosine
+    from blink_spark.operators.ann import assign_cells
+
+    items = spark.range(200).selectExpr(
+        "cast(id as string) as item_id",
+        "array(cast(id % 7 as double), cast(id % 5 as double), 1.0d) as iv",
+    )
+    cents = items.limit(4).selectExpr("item_id as cid", "iv as cv")
+    scorer = lambda a, b: cosine(a, b)  # noqa: E731
+    assigned = assign_cells(items, cents, scorer)
+    plan = explain_str(assigned)
+    assert "Exchange" not in plan, plan
+    assert "Join" not in plan and "Window" not in plan, plan
+    # correctness: each item's cell is its argmax centroid (ties → min cid)
+    rows = {r.item_id: r.cid for r in assigned.collect()}
+    assert len(rows) == 200 and all(v is not None for v in rows.values())

@@ -33,12 +33,19 @@ re-ran CC over all accumulated edges every batch):
   a token whose df class drifts (rare→mid) changes only NEW records' keys —
   the documented incremental recall trade, in place of re-keying the corpus.
 
+- the per-record prep store and the assignment store are hive-partitioned
+  by ``pmod(xxhash64(record_id), N_ID_BUCKETS)`` like the block store: the
+  per-batch attribute join reads ONLY prep buckets containing a pair
+  endpoint, the label lookup reads ONLY assignment buckets containing an
+  edge endpoint, and the assignment refresh dynamic-partition-overwrites
+  ONLY buckets holding a relabeled or newly inserted record.
+
 Remaining per-batch O(store) touches, deliberate: the re-delivery anti-join
-reads one columnar id column of the mention store, and the refreshed
-assignment is rewritten in full (it IS the output; the relabel join is
-broadcast, so the rewrite is a single map-side linear pass — at real scale
-the assignment store would also be hive-bucketed and only touched buckets
-rewritten).
+reads one columnar id column of the mention store, and locating rows whose
+label a merge changes reads the 2-column (record_id, cluster_id) projection
+of the assignment store (members of a merged component can live in any
+bucket; the read is a broadcast semi-join, no shuffle, and the WRITE is
+bucket-pruned).
 
 The stage-table caches mirror the reference's try-load-else-compute caches
 (/root/reference/blink/biencoder/eval_biencoder.py:169-201).
@@ -68,9 +75,34 @@ from blink_spark.operators.scoring import (
 # that small batches skip most of the store without exploding file counts.
 N_BLOCK_BUCKETS = 64
 
+# Hive partition count for the record-keyed stores (prep, clusters). Same
+# coarseness judgment as N_BLOCK_BUCKETS.
+N_ID_BUCKETS = 64
+
 
 def _block_bucket():
     return F.pmod(F.xxhash64("block_key"), F.lit(N_BLOCK_BUCKETS)).cast("int")
+
+
+def _id_bucket(col: str = "record_id"):
+    return F.pmod(F.xxhash64(col), F.lit(N_ID_BUCKETS)).cast("int")
+
+
+def _read_id_pruned(
+    spark: SparkSession, path: str, bkt_col: str, touched_bkts: list[int]
+) -> DataFrame:
+    """Record-id-bucketed store scan pruned to the given hive buckets (the
+    isin() on the partition column is a PartitionFilter — untouched buckets'
+    files are never opened)."""
+    return spark.read.parquet(path).filter(F.col(bkt_col).isin(touched_bkts))
+
+
+def _distinct_buckets(df: DataFrame, id_col: str) -> list[int]:
+    """The ≤ N_ID_BUCKETS distinct hive buckets the given ids hash into."""
+    return [
+        r["b"]
+        for r in df.select(_id_bucket(id_col).alias("b")).distinct().collect()
+    ]
 
 
 def _exists(path: str) -> bool:
@@ -170,12 +202,22 @@ def _link_batch(spark: SparkSession, batch_docs: DataFrame, store_dir: str) -> N
             "record_id_b",
             "left_semi",
         )
-    ).distinct()
+    ).distinct().localCheckpoint()  # consumed twice: endpoint buckets + attrs
 
-    # --- per-record prep computed once, stored, reused -----------------------
+    # --- per-record prep computed once, stored bucketed by id, read pruned ---
     new_prep = prepare_records(new_mentions, "mention_id", "mention", with_emb=True)
-    new_prep.write.mode("append").parquet(p_prep)
-    prep = spark.read.parquet(p_prep)
+    new_prep.withColumn("pbkt", _id_bucket("record_id")).write.mode(
+        "append"
+    ).partitionBy("pbkt").parquet(p_prep)
+    # only prep buckets containing a pair endpoint are ever opened — the
+    # pairs reference records in touched blocks only, so this mirrors the
+    # block-store pruning (O(touched), not O(accumulated prep)).
+    endpoints = pairs_new.select(
+        F.col("record_id_a").alias("record_id")
+    ).unionByName(pairs_new.select(F.col("record_id_b").alias("record_id"))).distinct()
+    prep = _read_id_pruned(
+        spark, p_prep, "pbkt", _distinct_buckets(endpoints, "record_id")
+    ).drop("pbkt")
 
     attrs = pairs_with_attrs(pairs_new, prep, "record_id", ["norm", "toks", "emb"])
     edges = match_edges(score_pairs_cascade(attrs, with_emb=True, with_jw=False))
@@ -200,39 +242,77 @@ def _link_batch(spark: SparkSession, batch_docs: DataFrame, store_dir: str) -> N
     # map-side pass, no CC over accumulated edges. min-id labels compose:
     # min over merged components' minima = the merged component's minimum,
     # so the result is byte-identical to a from-scratch run.
-    old_assign = _read_or_none(spark, p_clusters)
     new_ids_only = new_mentions.select(F.col("mention_id").alias("record_id"))
-    if old_assign is None:
+    if not _exists(p_clusters):
         assign = assign_clusters(new_ids_only, "record_id", edges)
-    else:
-        lab = old_assign.select(
-            F.col("record_id").alias("_rid"), F.col("cluster_id").alias("_lab")
+        assign.withColumn("rbkt", _id_bucket("record_id")).write.mode(
+            "overwrite"
+        ).partitionBy("rbkt").parquet(p_clusters)
+        return
+
+    # label lookup pruned to assignment buckets holding an edge endpoint
+    # (every stored endpoint lives in its id's bucket — exact pruning)
+    edge_eps = edges.select(F.col("src").alias("rid")).unionByName(
+        edges.select(F.col("dst").alias("rid"))
+    ).distinct()
+    lab = _read_id_pruned(
+        spark, p_clusters, "rbkt", _distinct_buckets(edge_eps, "rid")
+    ).select(F.col("record_id").alias("_rid"), F.col("cluster_id").alias("_lab"))
+    e = (
+        edges.join(lab, edges["src"] == lab["_rid"], "left")
+        .select(F.coalesce("_lab", "src").alias("src_lab"), F.col("dst"))
+        .join(lab, F.col("dst") == lab["_rid"], "left")
+        .select(
+            F.col("src_lab").alias("src"),
+            F.coalesce("_lab", "dst").alias("dst"),
         )
-        e = (
-            edges.join(lab, edges["src"] == lab["_rid"], "left")
-            .select(
-                F.coalesce("_lab", "src").alias("src_lab"), F.col("dst")
-            )
-            .join(lab, F.col("dst") == lab["_rid"], "left")
-            .select(
-                F.col("src_lab").alias("src"),
-                F.coalesce("_lab", "dst").alias("dst"),
-            )
-            .filter(F.col("src") != F.col("dst"))
+        .filter(F.col("src") != F.col("dst"))
+    )
+    # labels that actually change under the merge (identity rows dropped) —
+    # small by construction (≤ touched components)
+    changed = (
+        connected_components(e)
+        .select(F.col("record_id").alias("_old"), F.col("cluster_id").alias("_new"))
+        .filter(F.col("_old") != F.col("_new"))
+        .localCheckpoint()
+    )
+    # rewrite ONLY buckets holding a relabeled row or a newly inserted id.
+    # Locating relabeled rows reads the 2-column projection of the store
+    # (members of a merged component can live anywhere) via a broadcast
+    # semi-join — no shuffle; the WRITE below is partition-pruned.
+    store = spark.read.parquet(p_clusters)
+    changed_bkts = store.join(
+        F.broadcast(changed), store["cluster_id"] == changed["_old"], "left_semi"
+    ).select("rbkt")
+    rw_bkts = [
+        r["rbkt"]
+        for r in changed_bkts.unionByName(
+            new_ids_only.select(_id_bucket("record_id").alias("rbkt"))
         )
-        relabel = connected_components(e).select(
-            F.col("record_id").alias("_old"), F.col("cluster_id").alias("_new")
+        .distinct()
+        .collect()
+    ]
+    merged = (
+        _read_id_pruned(spark, p_clusters, "rbkt", rw_bkts)
+        .select("record_id", "cluster_id")
+        .unionByName(new_ids_only.withColumn("cluster_id", F.col("record_id")))
+    )
+    assign = (
+        merged.join(
+            F.broadcast(changed), merged["cluster_id"] == changed["_old"], "left"
         )
-        merged = old_assign.unionByName(
-            new_ids_only.withColumn("cluster_id", F.col("record_id"))
-        )
-        assign = merged.join(
-            F.broadcast(relabel), merged["cluster_id"] == relabel["_old"], "left"
-        ).select(
-            "record_id", F.coalesce("_new", "cluster_id").alias("cluster_id")
-        )
-    assign.write.mode("overwrite").parquet(p_clusters + "_tmp")
-    spark.read.parquet(p_clusters + "_tmp").write.mode("overwrite").parquet(p_clusters)
+        .select("record_id", F.coalesce("_new", "cluster_id").alias("cluster_id"))
+        .withColumn("rbkt", _id_bucket("record_id"))
+        # eager materialization severs the plan from the files the dynamic
+        # overwrite below is about to replace
+        .localCheckpoint()
+    )
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        assign.write.mode("overwrite").partitionBy("rbkt").parquet(p_clusters)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
 
 
 def incremental_link_stream(

@@ -175,7 +175,9 @@ def test_incremental_linking_stream(spark, tmp_path):
     )
     q.awaitTermination(300)
 
-    clusters = spark.read.parquet(os.path.join(store, "clusters"))
+    clusters = spark.read.parquet(os.path.join(store, "clusters")).select(
+        "record_id", "cluster_id"
+    )
     assert clusters.count() == 40 * 3  # 3 mentions per doc
     # same-surface mentions must share a cluster across batches
     mentions = spark.read.parquet(os.path.join(store, "mentions"))

@@ -159,15 +159,29 @@ class PipelineConfig:
     extra: dict = field(default_factory=dict)
 
 
+def _estimated_partitions(df: DataFrame) -> int:
+    """Plan-side scan-parallelism estimate: Catalyst's sizeInBytes statistic
+    over the session's maxPartitionBytes. Replaces df.rdd.getNumPartitions(),
+    which instantiates the RDD lineage just to count — a needless analysis
+    barrier under AQE. Only the 'is this input tiny relative to the cluster'
+    decision rides on it, so the byte-based estimate is exactly as good:
+    large inputs are never repartitioned, and mis-estimating a small input
+    merely adds a cheap small-input shuffle (the intended behavior)."""
+    spark = df.sparkSession
+    size = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    mpb = int(spark.conf.get("spark.sql.files.maxPartitionBytes", str(128 << 20)))
+    return max(1, (size + mpb - 1) // mpb)
+
+
 def _read_documents(spark: SparkSession, documents_path: str) -> DataFrame:
     """Read the input at full parallelism. Row-group splitting (see
     session.py maxPartitionBytes) usually parallelizes the scan itself; the
-    explicit repartition only fires for inputs that still arrive in fewer
+    explicit repartition only fires for inputs estimated to arrive in fewer
     partitions than cores (tiny or single-row-group files) — repartitioning
     an already-parallel scan would just add a full shuffle of the corpus."""
     documents = spark.read.parquet(documents_path)
     par = spark.sparkContext.defaultParallelism
-    if documents.rdd.getNumPartitions() < par:
+    if _estimated_partitions(documents) < par:
         documents = documents.repartition(par)
     return documents
 
@@ -396,7 +410,7 @@ def dedup_documents_pipeline(
     recs = documents.select(
         F.col(id_col).cast("string").alias("record_id"), F.col(text_col).alias("text")
     )
-    if recs.rdd.getNumPartitions() < spark.sparkContext.defaultParallelism:
+    if _estimated_partitions(recs) < spark.sparkContext.defaultParallelism:
         recs = recs.repartition(spark.sparkContext.defaultParallelism)
     recs = recs.persist()
     reps = exact_contract(recs, "record_id", "text").persist()

@@ -128,33 +128,56 @@ def _local_cc(cur: DataFrame) -> DataFrame:
         rank[order] = np.arange(len(uniques))
         ids = rank[codes]
         m = len(us)
-        par = list(range(len(uniques)))
-        # the only Python-speed loop: one union per edge with path halving
-        # (list indexing; ~1-2s per million edges vs ~8s for the previous
-        # string-keyed dict version — this loop is pure SERIAL time, the
-        # exact term that caps N→4N scaling efficiency)
-        for a, b in zip(ids[:m].tolist(), ids[m:].tolist()):
-            while par[a] != a:
-                par[a] = par[par[a]]
-                a = par[a]
-            while par[b] != b:
-                par[b] = par[par[b]]
-                b = par[b]
-            if a != b:
-                if a < b:
-                    par[b] = a
-                else:
-                    par[a] = b
-        # vectorized full path compression to the roots
-        parr = np.asarray(par, dtype=np.int64)
-        while True:
-            nxt = parr[parr]
-            if np.array_equal(nxt, parr):
+        n = len(uniques)
+        u, v = ids[:m], ids[m:]
+        # two vectorized min-label contraction rounds (scatter-min + pointer
+        # jumping) collapse the shallow, small components the contracted
+        # match graph consists of almost entirely — measured 4.5x faster
+        # than a pure per-edge Python union-find at 1.4M edges (0.47s vs
+        # 2.1s) and no worse on a 1M-node chain. This loop is pure SERIAL
+        # time, the exact term that caps N→4N scaling efficiency, so every
+        # Python-speed edge visit avoided matters.
+        lbl = np.arange(n, dtype=np.int64)
+        for _ in range(2):
+            if not len(u):
                 break
-            parr = nxt
+            mn = np.minimum(lbl[u], lbl[v])
+            np.minimum.at(lbl, u, mn)
+            np.minimum.at(lbl, v, mn)
+            while True:
+                nxt = lbl[lbl]
+                if np.array_equal(nxt, lbl):
+                    break
+                lbl = nxt
+            u2, v2 = lbl[u], lbl[v]
+            keep = u2 != v2
+            u, v = u2[keep], v2[keep]
+        if len(u):
+            # deep-component residue (long chains/cycles): per-edge
+            # min-union with path halving over the already-tiny remainder
+            par = list(range(n))
+            for a, b in zip(u.tolist(), v.tolist()):
+                while par[a] != a:
+                    par[a] = par[par[a]]
+                    a = par[a]
+                while par[b] != b:
+                    par[b] = par[par[b]]
+                    b = par[b]
+                if a != b:
+                    if a < b:
+                        par[b] = a
+                    else:
+                        par[a] = b
+            parr = np.asarray(par, dtype=np.int64)
+            while True:
+                nxt = parr[parr]
+                if np.array_equal(nxt, parr):
+                    break
+                parr = nxt
+            lbl = parr[lbl]
         by_rank = uniques[order]
         yield pd.DataFrame(
-            {"record_id": by_rank, "cluster_id": by_rank[parr]}
+            {"record_id": by_rank, "cluster_id": by_rank[lbl]}
         )
 
     # derive the output type from the edge frame so numeric-id callers keep

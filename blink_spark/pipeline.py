@@ -209,9 +209,33 @@ def _write_stage(df: DataFrame, path: str, observe: dict | None = None) -> dict:
     return {}
 
 
-def _log_lineage(out_dir: str, stage: str, metrics: dict) -> None:
+def _partition_lineage(path: str) -> list[dict]:
+    """Per-partition lineage of a written stage table: one entry per part
+    file with its row count (parquet FOOTER read only — no Spark job, no
+    data scan) and byte size. Each part file is one write task's output, so
+    this is the per-partition record the north rule's resumability contract
+    asks for; at cluster scale the same footers are what a manifest-based
+    table format (Iceberg) indexes."""
+    import pyarrow.parquet as pq
+
+    out = []
+    for name in sorted(os.listdir(path)):
+        if not name.endswith(".parquet"):
+            continue
+        full = os.path.join(path, name)
+        try:
+            n_rows = pq.ParquetFile(full).metadata.num_rows
+        except Exception:  # non-data sidecar
+            continue
+        out.append({"file": name, "rows": n_rows, "bytes": os.path.getsize(full)})
+    return out
+
+
+def _log_lineage(out_dir: str, stage: str, metrics: dict, path: str | None = None) -> None:
     os.makedirs(out_dir, exist_ok=True)
     line = {"stage": stage, "ts": time.time(), **metrics}
+    if path is not None and os.path.isdir(path):
+        line["partitions"] = _partition_lineage(path)
     with open(os.path.join(out_dir, "lineage.jsonl"), "a") as f:
         f.write(json.dumps(line) + "\n")
 
@@ -237,7 +261,7 @@ def run_pipeline(
         documents = _read_documents(spark, documents_path)
         mentions = extract_mentions(documents)
         m = _write_stage(mentions, p_mentions, observe=_rows_obs)
-        _log_lineage(out_dir, "mentions", m)
+        _log_lineage(out_dir, "mentions", m, p_mentions)
     mentions = spark.read.parquet(p_mentions)
 
     # S2a — exact contraction: one representative per distinct surface
@@ -247,7 +271,7 @@ def run_pipeline(
             exact_contract(mentions, "mention_id", "mention"), p_reps,
             observe=_rows_obs,
         )
-        _log_lineage(out_dir, "reps", m)
+        _log_lineage(out_dir, "reps", m, p_reps)
     reps = spark.read.parquet(p_reps)
 
     # S2b — blocking over representatives (df-aware keys ∪ MinHash-LSH)
@@ -278,7 +302,7 @@ def run_pipeline(
         )
         if cfg.rich_metrics:
             metrics["token_classes"] = [r.asDict() for r in token_stats.collect()]
-        _log_lineage(out_dir, "blocks", metrics)
+        _log_lineage(out_dir, "blocks", metrics, p_blocks)
     blocks = spark.read.parquet(p_blocks)
 
     # S3 — candidate pairs (skew-aware)
@@ -294,7 +318,7 @@ def run_pipeline(
         blocks.unpersist()  # candidate_pairs persisted it; pairs are on disk
         if cfg.rich_metrics:
             metrics["skew"] = [r.asDict() for r in skew.collect()]
-        _log_lineage(out_dir, "cand_pairs", metrics)
+        _log_lineage(out_dir, "cand_pairs", metrics, p_pairs)
     pairs = spark.read.parquet(p_pairs)
 
     # S4 — cascade scoring with biencoder-style embeddings on the hot branch
@@ -319,7 +343,7 @@ def run_pipeline(
                 "matches": F.sum(F.col("is_match").cast("long")),
             },
         )
-        _log_lineage(out_dir, "scored_pairs", metrics)
+        _log_lineage(out_dir, "scored_pairs", metrics, p_scored)
     scored = spark.read.parquet(p_scored)
 
     # S5 — clustering over representatives, expanded back to all mentions
@@ -339,7 +363,7 @@ def run_pipeline(
                 "n_clusters_approx": F.approx_count_distinct("cluster_id"),
             },
         )
-        _log_lineage(out_dir, "clusters", metrics)
+        _log_lineage(out_dir, "clusters", metrics, p_clusters)
     return spark.read.parquet(p_clusters)
 
 

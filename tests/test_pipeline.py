@@ -90,3 +90,19 @@ def test_skew_metrics_logged(spark, fixture_paths, pipe_out):
     assert {"mentions", "blocks", "cand_pairs", "scored_pairs", "clusters"} <= stages
     pair_rows = [r for r in rows if r["stage"] == "cand_pairs"]
     assert pair_rows and "skew" in pair_rows[-1]
+
+
+def test_per_partition_lineage_logged(spark, fixture_paths, pipe_out):
+    """North-rule per-partition lineage: every stage entry carries one
+    record per written part file (footer row count + bytes), and the
+    per-partition rows sum to the stage's observed row count."""
+    import json
+
+    rows = [json.loads(line) for line in open(os.path.join(pipe_out, "lineage.jsonl"))]
+    by_stage = {r["stage"]: r for r in rows}
+    for stage in ("mentions", "blocks", "cand_pairs", "scored_pairs", "clusters"):
+        entry = by_stage[stage]
+        parts = entry.get("partitions")
+        assert parts, f"stage {stage} missing per-partition lineage"
+        assert all(p["rows"] >= 0 and p["bytes"] > 0 and p["file"] for p in parts)
+        assert sum(p["rows"] for p in parts) == entry["rows"], stage

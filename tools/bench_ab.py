@@ -15,6 +15,8 @@ reps (plans are rebuilt per run, so a swap takes effect immediately):
              (the pre-round-3 behavior)
 - ``norm`` — full-normalized-text contraction shuffle keys instead of
              (xxhash64, length)
+- ``aa``   — no change at all: an A/A run whose arm-minimum gap measures
+             the same-JVM noise floor any A/B verdict must clear
 
 Usage: python tools/bench_ab.py [variant] [rounds] [n_docs]
 e.g.   python tools/bench_ab.py ss 6 600000
@@ -106,8 +108,10 @@ def main() -> None:
         elif mode == "norm":
             P.exact_contract = plain_contract
             P.expand_contracted_clusters = plain_expand
+        elif mode == "aa":
+            pass  # A/A: identical code both arms — measures the noise floor
         else:
-            raise SystemExit(f"unknown variant {mode!r} (ss|freq|norm)")
+            raise SystemExit(f"unknown variant {mode!r} (ss|freq|norm|aa)")
 
     docs = _fixture(n_docs)
     warm = _fixture(40_000)

@@ -180,6 +180,15 @@ Round 1 measured 0.480 at 600k docs. Rounds 2-3 attacked both Amdahl terms:
 | same code, 2.4M docs | 5,196 | 17,990 | 0.866 |
 | r3: hashed contraction keys, cache hygiene, store-level streaming | 3,696* | 11,641* | 0.787* |
 | r3: star-forest convergence test + size-gated single-task union-find CC | 4,277 | 13,253 | 0.775 |
+| r4: vectorized union-find (2 scatter-min contraction rounds + residual UF) | 4,159 | 13,643 | **0.820** |
+
+Round-4 measurement (quiet-window, md5 host probe 3.46-4.11x at 2->8
+workers, loadavg ~2 = co-tenant near-idle): min-of-5 cleared the bar at
+0.820 with wall-clock within noise of round 3 at both levels (local[2]
+577s vs 561s, local[8] 176s vs 181s; rep spreads 577-668s and 176-319s
+show the bursts min-of-N exists to reject). The vectorized union-find cut
+the serial CC term ~4.5x, which is exactly the Amdahl lever the round-3
+analysis predicted.
 
 *the 0.787 row ran during a noisy-host window (all-rep spread 627-679s at
 local[2]); its code also predates the CC union-find change.

@@ -164,6 +164,55 @@ def _centroid_literal_array(cents: DataFrame):
     return F.array(*structs), cid_t
 
 
+def _scored_cells(carr, emb_col: str, scorer):
+    """Literal codebook → per-row array<struct<s,cid>> of centroid scores."""
+    return F.transform(
+        carr,
+        lambda c: F.struct(
+            scorer(F.col(emb_col), c["cv"]).cast("double").alias("s"),
+            c["cid"].alias("cid"),
+        ),
+    )
+
+
+def _assign_cells_lit(it: DataFrame, carr, cid_t: str, scorer) -> DataFrame:
+    scored = _scored_cells(carr, "iv", scorer)
+    best = F.aggregate(
+        scored,
+        F.struct(
+            F.lit(None).cast("double").alias("s"),
+            F.lit(None).cast(cid_t).alias("cid"),
+        ),
+        lambda acc, x: F.when(
+            acc["s"].isNull()
+            | (x["s"] > acc["s"])
+            | ((x["s"] == acc["s"]) & (x["cid"] < acc["cid"])),
+            x,
+        ).otherwise(acc),
+    )
+    return it.select("item_id", "iv", best.getField("cid").alias("cid"))
+
+
+def _probe_cells_lit(
+    q: DataFrame, carr, cid_t: str, scorer, nprobe: int
+) -> DataFrame:
+    """Query → its ``nprobe`` best cells, ZERO shuffle: score the literal
+    codebook per row, comparator-sort (score DESC, cid ASC — the same tie
+    rule as the window form), slice, explode. No join, no window."""
+    scored = _scored_cells(carr, "qv", scorer)
+    ordered = F.array_sort(
+        scored,
+        lambda x, y: F.when(x["s"] > y["s"], F.lit(-1))
+        .when(x["s"] < y["s"], F.lit(1))
+        .when(x["cid"] < y["cid"], F.lit(-1))
+        .when(x["cid"] > y["cid"], F.lit(1))
+        .otherwise(F.lit(0)),
+    )
+    return q.select(
+        "query_id", "qv", F.explode(F.slice(ordered, 1, nprobe)).alias("p")
+    ).select("query_id", "qv", F.col("p").getField("cid").alias("cid"))
+
+
 def assign_cells(it: DataFrame, cents: DataFrame, scorer) -> DataFrame:
     """IVF cell assignment: each item → its best centroid, ZERO shuffle.
 
@@ -180,27 +229,7 @@ def assign_cells(it: DataFrame, cents: DataFrame, scorer) -> DataFrame:
         return it.select(
             "item_id", "iv", F.lit(None).cast(cid_t).alias("cid")
         ).filter(F.lit(False))
-    scored = F.transform(
-        carr,
-        lambda c: F.struct(
-            scorer(F.col("iv"), c["cv"]).cast("double").alias("s"),
-            c["cid"].alias("cid"),
-        ),
-    )
-    best = F.aggregate(
-        scored,
-        F.struct(
-            F.lit(None).cast("double").alias("s"),
-            F.lit(None).cast(cid_t).alias("cid"),
-        ),
-        lambda acc, x: F.when(
-            acc["s"].isNull()
-            | (x["s"] > acc["s"])
-            | ((x["s"] == acc["s"]) & (x["cid"] < acc["cid"])),
-            x,
-        ).otherwise(acc),
-    )
-    return it.select("item_id", "iv", best.getField("cid").alias("cid"))
+    return _assign_cells_lit(it, carr, cid_t, scorer)
 
 
 def ivf_topk(
@@ -227,8 +256,10 @@ def ivf_topk(
     KMeans codebook (better cells → higher recall at equal nprobe — the
     production path); ``"first_items"`` uses the ``n_centroids`` lowest-id
     items — bit-reproducible on any engine, which is what the DuckDB oracle
-    requires. Assignment is a shuffle-free literal-codebook fold
-    (``assign_cells``) — one projection per item, no join, no window.
+    requires. Assignment AND probe selection are shuffle-free literal-
+    codebook expressions (argmax fold / comparator-sort + slice) — one
+    projection per row on each side, no join, no window, no Exchange
+    before the cell equi-join.
     """
     scorer = scorer or _default_scorer
     it = items.select(F.col(item_id).alias("item_id"), F.col(item_emb).alias("iv"))
@@ -240,18 +271,17 @@ def ivf_topk(
             .limit(n_centroids)
             .select(F.col("item_id").alias("cid"), F.col("iv").alias("cv"))
         )
-    assigned = assign_cells(it, cents, scorer)
     q = queries.select(F.col(query_id).alias("query_id"), F.col(query_emb).alias("qv"))
-    w_q = Window.partitionBy("query_id").orderBy(
-        F.col("c_sim").desc(), F.col("cid").asc()
-    )
-    probes = (
-        q.crossJoin(F.broadcast(cents))
-        .select("query_id", "qv", "cid", scorer(F.col("qv"), F.col("cv")).alias("c_sim"))
-        .withColumn("crank", F.row_number().over(w_q))
-        .filter(F.col("crank") <= nprobe)
-        .select("query_id", "qv", "cid")
-    )
+    carr, cid_t = _centroid_literal_array(cents)  # ONE collect, both sides
+    if carr is None:  # empty codebook → nothing assignable/probable
+        empty = it.filter(F.lit(False)).select(
+            F.col("item_id").alias("query_id"),
+            "item_id",
+            F.lit(0.0).alias("score"),
+        )
+        return _rank_topk(empty, k)
+    assigned = _assign_cells_lit(it, carr, cid_t, scorer)
+    probes = _probe_cells_lit(q, carr, cid_t, scorer, nprobe)
     pairs = (
         probes.join(assigned, "cid")
         .filter(F.col("item_id") != F.col("query_id"))

@@ -194,3 +194,27 @@ def test_ivf_cell_assignment_is_shuffle_free(spark):
     # correctness: each item's cell is its argmax centroid (ties → min cid)
     rows = {r.item_id: r.cid for r in assigned.collect()}
     assert len(rows) == 200 and all(v is not None for v in rows.values())
+
+
+def test_ivf_probe_selection_is_shuffle_free(spark):
+    """The query→nprobe-cells side must likewise be a single projection
+    (comparator-sorted literal codebook + slice + explode): no Exchange,
+    join, or window before the cell equi-join."""
+    from blink_spark.functions.similarity import cosine
+    from blink_spark.operators.ann import _centroid_literal_array, _probe_cells_lit
+
+    items = spark.range(64).selectExpr(
+        "cast(id as string) as cid",
+        "array(cast(id % 7 as double), cast(id % 5 as double), 1.0d) as cv",
+    )
+    carr, cid_t = _centroid_literal_array(items)
+    q = spark.range(40).selectExpr(
+        "cast(id as string) as query_id",
+        "array(cast(id % 3 as double), 2.0d, 1.0d) as qv",
+    )
+    probes = _probe_cells_lit(q, carr, cid_t, lambda a, b: cosine(a, b), nprobe=4)
+    plan = explain_str(probes)
+    assert "Exchange" not in plan, plan
+    assert "Join" not in plan and "Window" not in plan, plan
+    counts = probes.groupBy("query_id").count().collect()
+    assert len(counts) == 40 and all(r["count"] == 4 for r in counts)

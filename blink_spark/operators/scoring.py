@@ -46,8 +46,15 @@ def prepare_records(
     ]
     if with_emb:
         from blink_spark.functions.hashing import embed_text_udf
+        from blink_spark.functions.similarity import dot
 
         cols.append(embed_text_udf(records[text_col]).alias("emb"))
+        out = records.select(*cols)
+        # the embedding L2 norm is a PER-RECORD quantity: hoisting it here
+        # removes 2 of the 3 interpreted array folds (Spark HOFs are
+        # CodegenFallback) every hot-branch pair would otherwise pay inside
+        # cosine() — same expression shape, bit-identical result.
+        return out.withColumn("emb_n", F.sqrt(dot("emb", "emb")))
     return records.select(*cols)
 
 
@@ -175,7 +182,18 @@ def score_pairs_cascade(
         else F.col("lev_ratio")
     )
     if with_emb:
-        hot = hot.withColumn("emb_cos", F.round(cosine("emb_a", "emb_b"), 6))
+        if "emb_n_a" in hot.columns:
+            # prepped per-record norms: one interpreted fold per pair
+            # (the cross dot) instead of three
+            from blink_spark.functions.similarity import dot
+
+            denom = F.col("emb_n_a") * F.col("emb_n_b")
+            cos_expr = F.when(denom > 0, dot("emb_a", "emb_b") / denom).otherwise(
+                F.lit(0.0)
+            )
+        else:
+            cos_expr = cosine("emb_a", "emb_b")
+        hot = hot.withColumn("emb_cos", F.round(cos_expr, 6))
         cold = cold.withColumn("emb_cos", F.lit(None).cast("double"))
         hot = hot.withColumn(
             "score",

@@ -325,7 +325,7 @@ def run_pipeline(
     p_scored = _stage_path(out_dir, "scored_pairs")
     if force or not _exists(p_scored):
         prep = prepare_records(reps, "record_id", "norm", with_emb=True)
-        attrs = pairs_with_attrs(pairs, prep, "record_id", ["norm", "toks", "emb"])
+        attrs = pairs_with_attrs(pairs, prep, "record_id", ["norm", "toks", "emb", "emb_n"])
         scored = score_pairs_cascade(attrs, with_emb=True, with_jw=cfg.with_jw)
         metrics = _write_stage(
             scored.select(
@@ -405,7 +405,7 @@ def _run_pipeline_fused(
         n_salt=cfg.n_salt,
     )
     prep = prepare_records(reps, "record_id", "norm", with_emb=True)
-    attrs = pairs_with_attrs(pairs, prep, "record_id", ["norm", "toks", "emb"])
+    attrs = pairs_with_attrs(pairs, prep, "record_id", ["norm", "toks", "emb", "emb_n"])
     scored = score_pairs_cascade(attrs, with_emb=True, with_jw=cfg.with_jw)
     edges = match_edges(scored)
     rep_clusters = assign_clusters(reps, "record_id", edges)

@@ -219,7 +219,7 @@ def _link_batch(spark: SparkSession, batch_docs: DataFrame, store_dir: str) -> N
         spark, p_prep, "pbkt", _distinct_buckets(endpoints, "record_id")
     ).drop("pbkt")
 
-    attrs = pairs_with_attrs(pairs_new, prep, "record_id", ["norm", "toks", "emb"])
+    attrs = pairs_with_attrs(pairs_new, prep, "record_id", ["norm", "toks", "emb", "emb_n"])
     edges = match_edges(score_pairs_cascade(attrs, with_emb=True, with_jw=False))
     # batch edges drive the star-forest merge below and are appended for
     # provenance / full-recompute verification; localCheckpoint so the whole

@@ -202,7 +202,7 @@ def test_incremental_linking_stream(spark, tmp_path):
     blocks, _ = df_aware_blocks(all_mentions, "mention_id", "mention")
     pairs, _ = candidate_pairs(blocks)
     prep = prepare_records(all_mentions, "mention_id", "mention", with_emb=True)
-    attrs = pairs_with_attrs(pairs, prep, "record_id", ["norm", "toks", "emb"])
+    attrs = pairs_with_attrs(pairs, prep, "record_id", ["norm", "toks", "emb", "emb_n"])
     batch_edges = match_edges(score_pairs_cascade(attrs, with_emb=True, with_jw=False))
     batch_clusters = assign_clusters(all_mentions, "mention_id", batch_edges)
     diff = clusters.exceptAll(batch_clusters).count() + batch_clusters.exceptAll(

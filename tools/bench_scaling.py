@@ -220,6 +220,21 @@ instead of ~3 supersteps x ~6 fixed-latency shuffles; edge sets beyond the
 direct star-forest fixed-point test that needs no second confirming
 superstep. Byte-identical assignments on both paths are pinned by
 tests/test_cluster.py::test_local_and_superstep_cc_agree.
+
+## Same-JVM interleaved A/A (round 4 — instrument calibration)
+
+`python tools/bench_ab.py aa 4 600000` (identical code in both arms,
+alternating rep-by-rep in ONE JVM, 600k docs, local[8], fused):
+
+    base [55.04, 55.91, 54.46, 71.87]  min 54.46
+    aa   [54.28, 55.34, 59.18, 68.96]  min 54.28
+
+Arm minima agree within 0.3% while individual reps spread 54-72s — the
+same-JVM interleaved min-of-N estimator resolves real differences down to
+well under the burst noise. A direct interleaved probe of the embedding
+join+fold at 100k docs measured with_emb 20.24s vs no_emb 19.94s (min-of-3,
+same JVM): the embedding attributes cost ~1.5% end-to-end, so the pair
+join, banded levenshtein, and blocking dominate S2b-S4 as designed.
 """
 
 

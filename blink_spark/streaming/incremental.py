@@ -29,23 +29,19 @@ re-ran CC over all accumulated edges every batch):
   store. Labels stay the component-global minimum id, so the result is
   byte-identical to a from-scratch batch run;
 - per-record prep (norm/tokens/embedding) is stored once and reused;
-- the frequency store is refreshed with the batch's counts (cheap: O(vocab));
-  a token whose df class drifts (rare→mid) changes only NEW records' keys —
+- EVERY store is hive-bucketed on its access key and touched O(batch) per
+  micro-batch: mentions + prep + assignments by
+  ``pmod(xxhash64(id), N_ID_BUCKETS)``, blocks by block-key hash, token
+  frequencies by token hash. Reads prune to buckets containing a batch id /
+  pair endpoint / edge endpoint / batch token; refreshes (freq counts,
+  assignment labels) dynamic-partition-overwrite only touched buckets. A
+  token whose df class drifts (rare→mid) changes only NEW records' keys —
   the documented incremental recall trade, in place of re-keying the corpus.
 
-- the per-record prep store and the assignment store are hive-partitioned
-  by ``pmod(xxhash64(record_id), N_ID_BUCKETS)`` like the block store: the
-  per-batch attribute join reads ONLY prep buckets containing a pair
-  endpoint, the label lookup reads ONLY assignment buckets containing an
-  edge endpoint, and the assignment refresh dynamic-partition-overwrites
-  ONLY buckets holding a relabeled or newly inserted record.
-
-Remaining per-batch O(store) touches, deliberate: the re-delivery anti-join
-reads one columnar id column of the mention store, and locating rows whose
-label a merge changes reads the 2-column (record_id, cluster_id) projection
-of the assignment store (members of a merged component can live in any
-bucket; the read is a broadcast semi-join, no shuffle, and the WRITE is
-bucket-pruned).
+One remaining per-batch O(store) read, deliberate: locating rows whose label
+a merge changes reads the 2-column (record_id, cluster_id) projection of the
+assignment store (members of a merged component can live in any bucket; the
+read is a broadcast semi-join, no shuffle, and the WRITE is bucket-pruned).
 
 The stage-table caches mirror the reference's try-load-else-compute caches
 (/root/reference/blink/biencoder/eval_biencoder.py:169-201).
@@ -105,6 +101,21 @@ def _distinct_buckets(df: DataFrame, id_col: str) -> list[int]:
     ]
 
 
+def _dynamic_overwrite(
+    spark: SparkSession, df: DataFrame, bkt_col: str, path: str
+) -> None:
+    """Overwrite ONLY the hive partitions present in ``df`` (dynamic
+    partition overwrite); untouched buckets' files are left byte-for-byte
+    alone. Caller must have materialized ``df`` (localCheckpoint) if it was
+    derived from the files being replaced."""
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        df.write.mode("overwrite").partitionBy(bkt_col).parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
 def _exists(path: str) -> bool:
     return os.path.exists(os.path.join(path, "_SUCCESS"))
 
@@ -139,37 +150,51 @@ def _link_batch(spark: SparkSession, batch_docs: DataFrame, store_dir: str) -> N
     p_edges = os.path.join(store_dir, "edges")
     p_clusters = os.path.join(store_dir, "clusters")
 
-    new_mentions = extract_mentions(batch_docs)
-    old_mentions = _read_or_none(spark, p_mentions)
-    if old_mentions is not None:
-        # drop re-deliveries (at-least-once file source)
-        new_mentions = new_mentions.join(
-            old_mentions.select("mention_id"), "mention_id", "left_anti"
-        )
+    batch_mentions = extract_mentions(batch_docs).localCheckpoint()
+    if _exists(p_mentions):
+        # drop re-deliveries (at-least-once file source): the anti-join
+        # reads ONLY mention-store buckets a batch id could live in
+        old_ids = _read_id_pruned(
+            spark, p_mentions, "mbkt",
+            _distinct_buckets(batch_mentions, "mention_id"),
+        ).select("mention_id")
+        new_mentions = batch_mentions.join(old_ids, "mention_id", "left_anti")
+    else:
+        new_mentions = batch_mentions
     new_mentions = new_mentions.localCheckpoint()
     if new_mentions.isEmpty():
         return
 
-    # --- frequency store: old counts + batch counts -------------------------
+    # --- frequency store: bucketed by token; merge + rewrite ONLY buckets
+    # holding a batch token (the store grows with corpus vocabulary — at
+    # web scale a full per-batch rewrite is another quadratic-over-life)
     from blink_spark.functions.text import tokens as _tokens
 
     batch_counts = (
         new_mentions.select(F.explode(_tokens("mention")).alias("tok"))
         .groupBy("tok")
         .agg(F.count("*").alias("df"))
+        .localCheckpoint()
     )
-    old_freq = _read_or_none(spark, p_freq)
-    if old_freq is not None:
-        freq = (
+    tok_bkts = _distinct_buckets(batch_counts, "tok")
+    if _exists(p_freq):
+        old_freq = _read_id_pruned(spark, p_freq, "fbkt", tok_bkts).select(
+            "tok", "df"
+        )
+        freq_touched = (
             old_freq.unionByName(batch_counts)
             .groupBy("tok")
             .agg(F.sum("df").alias("df"))
         )
     else:
-        freq = batch_counts
-    freq.write.mode("overwrite").parquet(p_freq + "_tmp")
-    spark.read.parquet(p_freq + "_tmp").write.mode("overwrite").parquet(p_freq)
-    freq = spark.read.parquet(p_freq)
+        freq_touched = batch_counts
+    freq_touched = freq_touched.withColumn(
+        "fbkt", _id_bucket("tok")
+    ).localCheckpoint()  # sever from the files the overwrite replaces
+    _dynamic_overwrite(spark, freq_touched, "fbkt", p_freq)
+    # downstream blocking classifies BATCH tokens only, so the touched-
+    # bucket slice (a superset of the batch's tokens) is sufficient
+    freq = freq_touched.select("tok", "df")
 
     # --- block ONLY the batch with the refreshed frequencies ----------------
     new_blocks, _ = df_aware_blocks(new_mentions, "mention_id", "mention", freq=freq)
@@ -229,7 +254,9 @@ def _link_batch(spark: SparkSession, batch_docs: DataFrame, store_dir: str) -> N
     touched.unpersist()  # candidate_pairs persisted its input
 
     # --- stores ---------------------------------------------------------------
-    new_mentions.write.mode("append").parquet(p_mentions)
+    new_mentions.withColumn("mbkt", _id_bucket("mention_id")).write.mode(
+        "append"
+    ).partitionBy("mbkt").parquet(p_mentions)
     new_blocks.withColumn("bkt", _block_bucket()).write.mode("append").partitionBy(
         "bkt"
     ).parquet(p_blocks)
@@ -307,12 +334,7 @@ def _link_batch(spark: SparkSession, batch_docs: DataFrame, store_dir: str) -> N
         # overwrite below is about to replace
         .localCheckpoint()
     )
-    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try:
-        assign.write.mode("overwrite").partitionBy("rbkt").parquet(p_clusters)
-    finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    _dynamic_overwrite(spark, assign, "rbkt", p_clusters)
 
 
 def incremental_link_stream(

@@ -192,3 +192,38 @@ def test_assignment_rewrite_touches_only_affected_buckets(spark, tmp_path):
     assert clusters.count() == mentions.count()
     per_cluster = clusters.groupBy("cluster_id").agg(F.min("record_id").alias("mn"))
     assert per_cluster.filter(F.col("cluster_id") != F.col("mn")).count() == 0
+
+
+def test_mention_and_freq_stores_are_bucketed(spark, store):
+    """Round-4: the mention store (re-delivery anti-join) and the token
+    frequency store are hive-bucketed like every other store, with the
+    layout invariant pruning relies on."""
+    from blink_spark.streaming.incremental import _id_bucket
+
+    p_mentions = os.path.join(store, "mentions")
+    parts = {d for d in os.listdir(p_mentions) if d.startswith("mbkt=")}
+    assert len(parts) >= 2
+    m = spark.read.parquet(p_mentions)
+    assert m.filter(F.col("mbkt") != _id_bucket("mention_id")).count() == 0
+    p_freq = os.path.join(store, "freq")
+    fparts = {d for d in os.listdir(p_freq) if d.startswith("fbkt=")}
+    assert len(fparts) >= 2
+    fr = spark.read.parquet(p_freq)
+    assert fr.filter(F.col("fbkt") != _id_bucket("tok")).count() == 0
+    # freq counts survive the bucket-pruned merge: every token's df equals
+    # the number of stored mentions containing it
+    from blink_spark.functions.text import tokens as _tokens
+
+    truth = (
+        m.select(F.explode(_tokens("mention")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("df_true"))
+    )
+    bad = (
+        fr.join(truth, "tok", "full")
+        .filter(
+            F.coalesce("df", F.lit(-1)) != F.coalesce("df_true", F.lit(-2))
+        )
+        .count()
+    )
+    assert bad == 0

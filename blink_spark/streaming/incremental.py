@@ -38,10 +38,11 @@ re-ran CC over all accumulated edges every batch):
   token whose df class drifts (rare→mid) changes only NEW records' keys —
   the documented incremental recall trade, in place of re-keying the corpus.
 
-One remaining per-batch O(store) read, deliberate: locating rows whose label
-a merge changes reads the 2-column (record_id, cluster_id) projection of the
-assignment store (members of a merged component can live in any bucket; the
-read is a broadcast semi-join, no shuffle, and the WRITE is bucket-pruned).
+Locating the record buckets a label merge touches uses a label INDEX store
+(cluster_id → member record-buckets, hive-partitioned by label hash,
+incrementally maintained): the lookup prunes to the changed labels' index
+partitions, so no per-batch touch scales with the store anymore — every
+read and write in the batch path is O(batch + touched buckets).
 
 The stage-table caches mirror the reference's try-load-else-compute caches
 (/root/reference/blink/biencoder/eval_biencoder.py:169-201).
@@ -114,6 +115,75 @@ def _dynamic_overwrite(
         df.write.mode("overwrite").partitionBy(bkt_col).parquet(path)
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
+def _write_label_index(assign: DataFrame, path: str) -> None:
+    """label_index(cluster_id, rbkt): which record buckets hold members of
+    each cluster label — hive-partitioned by LABEL hash so the merge path
+    can locate a changed label's member buckets with a partition-pruned
+    read instead of scanning the assignment store."""
+    idx = (
+        assign.select("cluster_id", "rbkt")
+        .distinct()
+        .withColumn("lbkt", _id_bucket("cluster_id"))
+    )
+    idx.write.mode("overwrite").partitionBy("lbkt").parquet(path)
+
+
+def _refresh_label_index(
+    spark: SparkSession,
+    p_labidx: str,
+    p_clusters: str,
+    assign: DataFrame,
+    changed: DataFrame,
+) -> None:
+    """Incrementally refresh the label index after an assignment rewrite.
+
+    ``assign`` is the rewritten buckets' full content (checkpointed);
+    ``changed`` the (_old → _new) label remaps. Touched index partitions =
+    lbkt(_old labels) ∪ lbkt(labels present in the rewrite); their new
+    content = existing entries minus dead _old labels, plus the rewrite's
+    (label, rbkt) pairs. Everything is O(touched); partitions left with no
+    rows are deleted so the index stays exactly equal to
+    ``distinct(cluster_id, rbkt)`` of the store (test-pinned)."""
+    if not _exists(p_labidx):
+        # legacy store predating the index: one full build, then incremental
+        full = (
+            spark.read.parquet(p_clusters)
+            .select("cluster_id", "rbkt")
+            .distinct()
+            .withColumn("lbkt", _id_bucket("cluster_id"))
+            .localCheckpoint()
+        )
+        full.write.mode("overwrite").partitionBy("lbkt").parquet(p_labidx)
+        return
+    new_pairs = (
+        assign.select("cluster_id", "rbkt")
+        .distinct()
+        .withColumn("lbkt", _id_bucket("cluster_id"))
+    )
+    touched = sorted(
+        set(_distinct_buckets(changed, "_old"))
+        | {r["lbkt"] for r in new_pairs.select("lbkt").distinct().collect()}
+    )
+    cur = _read_id_pruned(spark, p_labidx, "lbkt", touched)
+    keep = cur.join(
+        F.broadcast(changed.select("_old")),
+        cur["cluster_id"] == F.col("_old"),
+        "left_anti",
+    ).select("cluster_id", "rbkt", "lbkt")
+    content = keep.unionByName(new_pairs).distinct().localCheckpoint()
+    _dynamic_overwrite(spark, content, "lbkt", p_labidx)
+    # dynamic overwrite cannot write an EMPTY partition: a touched lbkt whose
+    # entries all died must be dropped at the filesystem level or stale rows
+    # would linger (harmless for pruning, but the index-equals-truth
+    # invariant is worth keeping exact)
+    written = {r["lbkt"] for r in content.select("lbkt").distinct().collect()}
+    import shutil
+
+    for b in touched:
+        if b not in written:
+            shutil.rmtree(os.path.join(p_labidx, f"lbkt={b}"), ignore_errors=True)
 
 
 def _exists(path: str) -> bool:
@@ -269,12 +339,14 @@ def _link_batch(spark: SparkSession, batch_docs: DataFrame, store_dir: str) -> N
     # map-side pass, no CC over accumulated edges. min-id labels compose:
     # min over merged components' minima = the merged component's minimum,
     # so the result is byte-identical to a from-scratch run.
+    p_labidx = os.path.join(store_dir, "label_index")
     new_ids_only = new_mentions.select(F.col("mention_id").alias("record_id"))
     if not _exists(p_clusters):
-        assign = assign_clusters(new_ids_only, "record_id", edges)
-        assign.withColumn("rbkt", _id_bucket("record_id")).write.mode(
-            "overwrite"
-        ).partitionBy("rbkt").parquet(p_clusters)
+        assign = assign_clusters(new_ids_only, "record_id", edges).withColumn(
+            "rbkt", _id_bucket("record_id")
+        ).localCheckpoint()
+        assign.write.mode("overwrite").partitionBy("rbkt").parquet(p_clusters)
+        _write_label_index(assign, p_labidx)
         return
 
     # label lookup pruned to assignment buckets holding an edge endpoint
@@ -304,12 +376,19 @@ def _link_batch(spark: SparkSession, batch_docs: DataFrame, store_dir: str) -> N
         .localCheckpoint()
     )
     # rewrite ONLY buckets holding a relabeled row or a newly inserted id.
-    # Locating relabeled rows reads the 2-column projection of the store
-    # (members of a merged component can live anywhere) via a broadcast
-    # semi-join — no shuffle; the WRITE below is partition-pruned.
-    store = spark.read.parquet(p_clusters)
-    changed_bkts = store.join(
-        F.broadcast(changed), store["cluster_id"] == changed["_old"], "left_semi"
+    # Members of a merged component can live in ANY record bucket, so their
+    # buckets come from the label index — a (cluster_id, rbkt) table hive-
+    # partitioned by LABEL hash: the lookup prunes to the changed labels'
+    # index buckets instead of scanning the assignment store (the last
+    # O(store)-per-batch read of earlier rounds).
+    if _exists(p_labidx):
+        idx = _read_id_pruned(
+            spark, p_labidx, "lbkt", _distinct_buckets(changed, "_old")
+        )
+    else:  # legacy store without an index: one full-scan fallback, then built
+        idx = spark.read.parquet(p_clusters).select("cluster_id", "rbkt")
+    changed_bkts = idx.join(
+        F.broadcast(changed), idx["cluster_id"] == changed["_old"], "left_semi"
     ).select("rbkt")
     rw_bkts = [
         r["rbkt"]
@@ -335,6 +414,7 @@ def _link_batch(spark: SparkSession, batch_docs: DataFrame, store_dir: str) -> N
         .localCheckpoint()
     )
     _dynamic_overwrite(spark, assign, "rbkt", p_clusters)
+    _refresh_label_index(spark, p_labidx, p_clusters, assign, changed)
 
 
 def incremental_link_stream(

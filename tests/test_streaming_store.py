@@ -227,3 +227,31 @@ def test_mention_and_freq_stores_are_bucketed(spark, store):
         .count()
     )
     assert bad == 0
+
+
+def test_label_index_equals_truth_after_merges(spark, tmp_path):
+    """The label index (cluster_id → member record-buckets, partitioned by
+    label hash) must stay EXACTLY equal to distinct(cluster_id, rbkt) of
+    the assignment store through cross-batch merges — including deletion of
+    index entries for labels that died in a merge."""
+    d = str(tmp_path / "idx_store")
+    # same vocabulary each batch → cross-batch merges (relabels) every time
+    for i in range(3):
+        docs = _mk_docs("xx", 6)
+        docs["doc_id"] = [f"b{i}{j:03d}" for j in range(len(docs))]
+        _link_batch(spark, spark.createDataFrame(docs), d)
+    idx = spark.read.parquet(os.path.join(d, "label_index")).select(
+        "cluster_id", "rbkt"
+    )
+    truth = (
+        spark.read.parquet(os.path.join(d, "clusters"))
+        .select("cluster_id", "rbkt")
+        .distinct()
+    )
+    assert idx.count() == truth.count()
+    assert idx.exceptAll(truth).count() == 0
+    assert truth.exceptAll(idx).count() == 0
+    # merges happened (same surfaces across batches share one cluster)
+    n_labels = truth.select("cluster_id").distinct().count()
+    n_records = spark.read.parquet(os.path.join(d, "clusters")).count()
+    assert n_labels < n_records

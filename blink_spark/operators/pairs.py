@@ -18,7 +18,7 @@ pair can arise from many shared keys).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 DEFAULT_MAX_BLOCK = 64
@@ -40,9 +40,18 @@ def candidate_pairs(
     # the assignment frame feeds four consumers (sizes, small, medium,
     # metrics) — persist so upstream blocking expressions run once.
     assignments = assignments.persist()
-    sizes = assignments.groupBy("block_key").agg(F.count("*").alias("block_size"))
 
-    a = assignments.join(sizes, "block_key")
+    # Block size via a count window, not groupBy+join-back: one shuffle of
+    # the assignment table instead of two, and the resulting hashpartitioning
+    # on block_key feeds the within-block self-join below with no further
+    # exchange (ReuseExchange dedupes the window shuffle across the
+    # small/medium branches of the union). An over-hard_cap block flows
+    # through one window partition, but only for a linear count — it is
+    # dropped before any quadratic work, exactly as in the join form (which
+    # also co-located each block on one join partition).
+    a = assignments.withColumn(
+        "block_size", F.count("*").over(Window.partitionBy("block_key"))
+    )
     small = a.filter(F.col("block_size") <= max_block_size)
     medium = a.filter(
         (F.col("block_size") > max_block_size) & (F.col("block_size") <= hard_cap)
@@ -103,6 +112,7 @@ def candidate_pairs(
         .distinct()
     )
 
+    sizes = assignments.groupBy("block_key").agg(F.count("*").alias("block_size"))
     skew_metrics = sizes.select(
         F.when(F.col("block_size") <= max_block_size, F.lit("small"))
         .when(F.col("block_size") <= hard_cap, F.lit("medium_salted"))

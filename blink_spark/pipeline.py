@@ -178,11 +178,18 @@ def _read_documents(spark: SparkSession, documents_path: str) -> DataFrame:
     session.py maxPartitionBytes) usually parallelizes the scan itself; the
     explicit repartition only fires for inputs estimated to arrive in fewer
     partitions than cores (tiny or single-row-group files) — repartitioning
-    an already-parallel scan would just add a full shuffle of the corpus."""
+    an already-parallel scan would just add a full shuffle of the corpus.
+
+    The repartition is KEYED on doc_id (not round-robin): every consumer
+    (context windows in S1, per-doc span work) requires hashpartitioning on
+    doc_id, so a keyed shuffle of the compact pre-explode table satisfies
+    EnsureRequirements and the ~10x-larger exploded span table is never
+    re-shuffled. doc_id is unique per row, so the keyed shuffle is as
+    uniform as round-robin."""
     documents = spark.read.parquet(documents_path)
     par = spark.sparkContext.defaultParallelism
     if _estimated_partitions(documents) < par:
-        documents = documents.repartition(par)
+        documents = documents.repartition(par, "doc_id")
     return documents
 
 

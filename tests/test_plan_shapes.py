@@ -218,3 +218,36 @@ def test_ivf_probe_selection_is_shuffle_free(spark):
     assert "Join" not in plan and "Window" not in plan, plan
     counts = probes.groupBy("query_id").count().collect()
     assert len(counts) == 40 and all(r["count"] == 4 for r in counts)
+
+
+def test_candidate_pairs_sizes_blocks_with_one_assignment_shuffle(spark):
+    """Block sizing rides a count window over block_key, not groupBy +
+    join-back: the assignment table is exchanged ONCE on block_key and that
+    partitioning feeds the within-block self-join. The plan must contain a
+    Window and no Aggregate ahead of the pair join (the old form's sizing
+    groupBy); at 100 TB the removed exchange is a full second pass over
+    every block assignment."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from blink_spark.operators.pairs import candidate_pairs
+
+    assignments = spark.range(0, 300).select(
+        F.concat(F.lit("b"), (F.col("id") % 40)).alias("block_key"),
+        F.concat(F.lit("r"), F.col("id")).alias("record_id"),
+    )
+    pairs, _ = candidate_pairs(assignments)
+    plan = explain_str(pairs)
+    assert "Window" in plan, plan
+    # every exchange keys on block_key (+ salt cols) or the final distinct's
+    # pair key — never a sizing-aggregate round trip
+    for m in re.finditer(r"hashpartitioning\(([^)]*)\)", plan):
+        keys = re.findall(r"(\w+)#", m.group(1))
+        assert set(keys) <= {"block_key", "p", "q", "record_id_a", "record_id_b"}, (
+            f"unexpected exchange keys {keys}: {plan}"
+        )
+    n = pairs.count()
+    # 40 blocks of 7-8 records: sum of C(size,2)
+    assert n == sum(1 for i in range(300) for j in range(i + 1, 300) if i % 40 == j % 40)
+    assignments.unpersist()

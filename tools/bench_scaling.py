@@ -161,6 +161,18 @@ Correctness at this configuration: pairwise F1 vs gold links at shared
 blocking key = 1.0 on the 2,000-doc labeled fixture (both fused and
 checkpointed modes produce identical assignments) —
 see tests/test_pipeline.py::test_pairwise_f1_headline.
+
+## Headline bench estimator (bench.py)
+
+As of round 4 `bench.py` reports **min of 2 reps per query** (the JSON
+carries `"estimator"`). Rationale: identical to the min-of-N estimator
+this file has used for the scaling bench since round 2 — co-tenant bursts
+poison single reps, and the first rep of the first query otherwise bills
+the one-time JVM JIT/codegen warmup (~2x on this box) to the engine.
+Cross-round comparison: r3's 57.9s suite was single-rep cold-first; the
+same code measured warm runs er_pipeline in ~12-14s vs the 25.5s recorded.
+Round-4 plan changes (keyed doc repartition, windowed block sizing in
+candidate_pairs) are separately A/B-verified in their commit messages.
 """ + SWEEP_NOTE)
     print("wrote BENCH/BASELINE.md")
 

@@ -17,16 +17,14 @@ from pyspark.sql import functions as F
 def read_conll(spark: SparkSession, path: str) -> DataFrame:
     """CoNLL lines → (doc_id, line_no, token, tag).
 
-    zipWithIndex gives a stable global line order (file order); the running
-    sum of DOCSTART markers is the document id — the sessionization pattern
-    (SURVEY.md §2.10).
+    numbered_lines gives a stable dense global line order (file-scan
+    order, JVM-side); the running sum of DOCSTART markers is the document
+    id — the sessionization pattern (SURVEY.md §2.10).
     """
     from blink_spark.operators.ids import partitioned_running_sum
+    from blink_spark.sources.lines import numbered_lines
 
-    lines = spark.read.text(path).rdd.zipWithIndex().map(
-        lambda pair: (pair[0].value, pair[1])
-    )
-    df = spark.createDataFrame(lines, "line string, line_no long")
+    df = numbered_lines(spark, path)
     marked = df.withColumn(
         "is_doc_start", F.when(F.col("line").startswith("-DOCSTART-"), 1).otherwise(0)
     )

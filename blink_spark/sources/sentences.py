@@ -8,17 +8,15 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from blink_spark.functions.text import sentences
+from blink_spark.sources.lines import numbered_lines
 
 
 def read_sentence_file(
     spark: SparkSession, path: str, one_sentence_per_line: bool = False
 ) -> DataFrame:
     """(line_no, sent_idx, sentence) rows; line_no is the stable file order
-    (zipWithIndex — parallel two-pass, no global sort)."""
-    lines = spark.read.text(path).rdd.zipWithIndex().map(
-        lambda pair: (pair[0].value, pair[1])
-    )
-    df = spark.createDataFrame(lines, "line string, line_no long")
+    (JVM-side two-phase dense ids — no global sort, no per-row Python)."""
+    df = numbered_lines(spark, path)
     if one_sentence_per_line:
         return (
             df.select("line_no", F.lit(0).alias("sent_idx"), F.trim("line").alias("sentence"))

@@ -28,11 +28,9 @@ def read_wiki_extractor(spark: SparkSession, path: str, full_text: bool = False)
     process_wiki_extractor_output.py:62-76).
     """
     from blink_spark.operators.ids import partitioned_running_sum
+    from blink_spark.sources.lines import numbered_lines
 
-    lines = spark.read.text(path).rdd.zipWithIndex().map(
-        lambda pair: (pair[0].value, pair[1])
-    )
-    df = spark.createDataFrame(lines, "line string, line_no long")
+    df = numbered_lines(spark, path)
     marked = df.withColumn(
         "is_open", F.when(F.col("line").startswith("<doc id="), 1).otherwise(0)
     )

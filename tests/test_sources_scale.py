@@ -72,3 +72,29 @@ def test_conll_sessionization_plan_is_parallel(spark, tmp_path):
     per_doc = {r.doc_id: r.n for r in toks.groupBy("doc_id").count().withColumnRenamed("count", "n").collect()}
     assert per_doc == {d: 4 for d in range(1, 6)}
     assert not has_single_partition_exchange(toks)
+
+
+def test_numbered_lines_is_jvm_side_and_file_ordered(spark, tmp_path):
+    """Line numbering must match a sequential enumerate() of the file AND
+    stay entirely JVM-side: the prior rdd.zipWithIndex form pushed every
+    line of the scan through row-at-a-time Python (Scan ExistingRDD), the
+    10-100x slow path at a 100 TB dump."""
+    from blink_spark.sources.lines import numbered_lines
+
+    p = tmp_path / "lines.txt"
+    expected = [f"line {i:04d}" for i in range(500)]
+    p.write_text("\n".join(expected) + "\n")
+    df = numbered_lines(spark, str(p))
+    rows = df.orderBy("line_no").collect()
+    assert [r.line_no for r in rows] == list(range(500))
+    assert [r.line for r in rows] == expected
+    from blink_spark.plans.inspect import explain_str
+
+    plan = explain_str(df)
+    # the text scan must be native (no per-row Python anywhere in the plan);
+    # the one ExistingRDD allowed is dense_ids' O(#partitions)-row broadcast
+    # offset table, which never touches scan rows
+    assert "Scan text" in plan, plan
+    for bad in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert bad not in plan, f"{bad} in numbered_lines plan:\n{plan}"
+    assert not has_single_partition_exchange(df)

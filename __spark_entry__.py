@@ -449,6 +449,46 @@ def _doc_minhash_bands(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@_q(
+    "doc_winnow_fingerprints",
+    f"""
+    WITH n AS (SELECT doc_id, {_norm('text')} AS t FROM documents),
+    g AS (
+      SELECT doc_id,
+             unnest(range(1, greatest(length(t) - 4, 1) + 1))::INT AS pos, t
+      FROM n
+    ),
+    h AS (
+      SELECT doc_id, pos,
+             ('0x' || substr(md5(substr(t, pos, 5)), 1, 8))::BIGINT * 2097152
+               + (2097151 - pos) AS pack
+      FROM g
+    ),
+    wnd AS (
+      SELECT doc_id, pos,
+             min(pack) OVER (PARTITION BY doc_id ORDER BY pos
+                             ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS sel,
+             count(*) OVER (PARTITION BY doc_id) AS m
+      FROM h
+    )
+    SELECT DISTINCT doc_id,
+           (2097151 - (sel % 2097152))::INT AS fp_pos,
+           (sel // 2097152)::BIGINT AS fp_hash
+    FROM wnd WHERE pos <= greatest(m - 3, 1)
+    """,
+)
+def _doc_winnow(spark: SparkSession, sf: str) -> DataFrame:
+    """Winnowing rolling-hash fingerprints (MOSS, SIGMOD 2003) — the
+    excerpt-robust dedup key of the training-data-pipeline brief; shares
+    >= 1 fingerprint for any substring match of length >= w+k-1."""
+    from blink_spark.operators.dedup import winnow_fingerprints
+
+    d = _t(spark, sf, "documents")
+    return winnow_fingerprints(d, "doc_id", "text", k=5, w=4).withColumnRenamed(
+        "record_id", "doc_id"
+    )
+
+
 # ---- embeddings: similarity search ----------------------------------------
 
 @_q(
@@ -3606,6 +3646,9 @@ _DRIVER_ORDER = [
     "er_extract_mentions", "er_media_spans", "er_span_invariant",
     "er_token_pair_blocks", "er_candidate_pairs", "er_scored_gold_pairs",
     "er_topk_candidates", "er_recall_at_k", "softmax_confidence",
+    # round-4 additions (driver-unseen this round; rotate into the first 50
+    # next round per the CLAUDE.md window policy)
+    "doc_winnow_fingerprints",
 ]
 
 

@@ -8,7 +8,7 @@ function here composes the existing operators rather than reimplementing.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from blink_spark.functions.hashing import embed_text_udf, hamming64
@@ -30,6 +30,84 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             F.min("record_id").alias("keeper"),
             F.sort_array(F.collect_list("record_id")).alias("members"),
         )
+    )
+
+
+# position field width inside the packed winnowing key: supports documents
+# up to 2^21 = 2M normalized chars; h < 2^32, so pack < 2^53 (exact in BIGINT
+# on both engines, and even in a double — the DuckDB-oracle safety margin).
+WINNOW_POS_BITS = 21
+
+
+def winnow_fingerprints(
+    df: DataFrame, id_col: str, text_col: str, k: int = 5, w: int = 4
+) -> DataFrame:
+    """Winnowing document fingerprints — the rolling-hash fingerprint scheme
+    (Schleimer, Wilkerson, Aiken: "Winnowing: Local Algorithms for Document
+    Fingerprinting", SIGMOD 2003; the MOSS algorithm).
+
+    Rolling k-gram hashes over the normalized text; every window of ``w``
+    consecutive hashes selects its RIGHTMOST MINIMUM; the distinct selected
+    (position, hash) pairs are the document's fingerprints. Guarantees: any
+    substring match of length >= w + k - 1 between two documents shares at
+    least one fingerprint hash, and expected density is 2/(w+1) — the
+    local, position-robust dedup key the flat sorted-token ``fingerprint``
+    is not (reference analogue: the uniqueness keys of
+    /root/reference/blink/main_dense.py:137, upgraded to excerpt-robust).
+
+    Relational form (no UDF, one shuffle): the (id, norm) projection is
+    hash-partitioned by id BEFORE the k-gram explode — docs shuffle once as
+    compact rows, and the ~len(text)x larger exploded table inherits the
+    partitioning, so the per-doc windows need only a partition-local sort.
+    The rightmost-min-per-window selection is a single min() over a
+    row-frame window of the packed key ``h * 2^21 + (2^21-1 - pos)``:
+    lexicographically, min(pack) is (min hash, max position) — exactly the
+    robust-winnowing tie rule — and the pack stays in whole-stage codegen.
+
+    Returns distinct (record_id, fp_pos int, fp_hash long).
+    """
+    from blink_spark.functions.text import normalize_text
+
+    maxp = (1 << WINNOW_POS_BITS) - 1
+    base = df.select(
+        F.col(id_col).cast("string").alias("record_id"),
+        normalize_text(df[text_col]).alias("norm"),
+    ).repartition(F.col("record_id"))
+    packed = base.select(
+        "record_id",
+        F.explode(
+            F.sequence(F.lit(1), F.greatest(F.length("norm") - (k - 1), F.lit(1)))
+        ).alias("pos"),
+        "norm",
+    ).select(
+        "record_id",
+        "pos",
+        (
+            F.conv(F.substring(F.md5(F.col("norm").substr(F.col("pos"), F.lit(k))), 1, 8), 16, 10)
+            .cast("long")
+            * (maxp + 1)
+            + (F.lit(maxp) - F.col("pos"))
+        ).alias("pack"),
+    )
+    sel_win = Window.partitionBy("record_id").orderBy("pos").rowsBetween(
+        Window.currentRow, w - 1
+    )
+    sel = packed.select(
+        "record_id",
+        "pos",
+        F.min("pack").over(sel_win).alias("sel"),
+        F.count("*").over(Window.partitionBy("record_id")).alias("m"),
+    )
+    return (
+        # keep only rows where a window STARTS (pos <= m-w+1; a doc shorter
+        # than w k-grams is one truncated window starting at 1)
+        sel.filter(F.col("pos") <= F.greatest(F.col("m") - (w - 1), F.lit(1)))
+        .select(
+            "record_id",
+            (F.lit(maxp) - F.col("sel").bitwiseAND(F.lit(maxp))).cast("int").alias("fp_pos"),
+            F.shiftright("sel", WINNOW_POS_BITS).alias("fp_hash"),
+        )
+        .distinct()
     )
 
 

@@ -151,3 +151,63 @@ def test_ivf_kmeans_codebook_beats_first_items_on_clustered_data(spark):
     ).collect()[0].recall
     assert r_kmeans > r_first, (r_kmeans, r_first)
     assert r_kmeans >= 0.95, r_kmeans
+
+
+def test_winnow_fingerprints_guarantee_and_density(spark):
+    """Winnowing invariants (Schleimer et al. 2003): (1) any substring match
+    of length >= w + k - 1 yields >= 1 shared fingerprint hash — tested with
+    a planted shared excerpt inside otherwise-disjoint documents; (2) the
+    fingerprint density over a long random-ish text is near the expected
+    2/(w+1); (3) every window of w k-grams contains a selected position
+    (the local coverage guarantee that makes the scheme excerpt-robust)."""
+    from blink_spark.operators.dedup import winnow_fingerprints
+
+    k, w = 5, 4
+    shared = "the quick brown fox jumps over the lazy dog near the river"
+    docs = spark.createDataFrame(
+        [
+            ("a", "alpha beta gamma " + shared + " delta epsilon"),
+            ("b", "one two three four five " + shared + " six seven"),
+            ("c", "completely unrelated text with zero overlap whatsoever xyz"),
+        ],
+        "doc_id string, text string",
+    )
+    fps = winnow_fingerprints(docs, "doc_id", "text", k=k, w=w).toPandas()
+    by_doc = {d: set(g["fp_hash"]) for d, g in fps.groupby("record_id")}
+    # (1) the shared excerpt is len(shared) >= w+k-1 chars: must share a hash
+    assert len(shared) >= w + k - 1
+    assert by_doc["a"] & by_doc["b"]
+
+    # (3) local coverage: gaps between consecutive selected positions <= w
+    # (within one doc, winnowing picks at least one position per window)
+    for d, g in fps.groupby("record_id"):
+        pos = sorted(g["fp_pos"])
+        assert all(b - a <= w for a, b in zip(pos, pos[1:])), d
+
+    # (2) density ~ 2/(w+1) on a long document with distinct k-grams
+    import hashlib
+
+    long_text = " ".join(
+        hashlib.md5(str(i).encode()).hexdigest()[:6] for i in range(400)
+    )
+    one = spark.createDataFrame([("x", long_text)], "doc_id string, text string")
+    n_fp = winnow_fingerprints(one, "doc_id", "text", k=k, w=w).count()
+    n_grams = len(long_text) - k + 1
+    density = n_fp / n_grams
+    assert 1.2 / (w + 1) < density < 3.2 / (w + 1), density
+
+
+def test_winnow_fingerprints_single_exchange_plan(spark):
+    """The winnowing plan shuffles the compact (id, norm) projection ONCE
+    (pre-explode, reused by both window functions); the exploded per-char
+    table must never hit a second Exchange, and the whole plan stays
+    Python-free."""
+    from blink_spark.operators.dedup import winnow_fingerprints
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = winnow_fingerprints(docs, "doc_id", "text")._jdf.queryExecution().executedPlan().toString()
+    n_exchange = plan.count("Exchange hashpartitioning")
+    # 1 pre-explode repartition + 1 for the final distinct's aggregate
+    assert n_exchange <= 2, plan
+    for bad in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert bad not in plan, bad

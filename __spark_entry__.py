@@ -342,6 +342,35 @@ def _doc_token_stats(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @_q(
+    "doc_bpe_tokens",
+    r"""
+    SELECT doc_id,
+           len(regexp_extract_all(text, '\p{L}+|\p{N}+|[^\s\p{L}\p{N}]+')) AS n_bpe_tokens,
+           len(regexp_extract_all(text, '\p{L}+')) AS n_letter_runs,
+           len(regexp_extract_all(text, '\p{N}+')) AS n_digit_runs,
+           len(regexp_extract_all(text, '[^\s\p{L}\p{N}]+')) AS n_symbol_runs
+    FROM documents
+    """,
+)
+def _doc_bpe_tokens(spark: SparkSession, sf: str) -> DataFrame:
+    """BPE-ish pretokenizer token counting (the brief's second token-count
+    mode next to whitespace counting in `doc_token_stats`): maximal runs of
+    letters / digits / other symbols, the GPT-2 pretokenizer's class split."""
+    from blink_spark.functions.text import bpe_token_count
+
+    d = _t(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        bpe_token_count("text").alias("n_bpe_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit(r"\p{L}+"), F.lit(0))).alias("n_letter_runs"),
+        F.size(F.regexp_extract_all("text", F.lit(r"\p{N}+"), F.lit(0))).alias("n_digit_runs"),
+        F.size(F.regexp_extract_all("text", F.lit(r"[^\s\p{L}\p{N}]+"), F.lit(0))).alias(
+            "n_symbol_runs"
+        ),
+    )
+
+
+@_q(
     "doc_quality",
     f"""
     SELECT doc_id,
@@ -3648,7 +3677,7 @@ _DRIVER_ORDER = [
     "er_topk_candidates", "er_recall_at_k", "softmax_confidence",
     # round-4 additions (driver-unseen this round; rotate into the first 50
     # next round per the CLAUDE.md window policy)
-    "doc_winnow_fingerprints",
+    "doc_winnow_fingerprints", "doc_bpe_tokens",
 ]
 
 

@@ -38,6 +38,25 @@ def token_count(col: Column | str) -> Column:
     return F.size(F.split(F.trim(c), r"\s+"))
 
 
+# BPE-style pretokenizer classes (the GPT-2 pattern's core, minus its
+# lookahead/contraction clauses so the regex stays in RE2's subset and the
+# classes are disjoint — alternation order can't differ between engines):
+# a token is a maximal run of letters, of digits, or of non-space symbols.
+BPE_PRETOKEN_RE = r"\p{L}+|\p{N}+|[^\s\p{L}\p{N}]+"
+
+
+def bpe_pretokens(col: Column | str) -> Column:
+    """BPE-ish pretokenization as array<string> (the subword-tokenizer-shaped
+    count of the training-data brief — `What topic?!` → [What, topic, ?!],
+    where whitespace splitting gives 2 tokens and hides the punctuation)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_extract_all(c, F.lit(BPE_PRETOKEN_RE), F.lit(0))
+
+
+def bpe_token_count(col: Column | str) -> Column:
+    return F.size(bpe_pretokens(col))
+
+
 def shingles(col: Column | str, n: int = 3) -> Column:
     """Distinct character n-grams of the normalized text (MinHash input).
 

@@ -123,3 +123,25 @@ def test_quality_and_lang(spark):
     rows = df.select(lang_id("t").alias("lang"), feats["stopword_ratio"].alias("sr")).collect()
     assert rows[0].lang == "en" and rows[0].sr > 0
     assert rows[1].lang == "es"
+
+
+def test_bpe_pretokens_classes(spark):
+    """BPE-ish pretokenizer: maximal letter/digit/symbol runs — punctuation
+    and digits become tokens whitespace splitting hides, and the classes are
+    disjoint so no alternation-order ambiguity exists between engines."""
+    from blink_spark.functions.text import bpe_pretokens, bpe_token_count, token_count
+
+    df = spark.createDataFrame(
+        [("What topic?!", ), ("abc123 x-9", ), ("", ), ("   ", )], "t string"
+    )
+    import pyspark.sql.functions as F
+
+    rows = df.select(
+        bpe_pretokens("t").alias("p"),
+        bpe_token_count("t").alias("n"),
+        token_count("t").alias("ws"),
+    ).collect()
+    assert rows[0].p == ["What", "topic", "?!"] and rows[0].n == 3 and rows[0].ws == 2
+    assert rows[1].p == ["abc", "123", "x", "-", "9"]
+    assert rows[2].p == [] and rows[2].n == 0
+    assert rows[3].p == []

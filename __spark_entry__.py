@@ -345,10 +345,10 @@ def _doc_token_stats(spark: SparkSession, sf: str) -> DataFrame:
     "doc_bpe_tokens",
     r"""
     SELECT doc_id,
-           len(regexp_extract_all(text, '\p{L}+|\p{N}+|[^\s\p{L}\p{N}]+')) AS n_bpe_tokens,
+           len(regexp_extract_all(text, '\p{L}+|\p{N}+|[^\t\n\x0B\f\r \p{L}\p{N}]+')) AS n_bpe_tokens,
            len(regexp_extract_all(text, '\p{L}+')) AS n_letter_runs,
            len(regexp_extract_all(text, '\p{N}+')) AS n_digit_runs,
-           len(regexp_extract_all(text, '[^\s\p{L}\p{N}]+')) AS n_symbol_runs
+           len(regexp_extract_all(text, '[^\t\n\x0B\f\r \p{L}\p{N}]+')) AS n_symbol_runs
     FROM documents
     """,
 )
@@ -364,7 +364,7 @@ def _doc_bpe_tokens(spark: SparkSession, sf: str) -> DataFrame:
         bpe_token_count("text").alias("n_bpe_tokens"),
         F.size(F.regexp_extract_all("text", F.lit(r"\p{L}+"), F.lit(0))).alias("n_letter_runs"),
         F.size(F.regexp_extract_all("text", F.lit(r"\p{N}+"), F.lit(0))).alias("n_digit_runs"),
-        F.size(F.regexp_extract_all("text", F.lit(r"[^\s\p{L}\p{N}]+"), F.lit(0))).alias(
+        F.size(F.regexp_extract_all("text", F.lit(r"[^\t\n\x0B\f\r \p{L}\p{N}]+"), F.lit(0))).alias(
             "n_symbol_runs"
         ),
     )
@@ -2561,10 +2561,11 @@ def _er_oracles() -> dict[str, str]:
                len(aliases)::BIGINT AS na
         FROM read_parquet('{kb}')
         WHERE num_tokens >= 5
-          AND NOT (contains(title, 'disambiguation')
-                   OR contains(title, 'Disambiguation')
-                   OR contains(description, 'disambiguation page')
-                   OR contains(description, 'Disambiguation page'))
+          AND (title IS NULL OR NOT (contains(title, 'disambiguation')
+                                     OR contains(title, 'Disambiguation')))
+          AND (description IS NULL
+               OR NOT (contains(description, 'disambiguation page')
+                       OR contains(description, 'Disambiguation page')))
       )
       SELECT entity_id, title, num_tokens,
              array_to_string(ka, '|') AS aliases_kept,

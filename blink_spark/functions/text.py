@@ -42,7 +42,10 @@ def token_count(col: Column | str) -> Column:
 # lookahead/contraction clauses so the regex stays in RE2's subset and the
 # classes are disjoint — alternation order can't differ between engines):
 # a token is a maximal run of letters, of digits, or of non-space symbols.
-BPE_PRETOKEN_RE = r"\p{L}+|\p{N}+|[^\s\p{L}\p{N}]+"
+# Whitespace is the EXPLICIT class [\t\n\x0B\f\r ], not \s: Java's \s
+# includes vertical tab while RE2's does not, so \s would silently diverge
+# between the Spark query and the DuckDB oracle on VT-bearing text.
+BPE_PRETOKEN_RE = r"\p{L}+|\p{N}+|[^\t\n\x0B\f\r \p{L}\p{N}]+"
 
 
 def bpe_pretokens(col: Column | str) -> Column:

@@ -183,10 +183,21 @@ def _assign_cells_lit(it: DataFrame, carr, cid_t: str, scorer) -> DataFrame:
             F.lit(None).cast("double").alias("s"),
             F.lit(None).cast(cid_t).alias("cid"),
         ),
+        # replicate the replaced window form's ORDER BY s DESC NULLS LAST,
+        # cid ASC exactly: a null score must LOSE to any non-null one, and
+        # an all-null row (null embedding) must land on the LOWEST cid, not
+        # whichever entry the codebook collect order put last.
         lambda acc, x: F.when(
-            acc["s"].isNull()
-            | (x["s"] > acc["s"])
-            | ((x["s"] == acc["s"]) & (x["cid"] < acc["cid"])),
+            acc["cid"].isNull()
+            | (
+                x["s"].isNotNull()
+                & (
+                    acc["s"].isNull()
+                    | (x["s"] > acc["s"])
+                    | ((x["s"] == acc["s"]) & (x["cid"] < acc["cid"]))
+                )
+            )
+            | (x["s"].isNull() & acc["s"].isNull() & (x["cid"] < acc["cid"])),
             x,
         ).otherwise(acc),
     )

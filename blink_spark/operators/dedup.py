@@ -73,6 +73,24 @@ def winnow_fingerprints(
         F.col(id_col).cast("string").alias("record_id"),
         normalize_text(df[text_col]).alias("norm"),
     ).repartition(F.col("record_id"))
+    # enforce the documented position cap: beyond 2^21 chars the packed key's
+    # position field would borrow from the hash bits and silently corrupt
+    # fingerprints (on BOTH engines, so the oracle can't catch it) — fail
+    # loudly instead; widen WINNOW_POS_BITS for multi-MB documents.
+    base = base.withColumn(
+        "norm",
+        F.when(F.length("norm") <= F.lit(maxp), F.col("norm")).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "winnow_fingerprints: normalized document longer than "
+                        f"2^{WINNOW_POS_BITS}-1 chars (widen WINNOW_POS_BITS): "
+                    ),
+                    F.col("record_id"),
+                )
+            )
+        ),
+    )
     packed = base.select(
         "record_id",
         F.explode(

@@ -190,8 +190,30 @@ def _exists(path: str) -> bool:
     return os.path.exists(os.path.join(path, "_SUCCESS"))
 
 
-def _read_or_none(spark: SparkSession, path: str) -> DataFrame | None:
-    return spark.read.parquet(path) if _exists(path) else None
+# every store table is hive-partitioned by its id-hash bucket column; a
+# store written by the earlier unbucketed layout has none of these, and the
+# partition-pruned readers would fail with an opaque UNRESOLVED_COLUMN (or
+# worse, appends would corrupt the flat layout). Checked once per batch.
+_STORE_LAYOUT = {
+    "mentions": "mbkt",
+    "prep": "pbkt",
+    "freq": "fbkt",
+    "blocks": "bkt",
+    "clusters": "rbkt",
+}
+
+
+def _check_store_layout(spark: SparkSession, store_dir: str) -> None:
+    for table, bkt_col in _STORE_LAYOUT.items():
+        path = os.path.join(store_dir, table)
+        if _exists(path) and bkt_col not in spark.read.parquet(path).columns:
+            raise ValueError(
+                f"incremental store table '{path}' lacks the '{bkt_col}' "
+                "hive-bucket column: it was written by the pre-bucketed "
+                "store layout. Rebuild the store (re-run the stream from "
+                "scratch into a fresh directory), or migrate each table by "
+                f"rewriting it partitioned by pmod(xxhash64(id), {N_ID_BUCKETS})."
+            )
 
 
 def _read_blocks_pruned(
@@ -213,6 +235,7 @@ def _link_batch(spark: SparkSession, batch_docs: DataFrame, store_dir: str) -> N
     """One micro-batch: link new docs against the accumulated store doing
     O(batch + touched blocks) pair work."""
     os.makedirs(store_dir, exist_ok=True)
+    _check_store_layout(spark, store_dir)
     p_mentions = os.path.join(store_dir, "mentions")
     p_prep = os.path.join(store_dir, "prep")
     p_freq = os.path.join(store_dir, "freq")

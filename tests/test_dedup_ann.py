@@ -211,3 +211,39 @@ def test_winnow_fingerprints_single_exchange_plan(spark):
     assert n_exchange <= 2, plan
     for bad in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
         assert bad not in plan, bad
+
+
+def test_winnow_fingerprints_rejects_overlong_documents(spark):
+    """Documents past the 2^21-char position cap must fail loudly — beyond
+    it the packed (hash, pos) key silently corrupts on both engines, so the
+    oracle could never catch it."""
+    import pytest
+
+    from blink_spark.operators.dedup import WINNOW_POS_BITS, winnow_fingerprints
+
+    too_long = "a b " * ((1 << WINNOW_POS_BITS) // 4 + 8)
+    docs = spark.createDataFrame([("big", too_long)], "doc_id string, text string")
+    with pytest.raises(Exception, match="WINNOW_POS_BITS"):
+        winnow_fingerprints(docs, "doc_id", "text").count()
+
+
+def test_ivf_assign_cells_null_embedding_tie_rule(spark):
+    """A null-embedding item must land on the LOWEST cid (the replaced
+    crossJoin+window form's ORDER BY score DESC NULLS LAST, cid ASC), not
+    on whichever codebook entry the collect order put last."""
+    from blink_spark.operators.ann import _default_scorer, assign_cells
+
+    cents = spark.createDataFrame(
+        [(2, [1.0, 0.0]), (0, [0.0, 1.0]), (1, [0.5, 0.5])],
+        "cid INT, cv ARRAY<DOUBLE>",
+    )
+    items = spark.createDataFrame(
+        [("ok", [1.0, 0.0]), ("nullemb", None)],
+        "item_id STRING, iv ARRAY<DOUBLE>",
+    )
+    got = {
+        r.item_id: r.cid
+        for r in assign_cells(items, cents, _default_scorer).collect()
+    }
+    assert got["ok"] == 2
+    assert got["nullemb"] == 0, got

@@ -132,7 +132,11 @@ def test_bpe_pretokens_classes(spark):
     from blink_spark.functions.text import bpe_pretokens, bpe_token_count, token_count
 
     df = spark.createDataFrame(
-        [("What topic?!", ), ("abc123 x-9", ), ("", ), ("   ", )], "t string"
+        # the \x0B row pins the explicit-whitespace-class choice: Java \s
+        # includes vertical tab, RE2 \s does not — both engines must treat
+        # it as a separator here
+        [("What topic?!", ), ("abc123 x-9", ), ("", ), ("   ", ), ("a\x0bb", )],
+        "t string",
     )
     import pyspark.sql.functions as F
 
@@ -145,3 +149,14 @@ def test_bpe_pretokens_classes(spark):
     assert rows[1].p == ["abc", "123", "x", "-", "9"]
     assert rows[2].p == [] and rows[2].n == 0
     assert rows[3].p == []
+    assert rows[4].p == ["a", "b"]
+
+    import duckdb
+    from blink_spark.functions.text import BPE_PRETOKEN_RE
+
+    # cross-engine agreement on the VT case (the reason \s is spelled out)
+    dd = duckdb.sql(
+        "SELECT regexp_extract_all('a' || chr(11) || 'b', ?)",
+        params=[BPE_PRETOKEN_RE],
+    ).fetchone()[0]
+    assert dd == ["a", "b"], dd

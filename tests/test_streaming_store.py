@@ -255,3 +255,20 @@ def test_label_index_equals_truth_after_merges(spark, tmp_path):
     n_labels = truth.select("cluster_id").distinct().count()
     n_records = spark.read.parquet(os.path.join(d, "clusters")).count()
     assert n_labels < n_records
+
+
+def test_legacy_unbucketed_store_rejected_with_clear_error(spark, tmp_path):
+    """A store written by the pre-bucketed layout (no mbkt/pbkt/... hive
+    columns) must fail FAST with a message naming the migration, not die
+    later with UNRESOLVED_COLUMN inside a pruned reader — or worse, append
+    partitioned files into the flat layout."""
+    d = str(tmp_path / "legacy_store")
+    os.makedirs(os.path.join(d, "mentions"), exist_ok=True)
+    # flat (unpartitioned) mentions table, as the old layout wrote it
+    spark.createDataFrame(
+        [("m1", "d1", 0, "l", "x", "r")],
+        "mention_id string, doc_id string, span_idx int, "
+        "context_left string, mention string, context_right string",
+    ).write.mode("overwrite").parquet(os.path.join(d, "mentions"))
+    with pytest.raises(ValueError, match="pre-bucketed"):
+        _link_batch(spark, spark.createDataFrame(_mk_docs("zz", 2)), d)

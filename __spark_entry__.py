@@ -342,6 +342,73 @@ def _doc_token_stats(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @_q(
+    "doc_winnow_excerpt_dups",
+    f"""
+    WITH n AS (SELECT doc_id::varchar AS record_id, {_norm('text')} AS t
+               FROM documents),
+    g AS (
+      SELECT record_id,
+             unnest(range(1, greatest(length(t) - 4, 1) + 1))::INT AS pos, t
+      FROM n
+    ),
+    h AS (
+      SELECT record_id, pos,
+             ('0x' || substr(md5(substr(t, pos, 5)), 1, 8))::BIGINT * 2097152
+               + (2097151 - pos) AS pack
+      FROM g
+    ),
+    wnd AS (
+      SELECT record_id, pos,
+             min(pack) OVER (PARTITION BY record_id ORDER BY pos
+                             ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS sel,
+             count(*) OVER (PARTITION BY record_id) AS m
+      FROM h
+    ),
+    fh AS (
+      SELECT DISTINCT record_id, (sel // 2097152)::BIGINT AS fp_hash
+      FROM wnd WHERE pos <= greatest(m - 3, 1)
+    ),
+    sized AS (
+      SELECT record_id, fp_hash,
+             count(*) OVER (PARTITION BY fp_hash) AS dfh
+      FROM fh
+    ),
+    kept AS (SELECT * FROM sized WHERE dfh <= 64),
+    shared AS (
+      SELECT a.record_id AS record_id_a, b.record_id AS record_id_b,
+             count(*)::BIGINT AS n_shared
+      FROM kept a JOIN kept b
+        ON a.fp_hash = b.fp_hash AND a.record_id < b.record_id
+      GROUP BY 1, 2 HAVING count(*) >= 3
+    ),
+    gr AS (
+      SELECT record_id,
+             list_distinct([tk[i] || ' ' || tk[i+1] for i in range(1, len(tk))])
+               AS grams
+      FROM (SELECT record_id, string_split(t, ' ') AS tk FROM n)
+    )
+    SELECT record_id_a, record_id_b, n_shared,
+           round(len(list_intersect(ga.grams, gb.grams))
+                 / greatest(least(len(ga.grams), len(gb.grams)), 1), 6)
+             AS containment
+    FROM shared
+    JOIN gr ga ON ga.record_id = record_id_a
+    JOIN gr gb ON gb.record_id = record_id_b
+    WHERE round(len(list_intersect(ga.grams, gb.grams))
+                / greatest(least(len(ga.grams), len(gb.grams)), 1), 6) >= 0.8
+    """,
+)
+def _doc_winnow_excerpts(spark: SparkSession, sf: str) -> DataFrame:
+    """Excerpt-dup pairs via shared winnowed fingerprints + n-gram
+    containment verify — catches the excerpt-inside-container case MinHash
+    blocking misses (low Jaccard pairs rarely share a band)."""
+    from blink_spark.operators.dedup import winnow_excerpt_pairs
+
+    d = _t(spark, sf, "documents")
+    return winnow_excerpt_pairs(d, "doc_id", "text", k=5, w=4)
+
+
+@_q(
     "doc_bpe_tokens",
     r"""
     SELECT doc_id,
@@ -3678,7 +3745,7 @@ _DRIVER_ORDER = [
     "er_topk_candidates", "er_recall_at_k", "softmax_confidence",
     # round-4 additions (driver-unseen this round; rotate into the first 50
     # next round per the CLAUDE.md window policy)
-    "doc_winnow_fingerprints", "doc_bpe_tokens",
+    "doc_winnow_fingerprints", "doc_bpe_tokens", "doc_winnow_excerpt_dups",
 ]
 
 

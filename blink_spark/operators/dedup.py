@@ -129,6 +129,69 @@ def winnow_fingerprints(
     )
 
 
+def winnow_excerpt_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 5,
+    w: int = 4,
+    min_shared: int = 3,
+    max_fp_df: int = 64,
+    ngram_n: int = 2,
+    containment_threshold: float = 0.8,
+) -> DataFrame:
+    """Excerpt-duplicate pairs via shared winnowed fingerprints — the
+    blocking MinHash cannot provide: a short excerpt inside a long document
+    has LOW Jaccard with its container, so MinHash bands rarely collide,
+    while winnowing guarantees the shared substring contributes shared
+    fingerprints regardless of what surrounds it (the plagiarism-detection
+    use the scheme was designed for).
+
+    Plan: distinct per-doc fingerprint hashes → per-hash document frequency
+    via a count window (ONE shuffle on fp_hash, whose partitioning feeds the
+    self-join below with no further exchange — the candidate_pairs trick) →
+    stop-fingerprints (df > ``max_fp_df``, boilerplate shared by everything)
+    dropped so per-hash pair work is bounded by max_fp_df² → pairs sharing
+    >= ``min_shared`` fingerprints → verified by asymmetric word-n-gram
+    containment |A∩B| / min(|A|,|B|).
+
+    Returns (record_id_a, record_id_b, n_shared, containment).
+    """
+    from blink_spark.functions.text import word_ngrams
+
+    fph = (
+        winnow_fingerprints(df, id_col, text_col, k=k, w=w)
+        .select("record_id", "fp_hash")
+        .distinct()
+    )
+    sized = fph.withColumn(
+        "dfh", F.count("*").over(Window.partitionBy("fp_hash"))
+    )
+    kept = sized.filter(F.col("dfh") <= max_fp_df)
+    a = kept.select("fp_hash", F.col("record_id").alias("record_id_a"))
+    b = kept.select("fp_hash", F.col("record_id").alias("record_id_b"))
+    shared = (
+        a.join(b, "fp_hash")
+        .filter(F.col("record_id_a") < F.col("record_id_b"))
+        .groupBy("record_id_a", "record_id_b")
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+    recs = df.select(
+        F.col(id_col).cast("string").alias("record_id"),
+        word_ngrams(df[text_col], ngram_n).alias("grams"),
+    )
+    attrs = pairs_with_attrs(shared, recs, "record_id", ["grams"])
+    inter = F.size(F.array_intersect("grams_a", "grams_b")).cast("double")
+    mn = F.least(F.size("grams_a"), F.size("grams_b"))
+    return attrs.select(
+        "record_id_a",
+        "record_id_b",
+        "n_shared",
+        F.round(inter / F.greatest(mn, F.lit(1)), 6).alias("containment"),
+    ).filter(F.col("containment") >= containment_threshold)
+
+
 def _pairs_from_blocks(blocks: DataFrame, **kw) -> DataFrame:
     pairs, _ = candidate_pairs(blocks, **kw)
     return pairs

@@ -247,3 +247,37 @@ def test_ivf_assign_cells_null_embedding_tie_rule(spark):
     }
     assert got["ok"] == 2
     assert got["nullemb"] == 0, got
+
+
+def test_winnow_excerpt_pairs_finds_low_jaccard_excerpt(spark):
+    """A short excerpt planted inside a much larger container has LOW
+    overall Jaccard with it (the container dilutes the union), which is why
+    MinHash-band blocking misses the pair — shared winnowed fingerprints
+    must still surface it, and an unrelated doc must not pair."""
+    import hashlib
+
+    from blink_spark.operators.dedup import winnow_excerpt_pairs
+
+    excerpt = "the quoted passage that was lifted verbatim from the source"
+    filler = " ".join(
+        hashlib.md5(f"f{i}".encode()).hexdigest()[:7] for i in range(300)
+    )
+    unrelated = " ".join(
+        hashlib.md5(f"u{i}".encode()).hexdigest()[:7] for i in range(60)
+    )
+    docs = spark.createDataFrame(
+        [
+            ("container", filler + " " + excerpt + " " + filler[::-1]),
+            ("source", excerpt),
+            ("other", unrelated),
+        ],
+        "doc_id string, text string",
+    )
+    # containment threshold 0.8: the excerpt's grams are ~fully inside the
+    # container, so |A∩B|/min(|A|,|B|) ≈ 1 even though Jaccard ≈ 0.02
+    got = winnow_excerpt_pairs(
+        docs, "doc_id", "text", min_shared=3, containment_threshold=0.8
+    ).collect()
+    pairs = {(r.record_id_a, r.record_id_b) for r in got}
+    assert ("container", "source") in pairs, pairs
+    assert all("other" not in p for p in pairs), pairs

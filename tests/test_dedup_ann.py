@@ -281,3 +281,78 @@ def test_winnow_excerpt_pairs_finds_low_jaccard_excerpt(spark):
     pairs = {(r.record_id_a, r.record_id_b) for r in got}
     assert ("container", "source") in pairs, pairs
     assert all("other" not in p for p in pairs), pairs
+
+
+def test_winnow_fingerprints_match_pure_python_reference(spark):
+    """Batch property test: the relational winnowing must equal a direct
+    pure-Python implementation of robust winnowing (rightmost-min window
+    selection over md5-derived 32-bit k-gram hashes) on a spread of
+    deterministic pseudo-random documents, including shorter-than-one-
+    window and repeated-k-gram (tie-heavy) cases."""
+    import hashlib
+    import random
+
+    from blink_spark.operators.dedup import winnow_fingerprints
+
+    k, w = 5, 4
+    rng = random.Random(1234)
+    docs = []
+    for i in range(40):
+        n = rng.choice([0, 1, 3, k - 1, k, k + w - 2, 20, 80, 200])
+        # tiny alphabet → many identical k-grams → exercises the tie rule
+        body = "".join(rng.choice("ab c") for _ in range(n))
+        docs.append((f"d{i:02d}", body))
+
+    def norm(t):
+        return " ".join(t.lower().split())
+
+    def ref(t):
+        t = norm(t)
+        m = max(len(t) - k + 1, 1)
+        hs = [
+            int(hashlib.md5(t[i : i + k].encode()).hexdigest()[:8], 16)
+            for i in range(m)
+        ]
+        out = set()
+        for j in range(max(m - w + 1, 1)):
+            wnd = hs[j : j + w]
+            mn = min(wnd)
+            # rightmost minimum
+            pos = j + max(i for i, h in enumerate(wnd) if h == mn)
+            out.add((pos + 1, hs[pos]))
+        return out
+
+    got = winnow_fingerprints(
+        spark.createDataFrame(docs, "doc_id string, text string"),
+        "doc_id", "text", k=k, w=w,
+    ).collect()
+    by_doc = {}
+    for r in got:
+        by_doc.setdefault(r.record_id, set()).add((r.fp_pos, r.fp_hash))
+    for doc_id, text in docs:
+        assert by_doc.get(doc_id, set()) == ref(text), doc_id
+
+
+def test_ivf_probe_cells_null_query_is_deterministic(spark):
+    """Symmetric to the assignment-side null fix: a null-embedding QUERY's
+    probed cells must be the lowest cids (comparator falls through to cid
+    ASC on null scores), independent of codebook collect order."""
+    from blink_spark.operators.ann import (
+        _centroid_literal_array,
+        _default_scorer,
+        _probe_cells_lit,
+    )
+
+    cents = spark.createDataFrame(
+        [(2, [1.0, 0.0]), (0, [0.0, 1.0]), (1, [0.5, 0.5])],
+        "cid INT, cv ARRAY<DOUBLE>",
+    )
+    qs = spark.createDataFrame(
+        [("nullq", None)], "query_id STRING, qv ARRAY<DOUBLE>"
+    )
+    carr, cid_t = _centroid_literal_array(cents)
+    got = sorted(
+        r.cid
+        for r in _probe_cells_lit(qs, carr, cid_t, _default_scorer, 2).collect()
+    )
+    assert got == [0, 1], got

@@ -77,7 +77,7 @@ def _q(name: str, oracle: str | None):
 
 # ---- shared SQL fragments (DuckDB dialect) --------------------------------
 
-_NORM = "trim(regexp_replace(lower({c}), '\\s+', ' ', 'g'))"
+_NORM = "trim(regexp_replace(lower({c}), '[\\t\\n\\x0B\\f\\r ]+', ' ', 'g'))"
 
 
 def _norm(c: str) -> str:
@@ -228,7 +228,7 @@ def _anti_join(spark: SparkSession, sf: str) -> DataFrame:
            lag(event_type) OVER w AS prev_type,
            lead(event_type) OVER w AS next_type
     FROM events
-    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id NULLS FIRST)
     """,
 )
 def _event_neighbors(spark: SparkSession, sf: str) -> DataFrame:
@@ -249,12 +249,12 @@ def _event_neighbors(spark: SparkSession, sf: str) -> DataFrame:
     """
     SELECT user_id, event_id, session_seq FROM (
       SELECT user_id, event_id,
-             cast(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             cast(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id NULLS FIRST
                                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
       FROM (
         SELECT user_id, event_id, ts,
                CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
-                           OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                           OVER (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id NULLS FIRST)
                          <= 1800000000 THEN 0 ELSE 1 END AS is_new
         FROM events
       )
@@ -323,7 +323,7 @@ def _macro_micro(spark: SparkSession, sf: str) -> DataFrame:
     "doc_token_stats",
     f"""
     SELECT doc_id,
-           len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
+           len(regexp_split_to_array(trim(text), '[\\t\\n\\x0B\\f\\r ]+')) AS n_tokens,
            len({_toks('text')}) AS n_distinct_tokens
     FROM documents
     """,
@@ -441,7 +441,7 @@ def _doc_bpe_tokens(spark: SparkSession, sf: str) -> DataFrame:
     "doc_quality",
     f"""
     SELECT doc_id,
-           round((length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))::double
+           round((length(text) - length(regexp_replace(text, '[^\\w\\t\\n\\x0B\\f\\r ]', '', 'g')))::double
                  / greatest(length(text), 1), 6) AS punct_ratio,
            round(len(list_intersect({_toks('text')},
                  ['the','and','of','to','in','is','that','for','with','was']))::double
@@ -592,10 +592,16 @@ def _doc_winnow(spark: SparkSession, sf: str) -> DataFrame:
     """
     WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 16),
     pairs AS (
+      -- CASE, not a greatest(denom, 1e-12) clamp: the Spark cosine() maps
+      -- zero-or-negative norm products to 0.0, and a clamp would instead
+      -- blow up denormal (0 < denom < 1e-12) embeddings to cos ~= +/-1
       SELECT q.qid, e.vec_id,
-             round(list_dot_product(q.qv::DOUBLE[], e.embedding::DOUBLE[]) /
-               greatest(sqrt(list_dot_product(q.qv::DOUBLE[], q.qv::DOUBLE[])) *
-                        sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])), 1e-12), 6) AS cos
+             round(CASE WHEN sqrt(list_dot_product(q.qv::DOUBLE[], q.qv::DOUBLE[])) *
+                        sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) > 0
+                   THEN list_dot_product(q.qv::DOUBLE[], e.embedding::DOUBLE[]) /
+                        (sqrt(list_dot_product(q.qv::DOUBLE[], q.qv::DOUBLE[])) *
+                         sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])))
+                   ELSE 0.0 END, 6) AS cos
       FROM q JOIN embeddings e ON e.vec_id <> q.qid
     )
     SELECT qid, vec_id, cos, rank FROM (
@@ -641,10 +647,10 @@ def _er_oracle_mentions_sql() -> str:
     ), ctx AS (
       SELECT doc_id, span_idx, kind, text,
         last_value(CASE WHEN kind='text' THEN text END IGNORE NULLS)
-          OVER (PARTITION BY doc_id ORDER BY off
+          OVER (PARTITION BY doc_id ORDER BY off NULLS FIRST
                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS context_left,
         first_value(CASE WHEN kind='text' THEN text END IGNORE NULLS)
-          OVER (PARTITION BY doc_id ORDER BY off
+          OVER (PARTITION BY doc_id ORDER BY off NULLS FIRST
                 ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS context_right
       FROM flat
     )
@@ -1669,7 +1675,7 @@ def _simhash_oracle_sql(max_hamming: int = 3) -> str:
     return f"""
     WITH n0 AS (
       SELECT doc_id::varchar AS record_id,
-             trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+             trim(regexp_replace(lower(text), '[\\t\\n\\x0B\\f\\r ]+', ' ', 'g')) AS t
       FROM documents
     ),
     tok AS (
@@ -1930,7 +1936,7 @@ def _er_pem_lookup(spark: SparkSession, sf: str) -> DataFrame:
     """
     WITH RECURSIVE n AS (
       SELECT doc_id::varchar AS record_id,
-             trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+             trim(regexp_replace(lower(text), '[\\t\\n\\x0B\\f\\r ]+', ' ', 'g')) AS t
       FROM documents
     ),
     sh AS (
@@ -2091,7 +2097,7 @@ def _ngram_containment_oracle_sql() -> str:
     return """
     WITH n AS (
       SELECT doc_id::varchar AS record_id,
-             trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+             trim(regexp_replace(lower(text), '[\\t\\n\\x0B\\f\\r ]+', ' ', 'g')) AS t
       FROM documents
     ),
     g AS (
@@ -2360,7 +2366,7 @@ def _er_oracles() -> dict[str, str]:
     # 6dp >= 0.65, (c) banded integer levenshtein dist <= floor(7*maxlen/100).
     # The oracle encodes the IDENTICAL integer/rounded comparisons so both
     # engines agree at threshold boundaries (e.g. d/m exactly 0.07).
-    _norm_m = "trim(regexp_replace(lower(mention), '\\s+', ' ', 'g'))"
+    _norm_m = "trim(regexp_replace(lower(mention), '[\\t\\n\\x0B\\f\\r ]+', ' ', 'g'))"
     match_expr = (
         "(ma.norm = mb.norm) OR "
         "(round(len(list_intersect(ta, tb))::double"
@@ -2447,10 +2453,17 @@ def _er_oracles() -> dict[str, str]:
         FROM read_parquet('{ent}')
       ),
       pairs AS (
+        -- mirror similarity.lev_ratio exactly: levenshtein over NORMALIZED
+        -- forms (lower + collapse whitespace + trim), 1.0 on empty-empty
         SELECT mention_id, entity_id,
-               round(1.0 - levenshtein(mention, title_l)::double
-                     / greatest(length(mention), length(title_l), 1), 6) AS sim
-        FROM mb JOIN eb USING (bk)
+               round(CASE WHEN greatest(length(mn), length(tn)) > 0
+                          THEN 1.0 - levenshtein(mn, tn)::double
+                               / greatest(length(mn), length(tn))
+                          ELSE 1.0 END, 6) AS sim
+        FROM (SELECT *,
+                trim(regexp_replace(lower(mention), '[\t\n\x0B\f\r ]+', ' ', 'g')) AS mn,
+                trim(regexp_replace(title_l, '[\t\n\x0B\f\r ]+', ' ', 'g')) AS tn
+              FROM mb JOIN eb USING (bk))
       )
       SELECT mention_id, entity_id, sim, rank FROM (
         SELECT mention_id, entity_id, sim,
@@ -2470,10 +2483,17 @@ def _er_oracles() -> dict[str, str]:
         FROM read_parquet('{ent}')
       ),
       pairs AS (
+        -- mirror similarity.lev_ratio exactly: levenshtein over NORMALIZED
+        -- forms (lower + collapse whitespace + trim), 1.0 on empty-empty
         SELECT mention_id, entity_id,
-               round(1.0 - levenshtein(mention, title_l)::double
-                     / greatest(length(mention), length(title_l), 1), 6) AS sim
-        FROM mb JOIN eb USING (bk)
+               round(CASE WHEN greatest(length(mn), length(tn)) > 0
+                          THEN 1.0 - levenshtein(mn, tn)::double
+                               / greatest(length(mn), length(tn))
+                          ELSE 1.0 END, 6) AS sim
+        FROM (SELECT *,
+                trim(regexp_replace(lower(mention), '[\t\n\x0B\f\r ]+', ' ', 'g')) AS mn,
+                trim(regexp_replace(title_l, '[\t\n\x0B\f\r ]+', ' ', 'g')) AS tn
+              FROM mb JOIN eb USING (bk))
       ),
       topk AS (
         SELECT mention_id, entity_id, sim, rank FROM (
@@ -2496,7 +2516,7 @@ def _er_oracles() -> dict[str, str]:
     def _span_enum_ctes(max_len: int) -> str:
         return f"""
       t AS (
-        SELECT id, regexp_split_to_array(trim(text), '\\s+') AS toks
+        SELECT id, regexp_split_to_array(trim(text), '[\\t\\n\\x0B\\f\\r ]+') AS toks
         FROM read_parquet('{qst}')
       ),
       s AS (
@@ -2735,12 +2755,12 @@ def _er_oracles() -> dict[str, str]:
     inv_index_sql = f"""
       WITH inv AS (
         SELECT entity_id, num_incoming_links,
-               unnest(list_distinct(string_split(lower(title), ' '))) AS tok
+               unnest(list_distinct(string_split(trim(regexp_replace(lower(title), '[\\t\\n\\x0B\\f\\r ]+', ' ', 'g')), ' '))) AS tok
         FROM read_parquet('{ent}')
       ),
       mt AS (
         SELECT mention_id,
-               unnest(list_distinct(string_split(mention, ' '))) AS tok
+               unnest(list_distinct(string_split(trim(regexp_replace(lower(mention), '[\\t\\n\\x0B\\f\\r ]+', ' ', 'g')), ' '))) AS tok
         FROM read_parquet('{men}')
       ),
       hits AS (
@@ -2815,7 +2835,7 @@ def _er_oracles() -> dict[str, str]:
       WITH s AS (
         SELECT sent_id,
                list_filter([trim(x) for x in string_split(
-                 regexp_replace(text, '([.!?])\\s+', '\\1' || chr(1), 'g'), chr(1))],
+                 regexp_replace(text, '([.!?])[\\t\\n\\x0B\\f\\r ]+', '\\1' || chr(1), 'g'), chr(1))],
                  t -> t <> '') AS sents
         FROM read_parquet('{sfx}')
       )
@@ -2846,7 +2866,7 @@ def _er_oracles() -> dict[str, str]:
     bm25_sql = f"""
       WITH ents AS (SELECT * FROM read_parquet('{ent}')),
       f AS (
-        SELECT entity_id, unnest(list_distinct(string_split(lower(title), ' '))) AS tok,
+        SELECT entity_id, unnest(list_distinct(string_split(trim(regexp_replace(lower(title), '[\\t\\n\\x0B\\f\\r ]+', ' ', 'g')), ' '))) AS tok,
                1.0 AS w
         FROM ents
         UNION ALL
@@ -2855,7 +2875,7 @@ def _er_oracles() -> dict[str, str]:
                0.7
         FROM ents
         UNION ALL
-        SELECT entity_id, unnest(list_distinct(string_split(lower(text), ' '))), 0.5
+        SELECT entity_id, unnest(list_distinct(string_split(trim(regexp_replace(lower(text), '[\\t\\n\\x0B\\f\\r ]+', ' ', 'g')), ' '))), 0.5
         FROM ents
       ),
       best AS (SELECT entity_id, tok, max(w) AS w FROM f GROUP BY 1, 2),
@@ -2899,9 +2919,14 @@ def _er_oracles() -> dict[str, str]:
       ),
       lpairs AS (
         SELECT mention_id, entity_id,
-               round(1.0 - levenshtein(mention, title_l)::double
-                     / greatest(length(mention), length(title_l), 1), 6) AS sim
-        FROM mb JOIN eb USING (bk)
+               round(CASE WHEN greatest(length(mn), length(tn)) > 0
+                          THEN 1.0 - levenshtein(mn, tn)::double
+                               / greatest(length(mn), length(tn))
+                          ELSE 1.0 END, 6) AS sim
+        FROM (SELECT *,
+                trim(regexp_replace(lower(mention), '[\\t\\n\\x0B\\f\\r ]+', ' ', 'g')) AS mn,
+                trim(regexp_replace(title_l, '[\\t\\n\\x0B\\f\\r ]+', ' ', 'g')) AS tn
+              FROM mb JOIN eb USING (bk))
       ),
       ltopk AS (
         SELECT mention_id, entity_id, sim, rank FROM (
@@ -3088,9 +3113,9 @@ def _er_oracles() -> dict[str, str]:
       WITH {{span_ctes}},
       tk AS (
         SELECT id AS record_id,
-               generate_subscripts(regexp_split_to_array(trim(text), '\\s+'), 1) - 1
+               generate_subscripts(regexp_split_to_array(trim(text), '[\\t\\n\\x0B\\f\\r ]+'), 1) - 1
                  AS pos,
-               unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+               unnest(regexp_split_to_array(trim(text), '[\\t\\n\\x0B\\f\\r ]+')) AS tok
         FROM read_parquet('{qst}')
       ),
       lg AS (
@@ -3122,9 +3147,9 @@ def _er_oracles() -> dict[str, str]:
         SELECT regexp_extract(blk, 'id="(\\d+)"', 1)::BIGINT AS wikipedia_id,
                regexp_extract(blk, 'title="([^"]*)"', 1) AS title,
                array_to_string(
-                 [x for x in string_split(
-                    regexp_extract(blk, '>\n([\\s\\S]*?)</doc>', 1), chr(10))
-                  if trim(x) <> ''], chr(10)) AS text
+                 [y for y in [rtrim(x, chr(13)) for x in string_split(
+                    regexp_extract(blk, '>\\r?\n([\\s\\S]*?)</doc>', 1), chr(10))]
+                  if trim(y) <> ''], chr(10)) AS text
         FROM wb WHERE blk LIKE 'id=%'
       ),
       wlinks AS (
@@ -3142,7 +3167,7 @@ def _er_oracles() -> dict[str, str]:
     wiki_scan_sql = f"""
       WITH {_wiki_ctes}
       SELECT wikipedia_id, title,
-             len(regexp_split_to_array(trim(text), '\\s+')) AS num_tokens,
+             len(regexp_split_to_array(trim(text), '[\\t\\n\\x0B\\f\\r ]+')) AS num_tokens,
              md5(text) AS text_md5
       FROM wdoc
     """
@@ -3202,9 +3227,13 @@ def _er_oracles() -> dict[str, str]:
     conll_stream_sql = f"""
       WITH ct AS (SELECT content FROM read_text('{cstream}')),
       cl AS (
-        SELECT unnest(string_split(content, chr(10))) AS line,
-               generate_subscripts(string_split(content, chr(10)), 1) - 1 AS line_no
-        FROM ct
+        -- rtrim chr(13): the Spark text source strips CRLF terminators;
+        -- a raw chr(10) split must not leave a CR on CRLF-encoded files
+        SELECT rtrim(line0, chr(13)) AS line, line_no FROM (
+          SELECT unnest(string_split(content, chr(10))) AS line0,
+                 generate_subscripts(string_split(content, chr(10)), 1) - 1 AS line_no
+          FROM ct
+        )
       ),
       cd AS (
         SELECT line, line_no,
@@ -3214,8 +3243,8 @@ def _er_oracles() -> dict[str, str]:
       ),
       ctoks AS (
         SELECT doc_id, line_no,
-               regexp_split_to_array(line, '\\s+')[1] AS token,
-               coalesce(regexp_split_to_array(line, '\\s+')[2], 'O') AS tag
+               regexp_split_to_array(line, '[\\t\\n\\x0B\\f\\r ]+')[1] AS token,
+               coalesce(regexp_split_to_array(line, '[\\t\\n\\x0B\\f\\r ]+')[2], 'O') AS tag
         FROM cd WHERE NOT starts_with(line, '-DOCSTART-') AND trim(line) <> ''
       ),
       r1 AS (
@@ -3251,9 +3280,14 @@ def _er_oracles() -> dict[str, str]:
       ),
       fpairs AS (
         SELECT mention_id, entity_id,
-               round(1.0 - levenshtein(mention, title_l)::double
-                     / greatest(length(mention), length(title_l), 1), 6) AS sim
-        FROM mb JOIN eb USING (bk)
+               round(CASE WHEN greatest(length(mn), length(tn)) > 0
+                          THEN 1.0 - levenshtein(mn, tn)::double
+                               / greatest(length(mn), length(tn))
+                          ELSE 1.0 END, 6) AS sim
+        FROM (SELECT *,
+                trim(regexp_replace(lower(mention), '[\\t\\n\\x0B\\f\\r ]+', ' ', 'g')) AS mn,
+                trim(regexp_replace(title_l, '[\\t\\n\\x0B\\f\\r ]+', ' ', 'g')) AS tn
+              FROM mb JOIN eb USING (bk))
       ),
       ftop AS (
         SELECT mention_id, entity_id, rank FROM (
@@ -3417,7 +3451,7 @@ def _er_oracles() -> dict[str, str]:
     """
 
     def _tok_ids_sql(expr: str) -> str:
-        norm = f"trim(regexp_replace(lower({expr}), '\\s+', ' ', 'g'))"
+        norm = f"trim(regexp_replace(lower({expr}), '[\\t\\n\\x0B\\f\\r ]+', ' ', 'g'))"
         return (
             "[(('0x' || substr(md5('tok:' || t), 1, 8))::BIGINT + 1000) "
             f"for t in list_filter(string_split({norm}, ' '), t -> t <> '')]"
@@ -3491,9 +3525,14 @@ def _er_oracles() -> dict[str, str]:
       ),
       simp AS (
         SELECT mention_id, entity_id,
-               round(1.0 - levenshtein(mention, title_l)::double
-                     / greatest(length(mention), length(title_l), 1), 6) AS sim
-        FROM mb JOIN eb USING (bk)
+               round(CASE WHEN greatest(length(mn), length(tn)) > 0
+                          THEN 1.0 - levenshtein(mn, tn)::double
+                               / greatest(length(mn), length(tn))
+                          ELSE 1.0 END, 6) AS sim
+        FROM (SELECT *,
+                trim(regexp_replace(lower(mention), '[\\t\\n\\x0B\\f\\r ]+', ' ', 'g')) AS mn,
+                trim(regexp_replace(title_l, '[\\t\\n\\x0B\\f\\r ]+', ' ', 'g')) AS tn
+              FROM mb JOIN eb USING (bk))
       ),
       tk3 AS (
         SELECT mention_id, entity_id, rank FROM (
@@ -3536,7 +3575,7 @@ def _er_oracles() -> dict[str, str]:
       FROM seg
     """
     jsonl_scan_sql = f"""
-      SELECT row_number() OVER (ORDER BY wikipedia_id ASC NULLS LAST, title ASC) - 1
+      SELECT row_number() OVER (ORDER BY wikipedia_id ASC NULLS LAST, title ASC NULLS FIRST) - 1
                AS entity_id,
              title, text, wikipedia_id
       FROM (
@@ -3604,8 +3643,11 @@ def _er_oracles() -> dict[str, str]:
         "er_span_invariant": f"""
           SELECT doc_id,
                  md5(array_to_string(
-                   [sp.kind || chr(1) || sp.text || chr(1) || coalesce(sp.media_ref, '')
-                    || chr(1) || sp.offset::varchar for sp in spans], chr(2))) AS span_digest
+                   -- concat_ws, not ||: Spark's concat_ws SKIPS null fields
+                   -- (dropping their separator) while || would poison the
+                   -- element to NULL and array_to_string would drop it whole
+                   [concat_ws(chr(1), sp.kind, sp.text, coalesce(sp.media_ref, ''),
+                              sp.offset::varchar) for sp in spans], chr(2))) AS span_digest
           FROM read_parquet('{doc}')
         """,
         "er_token_pair_blocks": f"""
@@ -3662,9 +3704,14 @@ def _er_oracles() -> dict[str, str]:
           ),
           pairs AS (
             SELECT mention_id, entity_id,
-                   round(1.0 - levenshtein(mention, title_l)::double
-                         / greatest(length(mention), length(title_l), 1), 6) AS sim
-            FROM mb JOIN eb USING (bk)
+                   round(CASE WHEN greatest(length(mn), length(tn)) > 0
+                              THEN 1.0 - levenshtein(mn, tn)::double
+                                   / greatest(length(mn), length(tn))
+                              ELSE 1.0 END, 6) AS sim
+            FROM (SELECT *,
+                    trim(regexp_replace(lower(mention), '[\\t\\n\\x0B\\f\\r ]+', ' ', 'g')) AS mn,
+                    trim(regexp_replace(title_l, '[\\t\\n\\x0B\\f\\r ]+', ' ', 'g')) AS tn
+                  FROM mb JOIN eb USING (bk))
           ),
           ranked AS (
             SELECT mention_id, entity_id,

@@ -25,7 +25,7 @@ STOPWORDS = {
 def normalize_text(col: Column | str) -> Column:
     """lowercase + collapse whitespace + trim (the canonical mention form)."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))
+    return F.trim(F.regexp_replace(F.lower(c), r"[\t\n\x0B\f\r ]+", " "))
 
 
 def tokens(col: Column | str) -> Column:
@@ -35,7 +35,7 @@ def tokens(col: Column | str) -> Column:
 
 def token_count(col: Column | str) -> Column:
     c = F.col(col) if isinstance(col, str) else col
-    return F.size(F.split(F.trim(c), r"\s+"))
+    return F.size(F.split(F.trim(c), r"[\t\n\x0B\f\r ]+"))
 
 
 # BPE-style pretokenizer classes (the GPT-2 pattern's core, minus its
@@ -96,7 +96,7 @@ def quality_features(col: Column | str) -> dict[str, Column]:
     n_chars = F.length(c)
     toks = F.split(normalize_text(c), " ")
     n_tokens = F.size(toks)
-    n_punct = n_chars - F.length(F.regexp_replace(c, r"[^\w\s]", ""))
+    n_punct = n_chars - F.length(F.regexp_replace(c, r"[^\w\t\n\x0B\f\r ]", ""))
     en = F.array([F.lit(w) for w in STOPWORDS["en"]])
     n_stop = F.size(F.array_intersect(F.array_distinct(toks), en))
     return {
@@ -107,7 +107,7 @@ def quality_features(col: Column | str) -> dict[str, Column]:
             n_stop.cast("double") / F.greatest(F.size(F.array_distinct(toks)), F.lit(1)), 6
         ),
         "mean_token_len": F.round(
-            (F.length(F.regexp_replace(c, r"\s+", "")).cast("double"))
+            (F.length(F.regexp_replace(c, r"[\t\n\x0B\f\r ]+", "")).cast("double"))
             / F.greatest(n_tokens, F.lit(1)),
             6,
         ),
@@ -140,7 +140,7 @@ def sentences(col: Column | str) -> Column:
     instead of lookbehind regex (RE2 engines have no lookbehind — keeps the
     construction portable to the SQL oracle)."""
     c = F.col(col) if isinstance(col, str) else col
-    marked = F.regexp_replace(c, r"([.!?])\s+", "$1\x01")
+    marked = F.regexp_replace(c, r"([.!?])[\t\n\x0B\f\r ]+", "$1\x01")
     parts = F.transform(F.split(marked, "\x01"), lambda s: F.trim(s))
     return F.filter(parts, lambda s: s != "")
 

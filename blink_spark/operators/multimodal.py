@@ -24,8 +24,10 @@ MEDIA_META = T.StructType(
     [
         T.StructField("doc_id", T.StringType(), False),
         T.StructField("span_idx", T.IntegerType(), False),
-        T.StructField("media_ref", T.StringType(), False),
-        T.StructField("media_kind", T.StringType(), False),
+        # nullable: a NULL media_ref row decodes to all-NULL fields (the
+        # oracle's md5(NULL) propagation) rather than an UnsafeWriter NPE
+        T.StructField("media_ref", T.StringType(), True),
+        T.StructField("media_kind", T.StringType(), True),
         T.StructField("width", T.IntegerType(), True),
         T.StructField("height", T.IntegerType(), True),
         T.StructField("n_frames", T.IntegerType(), True),
@@ -34,14 +36,18 @@ MEDIA_META = T.StructType(
 )
 
 
-def _fake_decode(ref: str) -> tuple[str, int, int, int, list[float]]:
+def _fake_decode(ref: str | None) -> tuple:
     """Deterministic md5-derived fake decode — same bytes on every machine.
 
     The arithmetic (ascii of md5 hex chars) is chosen to be replicable in
-    ANSI SQL so the plumbing is oracle-checkable end to end.
+    ANSI SQL so the plumbing is oracle-checkable end to end. A NULL ref
+    decodes to all-NULL fields — the SQL twin's md5(NULL) propagation —
+    instead of crashing the Arrow batch.
     """
     import hashlib
 
+    if ref is None or (isinstance(ref, float) and pd.isna(ref)):
+        return None, None, None, None, None
     h = hashlib.md5(ref.encode()).hexdigest()
     kind = ["image", "audio", "video"][ord(h[0]) % 3]
     width = 640 + ord(h[1])
@@ -65,9 +71,9 @@ def decode_media_stub(media_spans: DataFrame) -> DataFrame:
                     "span_idx": pdf["span_idx"].astype("int32").values,
                     "media_ref": pdf["media_ref"].values,
                     "media_kind": [d[0] for d in decoded],
-                    "width": pd.array([d[1] for d in decoded], dtype="int32"),
-                    "height": pd.array([d[2] for d in decoded], dtype="int32"),
-                    "n_frames": pd.array([d[3] for d in decoded], dtype="int32"),
+                    "width": pd.array([d[1] for d in decoded], dtype="Int32"),
+                    "height": pd.array([d[2] for d in decoded], dtype="Int32"),
+                    "n_frames": pd.array([d[3] for d in decoded], dtype="Int32"),
                     "feature": [d[4] for d in decoded],
                 }
             )

@@ -26,7 +26,7 @@ def enumerate_token_spans(
     span_text). Pure generator (sequence + transform + explode), no shuffle —
     the relational form of MentionScoresHead's span enumeration
     (/root/reference/elq/biencoder/biencoder.py:103-119)."""
-    toks = F.split(F.trim(df[text_col]), r"\s+")
+    toks = F.split(F.trim(df[text_col]), r"[\t\n\x0B\f\r ]+")
     n = F.size(toks)
     spans = F.flatten(
         F.transform(
@@ -156,7 +156,7 @@ def span_scores_prefix_sum(
     """
     from pyspark.sql import Window
 
-    toks = F.split(F.trim(df[text_col]), r"\s+")
+    toks = F.split(F.trim(df[text_col]), r"[\t\n\x0B\f\r ]+")
     tk = df.select(
         df[id_col].alias("record_id"), F.posexplode(toks).alias("pos", "tok")
     )

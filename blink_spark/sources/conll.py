@@ -36,8 +36,8 @@ def read_conll(spark: SparkSession, path: str) -> DataFrame:
         .select(
             "doc_id",
             "line_no",
-            F.split("line", r"\s+")[0].alias("token"),
-            F.coalesce(F.split("line", r"\s+")[1], F.lit("O")).alias("tag"),
+            F.split("line", r"[\t\n\x0B\f\r ]+")[0].alias("token"),
+            F.coalesce(F.split("line", r"[\t\n\x0B\f\r ]+")[1], F.lit("O")).alias("tag"),
         )
     )
     return toks

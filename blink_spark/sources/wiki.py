@@ -55,7 +55,7 @@ def read_wiki_extractor(spark: SparkSession, path: str, full_text: bool = False)
         F.regexp_extract(header, r'id="(\d+)"', 1).cast("long").alias("wikipedia_id"),
         F.regexp_extract(header, r'title="([^"]*)"', 1).alias("title"),
         text.alias("text"),
-    ).withColumn("num_tokens", F.size(F.split(F.trim("text"), r"\s+"))).filter(
+    ).withColumn("num_tokens", F.size(F.split(F.trim("text"), r"[\t\n\x0B\f\r ]+"))).filter(
         F.col("wikipedia_id").isNotNull()
     )
 
@@ -114,7 +114,7 @@ def read_wikidata_dump(spark: SparkSession, path: str) -> DataFrame:
     label/aliases/description + optional enwikiquote title."""
     lines = spark.read.text(path)
     cleaned = lines.select(
-        F.regexp_replace(F.trim("value"), r",\s*$", "").alias("line")
+        F.regexp_replace(F.trim("value"), r",[\t\n\x0B\f\r ]*$", "").alias("line")
     ).filter(~F.col("line").isin("[", "]", ""))
     parsed = cleaned.select(F.from_json("line", WIKIDATA_SCHEMA).alias("o"))
     kept = parsed.filter(F.col("o.sitelinks.enwiki.title").isNotNull())

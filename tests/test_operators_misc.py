@@ -303,3 +303,18 @@ def test_decode_media_real_bmp_and_ppm(spark):
     for ref in ("m://c.jpg", "m://d.nul"):
         r = got[ref]
         assert r.media_kind == "unknown" and r.width is None and r.feature is None
+
+
+def test_decode_media_stub_tolerates_null_ref(spark):
+    """A NULL media_ref must decode to all-NULL fields (the oracle's
+    md5(NULL) propagation), not crash the Arrow batch or the row writer."""
+    from blink_spark.operators.multimodal import decode_media_stub
+
+    df = spark.createDataFrame(
+        [("d1", 0, "m://a"), ("d1", 1, None)],
+        "doc_id string, span_idx int, media_ref string",
+    )
+    rows = {r.span_idx: r for r in decode_media_stub(df).collect()}
+    assert rows[0].media_kind in ("image", "audio", "video")
+    assert rows[1].media_kind is None and rows[1].width is None
+    assert rows[1].feature is None

@@ -438,6 +438,104 @@ def _doc_bpe_tokens(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @_q(
+    "doc_repetition_filters",
+    f"""
+    WITH n AS (SELECT doc_id, string_split({_norm('text')}, ' ') AS tk FROM documents),
+    t AS (SELECT doc_id, unnest(tk) AS tok FROM n),
+    tc AS (SELECT doc_id, tok, count(*) AS c FROM t GROUP BY 1, 2),
+    uni AS (SELECT doc_id, sum(c)::BIGINT AS n_toks, count(*) AS n_types FROM tc GROUP BY 1),
+    top1 AS (
+      SELECT doc_id, c FROM (
+        SELECT doc_id, c,
+               row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, tok DESC) AS rn
+        FROM tc) WHERE rn = 1
+    ),
+    bgl AS (SELECT doc_id, unnest([tk[i] || ' ' || tk[i+1] for i in range(1, len(tk))]) AS gram FROM n),
+    bgc AS (SELECT doc_id, gram, count(*) AS c FROM bgl GROUP BY 1, 2),
+    bg AS (SELECT doc_id, sum(c)::BIGINT AS n_bg FROM bgc GROUP BY 1),
+    bgtop AS (
+      SELECT doc_id, c FROM (
+        SELECT doc_id, c,
+               row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, gram DESC) AS rn
+        FROM bgc) WHERE rn = 1
+    ),
+    fgl AS (SELECT doc_id,
+                   unnest([array_to_string(tk[i:i+4], ' ') for i in range(1, len(tk)-3)]) AS gram
+            FROM n),
+    fgc AS (SELECT doc_id, gram, count(*) AS c FROM fgl GROUP BY 1, 2),
+    fg AS (SELECT doc_id, sum(c)::BIGINT AS n_fg,
+                  sum(CASE WHEN c >= 2 THEN c ELSE 0 END)::BIGINT AS dup_fg
+           FROM fgc GROUP BY 1)
+    SELECT u.doc_id,
+           round(u.n_types::double / u.n_toks, 6) AS ttr,
+           round(t1.c::double / u.n_toks, 6) AS top_token_frac,
+           round(coalesce(bt.c, 0)::double / greatest(coalesce(b.n_bg, 0), 1), 6) AS top_2gram_frac,
+           round(coalesce(f.dup_fg, 0)::double / greatest(coalesce(f.n_fg, 0), 1), 6) AS dup_5gram_frac
+    FROM uni u
+    JOIN top1 t1 USING (doc_id)
+    LEFT JOIN bg b USING (doc_id)
+    LEFT JOIN bgtop bt USING (doc_id)
+    LEFT JOIN fg f USING (doc_id)
+    """,
+)
+def _doc_repetition_filters(spark: SparkSession, sf: str) -> DataFrame:
+    """Gopher-style token-repetition quality features (type-token ratio,
+    top-token/top-bigram fraction, duplicate-5-gram fraction) — the
+    repetition-filter stage of a pretraining-data pipeline, generalizing the
+    reference's token-statistic ingestion filters
+    (/root/reference/blink/candidate_retrieval/data_ingestion.py:118-155)."""
+    from blink_spark.operators.corpus import repetition_features
+
+    return repetition_features(_t(spark, sf, "documents"))
+
+
+@_q(
+    "doc_tfidf_top_terms",
+    f"""
+    WITH n AS (SELECT doc_id, string_split({_norm('text')}, ' ') AS tk FROM documents),
+    t AS (SELECT doc_id, unnest(tk) AS tok FROM n),
+    tc AS (SELECT doc_id, tok, count(*) AS tf FROM t GROUP BY 1, 2),
+    dfb AS (SELECT tok, count(*) AS df FROM tc GROUP BY 1),
+    r AS (
+      SELECT tc.doc_id, tc.tok, tc.tf, dfb.df,
+             row_number() OVER (PARTITION BY tc.doc_id
+                                ORDER BY tc.tf DESC, dfb.df ASC, tc.tok ASC) AS rank
+      FROM tc JOIN dfb USING (tok)
+    )
+    SELECT doc_id, tok AS term, tf, df, rank FROM r WHERE rank <= 3
+    """,
+)
+def _doc_tfidf_top_terms(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-doc top-3 salient terms by the integer tf-idf rank
+    (tf desc, corpus df asc, term asc) — keyword extraction / salient-term
+    indexing over the corpus document-frequency table."""
+    from blink_spark.operators.corpus import tfidf_top_terms
+
+    return tfidf_top_terms(_t(spark, sf, "documents"), k=3)
+
+
+@_q(
+    "doc_domain_sample",
+    """
+    SELECT * FROM (
+      SELECT doc_id, source AS stratum,
+             ('0x' || substr(md5('smp:' || doc_id), 1, 8))::BIGINT % 1000000 AS smp_bucket,
+             250000 + (('0x' || substr(md5('rate:' || source), 1, 4))::INT % 500001) AS keep_thr
+      FROM documents
+    ) WHERE smp_bucket < keep_thr
+    """,
+)
+def _doc_domain_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic hash-stratified domain sampling (training-mix
+    construction): per-source keep-rates derived from md5(source), per-doc
+    keep decision from md5(doc_id) — stable under re-runs, incremental
+    ingestion and cluster-size changes; zero shuffles."""
+    from blink_spark.operators.corpus import stratified_sample
+
+    return stratified_sample(_t(spark, sf, "documents"))
+
+
+@_q(
     "doc_quality",
     f"""
     SELECT doc_id,
@@ -3794,6 +3892,9 @@ _DRIVER_ORDER = [
     "er_extract_mentions", "er_media_spans", "er_span_invariant",
     "er_token_pair_blocks", "er_candidate_pairs", "er_scored_gold_pairs",
     "er_topk_candidates", "er_recall_at_k", "softmax_confidence",
+    # round-4 late additions (driver-unseen this round; rotate into the
+    # first 50 next round per the CLAUDE.md window policy)
+    "doc_repetition_filters", "doc_tfidf_top_terms", "doc_domain_sample",
 ]
 
 

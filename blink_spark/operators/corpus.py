@@ -1,0 +1,196 @@
+"""Corpus-level statistics and sampling operators for training-data pipelines.
+
+Gopher-style repetition filters, TF-IDF-style salient-term extraction and
+deterministic stratified domain sampling — the pretraining-data curation
+family next to the dedup operators (reference quality-filter analogue:
+/root/reference/blink/candidate_retrieval/data_ingestion.py:118-155 filters
+documents by token statistics before ingestion; these operators generalize
+that to corpus-scale quality/repetition/sampling decisions).
+
+Scale notes (100 TB):
+- ``repetition_features`` relationalizes every n-gram count as
+  posexplode → one per-doc Window (lead chain) → groupBy partial aggs.
+  Spark HOF folds are interpreted (CodegenFallback), so gram construction
+  stays in codegen via ``lead``; each feature family is one keyed shuffle
+  partitioned by doc — no skew (per-doc cardinality is bounded by doc
+  length), no collect.
+- ``tfidf_top_terms`` computes the global document-frequency table with one
+  token-keyed shuffle and joins it back; the df table is vocabulary-sized
+  (≪ corpus) and AQE will broadcast it when small. The per-doc top-k is a
+  doc-keyed window over per-doc-distinct tokens. Ranking is integer-only
+  (tf desc, df asc, term asc) — no float log whose last-ulp could differ
+  across engines or hardware.
+- ``stratified_sample`` is a pure projection + filter (zero shuffles): the
+  keep decision is ``md5(doc_id) % 1e6 < threshold(source)``, deterministic
+  and reproducible across runs/cluster sizes, with per-stratum thresholds
+  derived from md5(source) so adding a stratum never reshuffles others
+  (the standard hash-sampling property salt-and-hash samplers rely on).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from blink_spark.functions.text import normalize_text
+
+
+def _hex_long(col: Column, n_hex: int) -> Column:
+    """First ``n_hex`` hex digits of an md5 as a non-negative long
+    (DuckDB-portable: ('0x' || substr(md5(x), 1, n))::BIGINT)."""
+    return F.conv(F.substring(col, 1, n_hex), 16, 10).cast("long")
+
+
+def _token_stream(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(doc_id, pos, tok) rows of the normalized whitespace tokens,
+    duplicates preserved (counts matter for repetition measures)."""
+    toks = F.split(normalize_text(text_col), " ")
+    return docs.select(F.col(id_col).alias("doc_id"), toks.alias("toks")).select(
+        "doc_id", F.posexplode("toks").alias("pos", "tok")
+    )
+
+
+def repetition_features(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Gopher-style repetition/quality features per document.
+
+    Columns (all ratios rounded to 6 dp):
+    - ``ttr``             distinct tokens / total tokens (type-token ratio)
+    - ``top_token_frac``  occurrences of the most frequent token / tokens
+    - ``top_2gram_frac``  occurrences of the most frequent word bigram /
+                          bigram count
+    - ``dup_5gram_frac``  fraction of 5-gram occurrences whose gram occurs
+                          more than once in the document
+
+    Ties for "most frequent" resolve to the lexicographically largest gram
+    (struct-max on (count, gram)), keeping the result deterministic.
+    """
+    t = _token_stream(docs, id_col, text_col)
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    seq = t.select(
+        "doc_id",
+        "tok",
+        *[F.lead("tok", i).over(w).alias(f"nxt{i}") for i in range(1, 5)],
+    )
+
+    tc = t.groupBy("doc_id", "tok").agg(F.count("*").alias("c"))
+    uni = tc.groupBy("doc_id").agg(
+        F.sum("c").alias("n_toks"),
+        F.count("*").alias("n_types"),
+        F.max(F.struct("c", "tok")).alias("top"),
+    )
+
+    bg = (
+        seq.filter(F.col("nxt1").isNotNull())
+        .select("doc_id", F.concat_ws(" ", "tok", "nxt1").alias("gram"))
+        .groupBy("doc_id", "gram")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(F.sum("c").alias("n_bg"), F.max(F.struct("c", "gram")).alias("top_bg"))
+    )
+
+    fg = (
+        seq.filter(F.col("nxt4").isNotNull())
+        .select(
+            "doc_id",
+            F.concat_ws(" ", "tok", "nxt1", "nxt2", "nxt3", "nxt4").alias("gram"),
+        )
+        .groupBy("doc_id", "gram")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_fg"),
+            F.sum(F.when(F.col("c") >= 2, F.col("c")).otherwise(F.lit(0))).alias(
+                "dup_fg"
+            ),
+        )
+    )
+
+    out = (
+        uni.join(bg, "doc_id", "left")
+        .join(fg, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.round(F.col("n_types").cast("double") / F.col("n_toks"), 6).alias("ttr"),
+            F.round(F.col("top.c").cast("double") / F.col("n_toks"), 6).alias(
+                "top_token_frac"
+            ),
+            F.round(
+                F.coalesce(F.col("top_bg.c"), F.lit(0)).cast("double")
+                / F.greatest(F.coalesce(F.col("n_bg"), F.lit(0)), F.lit(1)),
+                6,
+            ).alias("top_2gram_frac"),
+            F.round(
+                F.coalesce(F.col("dup_fg"), F.lit(0)).cast("double")
+                / F.greatest(F.coalesce(F.col("n_fg"), F.lit(0)), F.lit(1)),
+                6,
+            ).alias("dup_5gram_frac"),
+        )
+    )
+    return out
+
+
+def tfidf_top_terms(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 3
+) -> DataFrame:
+    """Per-document top-``k`` salient terms by a tf-idf-style integer rank.
+
+    Rank order is (tf desc, df asc, term asc): a term beats another when it
+    is more frequent in the doc, then rarer in the corpus, then smaller
+    lexicographically. This is the tf-idf ordering without the float
+    ``log(N/df)`` (which is monotone-decreasing in df for fixed N, so the
+    top-k set per tf tie-class is identical) — and it hash-matches across
+    engines because every compared value is an integer or a string.
+    """
+    tc = (
+        _token_stream(docs, id_col, text_col)
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("tf"))
+    )
+    df_tbl = tc.groupBy("tok").agg(F.count("*").alias("df"))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tf").desc(), F.col("df").asc(), F.col("tok").asc()
+    )
+    return (
+        tc.join(df_tbl, "tok")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("doc_id", F.col("tok").alias("term"), "tf", "df", "rank")
+    )
+
+
+def stratified_sample(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    strata_col: str = "source",
+    base_ppm: int = 250_000,
+    spread_ppm: int = 500_001,
+) -> DataFrame:
+    """Deterministic hash-based stratified sampling (domain mixing).
+
+    Each row's sampling key is ``md5('smp:' || id) % 1e6`` — uniform, stable
+    across runs and cluster sizes. Each stratum's keep-threshold (parts per
+    million) is ``base_ppm + md5('rate:' || stratum) % spread_ppm``, so every
+    stratum gets a deterministic rate in [base_ppm, base_ppm + spread_ppm)
+    without a hand-maintained rate table. Pure narrow projection + filter:
+    no shuffle, no state, re-runnable on any subset with identical decisions
+    (the property that makes hash sampling composable with incremental
+    ingestion).
+    """
+    sid = F.col(id_col).cast("string")
+    bucket = _hex_long(F.md5(F.concat(F.lit("smp:"), sid)), 8) % F.lit(1_000_000)
+    thr = F.lit(base_ppm) + _hex_long(
+        F.md5(F.concat(F.lit("rate:"), F.col(strata_col))), 4
+    ) % F.lit(spread_ppm)
+    return (
+        docs.withColumn("smp_bucket", bucket)
+        .withColumn("keep_thr", thr)
+        .filter(F.col("smp_bucket") < F.col("keep_thr"))
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.col(strata_col).alias("stratum"),
+            "smp_bucket",
+            "keep_thr",
+        )
+    )

@@ -42,6 +42,9 @@ QUERIES_ON_DOCUMENTS = [
     "doc_bpe_tokens",
     "doc_winnow_fingerprints",
     "doc_winnow_excerpt_dups",
+    "doc_repetition_filters",
+    "doc_tfidf_top_terms",
+    "doc_domain_sample",
 ]
 
 

@@ -1,0 +1,136 @@
+"""Planted-case properties of the corpus quality/sampling operators that the
+oracle comparison can't express: exact feature values on constructed
+repetition patterns, df-aware term ranking, and the subset-stability /
+determinism guarantees of hash-stratified sampling."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def _collect_map(df, key, *cols):
+    return {r[key]: tuple(r[c] for c in cols) for r in df.collect()}
+
+
+def test_repetition_features_planted(spark):
+    from blink_spark.operators.corpus import repetition_features
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h i j"),          # all distinct
+            (2, "x y x y x y x y x y"),          # pure 2-cycle
+            (3, "solo"),                          # single token
+            (4, "p q r s"),                       # too short for 5-grams
+        ],
+        "doc_id bigint, text string",
+    )
+    out = _collect_map(
+        repetition_features(docs),
+        "doc_id", "ttr", "top_token_frac", "top_2gram_frac", "dup_5gram_frac",
+    )
+    assert out[1] == (1.0, 0.1, round(1 / 9, 6), 0.0)
+    # doc 2: 2 types / 10 tokens; 'x' 5/10; bigrams 'x y'x5 'y x'x4 -> 5/9;
+    # all six 5-grams repeat ('x y x y x'x3, 'y x y x y'x3) -> 1.0
+    assert out[2] == (0.2, 0.5, round(5 / 9, 6), 1.0)
+    assert out[3] == (1.0, 1.0, 0.0, 0.0)
+    assert out[4] == (1.0, 0.25, round(1 / 3, 6), 0.0)
+
+
+def test_repetition_tie_breaks_to_largest_gram(spark):
+    """Equal-count top token/bigram must resolve to the lexicographically
+    largest gram (struct-max), matching the oracle's ORDER BY c DESC,
+    gram DESC window."""
+    from blink_spark.operators.corpus import repetition_features
+
+    docs = spark.createDataFrame([(1, "b a b a")], "doc_id bigint, text string")
+    row = repetition_features(docs).collect()[0]
+    # counts tie at 2/2 ('a','b') and bigrams 'b a'x2? no: b a, a b, b a ->
+    # 'b a' 2, 'a b' 1 -> top bigram 2/3
+    assert row["top_token_frac"] == 0.5
+    assert row["top_2gram_frac"] == round(2 / 3, 6)
+
+
+def test_tfidf_rank_prefers_rare_terms(spark):
+    from blink_spark.operators.corpus import tfidf_top_terms
+
+    docs = spark.createDataFrame(
+        [
+            (1, "apple apple banana"),
+            (2, "banana cherry"),
+            (3, "banana date"),
+        ],
+        "doc_id bigint, text string",
+    )
+    out = tfidf_top_terms(docs, k=3)
+    by_doc = {}
+    for r in out.collect():
+        by_doc.setdefault(r["doc_id"], []).append((r["rank"], r["term"], r["tf"], r["df"]))
+    for v in by_doc.values():
+        v.sort()
+    # doc 1: apple wins on tf; banana (df=3) second
+    assert [t[1] for t in by_doc[1]] == ["apple", "banana"]
+    # docs 2/3: tf ties at 1 -> rarer term (df=1) outranks banana (df=3)
+    assert [t[1] for t in by_doc[2]] == ["cherry", "banana"]
+    assert [t[1] for t in by_doc[3]] == ["date", "banana"]
+
+
+def test_stratified_sample_deterministic_and_subset_stable(spark):
+    from blink_spark.operators.corpus import stratified_sample
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}", f"src{i % 4}") for i in range(2000)],
+        "doc_id bigint, text string, source string",
+    )
+    kept1 = {r["doc_id"] for r in stratified_sample(docs).collect()}
+    kept2 = {r["doc_id"] for r in stratified_sample(docs).collect()}
+    assert kept1 == kept2 and len(kept1) > 0
+
+    # subset stability: sampling a filtered slice makes the SAME per-row
+    # decisions as the full run restricted to that slice
+    sub = docs.filter(F.col("doc_id") % 3 == 0)
+    kept_sub = {r["doc_id"] for r in stratified_sample(sub).collect()}
+    assert kept_sub == {d for d in kept1 if d % 3 == 0}
+
+
+def test_stratified_sample_rates_match_thresholds(spark):
+    """Per-stratum keep fraction must track its md5-derived threshold
+    (binomial tolerance at n=500 per stratum)."""
+    from blink_spark.operators.corpus import stratified_sample
+
+    docs = spark.createDataFrame(
+        [(i, "t", f"src{i % 4}") for i in range(2000)],
+        "doc_id bigint, text string, source string",
+    )
+    out = stratified_sample(docs)
+    stats = {
+        r["stratum"]: (r["n_kept"], r["thr"])
+        for r in out.groupBy("stratum")
+        .agg(F.count("*").alias("n_kept"), F.first("keep_thr").alias("thr"))
+        .collect()
+    }
+    assert len(stats) == 4
+    for stratum, (n_kept, thr) in stats.items():
+        expect = 500 * thr / 1_000_000
+        # 4 sigma of Binomial(500, p<=0.75) is < 49
+        assert abs(n_kept - expect) < 50, (stratum, n_kept, expect)
+
+
+def test_corpus_plans_stay_jvm_side(spark):
+    """No Python eval nodes in any corpus-operator plan; the sampler is a
+    pure narrow projection+filter (no Exchange at all)."""
+    from blink_spark.operators.corpus import (
+        repetition_features,
+        stratified_sample,
+        tfidf_top_terms,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    for df in (repetition_features(docs), tfidf_top_terms(docs)):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        for bad in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+            assert bad not in plan, bad
+
+    plan = stratified_sample(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    for bad in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert bad not in plan, bad

@@ -536,6 +536,33 @@ def _doc_domain_sample(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @_q(
+    "doc_decontaminate",
+    f"""
+    WITH n AS (SELECT doc_id, string_split({_norm('text')}, ' ') AS tk FROM documents),
+    g AS (SELECT doc_id,
+                 unnest(list_distinct([array_to_string(tk[i:i+3], ' ')
+                                       for i in range(1, len(tk)-2)])) AS gram
+          FROM n),
+    ev AS (SELECT DISTINCT gram FROM g WHERE doc_id % 31 = 0)
+    SELECT g.doc_id, count(*) AS n_shared_grams
+    FROM g JOIN ev USING (gram)
+    WHERE g.doc_id % 31 <> 0
+    GROUP BY 1
+    """,
+)
+def _doc_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
+    """Benchmark decontamination: corpus docs sharing any word 4-gram with
+    the held-out eval slice (doc_id % 31 == 0) — broadcast gram-set probe,
+    the standard pretraining-data eval-leak scrub."""
+    from blink_spark.operators.corpus import decontaminate
+
+    d = _t(spark, sf, "documents")
+    return decontaminate(
+        d.filter(F.col("doc_id") % 31 != 0), d.filter(F.col("doc_id") % 31 == 0), n=4
+    )
+
+
+@_q(
     "doc_quality",
     f"""
     SELECT doc_id,
@@ -3895,6 +3922,7 @@ _DRIVER_ORDER = [
     # round-4 late additions (driver-unseen this round; rotate into the
     # first 50 next round per the CLAUDE.md window policy)
     "doc_repetition_filters", "doc_tfidf_top_terms", "doc_domain_sample",
+    "doc_decontaminate",
 ]
 
 

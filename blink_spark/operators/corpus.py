@@ -160,6 +160,39 @@ def tfidf_top_terms(
     )
 
 
+def decontaminate(
+    corpus: DataFrame,
+    eval_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 4,
+) -> DataFrame:
+    """Benchmark decontamination: flag corpus documents sharing any word
+    ``n``-gram with a held-out evaluation set.
+
+    Returns (doc_id, n_shared_grams) for contaminated corpus docs. The eval
+    gram set is broadcast — benchmark suites are small by construction
+    (thousands of documents), so the corpus side is a map-side hash probe
+    with no corpus-sized shuffle; the only shuffle is the per-doc count of
+    an already-filtered (tiny) hit set. At 100 TB this is the shape you
+    want: scan + broadcast semi-probe + sparse aggregation.
+    """
+    from blink_spark.functions.text import word_ngrams
+
+    grams = corpus.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(word_ngrams(text_col, n)).alias("gram"),
+    )
+    eval_grams = (
+        eval_docs.select(F.explode(word_ngrams(text_col, n)).alias("gram")).distinct()
+    )
+    return (
+        grams.join(F.broadcast(eval_grams), "gram")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_shared_grams"))
+    )
+
+
 def stratified_sample(
     docs: DataFrame,
     id_col: str = "doc_id",

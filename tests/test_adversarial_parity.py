@@ -45,6 +45,7 @@ QUERIES_ON_DOCUMENTS = [
     "doc_repetition_filters",
     "doc_tfidf_top_terms",
     "doc_domain_sample",
+    "doc_decontaminate",
 ]
 
 

@@ -115,6 +115,41 @@ def test_stratified_sample_rates_match_thresholds(spark):
         assert abs(n_kept - expect) < 50, (stratum, n_kept, expect)
 
 
+def test_decontaminate_planted(spark):
+    """A corpus doc sharing a full 4-gram with the eval set is flagged with
+    the right shared-gram count; a doc overlapping only 3 tokens is not."""
+    from blink_spark.operators.corpus import decontaminate
+
+    eval_docs = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon")], "doc_id bigint, text string"
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, "x alpha beta gamma delta y"),   # shares 'alpha beta gamma delta'
+            (2, "alpha beta gamma zeta"),         # only a 3-token overlap
+            (3, "beta gamma delta epsilon"),      # shares the other 4-gram
+            (4, "totally unrelated text here"),
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {r["doc_id"]: r["n_shared_grams"] for r in decontaminate(corpus, eval_docs).collect()}
+    assert out == {1: 1, 3: 1}
+
+
+def test_decontaminate_probe_is_broadcast(spark):
+    """The eval gram set must probe the corpus via a broadcast join — a
+    corpus-sized shuffle here would be the 100-TB anti-pattern."""
+    from blink_spark.operators.corpus import decontaminate
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    df = decontaminate(
+        d.filter(F.col("doc_id") % 31 != 0), d.filter(F.col("doc_id") % 31 == 0)
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
 def test_corpus_plans_stay_jvm_side(spark):
     """No Python eval nodes in any corpus-operator plan; the sampler is a
     pure narrow projection+filter (no Exchange at all)."""

@@ -9,11 +9,12 @@ that to corpus-scale quality/repetition/sampling decisions).
 
 Scale notes (100 TB):
 - ``repetition_features`` relationalizes every n-gram count as
-  posexplode → one per-doc Window (lead chain) → groupBy partial aggs.
+  posexplode → one per-doc Window (lead chain) → a single stacked
+  (doc, kind, gram) aggregation feeding one conditional doc-level agg.
   Spark HOF folds are interpreted (CodegenFallback), so gram construction
-  stays in codegen via ``lead``; each feature family is one keyed shuffle
-  partitioned by doc — no skew (per-doc cardinality is bounded by doc
-  length), no collect.
+  stays in codegen via ``lead``; all three granularities share the one
+  window pass and two keyed shuffles — no join-backs, no skew (per-doc
+  cardinality is bounded by doc length), no collect.
 - ``tfidf_top_terms`` computes the global document-frequency table with one
   token-keyed shuffle and joins it back; the df table is vocabulary-sized
   (≪ corpus) and AQE will broadcast it when small. The per-doc top-k is a
@@ -74,61 +75,59 @@ def repetition_features(
         *[F.lead("tok", i).over(w).alias(f"nxt{i}") for i in range(1, 5)],
     )
 
-    tc = t.groupBy("doc_id", "tok").agg(F.count("*").alias("c"))
-    uni = tc.groupBy("doc_id").agg(
-        F.sum("c").alias("n_toks"),
-        F.count("*").alias("n_types"),
-        F.max(F.struct("c", "tok")).alias("top"),
-    )
-
-    bg = (
-        seq.filter(F.col("nxt1").isNotNull())
-        .select("doc_id", F.concat_ws(" ", "tok", "nxt1").alias("gram"))
-        .groupBy("doc_id", "gram")
-        .agg(F.count("*").alias("c"))
-        .groupBy("doc_id")
-        .agg(F.sum("c").alias("n_bg"), F.max(F.struct("c", "gram")).alias("top_bg"))
-    )
-
-    fg = (
-        seq.filter(F.col("nxt4").isNotNull())
-        .select(
-            "doc_id",
-            F.concat_ws(" ", "tok", "nxt1", "nxt2", "nxt3", "nxt4").alias("gram"),
-        )
-        .groupBy("doc_id", "gram")
-        .agg(F.count("*").alias("c"))
-        .groupBy("doc_id")
-        .agg(
-            F.sum("c").alias("n_fg"),
-            F.sum(F.when(F.col("c") >= 2, F.col("c")).otherwise(F.lit(0))).alias(
-                "dup_fg"
+    # One window pass feeds all three granularities via a stack (unigram /
+    # bigram / 5-gram rows share ONE keyed aggregation instead of a window
+    # recomputation + per-granularity shuffle + join-back each).
+    grams = seq.select(
+        "doc_id",
+        F.stack(
+            F.lit(3),
+            F.lit("tok"),
+            F.col("tok"),
+            F.lit("bg"),
+            F.when(
+                F.col("nxt1").isNotNull(), F.concat_ws(" ", "tok", "nxt1")
             ),
-        )
+            F.lit("fg"),
+            F.when(
+                F.col("nxt4").isNotNull(),
+                F.concat_ws(" ", "tok", "nxt1", "nxt2", "nxt3", "nxt4"),
+            ),
+        ).alias("kind", "gram"),
+    ).filter(F.col("gram").isNotNull())
+
+    gc = grams.groupBy("doc_id", "kind", "gram").agg(F.count("*").alias("c"))
+
+    def _k(kind: str) -> Column:
+        return F.col("kind") == kind
+
+    agg = gc.groupBy("doc_id").agg(
+        F.sum(F.when(_k("tok"), F.col("c"))).alias("n_toks"),
+        F.count(F.when(_k("tok"), F.lit(1))).alias("n_types"),
+        F.max(F.when(_k("tok"), F.struct("c", "gram"))).alias("top"),
+        F.coalesce(F.sum(F.when(_k("bg"), F.col("c"))), F.lit(0)).alias("n_bg"),
+        F.max(F.when(_k("bg"), F.struct("c", "gram"))).alias("top_bg"),
+        F.coalesce(F.sum(F.when(_k("fg"), F.col("c"))), F.lit(0)).alias("n_fg"),
+        F.coalesce(
+            F.sum(F.when(_k("fg") & (F.col("c") >= 2), F.col("c"))), F.lit(0)
+        ).alias("dup_fg"),
     )
 
-    out = (
-        uni.join(bg, "doc_id", "left")
-        .join(fg, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.round(F.col("n_types").cast("double") / F.col("n_toks"), 6).alias("ttr"),
-            F.round(F.col("top.c").cast("double") / F.col("n_toks"), 6).alias(
-                "top_token_frac"
-            ),
-            F.round(
-                F.coalesce(F.col("top_bg.c"), F.lit(0)).cast("double")
-                / F.greatest(F.coalesce(F.col("n_bg"), F.lit(0)), F.lit(1)),
-                6,
-            ).alias("top_2gram_frac"),
-            F.round(
-                F.coalesce(F.col("dup_fg"), F.lit(0)).cast("double")
-                / F.greatest(F.coalesce(F.col("n_fg"), F.lit(0)), F.lit(1)),
-                6,
-            ).alias("dup_5gram_frac"),
-        )
+    return agg.select(
+        "doc_id",
+        F.round(F.col("n_types").cast("double") / F.col("n_toks"), 6).alias("ttr"),
+        F.round(F.col("top.c").cast("double") / F.col("n_toks"), 6).alias(
+            "top_token_frac"
+        ),
+        F.round(
+            F.coalesce(F.col("top_bg.c"), F.lit(0)).cast("double")
+            / F.greatest(F.col("n_bg"), F.lit(1)),
+            6,
+        ).alias("top_2gram_frac"),
+        F.round(
+            F.col("dup_fg").cast("double") / F.greatest(F.col("n_fg"), F.lit(1)), 6
+        ).alias("dup_5gram_frac"),
     )
-    return out
 
 
 def tfidf_top_terms(

@@ -165,6 +165,12 @@ def test_corpus_plans_stay_jvm_side(spark):
         for bad in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
             assert bad not in plan, bad
 
+    # all three gram granularities share ONE window pass and one stacked
+    # aggregation — no per-granularity window recomputation or join-back
+    plan = repetition_features(docs)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Window") == 1
+    assert "Join" not in plan
+
     plan = stratified_sample(docs)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
     for bad in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):

@@ -520,7 +520,7 @@ def _doc_tfidf_top_terms(spark: SparkSession, sf: str) -> DataFrame:
     SELECT * FROM (
       SELECT doc_id, source AS stratum,
              ('0x' || substr(md5('smp:' || doc_id), 1, 8))::BIGINT % 1000000 AS smp_bucket,
-             250000 + (('0x' || substr(md5('rate:' || source), 1, 4))::INT % 500001) AS keep_thr
+             (250000 + (('0x' || substr(md5('rate:' || source), 1, 8))::BIGINT % 500001))::BIGINT AS keep_thr
       FROM documents
     ) WHERE smp_bucket < keep_thr
     """,
@@ -3884,10 +3884,12 @@ def _er_oracles() -> dict[str, str]:
 # the FIRST 50 entries of queries() each round, so the 22 queries defined
 # after position 49 (rounds 2-3 additions) could never earn a driver row in
 # definition order. This list rotates them into the verification window and
-# moves 22 triple-green veterans (driver-green in r1+r2+r3) to the tail.
-# Bodies and oracles are untouched — this is a dict-order permutation only.
+# moves 25 triple-green veterans (driver-green in r1+r2+r3) to the tail:
+# the 22 formerly-unseen queries plus the three round-4 winnow/BPE
+# additions rotate in. Bodies and oracles are untouched — this is a
+# dict-order permutation only.
 _DRIVER_ORDER = [
-    # 28 retained from the old window (original relative order)
+    # 25 retained from the old window (original relative order)
     "sessionize_events", "er_clusters", "er_pairwise_f1",
     "er_span_enumeration", "er_question_mentions", "er_span_f1_weak_strong",
     "er_inverted_index_topk", "pivot_event_counts",

@@ -212,8 +212,11 @@ def stratified_sample(
     """
     sid = F.col(id_col).cast("string")
     bucket = _hex_long(F.md5(F.concat(F.lit("smp:"), sid)), 8) % F.lit(1_000_000)
+    # 8 hex digits (2^32 range), not 4: a 4-digit window caps the hash at
+    # 65535 and `% spread_ppm` would never wrap for spreads above that,
+    # silently shrinking the documented rate range.
     thr = F.lit(base_ppm) + _hex_long(
-        F.md5(F.concat(F.lit("rate:"), F.col(strata_col))), 4
+        F.md5(F.concat(F.lit("rate:"), F.col(strata_col))), 8
     ) % F.lit(spread_ppm)
     return (
         docs.withColumn("smp_bucket", bucket)

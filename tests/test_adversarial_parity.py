@@ -26,6 +26,11 @@ _TEXTS = [
     (6, "   "),
     (7, "MiXeD Case. Two sentences! third?  What topic?! x9 12ab"),
     (8, "the the the und und der der le la de"),
+    # ids = 0 mod 31 land in doc_decontaminate's eval slice; they share
+    # word 4-grams with docs 1 and 4 (the latter only after whitespace
+    # normalization) so the gram-match path actually executes
+    (31, "plain text with the words but a different tail"),
+    (62, "crlf line \t next line\x0bbare cr"),
 ]
 # Full testdata documents schema: doc_id, text, lang, source, n_chars.
 ADVERSARIAL_DOCS = [

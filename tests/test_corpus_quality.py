@@ -160,16 +160,16 @@ def test_corpus_plans_stay_jvm_side(spark):
     )
 
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
-    for df in (repetition_features(docs), tfidf_top_terms(docs)):
-        plan = df._jdf.queryExecution().executedPlan().toString()
+    rep_plan = repetition_features(docs)._jdf.queryExecution().executedPlan().toString()
+    tfidf_plan = tfidf_top_terms(docs)._jdf.queryExecution().executedPlan().toString()
+    for plan in (rep_plan, tfidf_plan):
         for bad in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
             assert bad not in plan, bad
 
     # all three gram granularities share ONE window pass and one stacked
     # aggregation — no per-granularity window recomputation or join-back
-    plan = repetition_features(docs)._jdf.queryExecution().executedPlan().toString()
-    assert plan.count("Window") == 1
-    assert "Join" not in plan
+    assert rep_plan.count("Window") == 1
+    assert "Join" not in rep_plan
 
     plan = stratified_sample(docs)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan

@@ -49,6 +49,40 @@ def _bench_fixture_docs(n_docs: int | None = None) -> str:
     return path
 
 
+def _md5_probe_worker(seed: int) -> str:
+    import hashlib
+
+    h = hashlib.md5(str(seed).encode())
+    for _ in range(200_000):
+        h = hashlib.md5(h.digest())
+    return h.hexdigest()
+
+
+def _host_health() -> dict:
+    """Spark-free host canary: loadavg + md5 multiprocessing scaling ratio
+    (2 -> 8 workers). Healthy is ~3.4-3.5x on this box; co-tenant bursts
+    push it well below 3."""
+    from multiprocessing import Pool
+
+    def thr(nw: int) -> float:
+        t0 = time.time()
+        with Pool(nw) as p:
+            p.map(_md5_probe_worker, range(nw * 2))
+        return (nw * 2) / (time.time() - t0)
+
+    try:
+        r2, r8 = thr(2), thr(8)
+        ratio = round(r8 / r2, 2)
+    except Exception:  # pragma: no cover - probe must never fail the bench
+        ratio = None
+    try:
+        with open("/proc/loadavg") as f:
+            load1 = float(f.read().split()[0])
+    except OSError:  # pragma: no cover
+        load1 = None
+    return {"md5_2to8_ratio": ratio, "loadavg_1m": load1}
+
+
 def main() -> None:
     import __spark_entry__ as entry_mod
     from blink_spark.pipeline import dedup_documents_pipeline, run_pipeline
@@ -58,6 +92,7 @@ def main() -> None:
     spark = get_spark("blink_spark_bench", cores=CPUS, shuffle_partitions=CPUS)
 
     timings: dict[str, float] = {}
+    rep_detail: dict[str, list[float]] = {}
 
     # MIN over reps is this host's established noise-robust estimator (see
     # BENCH/BASELINE.md: co-tenant bursts inflate whole reps 30-200% for
@@ -66,13 +101,14 @@ def main() -> None:
     # also absorbs the one-time JVM JIT/codegen warmup (~2x on this box)
     # instead of billing it to the engine.
     def timed(name: str, fn, reps: int = 2) -> None:
-        best = None
+        reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", reps))
+        samples = []
         for _ in range(reps):
             t0 = time.time()
             fn()
-            dt = time.time() - t0
-            best = dt if best is None else min(best, dt)
-        timings[name] = round(best, 3)
+            samples.append(round(time.time() - t0, 3))
+        rep_detail[name] = samples
+        timings[name] = min(samples)
 
     # ER pipeline end to end (fresh output dir each run) — the checkpointed
     # observability path at 10k docs, comparable across rounds
@@ -120,6 +156,14 @@ def main() -> None:
         "unit": "sec",
         "estimator": "min_of_2_reps_per_query",
         "queries": timings,
+        # Noise forensics for this multi-tenant host (co-tenant bursts
+        # inflate whole reps 30-200% for minutes — BENCH/BASELINE.md):
+        # per-rep samples expose intra-run spread; the md5 probe is a
+        # Spark-free throughput canary (healthy 2->8-worker ratio is
+        # ~3.4-3.5x; a low ratio or high loadavg flags a contaminated
+        # window whose 'value' overstates true cost).
+        "rep_seconds": rep_detail,
+        "host": _host_health(),
         "sf": SF_DIR.rstrip("/").rsplit("sf", 1)[-1],
         "cpus": CPUS,
         "er_docs": BENCH_DOCS,

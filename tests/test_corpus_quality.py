@@ -1,11 +1,46 @@
 """Planted-case properties of the corpus quality/sampling operators that the
 oracle comparison can't express: exact feature values on constructed
-repetition patterns, df-aware term ranking, and the subset-stability /
-determinism guarantees of hash-stratified sampling."""
+repetition patterns, df-aware term ranking, the subset-stability /
+determinism guarantees of hash-stratified sampling, and a seeded-random
+cross-check of every operator against an independent pure-Python reference
+(the third implementation next to Spark and the DuckDB oracle)."""
 
 from __future__ import annotations
 
+import hashlib
+import random
+import re
+
 from pyspark.sql import functions as F
+
+_WS = re.compile(r"[\t\n\x0B\f\r ]+")
+
+
+def _py_norm_tokens(text: str) -> list[str]:
+    return _WS.sub(" ", text.lower()).strip().split(" ")
+
+
+def _py_ngrams(toks: list[str], n: int) -> list[str]:
+    return [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
+
+
+def _random_corpus(seed: int = 7, n_docs: int = 60) -> list[tuple[int, str]]:
+    """Small vocab + mixed whitespace to force collisions and normalization
+    work; a few empty/whitespace-only docs."""
+    rng = random.Random(seed)
+    vocab = ["aa", "bb", "cc", "dd", "ee", "ff"]
+    seps = [" ", "  ", "\t", " \t ", "\n"]
+    docs = []
+    for i in range(n_docs):
+        if i % 17 == 0:
+            docs.append((i, rng.choice(["", "   ", "\t\n"])))
+            continue
+        toks = [rng.choice(vocab) for _ in range(rng.randint(1, 30))]
+        text = toks[0]
+        for t in toks[1:]:
+            text += rng.choice(seps) + t
+        docs.append((i, text))
+    return docs
 
 
 def _collect_map(df, key, *cols):
@@ -113,6 +148,109 @@ def test_stratified_sample_rates_match_thresholds(spark):
         expect = 500 * thr / 1_000_000
         # 4 sigma of Binomial(500, p<=0.75) is < 49
         assert abs(n_kept - expect) < 50, (stratum, n_kept, expect)
+
+
+def test_repetition_features_vs_python_reference(spark):
+    from blink_spark.operators.corpus import repetition_features
+
+    docs = _random_corpus()
+    sdf = spark.createDataFrame(docs, "doc_id bigint, text string")
+    got = _collect_map(
+        repetition_features(sdf),
+        "doc_id", "ttr", "top_token_frac", "top_2gram_frac", "dup_5gram_frac",
+    )
+    for doc_id, text in docs:
+        toks = _py_norm_tokens(text)
+        tc: dict[str, int] = {}
+        for t in toks:
+            tc[t] = tc.get(t, 0) + 1
+        # tie -> lexicographically largest gram, like the struct-max
+        top = max(tc.items(), key=lambda kv: (kv[1], kv[0]))
+        bg = _py_ngrams(toks, 2)
+        bgc: dict[str, int] = {}
+        for g in bg:
+            bgc[g] = bgc.get(g, 0) + 1
+        fg = _py_ngrams(toks, 5)
+        fgc: dict[str, int] = {}
+        for g in fg:
+            fgc[g] = fgc.get(g, 0) + 1
+        expect = (
+            round(len(tc) / len(toks), 6),
+            round(top[1] / len(toks), 6),
+            round(max(bgc.values(), default=0) / max(len(bg), 1), 6),
+            round(sum(c for c in fgc.values() if c >= 2) / max(len(fg), 1), 6),
+        )
+        assert got[doc_id] == expect, (doc_id, text, got[doc_id], expect)
+
+
+def test_tfidf_vs_python_reference(spark):
+    from blink_spark.operators.corpus import tfidf_top_terms
+
+    docs = _random_corpus(seed=11)
+    sdf = spark.createDataFrame(docs, "doc_id bigint, text string")
+    got: dict[int, list] = {}
+    for r in tfidf_top_terms(sdf, k=3).collect():
+        got.setdefault(r["doc_id"], []).append((r["rank"], r["term"], r["tf"], r["df"]))
+    for v in got.values():
+        v.sort()
+
+    tf = {
+        doc_id: {t: _py_norm_tokens(text).count(t) for t in set(_py_norm_tokens(text))}
+        for doc_id, text in docs
+    }
+    df: dict[str, int] = {}
+    for d in tf.values():
+        for t in d:
+            df[t] = df.get(t, 0) + 1
+    for doc_id, d in tf.items():
+        ranked = sorted(d.items(), key=lambda kv: (-kv[1], df[kv[0]], kv[0]))[:3]
+        expect = [(i + 1, t, c, df[t]) for i, (t, c) in enumerate(ranked)]
+        assert got[doc_id] == expect, (doc_id, got[doc_id], expect)
+
+
+def test_stratified_sample_vs_python_reference(spark):
+    from blink_spark.operators.corpus import stratified_sample
+
+    docs = [(i, "t", f"s{i % 5}") for i in range(1000)]
+    sdf = spark.createDataFrame(docs, "doc_id bigint, text string, source string")
+    got = {(r["doc_id"], r["smp_bucket"], r["keep_thr"])
+           for r in stratified_sample(sdf).collect()}
+
+    def h(s: str, ndig: int) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:ndig], 16)
+
+    expect = set()
+    for i, _, src in docs:
+        bucket = h(f"smp:{i}", 8) % 1_000_000
+        thr = 250_000 + h(f"rate:{src}", 8) % 500_001
+        if bucket < thr:
+            expect.add((i, bucket, thr))
+    assert got == expect
+
+
+def test_decontaminate_vs_python_reference(spark):
+    from blink_spark.operators.corpus import decontaminate
+
+    docs = _random_corpus(seed=23)
+    ev = [(i, t) for i, t in docs if i % 7 == 0]
+    corpus = [(i, t) for i, t in docs if i % 7 != 0]
+    out = {
+        r["doc_id"]: r["n_shared_grams"]
+        for r in decontaminate(
+            spark.createDataFrame(corpus, "doc_id bigint, text string"),
+            spark.createDataFrame(ev, "doc_id bigint, text string"),
+            n=4,
+        ).collect()
+    }
+    ev_grams = set()
+    for _, t in ev:
+        ev_grams |= set(_py_ngrams(_py_norm_tokens(t), 4))
+    expect = {}
+    for i, t in corpus:
+        shared = set(_py_ngrams(_py_norm_tokens(t), 4)) & ev_grams
+        if shared:
+            expect[i] = len(shared)
+    assert out == expect
 
 
 def test_decontaminate_planted(spark):

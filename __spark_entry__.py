@@ -3889,10 +3889,9 @@ def _er_oracles() -> dict[str, str]:
 # additions rotate in. Bodies and oracles are untouched — this is a
 # dict-order permutation only.
 _DRIVER_ORDER = [
-    # 25 retained from the old window (original relative order)
+    # 21 retained from the old window (original relative order)
     "sessionize_events", "er_clusters", "er_pairwise_f1",
-    "er_span_enumeration", "er_question_mentions", "er_span_f1_weak_strong",
-    "er_inverted_index_topk", "pivot_event_counts",
+    "pivot_event_counts",
     "wikidata_scan", "doc_sentences", "er_threshold_prune", "er_bm25_topk",
     "er_coref_merge", "er_rank_histogram", "er_world_macro_micro",
     "er_span_embedding_agg", "ann_ivf_recall", "er_span_scores",
@@ -3908,12 +3907,18 @@ _DRIVER_ORDER = [
     "er_kb_ingest_filter", "er_pem_lookup", "doc_minhash_dedup",
     "doc_ngram_containment_dups", "ann_lsh_recall", "embedding_cosine_dups",
     "er_jdbc_mapping_scan",
-    # round-4 additions, rotated straight into the window (3 more triple-green
+    # round-4 additions, rotated straight into the window (7 more multi-green
     # veterans — er_two_key_fallback_join, cube_returnflag_status,
-    # order_key_set_ops — parked to make room)
+    # order_key_set_ops, er_span_enumeration, er_question_mentions,
+    # er_span_f1_weak_strong, er_inverted_index_topk — parked to make room,
+    # so every query defined this round earns a driver row this round)
     "doc_winnow_fingerprints", "doc_bpe_tokens", "doc_winnow_excerpt_dups",
-    # 25 triple-green veterans rotated OUT (keep their definitions + oracles)
+    "doc_repetition_filters", "doc_tfidf_top_terms", "doc_domain_sample",
+    "doc_decontaminate",
+    # 29 multi-green veterans rotated OUT (keep their definitions + oracles)
     "er_two_key_fallback_join", "cube_returnflag_status", "order_key_set_ops",
+    "er_span_enumeration", "er_question_mentions", "er_span_f1_weak_strong",
+    "er_inverted_index_topk",
     "pricing_summary", "top_orders_per_customer", "revenue_by_region",
     "customers_with_orders", "customers_without_orders", "event_neighbors",
     "macro_micro_value", "doc_token_stats", "doc_quality", "doc_lang_id",
@@ -3921,10 +3926,6 @@ _DRIVER_ORDER = [
     "er_extract_mentions", "er_media_spans", "er_span_invariant",
     "er_token_pair_blocks", "er_candidate_pairs", "er_scored_gold_pairs",
     "er_topk_candidates", "er_recall_at_k", "softmax_confidence",
-    # round-4 late additions (driver-unseen this round; rotate into the
-    # first 50 next round per the CLAUDE.md window policy)
-    "doc_repetition_filters", "doc_tfidf_top_terms", "doc_domain_sample",
-    "doc_decontaminate",
 ]
 
 

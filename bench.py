@@ -88,6 +88,10 @@ def main() -> None:
     from blink_spark.pipeline import dedup_documents_pipeline, run_pipeline
     from blink_spark.session import get_spark
 
+    # probe BEFORE Spark starts: afterwards the 1-minute loadavg still
+    # carries the suite's own just-finished work and reads as noise
+    host_health = _host_health()
+
     docs_path = _bench_fixture_docs()
     spark = get_spark("blink_spark_bench", cores=CPUS, shuffle_partitions=CPUS)
 
@@ -163,7 +167,7 @@ def main() -> None:
         # ~3.4-3.5x; a low ratio or high loadavg flags a contaminated
         # window whose 'value' overstates true cost).
         "rep_seconds": rep_detail,
-        "host": _host_health(),
+        "host": host_health,
         "sf": SF_DIR.rstrip("/").rsplit("sf", 1)[-1],
         "cpus": CPUS,
         "er_docs": BENCH_DOCS,

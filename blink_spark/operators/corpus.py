@@ -175,6 +175,14 @@ def decontaminate(
     with no corpus-sized shuffle; the only shuffle is the per-doc count of
     an already-filtered (tiny) hit set. At 100 TB this is the shape you
     want: scan + broadcast semi-probe + sparse aggregation.
+
+    Gram construction deliberately uses the ``word_ngrams`` array HOF even
+    though Spark HOFs are interpreted (CodegenFallback): the relational
+    lead-window form would Exchange the entire exploded corpus by doc_id
+    just to build grams, destroying the no-corpus-shuffle property that
+    makes this operator viable at scale. Interpreted-but-narrow beats a
+    full shuffle here — the opposite trade from ``repetition_features``,
+    whose aggregations need the per-doc shuffle anyway.
     """
     from blink_spark.functions.text import word_ngrams
 

@@ -437,9 +437,9 @@ def _doc_bpe_tokens(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-@_q(
-    "doc_repetition_filters",
-    f"""
+# shared by doc_repetition_filters and doc_curation_pipeline (the latter
+# nests it as a CTE subquery)
+_REPETITION_SQL = f"""
     WITH n AS (SELECT doc_id, string_split({_norm('text')}, ' ') AS tk FROM documents),
     t AS (SELECT doc_id, unnest(tk) AS tok FROM n),
     tc AS (SELECT doc_id, tok, count(*) AS c FROM t GROUP BY 1, 2),
@@ -476,8 +476,10 @@ def _doc_bpe_tokens(spark: SparkSession, sf: str) -> DataFrame:
     LEFT JOIN bg b USING (doc_id)
     LEFT JOIN bgtop bt USING (doc_id)
     LEFT JOIN fg f USING (doc_id)
-    """,
-)
+    """
+
+
+@_q("doc_repetition_filters", _REPETITION_SQL)
 def _doc_repetition_filters(spark: SparkSession, sf: str) -> DataFrame:
     """Gopher-style token-repetition quality features (type-token ratio,
     top-token/top-bigram fraction, duplicate-5-gram fraction) — the
@@ -533,6 +535,33 @@ def _doc_domain_sample(spark: SparkSession, sf: str) -> DataFrame:
     from blink_spark.operators.corpus import stratified_sample
 
     return stratified_sample(_t(spark, sf, "documents"))
+
+
+@_q(
+    "doc_curation_pipeline",
+    f"""
+    WITH rep AS ({_REPETITION_SQL}),
+    base AS (
+      SELECT doc_id,
+             len(string_split({_norm('text')}, ' '))::BIGINT AS n_toks,
+             md5(array_to_string(list_sort({_toks('text')}), ' ')) AS fp,
+             ('0x' || substr(md5('cur:' || doc_id), 1, 8))::BIGINT % 1000000 AS smp
+      FROM documents
+    ),
+    k AS (SELECT *, min(doc_id) OVER (PARTITION BY fp) AS keeper FROM base)
+    SELECT k.doc_id, k.n_toks, rep.ttr, rep.dup_5gram_frac
+    FROM k JOIN rep USING (doc_id)
+    WHERE k.n_toks >= 5 AND rep.ttr >= 0.3 AND rep.dup_5gram_frac <= 0.5
+      AND k.doc_id = k.keeper AND k.smp < 800000
+    """,
+)
+def _doc_curation_pipeline(spark: SparkSession, sf: str) -> DataFrame:
+    """Composed curation job: length floor + Gopher repetition floor +
+    exact-dup keeper election + deterministic 80% hash downsample — the
+    canonical pretraining cleaning pipeline as one declarative plan."""
+    from blink_spark.operators.corpus import curation_pipeline
+
+    return curation_pipeline(_t(spark, sf, "documents"))
 
 
 @_q(
@@ -3889,12 +3918,12 @@ def _er_oracles() -> dict[str, str]:
 # additions rotate in. Bodies and oracles are untouched — this is a
 # dict-order permutation only.
 _DRIVER_ORDER = [
-    # 21 retained from the old window (original relative order)
+    # 20 retained from the old window (original relative order)
     "sessionize_events", "er_clusters", "er_pairwise_f1",
     "pivot_event_counts",
     "wikidata_scan", "doc_sentences", "er_threshold_prune", "er_bm25_topk",
     "er_coref_merge", "er_rank_histogram", "er_world_macro_micro",
-    "er_span_embedding_agg", "ann_ivf_recall", "er_span_scores",
+    "er_span_embedding_agg", "ann_ivf_recall",
     "wiki_extractor_scan", "wiki_links", "wiki_incoming_links",
     "jsonl_mention_scan", "er_blocking_recall", "conll_stream_spans",
     "conll_csv_scan",
@@ -3914,11 +3943,11 @@ _DRIVER_ORDER = [
     # so every query defined this round earns a driver row this round)
     "doc_winnow_fingerprints", "doc_bpe_tokens", "doc_winnow_excerpt_dups",
     "doc_repetition_filters", "doc_tfidf_top_terms", "doc_domain_sample",
-    "doc_decontaminate",
-    # 29 multi-green veterans rotated OUT (keep their definitions + oracles)
+    "doc_decontaminate", "doc_curation_pipeline",
+    # 30 multi-green veterans rotated OUT (keep their definitions + oracles)
     "er_two_key_fallback_join", "cube_returnflag_status", "order_key_set_ops",
     "er_span_enumeration", "er_question_mentions", "er_span_f1_weak_strong",
-    "er_inverted_index_topk",
+    "er_inverted_index_topk", "er_span_scores",
     "pricing_summary", "top_orders_per_customer", "revenue_by_region",
     "customers_with_orders", "customers_without_orders", "event_neighbors",
     "macro_micro_value", "doc_token_stats", "doc_quality", "doc_lang_id",

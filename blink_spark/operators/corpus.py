@@ -159,6 +159,57 @@ def tfidf_top_terms(
     )
 
 
+def curation_pipeline(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_tokens: int = 5,
+    min_ttr: float = 0.3,
+    max_dup5: float = 0.5,
+    sample_ppm: int = 800_000,
+) -> DataFrame:
+    """Composed training-data curation — the canonical 100 TB cleaning job:
+    length floor AND repetition floor (Gopher-style) AND exact-duplicate
+    keeper election AND deterministic hash downsampling, in one plan.
+
+    Returns the kept documents with their quality features
+    (doc_id, n_toks, ttr, dup_5gram_frac). Every stage is a composition of
+    the operators in this module plus the exact-dup fingerprint; the whole
+    job is scan → two doc-keyed aggregations (features) → one fp-keyed
+    window (keeper election) → narrow filters. Deterministic end to end:
+    re-running on any subset keeps exactly the rows the full run kept,
+    except keeper election which is corpus-relative by design (the kept
+    copy of a duplicate group depends on which copies are present).
+    """
+    from blink_spark.functions.text import fingerprint, normalize_text
+
+    feats = repetition_features(docs, id_col, text_col)
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(F.split(normalize_text(text_col), " ")).alias("n_toks"),
+        fingerprint(text_col).alias("fp"),
+        (
+            _hex_long(
+                F.md5(F.concat(F.lit("cur:"), F.col(id_col).cast("string"))), 8
+            )
+            % F.lit(1_000_000)
+        ).alias("smp"),
+    )
+    keeper = F.min("doc_id").over(Window.partitionBy("fp"))
+    return (
+        base.withColumn("keeper", keeper)
+        .join(feats, "doc_id")
+        .filter(
+            (F.col("n_toks") >= min_tokens)
+            & (F.col("ttr") >= min_ttr)
+            & (F.col("dup_5gram_frac") <= max_dup5)
+            & (F.col("doc_id") == F.col("keeper"))
+            & (F.col("smp") < sample_ppm)
+        )
+        .select("doc_id", "n_toks", "ttr", "dup_5gram_frac")
+    )
+
+
 def decontaminate(
     corpus: DataFrame,
     eval_docs: DataFrame,

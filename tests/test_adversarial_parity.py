@@ -51,6 +51,7 @@ QUERIES_ON_DOCUMENTS = [
     "doc_tfidf_top_terms",
     "doc_domain_sample",
     "doc_decontaminate",
+    "doc_curation_pipeline",
 ]
 
 

@@ -288,6 +288,69 @@ def test_decontaminate_probe_is_broadcast(spark):
     assert "SortMergeJoin" not in plan
 
 
+def test_curation_pipeline_planted(spark):
+    """Each curation stage drops exactly its targets: short docs, repetitive
+    docs, non-keeper duplicates; survivors keep their feature values."""
+    import hashlib
+
+    from blink_spark.operators.corpus import curation_pipeline
+
+    long_clean = "alpha beta gamma delta epsilon zeta eta theta"
+    docs = [
+        (1, long_clean),                     # keeper of the dup group
+        (2, long_clean),                     # dropped: duplicate of 1
+        (3, "too short"),                    # dropped: n_toks < 5
+        (4, "x y x y x y x y x y x y"),      # dropped: dup_5gram_frac = 1
+        (5, "one two three four five six"),  # kept (unless sampled out)
+    ]
+    sdf = spark.createDataFrame(docs, "doc_id bigint, text string")
+    # disable sampling first so only the quality/dedup stages act
+    kept = {r["doc_id"] for r in curation_pipeline(sdf, sample_ppm=1_000_000).collect()}
+    assert kept == {1, 5}
+
+    # sampling stage: keep decisions must follow the md5 rule exactly
+    def smp(i: int) -> int:
+        return int(hashlib.md5(f"cur:{i}".encode()).hexdigest()[:8], 16) % 1_000_000
+
+    kept_sampled = {
+        r["doc_id"] for r in curation_pipeline(sdf, sample_ppm=500_000).collect()
+    }
+    assert kept_sampled == {i for i in (1, 5) if smp(i) < 500_000}
+
+
+def test_curation_pipeline_vs_python_reference(spark):
+    from blink_spark.operators.corpus import curation_pipeline
+
+    docs = _random_corpus(seed=31)
+    sdf = spark.createDataFrame(docs, "doc_id bigint, text string")
+    got = {r["doc_id"] for r in curation_pipeline(sdf).collect()}
+
+    fp_min: dict[str, int] = {}
+    for i, t in docs:
+        fp = " ".join(sorted(set(_py_norm_tokens(t))))
+        fp_min[fp] = min(fp_min.get(fp, i), i)
+    expect = set()
+    for i, t in docs:
+        toks = _py_norm_tokens(t)
+        if len(toks) < 5:
+            continue
+        if round(len(set(toks)) / len(toks), 6) < 0.3:
+            continue
+        fg = _py_ngrams(toks, 5)
+        fgc: dict[str, int] = {}
+        for g in fg:
+            fgc[g] = fgc.get(g, 0) + 1
+        dup5 = round(sum(c for c in fgc.values() if c >= 2) / max(len(fg), 1), 6)
+        if dup5 > 0.5:
+            continue
+        if fp_min[" ".join(sorted(set(toks)))] != i:
+            continue
+        if int(hashlib.md5(f"cur:{i}".encode()).hexdigest()[:8], 16) % 1_000_000 >= 800_000:
+            continue
+        expect.add(i)
+    assert got == expect
+
+
 def test_corpus_plans_stay_jvm_side(spark):
     """No Python eval nodes in any corpus-operator plan; the sampler is a
     pure narrow projection+filter (no Exchange at all)."""

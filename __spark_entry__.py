@@ -565,6 +565,86 @@ def _doc_curation_pipeline(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @_q(
+    "doc_chunk_windows",
+    f"""
+    WITH n AS (SELECT doc_id, string_split({_norm('text')}, ' ') AS tk FROM documents),
+    c AS (SELECT doc_id, tk, unnest(generate_series(0, (len(tk)-1)//16)) AS ci FROM n)
+    SELECT doc_id,
+           ci::BIGINT AS chunk_idx,
+           (ci*16)::BIGINT AS start_pos,
+           len(list_slice(tk, ci*16+1, least((ci+1)*16, len(tk))))::BIGINT AS n_chunk_toks,
+           md5(array_to_string(list_slice(tk, ci*16+1, least((ci+1)*16, len(tk))), ' ')) AS chunk_hash
+    FROM c
+    """,
+)
+def _doc_chunk_windows(spark: SparkSession, sf: str) -> DataFrame:
+    """Fixed-size token chunking (training-sequence construction): each doc
+    → ceil(n/16) chunks, last ragged, with a dedup-joinable chunk hash.
+    Zero-shuffle narrow plan."""
+    from blink_spark.operators.corpus import chunk_windows
+
+    return chunk_windows(_t(spark, sf, "documents"), size=16)
+
+
+@_q(
+    "doc_vocab_coverage",
+    f"""
+    WITH n AS (SELECT doc_id, string_split({_norm('text')}, ' ') AS tk FROM documents),
+    t AS (SELECT doc_id, unnest(tk) AS tok FROM n),
+    c AS (SELECT tok, count(*) AS c FROM t GROUP BY 1),
+    v AS (SELECT tok FROM (SELECT tok, row_number() OVER (ORDER BY c DESC, tok ASC) AS r
+                           FROM c) WHERE r <= 16)
+    SELECT t.doc_id,
+           count(*)::BIGINT AS n_toks,
+           (count(*) FILTER (v.tok IS NULL))::BIGINT AS n_oov,
+           round((count(*) FILTER (v.tok IS NULL))::double / count(*), 6) AS oov_frac
+    FROM t LEFT JOIN v ON t.tok = v.tok
+    GROUP BY t.doc_id
+    """,
+)
+def _doc_vocab_coverage(spark: SparkSession, sf: str) -> DataFrame:
+    """Tokenizer-coverage analysis: top-16 corpus vocabulary election
+    (count desc, token asc) + per-doc OOV count/fraction — one token-keyed
+    shuffle, TakeOrderedAndProject election, broadcast vocab probe."""
+    from blink_spark.operators.corpus import vocab_coverage
+
+    return vocab_coverage(_t(spark, sf, "documents"), vocab_size=16)
+
+
+@_q(
+    "doc_pack_sequences",
+    f"""
+    WITH RECURSIVE
+    n AS (SELECT doc_id, source,
+                 len(string_split({_norm('text')}, ' '))::BIGINT AS n_toks
+          FROM documents),
+    s AS (SELECT *, ('0x' || substr(md5('pk:' || doc_id), 1, 8))::BIGINT % 4 AS shard
+          FROM n),
+    r AS (SELECT *, row_number() OVER (PARTITION BY source, shard ORDER BY doc_id) AS rn
+          FROM s),
+    walk AS (
+      SELECT source, shard, rn, doc_id, n_toks, 1::BIGINT AS seq_id, n_toks AS acc
+      FROM r WHERE rn = 1
+      UNION ALL
+      SELECT r.source, r.shard, r.rn, r.doc_id, r.n_toks,
+             CASE WHEN w.acc + r.n_toks > 128 THEN w.seq_id + 1 ELSE w.seq_id END,
+             CASE WHEN w.acc + r.n_toks > 128 THEN r.n_toks ELSE w.acc + r.n_toks END
+      FROM walk w JOIN r ON r.source = w.source AND r.shard = w.shard AND r.rn = w.rn + 1
+    )
+    SELECT doc_id, source AS stratum, shard, seq_id, n_toks FROM walk
+    """,
+)
+def _doc_pack_sequences(spark: SparkSession, sf: str) -> DataFrame:
+    """Greedy next-fit sequence packing into 128-token training sequences
+    within (source, shard) — the context-window packing step of a
+    pretraining pipeline; grouped applyInPandas with a recursive-CTE oracle
+    walking the same greedy rule."""
+    from blink_spark.operators.corpus import pack_sequences
+
+    return pack_sequences(_t(spark, sf, "documents"), budget=128, n_shards=4)
+
+
+@_q(
     "doc_decontaminate",
     f"""
     WITH n AS (SELECT doc_id, string_split({_norm('text')}, ' ') AS tk FROM documents),
@@ -3955,6 +4035,9 @@ _DRIVER_ORDER = [
     "er_extract_mentions", "er_media_spans", "er_span_invariant",
     "er_token_pair_blocks", "er_candidate_pairs", "er_scored_gold_pairs",
     "er_topk_candidates", "er_recall_at_k", "softmax_confidence",
+    # round-5 candidates: defined late in round 4, parked at the tail until
+    # the round-5 rotation swaps them into the driver window
+    "doc_chunk_windows", "doc_vocab_coverage", "doc_pack_sequences",
 ]
 
 

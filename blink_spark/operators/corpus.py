@@ -210,6 +210,134 @@ def curation_pipeline(
     )
 
 
+def chunk_windows(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    size: int = 16,
+) -> DataFrame:
+    """Split each document into fixed-size token chunks (training-sequence
+    construction). Returns (doc_id, chunk_idx, start_pos, n_chunk_toks,
+    chunk_hash); the last chunk per doc is ragged.
+
+    Pure narrow projection — ``sequence`` + ``explode`` + ``slice`` over the
+    token array, zero shuffles — so at 100 TB this is a map-only pass that
+    AQE never has to re-plan. ``chunk_hash`` (md5 of the space-joined chunk)
+    makes the output joinable against chunk-level dedup/decontamination
+    without re-materializing chunk text.
+    """
+    toks = F.split(normalize_text(text_col), " ")
+    base = docs.select(F.col(id_col).alias("doc_id"), toks.alias("tk"))
+    n_chunks_last = ((F.size("tk") - F.lit(1)) / F.lit(size)).cast("int")
+    chunk = F.slice("tk", F.col("ci") * size + 1, size)
+    return (
+        base.select(
+            "doc_id", "tk",
+            F.explode(F.sequence(F.lit(0), n_chunks_last)).alias("ci"),
+        )
+        .select(
+            "doc_id",
+            F.col("ci").cast("long").alias("chunk_idx"),
+            (F.col("ci") * size).cast("long").alias("start_pos"),
+            F.size(chunk).cast("long").alias("n_chunk_toks"),
+            F.md5(F.concat_ws(" ", chunk)).alias("chunk_hash"),
+        )
+    )
+
+
+def vocab_coverage(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vocab_size: int = 16,
+) -> DataFrame:
+    """Tokenizer-coverage analysis: elect the top-``vocab_size`` corpus
+    vocabulary (by total count desc, token asc — deterministic ties), then
+    report each document's out-of-vocabulary token count and fraction.
+
+    Shape at scale: one token-keyed shuffle for the global counts, a
+    ``TakeOrderedAndProject`` for the top-V election (V is small by
+    definition — no global sort materializes), a broadcast hash probe of the
+    vocabulary against the token stream, and one doc-keyed aggregation.
+    The corpus-sized stream is never shuffled by token for the probe.
+    """
+    t = _token_stream(docs, id_col, text_col)
+    counts = t.groupBy("tok").agg(F.count("*").alias("c"))
+    vocab = (
+        counts.orderBy(F.col("c").desc(), F.col("tok").asc())
+        .limit(vocab_size)
+        .select("tok", F.lit(1).alias("in_vocab"))
+    )
+    return (
+        t.join(F.broadcast(vocab), "tok", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_toks"),
+            F.count(F.when(F.col("in_vocab").isNull(), F.lit(1))).alias("n_oov"),
+        )
+        .select(
+            "doc_id",
+            "n_toks",
+            "n_oov",
+            F.round(F.col("n_oov").cast("double") / F.col("n_toks"), 6).alias(
+                "oov_frac"
+            ),
+        )
+    )
+
+
+def pack_sequences(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    strata_col: str = "source",
+    budget: int = 128,
+    n_shards: int = 4,
+) -> DataFrame:
+    """Greedy next-fit sequence packing: within each (stratum, shard), walk
+    documents in doc_id order and append each to the current training
+    sequence until its token budget would overflow, then open a new one.
+    Returns (doc_id, stratum, shard, seq_id, n_toks).
+
+    Packing is inherently sequential (the bin a doc lands in depends on every
+    prior doc), so it runs as a grouped ``applyInPandas`` — the standard
+    hierarchical-packing factoring: shard BOUNDS the group (``n_shards``
+    scales with corpus size so each group fits one task), and packing quality
+    is unaffected because next-fit never looks across bins anyway. The only
+    shuffle is the (stratum, shard) grouping; state per task is O(1).
+    Oversized docs (n_toks > budget) get a sequence of their own rather than
+    being dropped — budget enforcement is the chunker's job, not the packer's.
+    """
+    import pandas as pd
+
+    sid = F.col(id_col).cast("string")
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(strata_col).alias("stratum"),
+        (_hex_long(F.md5(F.concat(F.lit("pk:"), sid)), 8) % n_shards).alias("shard"),
+        F.size(F.split(normalize_text(text_col), " ")).cast("long").alias("n_toks"),
+    )
+
+    def _pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+        seq_ids = []
+        seq, acc = 0, 0
+        for n in pdf["n_toks"]:
+            if seq == 0 or acc + n > budget:
+                seq += 1
+                acc = int(n)
+            else:
+                acc += int(n)
+            seq_ids.append(seq)
+        pdf["seq_id"] = pd.Series(seq_ids, dtype="int64")
+        return pdf[["doc_id", "stratum", "shard", "seq_id", "n_toks"]]
+
+    return base.groupBy("stratum", "shard").applyInPandas(
+        _pack,
+        "doc_id long, stratum string, shard long, seq_id long, n_toks long",
+    )
+
+
 def decontaminate(
     corpus: DataFrame,
     eval_docs: DataFrame,

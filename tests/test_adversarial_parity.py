@@ -52,6 +52,9 @@ QUERIES_ON_DOCUMENTS = [
     "doc_domain_sample",
     "doc_decontaminate",
     "doc_curation_pipeline",
+    "doc_chunk_windows",
+    "doc_vocab_coverage",
+    "doc_pack_sequences",
 ]
 
 

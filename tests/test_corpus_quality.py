@@ -351,6 +351,164 @@ def test_curation_pipeline_vs_python_reference(spark):
     assert got == expect
 
 
+def test_chunk_windows_planted(spark):
+    """Chunk boundaries, ragged last chunk, and empty-doc behavior are exact."""
+    from blink_spark.operators.corpus import chunk_windows
+
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()  # noqa: E731
+    docs = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "")], "doc_id bigint, text string"
+    )
+    rows = {
+        (r.doc_id, r.chunk_idx): (r.start_pos, r.n_chunk_toks, r.chunk_hash)
+        for r in chunk_windows(docs, size=2).collect()
+    }
+    assert rows == {
+        (1, 0): (0, 2, md5("a b")),
+        (1, 1): (2, 2, md5("c d")),
+        (1, 2): (4, 1, md5("e")),
+        # normalized empty text splits to [''] — one chunk hashing ""
+        (2, 0): (0, 1, md5("")),
+    }
+
+
+def test_chunk_windows_vs_python_reference(spark):
+    from blink_spark.operators.corpus import chunk_windows
+
+    docs = _random_corpus(seed=43)
+    sdf = spark.createDataFrame(docs, "doc_id bigint, text string")
+    got = {
+        (r.doc_id, r.chunk_idx): (r.start_pos, r.n_chunk_toks, r.chunk_hash)
+        for r in chunk_windows(sdf, size=7).collect()
+    }
+    expect = {}
+    for i, t in docs:
+        toks = _py_norm_tokens(t)
+        for ci in range((len(toks) - 1) // 7 + 1):
+            chunk = toks[ci * 7 : ci * 7 + 7]
+            expect[(i, ci)] = (
+                ci * 7,
+                len(chunk),
+                hashlib.md5(" ".join(chunk).encode()).hexdigest(),
+            )
+    assert got == expect
+
+
+def test_chunk_windows_plan_is_narrow(spark):
+    """Chunking is a map-only pass: no Exchange, no Python eval nodes."""
+    from blink_spark.operators.corpus import chunk_windows
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = chunk_windows(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    for bad in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert bad not in plan, bad
+
+
+def test_vocab_coverage_planted(spark):
+    """Top-V election breaks count ties by token asc; OOV fraction exact."""
+    from blink_spark.operators.corpus import vocab_coverage
+
+    docs = spark.createDataFrame(
+        [(1, "a a b"), (2, "b c")], "doc_id bigint, text string"
+    )
+    # counts: a=2, b=2, c=1; V=1 elects 'a' (tie → lexicographically first)
+    got = _collect_map(
+        vocab_coverage(docs, vocab_size=1), "doc_id", "n_toks", "n_oov", "oov_frac"
+    )
+    assert got == {1: (3, 1, 0.333333), 2: (2, 2, 1.0)}
+
+
+def test_vocab_coverage_vs_python_reference(spark):
+    from blink_spark.operators.corpus import vocab_coverage
+
+    docs = _random_corpus(seed=47)
+    sdf = spark.createDataFrame(docs, "doc_id bigint, text string")
+    V = 3
+    got = _collect_map(
+        vocab_coverage(sdf, vocab_size=V), "doc_id", "n_toks", "n_oov", "oov_frac"
+    )
+    counts: dict[str, int] = {}
+    for _, t in docs:
+        for tok in _py_norm_tokens(t):
+            counts[tok] = counts.get(tok, 0) + 1
+    vocab = {t for t, _ in sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:V]}
+    expect = {}
+    for i, t in docs:
+        toks = _py_norm_tokens(t)
+        oov = sum(1 for tok in toks if tok not in vocab)
+        expect[i] = (len(toks), oov, round(oov / len(toks), 6))
+    assert got == expect
+
+
+def test_vocab_probe_is_broadcast(spark):
+    """The vocabulary probe must be a broadcast hash join — the corpus-sized
+    token stream is never shuffled by token for the membership test."""
+    from blink_spark.operators.corpus import vocab_coverage
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = vocab_coverage(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "TakeOrderedAndProject" in plan  # top-V election, not a global sort
+
+
+def test_pack_sequences_planted(spark):
+    """Next-fit packing: budget overflow opens a new sequence; oversize docs
+    get a sequence of their own; order is doc_id within the group."""
+    from blink_spark.operators.corpus import pack_sequences
+
+    toks = {1: 4, 2: 5, 3: 3, 4: 11, 5: 2}
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"t{i}x{j}" for j in range(n)), "s0") for i, n in toks.items()],
+        "doc_id bigint, text string, source string",
+    )
+    got = _collect_map(
+        pack_sequences(docs, budget=10, n_shards=1),
+        "doc_id", "stratum", "shard", "seq_id", "n_toks",
+    )
+    # 4+5=9 fits; +3 would overflow → seq2; +11 overflows → seq3 (oversize
+    # alone); +2 overflows the oversize bin → seq4
+    assert got == {
+        1: ("s0", 0, 1, 4),
+        2: ("s0", 0, 1, 5),
+        3: ("s0", 0, 2, 3),
+        4: ("s0", 0, 3, 11),
+        5: ("s0", 0, 4, 2),
+    }
+
+
+def test_pack_sequences_vs_python_reference(spark):
+    from blink_spark.operators.corpus import pack_sequences
+
+    rng = random.Random(53)
+    docs = [
+        (i, " ".join(rng.choice("aa bb cc dd".split()) for _ in range(rng.randint(1, 40))),
+         f"s{i % 3}")
+        for i in range(80)
+    ]
+    sdf = spark.createDataFrame(docs, "doc_id bigint, text string, source string")
+    budget, n_shards = 64, 4
+    got = _collect_map(
+        pack_sequences(sdf, budget=budget, n_shards=n_shards),
+        "doc_id", "stratum", "shard", "seq_id", "n_toks",
+    )
+    groups: dict[tuple[str, int], list[tuple[int, int]]] = {}
+    for i, t, src in docs:
+        shard = int(hashlib.md5(f"pk:{i}".encode()).hexdigest()[:8], 16) % n_shards
+        groups.setdefault((src, shard), []).append((i, len(_py_norm_tokens(t))))
+    expect = {}
+    for (src, shard), members in groups.items():
+        seq, acc = 0, 0
+        for i, n in sorted(members):
+            if seq == 0 or acc + n > budget:
+                seq, acc = seq + 1, n
+            else:
+                acc += n
+            expect[i] = (src, shard, seq, n)
+    assert got == expect
+
+
 def test_corpus_plans_stay_jvm_side(spark):
     """No Python eval nodes in any corpus-operator plan; the sampler is a
     pure narrow projection+filter (no Exchange at all)."""

@@ -1,0 +1,136 @@
+"""Sweep every driver query's physical plan for scale anti-patterns.
+
+Detected patterns and why they matter at 100 TB:
+- ``CartesianProduct`` / ``BroadcastNestedLoopJoin``: all-pairs work — fatal
+  unless one side is provably tiny (a scalar aggregate or the documented
+  exact-ANN baseline).
+- ``Exchange SinglePartition``: a global funnel — fatal on row-scale data,
+  fine when the child is a partial aggregation (the exchange then moves one
+  pre-aggregated row per task, the canonical scalar-metric finalization).
+- ``BatchEvalPython``: row-at-a-time Python in the plan — never acceptable
+  (Arrow-batched pandas nodes show up as ArrowEvalPython/FlatMapGroupsInPandas
+  and are allowed where grouped-sequential semantics require them).
+
+The pytest wrapper (tests/test_plan_audit.py) asserts findings match the
+explicit allowlist below EXACTLY — a new anti-pattern fails the suite, and a
+stale allowlist entry (pattern engineered away) fails too, so the list can
+only shrink deliberately.
+
+Run standalone: python tools/audit_plans.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+PATTERNS = (
+    "CartesianProduct",
+    "BroadcastNestedLoopJoin",
+    "Exchange SinglePartition",
+    "BatchEvalPython",
+)
+
+# query -> patterns that are justified for it. Every entry's justification:
+# - scalar-denominator BNLJ: joins a one-row global aggregate (corpus size N
+#   for idf, total-gold/total-pairs for recall/F1 denominators) against the
+#   main table — broadcast of exactly one row.
+# - finalize-count SinglePartition: the exchange's child is a partial_count /
+#   partial_sum HashAggregate, so only per-task partial rows move.
+# - ann_bruteforce_topk: the documented exact all-pairs baseline (plan tests
+#   pin that the LSH/IVF scale paths contain NO such node).
+ALLOWLIST: dict[str, frozenset[str]] = {
+    "er_pairwise_f1": frozenset({"Exchange SinglePartition"}),
+    "er_bm25_topk": frozenset(
+        {"BroadcastNestedLoopJoin", "Exchange SinglePartition"}
+    ),
+    # er_rank_histogram's unpartitioned cumulative window runs over the
+    # per-rank histogram — at most max_rank (k ≤ 64) rows after aggregation,
+    # so its SinglePartition exchange moves k rows, not data-scale rows.
+    "er_rank_histogram": frozenset(
+        {
+            "BroadcastNestedLoopJoin",
+            "Exchange SinglePartition",
+            "Exchange SinglePartition (non-finalize)",
+        }
+    ),
+    "er_world_macro_micro": frozenset({"Exchange SinglePartition"}),
+    "ann_ivf_recall": frozenset(
+        {"BroadcastNestedLoopJoin", "Exchange SinglePartition"}
+    ),
+    "er_blocking_recall": frozenset({"Exchange SinglePartition"}),
+    "ann_lsh_recall": frozenset(
+        {"BroadcastNestedLoopJoin", "Exchange SinglePartition"}
+    ),
+    "order_key_set_ops": frozenset({"Exchange SinglePartition"}),
+    "er_span_f1_weak_strong": frozenset({"Exchange SinglePartition"}),
+    "macro_micro_value": frozenset({"Exchange SinglePartition"}),
+    "ann_bruteforce_topk": frozenset({"BroadcastNestedLoopJoin"}),
+    "er_recall_at_k": frozenset({"Exchange SinglePartition"}),
+}
+
+# Exchange SinglePartition is only allowed when feeding a scalar finalize:
+# its child line must be a partial aggregation.
+_PARTIAL_AGG_MARKER = "functions=[partial_"
+
+
+def audit_plan(plan: str) -> list[str]:
+    """Return the anti-pattern names present in one physical-plan string.
+    SinglePartition exchanges are vetted line-by-line: ones whose child is a
+    partial aggregation report the benign form (still allowlist-tracked);
+    any other occurrence reports the violating ``(non-finalize)`` form."""
+    found = [p for p in PATTERNS if p != "Exchange SinglePartition" and p in plan]
+    lines = plan.splitlines()
+    forms = set()
+    for i, line in enumerate(lines):
+        if "Exchange SinglePartition" not in line:
+            continue
+        nxt = lines[i + 1] if i + 1 < len(lines) else ""
+        if _PARTIAL_AGG_MARKER in nxt:
+            forms.add("Exchange SinglePartition")
+        else:
+            forms.add("Exchange SinglePartition (non-finalize)")
+    return found + sorted(forms)
+
+
+def audit(spark, sf_dir: str) -> dict[str, list[str]]:
+    import __spark_entry__ as e
+
+    out: dict[str, list[str]] = {}
+    for name, fn in e.queries().items():
+        plan = fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        found = audit_plan(plan)
+        if found:
+            out[name] = found
+    return out
+
+
+def main() -> int:
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, repo)
+    from blink_spark.session import get_spark
+
+    spark = get_spark(cores=8)
+    findings = audit(spark, sf)
+    bad = 0
+    for name, pats in sorted(findings.items()):
+        allowed = ALLOWLIST.get(name, frozenset())
+        for p in pats:
+            status = "allowed" if p in allowed else "** VIOLATION **"
+            if p not in allowed:
+                bad += 1
+            print(f"{name}: {p} [{status}]")
+    stale = {
+        n: sorted(ps - set(findings.get(n, [])))
+        for n, ps in ALLOWLIST.items()
+        if ps - set(findings.get(n, []))
+    }
+    for n, ps in sorted(stale.items()):
+        print(f"{n}: allowlist entries no longer present {ps} [stale]")
+    print(f"{len(findings)} flagged / {bad} violations / {len(stale)} stale")
+    return 1 if bad or stale else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

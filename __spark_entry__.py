@@ -645,6 +645,44 @@ def _doc_pack_sequences(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @_q(
+    "embedding_outliers",
+    """
+    WITH q AS (
+      SELECT vec_id, label,
+             list_transform(embedding, x -> floor(x::DOUBLE * 1000000)::BIGINT) AS q
+      FROM embeddings
+    ),
+    e AS (SELECT vec_id, label, generate_subscripts(q, 1) AS dim, unnest(q) AS v FROM q),
+    c AS (SELECT label, dim,
+                 ((sum(v) + count(*) * 1048576) // count(*) - 1048576)::BIGINT AS cv
+          FROM e GROUP BY 1, 2),
+    d AS (SELECT e.vec_id, e.label,
+                 sum(e.v * c.cv)::BIGINT AS dot,
+                 sum(e.v * e.v)::BIGINT AS n2v,
+                 sum(c.cv * c.cv)::BIGINT AS n2c
+          FROM e JOIN c ON e.label = c.label AND e.dim = c.dim
+          GROUP BY 1, 2),
+    s AS (SELECT vec_id, label,
+                 round(CASE WHEN n2v > 0 AND n2c > 0
+                            THEN dot::DOUBLE / (sqrt(n2v::DOUBLE) * sqrt(n2c::DOUBLE))
+                            ELSE 0.0 END, 6) AS cos_centroid
+          FROM d)
+    SELECT vec_id, label, cos_centroid,
+           (row_number() OVER (PARTITION BY label
+                               ORDER BY cos_centroid ASC, vec_id ASC))::BIGINT AS outlier_rank
+    FROM s
+    """,
+)
+def _embedding_outliers(spark: SparkSession, sf: str) -> DataFrame:
+    """SemDeDup-style semantic outlier scoring: per-label centroid direction
+    (division-free integer floor-average), exact quantized cosine to it,
+    ascending outlier rank per label."""
+    from blink_spark.operators.corpus import embedding_outliers
+
+    return embedding_outliers(_t(spark, sf, "embeddings"))
+
+
+@_q(
     "doc_decontaminate",
     f"""
     WITH n AS (SELECT doc_id, string_split({_norm('text')}, ' ') AS tk FROM documents),
@@ -4038,6 +4076,7 @@ _DRIVER_ORDER = [
     # round-5 candidates: defined late in round 4, parked at the tail until
     # the round-5 rotation swaps them into the driver window
     "doc_chunk_windows", "doc_vocab_coverage", "doc_pack_sequences",
+    "embedding_outliers",
 ]
 
 

@@ -338,6 +338,70 @@ def pack_sequences(
     )
 
 
+def embedding_outliers(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    label_col: str = "label",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """Semantic outlier scoring for embedding-based curation (the
+    SemDeDup-style pruning step): per-label centroid direction, per-vector
+    cosine to it, and an ascending outlier rank within each label — rank 1
+    is the label's farthest vector, the first candidate to prune or audit.
+
+    Exact cross-engine parity, no floats until the final cosine: embeddings
+    are micro-quantized (floor(v*1e6) → BIGINT), and the centroid is a
+    division-free floor-average — ``(sum + n*2^20) div n − 2^20`` — where the
+    non-negative shift makes truncating (Spark ``div``) and flooring (DuckDB
+    ``//``) integer division agree. Requires components > −1.048 (any
+    normalized embedding qualifies). Overflow headroom: |v|,|cv| ≤ ~1e6 so
+    per-dim products ≤ 1e12 and 512-dim dots ≤ 5e14 < 2^53; label sums stay
+    exact to ~1e9 vectors per label.
+
+    Shape at 100 TB: explode → (label, dim) partial-agg (the only
+    corpus-sized shuffle), broadcast of the labels×dims centroid table back
+    onto the stream, per-vector aggregation, then a label-keyed rank window.
+    The rank orders by the ROUNDED cosine (ties → vec_id) so both engines
+    rank identical values.
+    """
+    from blink_spark.functions.hashing import quantize_emb
+
+    q = emb.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(label_col).alias("label"),
+        quantize_emb(emb_col).alias("q"),
+    )
+    ex = q.select("vec_id", "label", F.posexplode("q").alias("dim", "v"))
+    cent = (
+        ex.groupBy("label", "dim")
+        .agg(F.sum("v").alias("s"), F.count("*").alias("n"))
+        .select(
+            "label",
+            "dim",
+            F.expr("(s + n * 1048576) div n - 1048576").alias("cv"),
+        )
+    )
+    d = (
+        ex.join(F.broadcast(cent), ["label", "dim"])
+        .groupBy("vec_id", "label")
+        .agg(
+            F.sum(F.col("v") * F.col("cv")).alias("dot"),
+            F.sum(F.col("v") * F.col("v")).alias("n2v"),
+            F.sum(F.col("cv") * F.col("cv")).alias("n2c"),
+        )
+    )
+    cos = F.when(
+        (F.col("n2v") > 0) & (F.col("n2c") > 0),
+        F.col("dot").cast("double")
+        / (F.sqrt(F.col("n2v").cast("double")) * F.sqrt(F.col("n2c").cast("double"))),
+    ).otherwise(F.lit(0.0))
+    scored = d.select("vec_id", "label", F.round(cos, 6).alias("cos_centroid"))
+    w = Window.partitionBy("label").orderBy(
+        F.col("cos_centroid").asc(), F.col("vec_id").asc()
+    )
+    return scored.withColumn("outlier_rank", F.row_number().over(w).cast("long"))
+
+
 def decontaminate(
     corpus: DataFrame,
     eval_docs: DataFrame,

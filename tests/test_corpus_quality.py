@@ -509,6 +509,87 @@ def test_pack_sequences_vs_python_reference(spark):
     assert got == expect
 
 
+def test_embedding_outliers_planted(spark):
+    """A planted far-away vector gets outlier_rank 1; aligned vectors rank
+    by cosine then vec_id."""
+    from blink_spark.operators.corpus import embedding_outliers
+
+    rows = [
+        (1, [1.0, 0.0], 0),
+        (2, [0.9, 0.1], 0),
+        (3, [-1.0, 0.0], 0),   # opposes the centroid → rank 1
+        (4, [0.0, 1.0], 1),    # singleton label: cos 1 with itself
+    ]
+    sdf = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>, label int"
+    )
+    got = _collect_map(embedding_outliers(sdf), "vec_id", "label", "outlier_rank")
+    assert got[3] == (0, 1)
+    assert got[4] == (1, 1)
+    assert {got[1][1], got[2][1]} == {2, 3}
+
+
+def test_embedding_outliers_vs_python_reference(spark):
+    """Exact-integer parity against an independent pure-Python replica of
+    the quantize → shift-div centroid → integer-dot cosine → rank chain."""
+    import math
+
+    from blink_spark.operators.corpus import embedding_outliers
+
+    rng = random.Random(59)
+    rows = [
+        (i, [rng.uniform(-0.9, 0.9) for _ in range(6)], i % 3) for i in range(90)
+    ]
+    sdf = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>, label int"
+    )
+    got = _collect_map(
+        embedding_outliers(sdf), "vec_id", "label", "cos_centroid", "outlier_rank"
+    )
+
+    # python replica — NB quantization happens on the float32 values Spark
+    # stores, so round-trip through struct to match
+    import struct
+
+    def f32(x: float) -> float:
+        return struct.unpack("f", struct.pack("f", x))[0]
+
+    by_label: dict[int, list[tuple[int, list[int]]]] = {}
+    for i, v, lab in rows:
+        q = [math.floor(f32(x) * 1_000_000) for x in v]
+        by_label.setdefault(lab, []).append((i, q))
+    expect = {}
+    for lab, vecs in by_label.items():
+        n = len(vecs)
+        cv = [
+            (sum(q[d] for _, q in vecs) + n * 1048576) // n - 1048576
+            for d in range(6)
+        ]
+        scored = []
+        for i, q in vecs:
+            dot = sum(a * b for a, b in zip(q, cv))
+            n2v = sum(a * a for a in q)
+            n2c = sum(b * b for b in cv)
+            cos = dot / (math.sqrt(n2v) * math.sqrt(n2c)) if n2v and n2c else 0.0
+            scored.append((i, round(cos, 6)))
+        for rank, (i, cos) in enumerate(sorted(scored, key=lambda t: (t[1], t[0])), 1):
+            expect[i] = (lab, cos, rank)
+    assert got == expect
+
+
+def test_embedding_outliers_centroid_is_broadcast(spark):
+    """The labels×dims centroid table must broadcast back onto the exploded
+    stream — no corpus-sized shuffle for the join."""
+    from blink_spark.operators.corpus import embedding_outliers
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    plan = embedding_outliers(emb)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    for bad in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert bad not in plan, bad
+
+
 def test_corpus_plans_stay_jvm_side(spark):
     """No Python eval nodes in any corpus-operator plan; the sampler is a
     pure narrow projection+filter (no Exchange at all)."""

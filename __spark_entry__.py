@@ -645,6 +645,47 @@ def _doc_pack_sequences(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @_q(
+    "doc_lm_perplexity",
+    f"""
+    WITH n AS (SELECT doc_id, string_split({_norm('text')}, ' ') AS tk FROM documents),
+    t AS (SELECT doc_id, generate_subscripts(tk, 1) AS pos, unnest(tk) AS tok FROM n),
+    bg AS (
+      SELECT doc_id, tok,
+             lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
+      FROM t
+    ),
+    b AS (SELECT * FROM bg WHERE nxt IS NOT NULL),
+    bgc AS (SELECT tok, nxt, count(*) AS cb FROM b GROUP BY 1, 2),
+    ctx AS (SELECT tok, count(*) AS cu FROM b GROUP BY 1),
+    v AS (SELECT count(DISTINCT tok) AS v FROM t),
+    model AS (
+      SELECT bgc.tok, bgc.nxt,
+             floor(ln((bgc.cb + 1)::DOUBLE / (ctx.cu + v.v)::DOUBLE) * 1000000)::BIGINT
+               AS logp_micro
+      FROM bgc JOIN ctx USING (tok) CROSS JOIN v
+    ),
+    s AS (
+      SELECT b.doc_id, count(*)::BIGINT AS n_bigrams,
+             sum(m.logp_micro)::BIGINT AS sum_logp_micro
+      FROM b JOIN model m ON b.tok = m.tok AND b.nxt = m.nxt
+      GROUP BY 1
+    )
+    SELECT doc_id, n_bigrams, sum_logp_micro,
+           round(exp(-(sum_logp_micro::DOUBLE) / (n_bigrams * 1000000.0)), 6) AS ppl
+    FROM s
+    """,
+)
+def _doc_lm_perplexity(spark: SparkSession, sf: str) -> DataFrame:
+    """CCNet-style bigram-LM perplexity quality scoring: add-one-smoothed
+    bigram model trained on the corpus, per-doc perplexity under it.
+    Log-probs quantized to micro-nats per bigram TYPE so the per-doc
+    aggregation sums exact integers (house float-parity rule)."""
+    from blink_spark.operators.corpus import lm_perplexity
+
+    return lm_perplexity(_t(spark, sf, "documents"))
+
+
+@_q(
     "embedding_outliers",
     """
     WITH q AS (
@@ -4076,7 +4117,7 @@ _DRIVER_ORDER = [
     # round-5 candidates: defined late in round 4, parked at the tail until
     # the round-5 rotation swaps them into the driver window
     "doc_chunk_windows", "doc_vocab_coverage", "doc_pack_sequences",
-    "embedding_outliers",
+    "embedding_outliers", "doc_lm_perplexity",
 ]
 
 

@@ -286,6 +286,84 @@ def vocab_coverage(
     )
 
 
+def lm_perplexity(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """CCNet-style statistical-LM quality scoring: train an add-one-smoothed
+    bigram model on the corpus itself and score every document by its
+    perplexity under that model — the classic "does this read like the rest
+    of the corpus" filter (low ppl = fluent/typical, high ppl = noise)
+    (reference quality-gate analogue:
+    /root/reference/blink/candidate_retrieval/data_ingestion.py:118-155
+    filters documents on token statistics before ingestion; this is the
+    distribution-aware generalization CCNet applies at web scale).
+
+    Cross-engine float parity per the house rule (never float-sum): each
+    bigram TYPE's log-probability ``ln((cb+1)/(cu+V))`` is quantized ONCE in
+    the model table to micro-nats (``floor(x*1e6)::BIGINT``), so the per-doc
+    aggregation sums exact integers; only the final
+    ``ppl = exp(-sum/(n*1e6))`` touches floats, on identical integer inputs
+    in both engines (libm 1-ulp differences land ~1e-9 below the 6-dp
+    rounding grid).
+
+    Shape at 100 TB: one window pass builds the bigram stream (doc-keyed,
+    same shuffle the repetition features ride); the model tables are
+    vocabulary²-bounded (≪ corpus) — one (tok,nxt)-keyed and one tok-keyed
+    aggregation — and join back onto the stream where AQE broadcasts them
+    when small; the smoothing denominator V is a one-row scalar broadcast
+    (the bm25-idf pattern). With a PRE-trained model table the corpus side
+    never shuffles by token at all — only the doc-keyed window and the final
+    doc-keyed agg remain.
+    """
+    t = _token_stream(docs, id_col, text_col)
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    bg = t.select("doc_id", "tok", F.lead("tok", 1).over(w).alias("nxt")).filter(
+        F.col("nxt").isNotNull()
+    )
+    bgc = bg.groupBy("tok", "nxt").agg(F.count("*").alias("cb"))
+    ctx = bg.groupBy("tok").agg(F.count("*").alias("cu"))
+    vocab = t.agg(F.countDistinct("tok").alias("v"))
+    model = (
+        bgc.join(ctx, "tok")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "tok",
+            "nxt",
+            F.floor(
+                F.log(
+                    (F.col("cb") + F.lit(1)).cast("double")
+                    / (F.col("cu") + F.col("v")).cast("double")
+                )
+                * F.lit(1000000.0)
+            )
+            .cast("long")
+            .alias("logp_micro"),
+        )
+    )
+    scored = (
+        bg.join(model, ["tok", "nxt"])
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_bigrams"),
+            F.sum("logp_micro").cast("long").alias("sum_logp_micro"),
+        )
+    )
+    return scored.select(
+        "doc_id",
+        "n_bigrams",
+        "sum_logp_micro",
+        F.round(
+            F.exp(
+                -F.col("sum_logp_micro").cast("double")
+                / (F.col("n_bigrams").cast("double") * F.lit(1000000.0))
+            ),
+            6,
+        ).alias("ppl"),
+    )
+
+
 def pack_sequences(
     docs: DataFrame,
     id_col: str = "doc_id",

@@ -590,6 +590,64 @@ def test_embedding_outliers_centroid_is_broadcast(spark):
         assert bad not in plan, bad
 
 
+def test_lm_perplexity_planted(spark):
+    """A doc made of the corpus's dominant bigram scores lower perplexity
+    than a doc of once-only bigrams; counts line up with token counts."""
+    from blink_spark.operators.corpus import lm_perplexity
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b a b a b a b a b"),  # rides the dominant bigrams
+            (2, "a b a b a b a b a b"),
+            (3, "a b a b a b a b a b"),
+            (4, "q r s t u v w x y z"),  # every bigram occurs once
+        ],
+        "doc_id bigint, text string",
+    )
+    got = _collect_map(lm_perplexity(docs), "doc_id", "n_bigrams", "ppl")
+    assert all(v[0] == 9 for v in got.values())
+    assert got[1] == got[2] == got[3]
+    assert got[1][1] < got[4][1]
+
+
+def test_lm_perplexity_vs_python_reference(spark):
+    """Exact parity against an independent pure-Python replica of the
+    bigram-count → add-one smoothing → micro-nat floor → integer-sum chain."""
+    import math
+
+    from blink_spark.operators.corpus import lm_perplexity
+
+    rng = random.Random(61)
+    words = ["alpha", "beta", "gamma", "delta", "eps", "zeta"]
+    rows = [
+        (i, " ".join(rng.choice(words) for _ in range(rng.randint(2, 30))))
+        for i in range(80)
+    ]
+    sdf = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = _collect_map(
+        lm_perplexity(sdf), "doc_id", "n_bigrams", "sum_logp_micro", "ppl"
+    )
+
+    from collections import Counter
+
+    doc_toks = {i: t.split(" ") for i, t in rows}
+    bigrams = {
+        i: list(zip(tk, tk[1:])) for i, tk in doc_toks.items() if len(tk) > 1
+    }
+    cb = Counter(b for bs in bigrams.values() for b in bs)
+    cu = Counter(b[0] for bs in bigrams.values() for b in bs)
+    vocab = len({w for tk in doc_toks.values() for w in tk})
+    logp = {
+        b: math.floor(math.log((c + 1) / (cu[b[0]] + vocab)) * 1_000_000)
+        for b, c in cb.items()
+    }
+    expect = {}
+    for i, bs in bigrams.items():
+        s = sum(logp[b] for b in bs)
+        expect[i] = (len(bs), s, round(math.exp(-s / (len(bs) * 1_000_000.0)), 6))
+    assert got == expect
+
+
 def test_corpus_plans_stay_jvm_side(spark):
     """No Python eval nodes in any corpus-operator plan; the sampler is a
     pure narrow projection+filter (no Exchange at all)."""

@@ -1025,6 +1025,21 @@ def _er_blocks(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@_q("er_blocking_quality", None)  # oracle injected below (fixture path)
+def _er_blocking_quality(spark: SparkSession, sf: str) -> DataFrame:
+    """Blocking-quality diagnostics: log2-bucketed block-size histogram with
+    exact within-block pair counts and a total row whose pairs_frac is the
+    reduction-ratio complement — the RR side of the RR/PC trade-off that
+    er_blocking_recall's pairs-completeness measures."""
+    from blink_spark.operators.blocking import blocking_quality, token_pair_blocks
+
+    m = _fx(spark, "mentions")
+    blocks = token_pair_blocks(m, "mention_id", "mention").select(
+        "block_key", "record_id"
+    )
+    return blocking_quality(blocks, m)
+
+
 @_q("er_candidate_pairs", None)
 def _er_cand_pairs(spark: SparkSession, sf: str) -> DataFrame:
     """S3 skew-aware candidate pair generation (token-pair blocks)."""
@@ -3976,6 +3991,38 @@ def _er_oracles() -> dict[str, str]:
           )
           SELECT mention_id AS record_id, unnest(keys) AS block_key FROM pairs
         """,
+        "er_blocking_quality": f"""
+          WITH m AS (SELECT mention_id, list_sort({toks_m}) AS toks FROM read_parquet('{men}')),
+          assign AS (
+            SELECT mention_id AS record_id, unnest(
+              CASE WHEN len(toks) >= 2 THEN
+                flatten([[('tp:' || toks[i] || '|' || toks[j])
+                          for j in range(i+1, len(toks)+1)]
+                         for i in range(1, len(toks)+1)])
+              ELSE ['t1:' || toks[1]] END) AS block_key
+            FROM m
+          ),
+          sizes AS (SELECT block_key, count(*) AS bs FROM assign GROUP BY 1),
+          hist AS (
+            SELECT floor(log2(bs + 0.5))::BIGINT AS size_bucket,
+                   count(*)::BIGINT AS n_blocks,
+                   sum(bs)::BIGINT AS n_records,
+                   sum(bs * (bs - 1) // 2)::BIGINT AS n_pairs
+            FROM sizes GROUP BY 1
+          ),
+          u AS (
+            SELECT * FROM hist
+            UNION ALL
+            SELECT -1::BIGINT, sum(n_blocks)::BIGINT, sum(n_records)::BIGINT,
+                   sum(n_pairs)::BIGINT
+            FROM hist
+          ),
+          n AS (SELECT count(*)::BIGINT AS nm FROM read_parquet('{men}'))
+          SELECT size_bucket, n_blocks, n_records, n_pairs,
+                 round(n_pairs::DOUBLE / (nm::DOUBLE * (nm - 1)::DOUBLE / 2.0), 6)
+                   AS pairs_frac
+          FROM u CROSS JOIN n
+        """,
         "er_candidate_pairs": f"""
           WITH m AS (SELECT mention_id, list_sort({toks_m}) AS toks FROM read_parquet('{men}')),
           assign AS (
@@ -4117,7 +4164,7 @@ _DRIVER_ORDER = [
     # round-5 candidates: defined late in round 4, parked at the tail until
     # the round-5 rotation swaps them into the driver window
     "doc_chunk_windows", "doc_vocab_coverage", "doc_pack_sequences",
-    "embedding_outliers", "doc_lm_perplexity",
+    "embedding_outliers", "doc_lm_perplexity", "er_blocking_quality",
 ]
 
 

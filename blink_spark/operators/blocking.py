@@ -258,3 +258,56 @@ def block_size_metrics(assignments: DataFrame) -> DataFrame:
     """Per-block sizes — the skew observability feed (north rule: oversize
     buckets are logged, not silently dropped)."""
     return assignments.groupBy("block_key").agg(F.count("*").alias("block_size"))
+
+
+def blocking_quality(assignments: DataFrame, records: DataFrame) -> DataFrame:
+    """Blocking-quality diagnostics: a log2-bucketed block-size histogram
+    with exact within-block pair counts, plus a grand-total row
+    (``size_bucket = -1``) whose ``pairs_frac`` is the complement of the
+    classic reduction ratio (RR = 1 − candidate_pairs / all_pairs). Read
+    alongside ``blocking_recall`` (pairs completeness) this is the standard
+    RR/PC trade-off every blocking scheme is tuned on (reference candidate
+    generation tuning: /root/reference/blink/candidate_retrieval/
+    evaluator.py:16-90 reports candidate-set sizes next to recall).
+
+    Cross-engine exactness: the bucket is ``floor(log2(bs + 0.5))`` — the
+    +0.5 pushes every integer at least 2⁻¹³ away from a power-of-two
+    boundary (bs ≤ 4096-scale), far beyond libm's 1-ulp log2 noise, so the
+    floor is engine-stable; pair counts are exact integers
+    (``bs·(bs−1) div 2``); only the final frac against the scalar
+    all-pairs denominator touches floats, on identical integer inputs.
+
+    Shape at 100 TB: one block-keyed aggregation (the same shuffle the pair
+    generator needs anyway), then a rollup over the ≤ log2(max_bs) histogram
+    rows and a one-row scalar broadcast for the denominator — nothing
+    corpus-sized moves after the first agg.
+    """
+    sizes = assignments.groupBy("block_key").agg(F.count("*").alias("bs"))
+    hist = (
+        sizes.rollup(
+            F.floor(F.log2(F.col("bs") + F.lit(0.5))).cast("long").alias("size_bucket")
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_blocks"),
+            F.sum("bs").cast("long").alias("n_records"),
+            F.sum(F.expr("bs * (bs - 1) div 2")).cast("long").alias("n_pairs"),
+        )
+        .select(
+            F.coalesce("size_bucket", F.lit(-1).cast("long")).alias("size_bucket"),
+            "n_blocks",
+            "n_records",
+            "n_pairs",
+        )
+    )
+    n = records.agg(F.count("*").cast("long").alias("nm"))
+    return hist.crossJoin(F.broadcast(n)).select(
+        "size_bucket",
+        "n_blocks",
+        "n_records",
+        "n_pairs",
+        F.round(
+            F.col("n_pairs").cast("double")
+            / (F.col("nm").cast("double") * (F.col("nm") - F.lit(1)).cast("double") / F.lit(2.0)),
+            6,
+        ).alias("pairs_frac"),
+    )

@@ -249,6 +249,32 @@ def test_incremental_disjoint_batch_produces_no_cross_edges(spark, tmp_path):
     assert edges.count() > edges_1
 
 
+def test_blocking_quality_histogram(spark):
+    """Planted block sizes land in the right log2 buckets with exact pair
+    counts; the -1 total row carries the reduction-ratio complement."""
+    from blink_spark.operators.blocking import blocking_quality
+
+    assigns = spark.createDataFrame(
+        [("a", r) for r in ["r1"]]
+        + [("b", r) for r in ["r1", "r2"]]
+        + [("c", r) for r in ["r3", "r4"]]
+        + [("d", r) for r in ["r1", "r2", "r3", "r4"]],
+        "block_key string, record_id string",
+    )
+    records = spark.createDataFrame(
+        [(f"r{i}",) for i in range(1, 7)], "record_id string"
+    )
+    got = {
+        r.size_bucket: (r.n_blocks, r.n_records, r.n_pairs, r.pairs_frac)
+        for r in blocking_quality(assigns, records).collect()
+    }
+    # sizes 1 / 2,2 / 4 → buckets 0 / 1 / 2; pairs 0 / 1+1 / 6; N=6 → 15 all-pairs
+    assert got[0] == (1, 1, 0, 0.0)
+    assert got[1] == (2, 4, 2, round(2 / 15, 6))
+    assert got[2] == (1, 4, 6, round(6 / 15, 6))
+    assert got[-1] == (4, 9, 8, round(8 / 15, 6))
+
+
 def test_valid_candidate_mask(spark):
     from blink_spark.operators.eval import valid_candidate_mask
 

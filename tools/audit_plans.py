@@ -73,6 +73,12 @@ ALLOWLIST: dict[str, frozenset[str]] = {
     "doc_lm_perplexity": frozenset(
         {"BroadcastNestedLoopJoin", "Exchange SinglePartition"}
     ),
+    # er_blocking_quality joins the all-pairs scalar denominator (one row)
+    # onto the ≤ log2(max_block) histogram rows; the rollup grand total over
+    # those few rows is the other SinglePartition.
+    "er_blocking_quality": frozenset(
+        {"BroadcastNestedLoopJoin", "Exchange SinglePartition"}
+    ),
 }
 
 # Exchange SinglePartition is only allowed when feeding a scalar finalize:

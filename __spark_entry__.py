@@ -724,6 +724,41 @@ def _embedding_outliers(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @_q(
+    "embedding_pq_codes",
+    """
+    WITH q AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> floor(x::DOUBLE * 1000000)::BIGINT) AS qv
+      FROM embeddings
+      WHERE len(embedding) = 64
+    ),
+    cb AS (SELECT vec_id AS cid, qv FROM q ORDER BY vec_id LIMIT 16),
+    e AS (SELECT vec_id, (generate_subscripts(qv, 1) - 1) // 8 AS sub,
+                 generate_subscripts(qv, 1) AS dimpos, unnest(qv) AS v FROM q),
+    ce AS (SELECT cid, (generate_subscripts(qv, 1) - 1) // 8 AS sub,
+                  generate_subscripts(qv, 1) AS dimpos, unnest(qv) AS cv FROM cb),
+    d AS (SELECT e.vec_id, e.sub, ce.cid,
+                 sum((e.v - ce.cv) * (e.v - ce.cv))::BIGINT AS d2
+          FROM e JOIN ce ON e.sub = ce.sub AND e.dimpos = ce.dimpos
+          GROUP BY 1, 2, 3),
+    best AS (SELECT vec_id, sub, cid, d2,
+                    row_number() OVER (PARTITION BY vec_id, sub
+                                       ORDER BY d2 ASC, cid ASC) AS rn
+             FROM d)
+    SELECT vec_id, sub::BIGINT AS sub, cid AS code, d2 AS sq_err
+    FROM best WHERE rn = 1
+    """,
+)
+def _embedding_pq_codes(spark: SparkSession, sf: str) -> DataFrame:
+    """Product-quantization encoding (FAISS IndexPQ analogue): 8 subspaces ×
+    8 dims, 16 first-items centroids per subspace, exact integer L2 argmin
+    → per-subspace code + squared reconstruction error; zero shuffles."""
+    from blink_spark.operators.ann import pq_encode
+
+    return pq_encode(_t(spark, sf, "embeddings"))
+
+
+@_q(
     "doc_decontaminate",
     f"""
     WITH n AS (SELECT doc_id, string_split({_norm('text')}, ' ') AS tk FROM documents),
@@ -4165,6 +4200,7 @@ _DRIVER_ORDER = [
     # the round-5 rotation swaps them into the driver window
     "doc_chunk_windows", "doc_vocab_coverage", "doc_pack_sequences",
     "embedding_outliers", "doc_lm_perplexity", "er_blocking_quality",
+    "embedding_pq_codes",
 ]
 
 

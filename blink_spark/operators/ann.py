@@ -314,3 +314,106 @@ def ann_recall_vs_exact(approx: DataFrame, exact: DataFrame) -> DataFrame:
         F.sum(F.coalesce("hit", F.lit(0))).alias("n_found"),
         F.round(F.avg(F.coalesce("hit", F.lit(0)).cast("double")), 6).alias("recall"),
     )
+
+
+def pq_encode(
+    emb: DataFrame,
+    n_sub: int = 8,
+    d_sub: int = 8,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """Product-quantization encoding — the vector-compression step of a
+    FAISS ``IndexPQ`` / ``IndexIVFPQ`` (reference index family:
+    /root/reference/elq/index/faiss_indexer.py:71-91 trains coarse+PQ
+    quantizers before ``add()``): the ``n_sub·d_sub``-dim vector is split
+    into ``n_sub`` subvectors and each is snapped to its nearest of
+    ``n_centroids`` subspace centroids, so a vector stores as ``n_sub``
+    byte-sized codes (here 8×4 bits ≈ 4 bytes vs 256 float bytes, 64×
+    compression) plus the codebook.
+
+    Output: one row per (vector, subspace) — ``vec_id, sub, code,
+    sq_err`` — where ``sq_err`` is the exact integer squared L2
+    reconstruction error of that subspace (sum over subspaces = the
+    vector's total reconstruction error; feeds the ADC distance table of
+    an IVF-PQ search).
+
+    Determinism/parity: embeddings are micro-quantized (floor(v·1e6) →
+    BIGINT); the codebook is the subvectors of the first ``n_centroids``
+    vectors by id (the ``first_items`` convention the IVF oracle path
+    uses — bit-reproducible anywhere, vs the seeded-KMeans quality path);
+    distances are exact integer sums, argmin ties break to the lowest
+    centroid id. Everything is integer arithmetic — no floats at all.
+
+    Shape at 100 TB: the codebook is ``n_centroids`` rows collected once
+    (the broadcast-small-side-goes-local judgment, same as the IVF literal
+    codebook) and unrolled into per-subspace LITERAL arrays; encoding is a
+    single per-row projection — ZERO shuffles, no join, no window, nothing
+    corpus-sized moves. Vectors whose length ≠ n_sub·d_sub are dropped
+    (malformed input guard).
+    """
+    from blink_spark.functions.hashing import quantize_emb
+
+    dim = n_sub * d_sub
+    q = emb.select(
+        F.col(id_col).alias("vec_id"), quantize_emb(emb_col).alias("qv")
+    ).filter(F.size("qv") == dim)
+    cb_rows = q.orderBy("vec_id").limit(n_centroids).collect()
+    if not cb_rows:
+        return q.select(
+            "vec_id",
+            F.lit(0).cast("long").alias("sub"),
+            F.lit(0).cast("long").alias("code"),
+            F.lit(0).cast("long").alias("sq_err"),
+        ).filter(F.lit(False))
+
+    def _best_for_sub(s: int):
+        sv = F.slice("qv", s * d_sub + 1, d_sub)
+        entries = F.array(
+            *[
+                F.struct(
+                    F.lit(int(r.vec_id)).cast("long").alias("cid"),
+                    F.array(
+                        *[F.lit(int(x)) for x in r.qv[s * d_sub : (s + 1) * d_sub]]
+                    )
+                    .cast("array<bigint>")
+                    .alias("cv"),
+                )
+                for r in cb_rows
+            ]
+        )
+        scored = F.transform(
+            entries,
+            lambda c: F.struct(
+                F.aggregate(
+                    F.zip_with(sv, c["cv"], lambda a, b: (a - b) * (a - b)),
+                    F.lit(0).cast("long"),
+                    lambda acc, x: acc + x,
+                ).alias("d2"),
+                c["cid"].alias("cid"),
+            ),
+        )
+        best = F.aggregate(
+            scored,
+            F.struct(
+                F.lit(None).cast("long").alias("d2"),
+                F.lit(None).cast("long").alias("cid"),
+            ),
+            lambda acc, x: F.when(
+                acc["cid"].isNull()
+                | (x["d2"] < acc["d2"])
+                | ((x["d2"] == acc["d2"]) & (x["cid"] < acc["cid"])),
+                x,
+            ).otherwise(acc),
+        )
+        return F.struct(
+            F.lit(s).cast("long").alias("sub"),
+            best["cid"].alias("code"),
+            best["d2"].alias("sq_err"),
+        )
+
+    subs = F.array(*[_best_for_sub(s) for s in range(n_sub)])
+    return q.select("vec_id", F.explode(subs).alias("r")).select(
+        "vec_id", "r.sub", "r.code", "r.sq_err"
+    )

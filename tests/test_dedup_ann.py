@@ -356,3 +356,75 @@ def test_ivf_probe_cells_null_query_is_deterministic(spark):
         for r in _probe_cells_lit(qs, carr, cid_t, _default_scorer, 2).collect()
     )
     assert got == [0, 1], got
+
+
+def test_pq_encode_planted(spark):
+    """A vector equal to a codebook vector encodes to that centroid with
+    zero reconstruction error in every subspace; a perturbed copy still
+    snaps to the nearest codebook entry with the exact integer error."""
+    from blink_spark.operators.ann import pq_encode
+
+    base = [float(i % 5) / 10 for i in range(8)]
+    other = [float((i + 3) % 7) / 10 for i in range(8)]
+    # vec 0/1 form the codebook (n_centroids=2); vec 2 copies vec 1.
+    rows = [(0, base), (1, other), (2, other)]
+    sdf = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    out = pq_encode(sdf, n_sub=2, d_sub=4, n_centroids=2)
+    got = {(r.vec_id, r.sub): (r.code, r.sq_err) for r in out.collect()}
+    assert got[(0, 0)] == (0, 0) and got[(0, 1)] == (0, 0)
+    assert got[(1, 0)] == (1, 0) and got[(1, 1)] == (1, 0)
+    assert got[(2, 0)] == (1, 0) and got[(2, 1)] == (1, 0)
+
+
+def test_pq_encode_vs_python_reference(spark):
+    """Exact integer parity against an independent pure-Python replica of
+    quantize → first-k codebook → per-subspace L2 argmin."""
+    import math
+    import random
+    import struct
+
+    from blink_spark.operators.ann import pq_encode
+
+    def f32(x):
+        return struct.unpack("f", struct.pack("f", x))[0]
+
+    rng = random.Random(67)
+    n_sub, d_sub, k = 4, 3, 5
+    rows = [
+        (i, [rng.uniform(-0.9, 0.9) for _ in range(n_sub * d_sub)])
+        for i in range(60)
+    ]
+    sdf = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    out = pq_encode(sdf, n_sub=n_sub, d_sub=d_sub, n_centroids=k)
+    got = {(r.vec_id, r.sub): (r.code, r.sq_err) for r in out.collect()}
+
+    qv = {i: [math.floor(f32(x) * 1_000_000) for x in v] for i, v in rows}
+    cb = {cid: qv[cid] for cid in sorted(qv)[:k]}
+    expect = {}
+    for i, v in qv.items():
+        for s in range(n_sub):
+            sv = v[s * d_sub : (s + 1) * d_sub]
+            best = min(
+                (
+                    (
+                        sum((a - b) ** 2 for a, b in zip(sv, c[s * d_sub : (s + 1) * d_sub])),
+                        cid,
+                    )
+                    for cid, c in cb.items()
+                ),
+            )
+            expect[(i, s)] = (best[1], best[0])
+    assert got == expect
+
+
+def test_pq_encode_plan_is_shuffle_free(spark):
+    """After the one-time codebook collect, encoding is a single per-row
+    projection: no Exchange, no join, no Python nodes in the plan."""
+    from blink_spark.operators.ann import pq_encode
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    plan = pq_encode(emb)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+    for bad in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert bad not in plan, bad

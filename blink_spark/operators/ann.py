@@ -353,14 +353,10 @@ def pq_encode(
     corpus-sized moves. Vectors whose length ≠ n_sub·d_sub are dropped
     (malformed input guard).
     """
-    from blink_spark.functions.hashing import quantize_emb
-
     dim = n_sub * d_sub
-    q = emb.select(
-        F.col(id_col).alias("vec_id"), quantize_emb(emb_col).alias("qv")
-    ).filter(F.size("qv") == dim)
-    cb_rows = q.orderBy("vec_id").limit(n_centroids).collect()
-    if not cb_rows:
+    q = _pq_quantized(emb, id_col, emb_col, dim, "vec_id")
+    cb = _pq_codebook(q, "vec_id", n_centroids)
+    if not cb:
         return q.select(
             "vec_id",
             F.lit(0).cast("long").alias("sub"),
@@ -370,43 +366,7 @@ def pq_encode(
 
     def _best_for_sub(s: int):
         sv = F.slice("qv", s * d_sub + 1, d_sub)
-        entries = F.array(
-            *[
-                F.struct(
-                    F.lit(int(r.vec_id)).cast("long").alias("cid"),
-                    F.array(
-                        *[F.lit(int(x)) for x in r.qv[s * d_sub : (s + 1) * d_sub]]
-                    )
-                    .cast("array<bigint>")
-                    .alias("cv"),
-                )
-                for r in cb_rows
-            ]
-        )
-        scored = F.transform(
-            entries,
-            lambda c: F.struct(
-                F.aggregate(
-                    F.zip_with(sv, c["cv"], lambda a, b: (a - b) * (a - b)),
-                    F.lit(0).cast("long"),
-                    lambda acc, x: acc + x,
-                ).alias("d2"),
-                c["cid"].alias("cid"),
-            ),
-        )
-        best = F.aggregate(
-            scored,
-            F.struct(
-                F.lit(None).cast("long").alias("d2"),
-                F.lit(None).cast("long").alias("cid"),
-            ),
-            lambda acc, x: F.when(
-                acc["cid"].isNull()
-                | (x["d2"] < acc["d2"])
-                | ((x["d2"] == acc["d2"]) & (x["cid"] < acc["cid"])),
-                x,
-            ).otherwise(acc),
-        )
+        best = _pq_argmin(_pq_sub_dists(sv, _pq_entries(cb, s, d_sub)))
         return F.struct(
             F.lit(s).cast("long").alias("sub"),
             best["cid"].alias("code"),
@@ -416,4 +376,160 @@ def pq_encode(
     subs = F.array(*[_best_for_sub(s) for s in range(n_sub)])
     return q.select("vec_id", F.explode(subs).alias("r")).select(
         "vec_id", "r.sub", "r.code", "r.sq_err"
+    )
+
+
+def _pq_quantized(
+    df: DataFrame, id_col: str, emb_col: str, dim: int, out_id: str
+) -> DataFrame:
+    """(id, micro-quantized array<long>) with malformed-length rows dropped."""
+    from blink_spark.functions.hashing import quantize_emb
+
+    return df.select(
+        F.col(id_col).alias(out_id), quantize_emb(emb_col).alias("qv")
+    ).filter(F.size("qv") == dim)
+
+
+def _pq_codebook(q: DataFrame, id_field: str, n_centroids: int):
+    """First-``n_centroids`` vectors by id as python tuples — the one-time
+    tiny collect (small-side-goes-local, same as the IVF literal codebook)."""
+    rows = q.orderBy(id_field).limit(n_centroids).collect()
+    return [(int(r[id_field]), [int(x) for x in r["qv"]]) for r in rows]
+
+
+def _pq_entries(cb, s: int, d_sub: int):
+    """Subspace ``s``'s codebook as a LITERAL array<struct<cid,cv>>."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(cid).cast("long").alias("cid"),
+                F.array(*[F.lit(x) for x in qv[s * d_sub : (s + 1) * d_sub]])
+                .cast("array<bigint>")
+                .alias("cv"),
+            )
+            for cid, qv in cb
+        ]
+    )
+
+
+def _pq_sub_dists(sv, entries):
+    """array<struct<d2,cid>>: exact integer squared L2 of the subvector
+    ``sv`` to every centroid in ``entries``."""
+    return F.transform(
+        entries,
+        lambda c: F.struct(
+            F.aggregate(
+                F.zip_with(sv, c["cv"], lambda a, b: (a - b) * (a - b)),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).alias("d2"),
+            c["cid"].alias("cid"),
+        ),
+    )
+
+
+def _pq_argmin(scored):
+    """Fold to the (d2, cid) argmin — ties to the lowest centroid id."""
+    return F.aggregate(
+        scored,
+        F.struct(
+            F.lit(None).cast("long").alias("d2"),
+            F.lit(None).cast("long").alias("cid"),
+        ),
+        lambda acc, x: F.when(
+            acc["cid"].isNull()
+            | (x["d2"] < acc["d2"])
+            | ((x["d2"] == acc["d2"]) & (x["cid"] < acc["cid"])),
+            x,
+        ).otherwise(acc),
+    )
+
+
+def pq_topk(
+    queries: DataFrame,
+    items: DataFrame,
+    k: int = 10,
+    n_sub: int = 8,
+    d_sub: int = 8,
+    n_centroids: int = 16,
+    query_id: str = "query_id",
+    query_emb: str = "query_emb",
+    item_id: str = "item_id",
+    item_emb: str = "item_emb",
+) -> DataFrame:
+    """PQ asymmetric-distance top-k (FAISS ``IndexPQ`` search): items are
+    stored only as their ``n_sub`` codes; each query computes a distance
+    TABLE to every (subspace, centroid) once, and the approximate distance
+    to an item is the sum of ``n_sub`` table lookups — the query never
+    touches item vectors (/root/reference/elq/index/faiss_indexer.py:71-91
+    trains exactly this quantizer before ``add()``).
+
+    Relational form: item codes come from the shuffle-free encoder; the
+    query distance table (|Q|·n_sub·n_centroids rows — small because the
+    query side is) BROADCASTS onto the code rows keyed (sub, code); a
+    per-(query,item) partial aggregation sums the n_sub lookups map-side
+    before the one pair-keyed shuffle; then the standard per-query top-k
+    window. Exhaustive over items BY DESIGN (IndexPQ is a scan —
+    compose with IVF cells for the bucketed scale path); the PQ win is
+    scanning 8 small integers per item instead of the 64-dim vector.
+    All distances are exact integers; ties rank item_id ASC.
+    """
+    dim = n_sub * d_sub
+    it = _pq_quantized(items, item_id, item_emb, dim, "item_id")
+    qs = _pq_quantized(queries, query_id, query_emb, dim, "query_id")
+    cb = _pq_codebook(it, "item_id", n_centroids)
+    if not cb:
+        return it.select(
+            F.col("item_id").alias("query_id"),
+            "item_id",
+            F.lit(0).cast("long").alias("adc"),
+            F.lit(0).alias("rank"),
+        ).filter(F.lit(False))
+
+    def _best_for_sub(s: int):
+        sv = F.slice("qv", s * d_sub + 1, d_sub)
+        best = _pq_argmin(_pq_sub_dists(sv, _pq_entries(cb, s, d_sub)))
+        return F.struct(
+            F.lit(s).cast("long").alias("sub"), best["cid"].alias("code")
+        )
+
+    codes = it.select(
+        "item_id",
+        F.explode(F.array(*[_best_for_sub(s) for s in range(n_sub)])).alias("r"),
+    ).select("item_id", "r.sub", "r.code")
+
+    def _dists_for_sub(s: int):
+        # 1-arg lambda FACTORY: a `lambda x, s=s` default-arg closure would
+        # be a 2-arg lambda, and Spark passes those (element, array_index) —
+        # the index would silently replace the subspace id.
+        sv = F.slice("qv", s * d_sub + 1, d_sub)
+        sub_lit = F.lit(s).cast("long")
+
+        def _tag(x):
+            return F.struct(
+                sub_lit.alias("sub"), x["cid"].alias("cid"), x["d2"].alias("qd2")
+            )
+
+        return F.transform(_pq_sub_dists(sv, _pq_entries(cb, s, d_sub)), _tag)
+
+    dtable = qs.select(
+        "query_id",
+        F.explode(
+            F.concat(*[_dists_for_sub(s) for s in range(n_sub)])
+        ).alias("t"),
+    ).select("query_id", "t.sub", F.col("t.cid").alias("code"), "t.qd2")
+
+    adc = (
+        codes.join(F.broadcast(dtable), ["sub", "code"])
+        .filter(F.col("item_id") != F.col("query_id"))
+        .groupBy("query_id", "item_id")
+        .agg(F.sum("qd2").cast("long").alias("adc"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc").asc(), F.col("item_id").asc()
+    )
+    return (
+        adc.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "item_id", "adc", "rank")
     )

@@ -79,6 +79,13 @@ ALLOWLIST: dict[str, frozenset[str]] = {
     "er_blocking_quality": frozenset(
         {"BroadcastNestedLoopJoin", "Exchange SinglePartition"}
     ),
+    # ann_pq_recall's BNLJ is the documented exact-L2 BASELINE side of the
+    # recall comparison (same disposition as ann_ivf/lsh_recall); the PQ
+    # search side is a broadcast hash join over codes — a plan test pins
+    # that it contains no cross join.
+    "ann_pq_recall": frozenset(
+        {"BroadcastNestedLoopJoin", "Exchange SinglePartition"}
+    ),
 }
 
 # Exchange SinglePartition is only allowed when feeding a scalar finalize:

@@ -828,7 +828,7 @@ def _ann_pq_recall(spark: SparkSession, sf: str) -> DataFrame:
     """PQ asymmetric-distance search (FAISS IndexPQ analogue: 16 subspaces ×
     4 dims, 64 first-items centroids) vs exact integer-L2 top-10 recall.
     All distances exact integers → fully oracled."""
-    from blink_spark.functions.hashing import quantize_emb
+    from blink_spark.functions.hashing import int_l2, quantize_emb
     from blink_spark.operators.ann import (
         ann_recall_vs_exact,
         brute_force_topk,
@@ -842,21 +842,19 @@ def _ann_pq_recall(spark: SparkSession, sf: str) -> DataFrame:
         query_id="vec_id", query_emb="embedding",
         item_id="vec_id", item_emb="embedding",
     )
-    eq = e.select("vec_id", quantize_emb("embedding").alias("q"))
+    # the exact baseline mirrors the oracle's WHERE len(embedding) = 64
+    # guard (and pq_topk's own malformed-length drop) so a stray
+    # off-length vector can't leave the two engines' exact sides apart
+    eq = e.select("vec_id", quantize_emb("embedding").alias("q")).filter(
+        F.size("q") == 64
+    )
     qq = eq.filter(F.col("vec_id") < 64).select(
         F.col("vec_id").alias("qid"), F.col("q").alias("qv")
     )
-
-    def neg_l2(a, b):
-        return -F.aggregate(
-            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
-            F.lit(0).cast("long"),
-            lambda acc, x: acc + x,
-        )
-
     exact = brute_force_topk(
         qq, eq, k=10, query_id="qid", query_emb="qv",
-        item_id="vec_id", item_emb="q", scorer=neg_l2,
+        item_id="vec_id", item_emb="q",
+        scorer=lambda a, b: -int_l2(a, b),
     )
     return ann_recall_vs_exact(approx, exact)
 

@@ -215,6 +215,17 @@ def int_dot(a: Column | str, b: Column | str) -> Column:
     )
 
 
+def int_l2(a: Column | str, b: Column | str) -> Column:
+    """Exact integer squared L2 distance of two array<long> columns."""
+    ca = F.col(a) if isinstance(a, str) else a
+    cb = F.col(b) if isinstance(b, str) else b
+    return F.aggregate(
+        F.zip_with(ca, cb, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
 def cosine_exact(a_q: Column | str, b_q: Column | str) -> Column:
     """Cosine over quantized (array<long>) embeddings — bit-reproducible:
     three exact integer dots, then sqrt/divide on identical doubles."""

@@ -364,16 +364,9 @@ def pq_encode(
             F.lit(0).cast("long").alias("sq_err"),
         ).filter(F.lit(False))
 
-    def _best_for_sub(s: int):
-        sv = F.slice("qv", s * d_sub + 1, d_sub)
-        best = _pq_argmin(_pq_sub_dists(sv, _pq_entries(cb, s, d_sub)))
-        return F.struct(
-            F.lit(s).cast("long").alias("sub"),
-            best["cid"].alias("code"),
-            best["d2"].alias("sq_err"),
-        )
-
-    subs = F.array(*[_best_for_sub(s) for s in range(n_sub)])
+    subs = F.array(
+        *[_pq_best_struct(cb, s, d_sub, with_err=True) for s in range(n_sub)]
+    )
     return q.select("vec_id", F.explode(subs).alias("r")).select(
         "vec_id", "r.sub", "r.code", "r.sq_err"
     )
@@ -415,15 +408,12 @@ def _pq_entries(cb, s: int, d_sub: int):
 def _pq_sub_dists(sv, entries):
     """array<struct<d2,cid>>: exact integer squared L2 of the subvector
     ``sv`` to every centroid in ``entries``."""
+    from blink_spark.functions.hashing import int_l2
+
     return F.transform(
         entries,
         lambda c: F.struct(
-            F.aggregate(
-                F.zip_with(sv, c["cv"], lambda a, b: (a - b) * (a - b)),
-                F.lit(0).cast("long"),
-                lambda acc, x: acc + x,
-            ).alias("d2"),
-            c["cid"].alias("cid"),
+            int_l2(sv, c["cv"]).alias("d2"), c["cid"].alias("cid")
         ),
     )
 
@@ -443,6 +433,21 @@ def _pq_argmin(scored):
             x,
         ).otherwise(acc),
     )
+
+
+def _pq_best_struct(cb, s: int, d_sub: int, with_err: bool):
+    """Subspace ``s``'s nearest-centroid struct for the row's ``qv`` —
+    the ONE definition of slice origin + codebook + argmin that both the
+    encoder and the searcher must agree on."""
+    sv = F.slice("qv", s * d_sub + 1, d_sub)
+    best = _pq_argmin(_pq_sub_dists(sv, _pq_entries(cb, s, d_sub)))
+    fields = [
+        F.lit(s).cast("long").alias("sub"),
+        best["cid"].alias("code"),
+    ]
+    if with_err:
+        fields.append(best["d2"].alias("sq_err"))
+    return F.struct(*fields)
 
 
 def pq_topk(
@@ -486,16 +491,16 @@ def pq_topk(
             F.lit(0).alias("rank"),
         ).filter(F.lit(False))
 
-    def _best_for_sub(s: int):
-        sv = F.slice("qv", s * d_sub + 1, d_sub)
-        best = _pq_argmin(_pq_sub_dists(sv, _pq_entries(cb, s, d_sub)))
-        return F.struct(
-            F.lit(s).cast("long").alias("sub"), best["cid"].alias("code")
-        )
-
     codes = it.select(
         "item_id",
-        F.explode(F.array(*[_best_for_sub(s) for s in range(n_sub)])).alias("r"),
+        F.explode(
+            F.array(
+                *[
+                    _pq_best_struct(cb, s, d_sub, with_err=False)
+                    for s in range(n_sub)
+                ]
+            )
+        ).alias("r"),
     ).select("item_id", "r.sub", "r.code")
 
     def _dists_for_sub(s: int):

@@ -457,21 +457,16 @@ def test_pq_topk_recall_floor_and_plan(spark):
     for bad in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
         assert bad not in plan, bad
 
+    from blink_spark.functions.hashing import int_l2
+
     eq = e.select("vec_id", quantize_emb("embedding").alias("q"))
     qq = eq.filter(F.col("vec_id") < 64).select(
         F.col("vec_id").alias("qid"), F.col("q").alias("qv")
     )
-
-    def neg_l2(a, b):
-        return -F.aggregate(
-            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
-            F.lit(0).cast("long"),
-            lambda acc, x: acc + x,
-        )
-
     exact = brute_force_topk(
         qq, eq, k=10, query_id="qid", query_emb="qv",
-        item_id="vec_id", item_emb="q", scorer=neg_l2,
+        item_id="vec_id", item_emb="q",
+        scorer=lambda a, b: -int_l2(a, b),
     )
     r = ann_recall_vs_exact(approx, exact).collect()[0]
     assert r.n_exact == 640
@@ -479,9 +474,11 @@ def test_pq_topk_recall_floor_and_plan(spark):
 
 
 def test_pq_topk_codebook_member_is_its_own_nearest(spark):
-    """An item that IS a codebook centroid has adc == its exact distance
-    for every query (its codes reconstruct it exactly), so a query equal to
-    that item must rank it first with adc 0."""
+    """An item that IS a codebook centroid encodes to itself in every
+    subspace, so a query equal to it gets adc exactly 0 for it and must
+    rank it first — falsifiable: any slice-origin or codebook bug in the
+    encoder/searcher makes the adc nonzero. The query uses a FRESH id (99)
+    so the self-exclusion filter cannot mask the assertion."""
     import random
 
     from blink_spark.operators.ann import pq_topk
@@ -489,16 +486,15 @@ def test_pq_topk_codebook_member_is_its_own_nearest(spark):
     rng = random.Random(71)
     rows = [(i, [rng.uniform(-0.9, 0.9) for _ in range(8)]) for i in range(20)]
     items = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
-    # query 3 duplicates item 3, which is a codebook member (first 4 items)
-    q = items.filter(F.col("vec_id") == 3)
+    # item 3 is a codebook member (first 4 items); query 99 duplicates it
+    q = spark.createDataFrame(
+        [(99, rows[3][1])], "vec_id bigint, embedding array<float>"
+    )
     out = pq_topk(
         q, items, k=3, n_sub=2, d_sub=4, n_centroids=4,
         query_id="vec_id", query_emb="embedding",
         item_id="vec_id", item_emb="embedding",
     )
     top = sorted([(r.rank, r.item_id, r.adc) for r in out.collect()])
-    # self is excluded; the nearest remaining item whose cell is item 3's
-    # own centroid pair would carry adc == distance(q, that cell); ranks
-    # are deterministic — just pin the shape and that adc is monotone
-    assert [t[0] for t in top] == [1, 2, 3]
-    assert top[0][2] <= top[1][2] <= top[2][2]
+    assert top[0] == (1, 3, 0), top
+    assert top[1][2] >= 0 and top[2][2] >= top[1][2]

@@ -160,3 +160,24 @@ def test_bpe_pretokens_classes(spark):
         params=[BPE_PRETOKEN_RE],
     ).fetchone()[0]
     assert dd == ["a", "b"], dd
+
+
+def test_no_default_arg_lambda_closures_in_source():
+    """Guard against the arity trap that has now bitten twice: Spark HOFs
+    (F.transform / F.filter) dispatch on the LAMBDA'S ARITY, so a
+    `lambda x, s=s:` default-arg closure is a 2-arg lambda and receives
+    (element, array_index) — the loop variable is silently replaced by the
+    index. Legitimate 2-arg lambdas (aggregate folds, zip_with) never use
+    defaults, so any `lambda a, b=...:` in source is the bug. Use a 1-arg
+    factory function instead (see _dists_for_sub in operators/ann.py)."""
+    import ast
+    import pathlib
+
+    root = pathlib.Path(__file__).resolve().parent.parent
+    offenders = []
+    for src in [root / "__spark_entry__.py", *sorted((root / "blink_spark").rglob("*.py"))]:
+        tree = ast.parse(src.read_text())
+        for node in ast.walk(tree):
+            if isinstance(node, ast.Lambda) and node.args.defaults:
+                offenders.append(f"{src.name}:{node.lineno}")
+    assert not offenders, offenders

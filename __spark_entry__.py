@@ -759,6 +759,35 @@ def _embedding_pq_codes(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @_q(
+    "doc_length_profile",
+    """
+    WITH r AS (
+      SELECT source, n_chars,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY n_chars, doc_id) AS rn,
+             count(*) OVER (PARTITION BY source) AS n
+      FROM documents
+    )
+    SELECT source AS stratum,
+           max(n)::BIGINT AS n_docs,
+           min(n_chars)::BIGINT AS min_v,
+           max(CASE WHEN rn = ((n - 1) * 1) // 4 + 1 THEN n_chars END)::BIGINT AS p25,
+           max(CASE WHEN rn = ((n - 1) * 2) // 4 + 1 THEN n_chars END)::BIGINT AS p50,
+           max(CASE WHEN rn = ((n - 1) * 3) // 4 + 1 THEN n_chars END)::BIGINT AS p75,
+           max(n_chars)::BIGINT AS max_v
+    FROM r GROUP BY source
+    """,
+)
+def _doc_length_profile(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-source length-distribution profile with EXACT discrete quartiles
+    (value at sorted index floor((n-1)·q), ties by doc_id) — the
+    data-profiling report of a curation run; pure integer window math."""
+    from blink_spark.operators.corpus import length_profile
+
+    return length_profile(_t(spark, sf, "documents"))
+
+
+@_q(
     "ann_pq_recall",
     """
     WITH q0 AS (
@@ -4301,7 +4330,7 @@ _DRIVER_ORDER = [
     # the round-5 rotation swaps them into the driver window
     "doc_chunk_windows", "doc_vocab_coverage", "doc_pack_sequences",
     "embedding_outliers", "doc_lm_perplexity", "er_blocking_quality",
-    "embedding_pq_codes", "ann_pq_recall",
+    "embedding_pq_codes", "ann_pq_recall", "doc_length_profile",
 ]
 
 

@@ -480,6 +480,55 @@ def embedding_outliers(
     return scored.withColumn("outlier_rank", F.row_number().over(w).cast("long"))
 
 
+def length_profile(
+    docs: DataFrame,
+    stratum_col: str = "source",
+    value_col: str = "n_chars",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-stratum length-distribution profile — the data-profiling report a
+    curation run opens with (and re-checks after every filter stage): doc
+    count, min/max and EXACT lower-quartile/median/upper-quartile of the
+    value column.
+
+    Quantiles are the deterministic discrete form: the value at sorted
+    index ``floor((n-1)·q)`` with ties broken by id — pure integer window
+    math, identical in both engines (Spark ``percentile_approx`` or
+    DuckDB ``quantile_cont`` interpolation could never hash-match).
+
+    Shape at 100 TB: one stratum-keyed shuffle feeding a window sort, then
+    a per-stratum conditional aggregation. The per-stratum sort is the
+    honest cost of EXACT quantiles — sorts spill, so it scales, but for
+    sketch-grade profiling at extreme per-stratum cardinality you'd swap in
+    percentile_approx (t-digest) and give up oracle parity.
+    """
+    w = Window.partitionBy("stratum").orderBy(F.col("v").asc(), F.col("id").asc())
+    wc = Window.partitionBy("stratum")
+    r = docs.select(
+        F.col(stratum_col).alias("stratum"),
+        F.col(value_col).cast("long").alias("v"),
+        F.col(id_col).alias("id"),
+    ).select(
+        "stratum",
+        "v",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(wc).alias("n"),
+    )
+
+    def _q_at(num: int, den: int) -> Column:
+        idx = F.expr(f"(n - 1) * {num} div {den}") + F.lit(1)
+        return F.max(F.when(F.col("rn") == idx, F.col("v")))
+
+    return r.groupBy("stratum").agg(
+        F.max("n").cast("long").alias("n_docs"),
+        F.min("v").cast("long").alias("min_v"),
+        _q_at(1, 4).cast("long").alias("p25"),
+        _q_at(2, 4).cast("long").alias("p50"),
+        _q_at(3, 4).cast("long").alias("p75"),
+        F.max("v").cast("long").alias("max_v"),
+    )
+
+
 def decontaminate(
     corpus: DataFrame,
     eval_docs: DataFrame,

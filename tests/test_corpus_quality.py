@@ -648,6 +648,55 @@ def test_lm_perplexity_vs_python_reference(spark):
     assert got == expect
 
 
+def test_length_profile_planted(spark):
+    """Exact discrete quartiles at known indices: for n=5 sorted values
+    [10,20,30,40,50] the (p25,p50,p75) indices are floor(4q)=(1,2,3) →
+    values (20,30,40); a singleton stratum reports its value everywhere."""
+    from blink_spark.operators.corpus import length_profile
+
+    rows = [(i, "x", "en", "a", v) for i, v in enumerate([30, 10, 50, 20, 40])]
+    rows.append((9, "x", "en", "b", 7))
+    docs = spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    )
+    got = {
+        r.stratum: (r.n_docs, r.min_v, r.p25, r.p50, r.p75, r.max_v)
+        for r in length_profile(docs).collect()
+    }
+    assert got["a"] == (5, 10, 20, 30, 40, 50)
+    assert got["b"] == (1, 7, 7, 7, 7, 7)
+
+
+def test_length_profile_vs_python_reference(spark):
+    """Cross-check against an independent pure-Python replica of the
+    sorted-index rule, including tie-heavy values."""
+    from blink_spark.operators.corpus import length_profile
+
+    rng = random.Random(73)
+    rows = [
+        (i, "x", "en", rng.choice(["s1", "s2", "s3"]), rng.randint(1, 20))
+        for i in range(97)
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    )
+    got = {
+        r.stratum: (r.n_docs, r.min_v, r.p25, r.p50, r.p75, r.max_v)
+        for r in length_profile(docs).collect()
+    }
+    by_src: dict[str, list[tuple[int, int]]] = {}
+    for i, _, _, s, v in rows:
+        by_src.setdefault(s, []).append((v, i))
+    expect = {}
+    for s, vs in by_src.items():
+        vs.sort()
+        vals = [v for v, _ in vs]
+        n = len(vals)
+        q = lambda num: vals[(n - 1) * num // 4]  # noqa: E731
+        expect[s] = (n, vals[0], q(1), q(2), q(3), vals[-1])
+    assert got == expect
+
+
 def test_corpus_plans_stay_jvm_side(spark):
     """No Python eval nodes in any corpus-operator plan; the sampler is a
     pure narrow projection+filter (no Exchange at all)."""

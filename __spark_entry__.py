@@ -1279,6 +1279,17 @@ def _er_clusters(spark: SparkSession, sf: str) -> DataFrame:
     return assign_clusters(m, "mention_id", edges)
 
 
+@_q("er_cluster_stats", None)  # oracle injected below (fixture path)
+def _er_cluster_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Cluster-size distribution of the linkage output — the standard ER
+    quality report (singleton rate, mega-cluster detection): one row per
+    cluster size plus a -1 grand-total row (total clusters / records;
+    records − clusters = merges performed)."""
+    from blink_spark.operators.cluster import cluster_size_stats
+
+    return cluster_size_stats(_er_clusters(spark, sf))
+
+
 @_q("er_topk_candidates", None)
 def _er_topk(spark: SparkSession, sf: str) -> DataFrame:
     """Top-k entity candidates per mention within first-token blocks — the
@@ -4215,6 +4226,32 @@ def _er_oracles() -> dict[str, str]:
           FROM j
         """,
         "er_clusters": clusters_sql,
+        "er_cluster_stats": f"""
+          {scored_cte},
+          edges AS (
+            SELECT record_id_a AS src, record_id_b AS dst FROM j WHERE is_match
+            UNION
+            SELECT record_id_b, record_id_a FROM j WHERE is_match
+          ),
+          nodes AS (SELECT mention_id AS id FROM read_parquet('{men}')),
+          reach AS (
+            SELECT id, id AS r FROM nodes
+            UNION
+            SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src
+          ),
+          cl AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id),
+          sizes AS (SELECT cluster_id, count(*) AS cluster_size FROM cl GROUP BY 1),
+          hist AS (
+            SELECT cluster_size, count(*)::BIGINT AS n_clusters,
+                   sum(cluster_size)::BIGINT AS n_records
+            FROM sizes GROUP BY 1
+          )
+          SELECT cluster_size::BIGINT AS cluster_size, n_clusters, n_records
+          FROM hist
+          UNION ALL
+          SELECT -1::BIGINT, sum(n_clusters)::BIGINT, sum(n_records)::BIGINT
+          FROM hist
+        """,
         "er_pairwise_f1": f1_sql,
         "er_topk_candidates": topk_sql,
         "er_recall_at_k": f"""
@@ -4331,6 +4368,7 @@ _DRIVER_ORDER = [
     "doc_chunk_windows", "doc_vocab_coverage", "doc_pack_sequences",
     "embedding_outliers", "doc_lm_perplexity", "er_blocking_quality",
     "embedding_pq_codes", "ann_pq_recall", "doc_length_profile",
+    "er_cluster_stats",
 ]
 
 

@@ -246,3 +246,33 @@ def assign_clusters(
             F.coalesce("cluster_id", "record_id").alias("cluster_id"),
         )
     )
+
+
+def cluster_size_stats(assignments: DataFrame) -> DataFrame:
+    """Cluster-size distribution of a (record_id, cluster_id) assignment —
+    the ER run report read before shipping a linkage: row 1 is the
+    singleton count, the tail rows surface suspicious mega-clusters
+    (over-merging), and the ``cluster_size = -1`` grand-total row carries
+    total clusters and total records (records − clusters = merges made).
+
+    Shape at 100 TB: one cluster-keyed aggregation (the same shuffle the
+    assignment write already did), then a rollup over the ≤ max-size
+    histogram rows — nothing record-scale moves after the first agg.
+    """
+    sizes = assignments.groupBy("cluster_id").agg(
+        F.count("*").alias("cluster_size")
+    )
+    return (
+        sizes.rollup("cluster_size")
+        .agg(
+            F.count("*").cast("long").alias("n_clusters"),
+            F.sum("cluster_size").cast("long").alias("n_records"),
+        )
+        .select(
+            F.coalesce(
+                F.col("cluster_size").cast("long"), F.lit(-1).cast("long")
+            ).alias("cluster_size"),
+            "n_clusters",
+            "n_records",
+        )
+    )

@@ -157,3 +157,23 @@ def test_local_cc_edge_cases(spark):
     )
     got = sorted(map(tuple, connected_components(loops, local_threshold=10**6).collect()))
     assert got == [("a", "a"), ("b", "a")]
+
+
+def test_cluster_size_stats_histogram(spark):
+    """Planted assignment: sizes 1,1,2,3 → histogram rows (1,2,2),(2,1,2),
+    (3,1,3) and a -1 total row (4 clusters, 7 records)."""
+    from blink_spark.operators.cluster import cluster_size_stats
+
+    assigns = spark.createDataFrame(
+        [
+            ("r1", "c1"), ("r2", "c2"),
+            ("r3", "c3"), ("r4", "c3"),
+            ("r5", "c4"), ("r6", "c4"), ("r7", "c4"),
+        ],
+        "record_id string, cluster_id string",
+    )
+    got = {
+        r.cluster_size: (r.n_clusters, r.n_records)
+        for r in cluster_size_stats(assigns).collect()
+    }
+    assert got == {1: (2, 2), 2: (1, 2), 3: (1, 3), -1: (4, 7)}

@@ -889,6 +889,134 @@ def _ann_pq_recall(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @_q(
+    "ann_ivfpq_recall",
+    """
+    WITH q0 AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> floor(x::DOUBLE * 1000000)::BIGINT) AS qv
+      FROM embeddings
+      WHERE len(embedding) = 64
+    ),
+    cb AS (SELECT vec_id AS cid, qv FROM q0 ORDER BY vec_id LIMIT 64),
+    e AS (SELECT vec_id, (generate_subscripts(qv, 1) - 1) // 4 AS sub,
+                 generate_subscripts(qv, 1) AS dimpos, unnest(qv) AS v FROM q0),
+    ce AS (SELECT cid, (generate_subscripts(qv, 1) - 1) // 4 AS sub,
+                  generate_subscripts(qv, 1) AS dimpos, unnest(qv) AS cv FROM cb),
+    d AS (SELECT e.vec_id, e.sub, ce.cid,
+                 sum((e.v - ce.cv) * (e.v - ce.cv))::BIGINT AS d2
+          FROM e JOIN ce ON e.sub = ce.sub AND e.dimpos = ce.dimpos
+          GROUP BY 1, 2, 3),
+    cc AS (SELECT vec_id AS cid, qv FROM q0 ORDER BY vec_id LIMIT 16),
+    cce AS (SELECT cid, generate_subscripts(qv, 1) AS dimpos, unnest(qv) AS cv
+            FROM cc),
+    dc AS (SELECT e.vec_id, cce.cid,
+                  sum((e.v - cce.cv) * (e.v - cce.cv))::BIGINT AS d2
+           FROM e JOIN cce ON e.dimpos = cce.dimpos
+           GROUP BY 1, 2),
+    assigned AS (
+      SELECT vec_id AS item_id, cid FROM (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY d2 ASC, cid ASC) AS rn
+        FROM dc
+      ) WHERE rn = 1
+    ),
+    probes AS (
+      SELECT vec_id AS query_id, cid FROM (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY d2 ASC, cid ASC) AS rn
+        FROM dc WHERE vec_id < 64
+      ) WHERE rn <= 4
+    ),
+    codes AS (
+      SELECT vec_id AS item_id, sub, cid AS code FROM (
+        SELECT vec_id, sub, cid,
+               row_number() OVER (PARTITION BY vec_id, sub
+                                  ORDER BY d2 ASC, cid ASC) AS rn
+        FROM d
+      ) WHERE rn = 1
+    ),
+    dtable AS (SELECT vec_id AS query_id, sub, cid, d2 AS qd2
+               FROM d WHERE vec_id < 64),
+    cand AS (
+      SELECT p.query_id, a.item_id
+      FROM probes p JOIN assigned a USING (cid)
+      WHERE a.item_id <> p.query_id
+    ),
+    adc AS (
+      SELECT c.query_id, c.item_id, sum(t.qd2)::BIGINT AS adc
+      FROM cand c
+      JOIN codes k ON k.item_id = c.item_id
+      JOIN dtable t ON t.query_id = c.query_id
+                   AND t.sub = k.sub AND t.cid = k.code
+      GROUP BY 1, 2
+    ),
+    ap_top AS (
+      SELECT query_id, item_id FROM (
+        SELECT query_id, item_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY adc ASC, item_id ASC) AS rank
+        FROM adc
+      ) WHERE rank <= 10
+    ),
+    ex AS (
+      SELECT a.vec_id AS query_id, b.vec_id AS item_id,
+             sum((a.v - b.v) * (a.v - b.v))::BIGINT AS d2
+      FROM (SELECT * FROM e WHERE vec_id < 64) a
+      JOIN e b ON a.dimpos = b.dimpos AND b.vec_id <> a.vec_id
+      GROUP BY 1, 2
+    ),
+    ex_top AS (
+      SELECT query_id, item_id FROM (
+        SELECT query_id, item_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY d2 ASC, item_id ASC) AS rank
+        FROM ex
+      ) WHERE rank <= 10
+    )
+    SELECT count(*) AS n_exact,
+           cast(sum(CASE WHEN a.item_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_found,
+           round(avg(CASE WHEN a.item_id IS NOT NULL THEN 1.0 ELSE 0.0 END), 6)
+             AS recall
+    FROM ex_top x LEFT JOIN ap_top a
+      ON a.query_id = x.query_id AND a.item_id = x.item_id
+    """,
+)
+def _ann_ivfpq_recall(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF-PQ search (FAISS IndexIVFPQ analogue, by_residual=false: 16
+    L2-coarse cells probed 4-wide, 16×4-dim PQ subspaces, 64 centroids) vs
+    exact integer-L2 top-10 recall. All distances exact integers."""
+    from blink_spark.functions.hashing import int_l2, quantize_emb
+    from blink_spark.operators.ann import (
+        ann_recall_vs_exact,
+        brute_force_topk,
+        ivfpq_topk,
+    )
+
+    e = _t(spark, sf, "embeddings")
+    q = e.filter(F.col("vec_id") < 64)
+    approx = ivfpq_topk(
+        q, e, k=10, n_coarse=16, nprobe=4, n_sub=16, d_sub=4,
+        pq_centroids=64, query_id="vec_id", query_emb="embedding",
+        item_id="vec_id", item_emb="embedding",
+    )
+    eq = e.select("vec_id", quantize_emb("embedding").alias("q")).filter(
+        F.size("q") == 64
+    )
+    qq = eq.filter(F.col("vec_id") < 64).select(
+        F.col("vec_id").alias("qid"), F.col("q").alias("qv")
+    )
+    exact = brute_force_topk(
+        qq, eq, k=10, query_id="qid", query_emb="qv",
+        item_id="vec_id", item_emb="q",
+        scorer=lambda a, b: -int_l2(a, b),
+    )
+    return ann_recall_vs_exact(approx, exact)
+
+
+@_q(
     "doc_decontaminate",
     f"""
     WITH n AS (SELECT doc_id, string_split({_norm('text')}, ' ') AS tk FROM documents),
@@ -4368,7 +4496,7 @@ _DRIVER_ORDER = [
     "doc_chunk_windows", "doc_vocab_coverage", "doc_pack_sequences",
     "embedding_outliers", "doc_lm_perplexity", "er_blocking_quality",
     "embedding_pq_codes", "ann_pq_recall", "doc_length_profile",
-    "er_cluster_stats",
+    "er_cluster_stats", "ann_ivfpq_recall",
 ]
 
 

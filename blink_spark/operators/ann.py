@@ -491,7 +491,20 @@ def pq_topk(
             F.lit(0).alias("rank"),
         ).filter(F.lit(False))
 
-    codes = it.select(
+    codes = _pq_codes(it, cb, n_sub, d_sub)
+    dtable = _pq_dtable(qs, cb, n_sub, d_sub)
+    adc = (
+        codes.join(F.broadcast(dtable), ["sub", "code"])
+        .filter(F.col("item_id") != F.col("query_id"))
+        .groupBy("query_id", "item_id")
+        .agg(F.sum("qd2").cast("long").alias("adc"))
+    )
+    return _rank_by_adc(adc, k)
+
+
+def _pq_codes(it: DataFrame, cb, n_sub: int, d_sub: int) -> DataFrame:
+    """(item_id, sub, code) rows — the shuffle-free encoder, codes only."""
+    return it.select(
         "item_id",
         F.explode(
             F.array(
@@ -502,6 +515,11 @@ def pq_topk(
             )
         ).alias("r"),
     ).select("item_id", "r.sub", "r.code")
+
+
+def _pq_dtable(qs: DataFrame, cb, n_sub: int, d_sub: int) -> DataFrame:
+    """(query_id, sub, code, qd2) — each query's full ADC distance table
+    (|Q|·n_sub·n_centroids rows; small because the query side is)."""
 
     def _dists_for_sub(s: int):
         # 1-arg lambda FACTORY: a `lambda x, s=s` default-arg closure would
@@ -517,19 +535,15 @@ def pq_topk(
 
         return F.transform(_pq_sub_dists(sv, _pq_entries(cb, s, d_sub)), _tag)
 
-    dtable = qs.select(
+    return qs.select(
         "query_id",
         F.explode(
             F.concat(*[_dists_for_sub(s) for s in range(n_sub)])
         ).alias("t"),
     ).select("query_id", "t.sub", F.col("t.cid").alias("code"), "t.qd2")
 
-    adc = (
-        codes.join(F.broadcast(dtable), ["sub", "code"])
-        .filter(F.col("item_id") != F.col("query_id"))
-        .groupBy("query_id", "item_id")
-        .agg(F.sum("qd2").cast("long").alias("adc"))
-    )
+
+def _rank_by_adc(adc: DataFrame, k: int) -> DataFrame:
     w = Window.partitionBy("query_id").orderBy(
         F.col("adc").asc(), F.col("item_id").asc()
     )
@@ -538,3 +552,79 @@ def pq_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "item_id", "adc", "rank")
     )
+
+
+def ivfpq_topk(
+    queries: DataFrame,
+    items: DataFrame,
+    k: int = 10,
+    n_coarse: int = 16,
+    nprobe: int = 4,
+    n_sub: int = 16,
+    d_sub: int = 4,
+    pq_centroids: int = 64,
+    query_id: str = "query_id",
+    query_emb: str = "query_emb",
+    item_id: str = "item_id",
+    item_emb: str = "item_emb",
+) -> DataFrame:
+    """IVF-PQ top-k — the production FAISS ``IndexIVFPQ`` shape
+    (/root/reference/elq/index/faiss_indexer.py:71-91 trains exactly this
+    coarse+PQ pair before ``add()``): a coarse L2 quantizer restricts each
+    query to its ``nprobe`` nearest of ``n_coarse`` cells, and within those
+    cells distance is the PQ asymmetric sum over stored codes — the query
+    touches neither full item vectors nor items outside its probed cells.
+
+    Everything stays integer-exact: the coarse quantizer scores by negative
+    integer L2 (argmax of −d² == argmin d², same NULLS-LAST/min-cid tie
+    fold the IVF path uses), and the PQ side is the shared encoder/dtable.
+    Encodes RAW vectors (FAISS ``by_residual=false``) so the PQ codebook is
+    cell-independent and the encode stays one shuffle-free projection.
+
+    Shape at 100 TB: cell assignment and PQ encode are zero-shuffle literal
+    folds; the probes→items join is a cell-keyed equi-join (the cell id is
+    the partition key at scale — co-located, never all-pairs); the per-query
+    distance table broadcasts; one pair-keyed aggregation and the top-k
+    window follow. This is the bucketed scale path ``pq_topk``'s exhaustive
+    scan documents.
+    """
+    from blink_spark.functions.hashing import int_l2
+
+    dim = n_sub * d_sub
+    it = _pq_quantized(items, item_id, item_emb, dim, "item_id")
+    qs = _pq_quantized(queries, query_id, query_emb, dim, "query_id")
+    coarse = (
+        it.orderBy("item_id")
+        .limit(n_coarse)
+        .select(F.col("item_id").alias("cid"), F.col("qv").alias("cv"))
+    )
+    carr, cid_t = _centroid_literal_array(coarse)
+    cb = _pq_codebook(it, "item_id", pq_centroids)
+    if carr is None or not cb:
+        return it.select(
+            F.col("item_id").alias("query_id"),
+            "item_id",
+            F.lit(0).cast("long").alias("adc"),
+            F.lit(0).alias("rank"),
+        ).filter(F.lit(False))
+
+    def neg_l2(a, b):
+        return -int_l2(a, b)
+
+    assigned = _assign_cells_lit(
+        it.select("item_id", F.col("qv").alias("iv")), carr, cid_t, neg_l2
+    ).select("item_id", "cid")
+    probes = _probe_cells_lit(qs, carr, cid_t, neg_l2, nprobe).select(
+        "query_id", "cid"
+    )
+    icodes = assigned.join(_pq_codes(it, cb, n_sub, d_sub), "item_id")
+    dtable = _pq_dtable(qs, cb, n_sub, d_sub)
+    cand = probes.join(icodes, "cid").filter(
+        F.col("item_id") != F.col("query_id")
+    )
+    adc = (
+        cand.join(F.broadcast(dtable), ["query_id", "sub", "code"])
+        .groupBy("query_id", "item_id")
+        .agg(F.sum("qd2").cast("long").alias("adc"))
+    )
+    return _rank_by_adc(adc, k)

@@ -498,3 +498,89 @@ def test_pq_topk_codebook_member_is_its_own_nearest(spark):
     top = sorted([(r.rank, r.item_id, r.adc) for r in out.collect()])
     assert top[0] == (1, 3, 0), top
     assert top[1][2] >= 0 and top[2][2] >= top[1][2]
+
+
+def test_ivfpq_topk_recall_floor_and_plan(spark):
+    """IVF-PQ (16 L2 cells probed 4-wide over 16×64 PQ codes) recalls
+    ≥ 0.3 of the exact integer-L2 top-10 on the sf0.001 fixture (measured
+    0.369 — bounded above by exhaustive PQ's 0.469; the gap is the probe
+    restriction working as designed), and the search side is cell
+    equi-join + broadcast dtable — no cross join, no Python nodes."""
+    from blink_spark.functions.hashing import int_l2, quantize_emb
+    from blink_spark.operators.ann import (
+        ann_recall_vs_exact,
+        brute_force_topk,
+        ivfpq_topk,
+    )
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = e.filter(F.col("vec_id") < 64)
+    approx = ivfpq_topk(
+        q, e, k=10, n_coarse=16, nprobe=4, n_sub=16, d_sub=4,
+        pq_centroids=64, query_id="vec_id", query_emb="embedding",
+        item_id="vec_id", item_emb="embedding",
+    )
+    plan = approx._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    for bad in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert bad not in plan, bad
+
+    eq = e.select("vec_id", quantize_emb("embedding").alias("q")).filter(
+        F.size("q") == 64
+    )
+    qq = eq.filter(F.col("vec_id") < 64).select(
+        F.col("vec_id").alias("qid"), F.col("q").alias("qv")
+    )
+    exact = brute_force_topk(
+        qq, eq, k=10, query_id="qid", query_emb="qv",
+        item_id="vec_id", item_emb="q",
+        scorer=lambda a, b: -int_l2(a, b),
+    )
+    r = ann_recall_vs_exact(approx, exact).collect()[0]
+    assert r.n_exact == 640
+    assert r.recall >= 0.3, r.recall
+
+
+def test_ivfpq_results_subset_of_probed_cells(spark):
+    """Every IVF-PQ hit must live in one of its query's probed cells —
+    the probe restriction is real, not decorative: a query's result set
+    joined back to the cell assignment lands inside its probe list."""
+    from blink_spark.functions.hashing import int_l2
+    from blink_spark.operators.ann import (
+        _assign_cells_lit,
+        _centroid_literal_array,
+        _pq_quantized,
+        _probe_cells_lit,
+        ivfpq_topk,
+    )
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = e.filter(F.col("vec_id") < 16)
+    out = ivfpq_topk(
+        q, e, k=10, n_coarse=16, nprobe=2, n_sub=16, d_sub=4,
+        pq_centroids=64, query_id="vec_id", query_emb="embedding",
+        item_id="vec_id", item_emb="embedding",
+    )
+    it = _pq_quantized(e, "vec_id", "embedding", 64, "item_id")
+    qs = _pq_quantized(q, "vec_id", "embedding", 64, "query_id")
+    coarse = (
+        it.orderBy("item_id")
+        .limit(16)
+        .select(F.col("item_id").alias("cid"), F.col("qv").alias("cv"))
+    )
+    carr, cid_t = _centroid_literal_array(coarse)
+    neg = lambda a, b: -int_l2(a, b)  # noqa: E731
+    assigned = _assign_cells_lit(
+        it.select("item_id", F.col("qv").alias("iv")), carr, cid_t, neg
+    ).select("item_id", "cid")
+    probes = {
+        (r.query_id, r.cid)
+        for r in _probe_cells_lit(qs, carr, cid_t, neg, 2)
+        .select("query_id", "cid")
+        .collect()
+    }
+    hits = out.join(assigned, "item_id").select("query_id", "cid").collect()
+    assert hits, "no hits returned"
+    for r in hits:
+        assert (r.query_id, r.cid) in probes

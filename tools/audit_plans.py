@@ -86,6 +86,11 @@ ALLOWLIST: dict[str, frozenset[str]] = {
     "ann_pq_recall": frozenset(
         {"BroadcastNestedLoopJoin", "Exchange SinglePartition"}
     ),
+    # ann_ivfpq_recall: same disposition — the BNLJ is the exact baseline;
+    # the IVF-PQ side is cell equi-join + broadcast dtable (plan-test-pinned).
+    "ann_ivfpq_recall": frozenset(
+        {"BroadcastNestedLoopJoin", "Exchange SinglePartition"}
+    ),
 }
 
 # Exchange SinglePartition is only allowed when feeding a scalar finalize:

@@ -788,6 +788,150 @@ def _doc_length_profile(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @_q(
+    "events_asof_join",
+    """
+    WITH l AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+    r AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+    pairs AS (
+      SELECT l.event_id, r.event_id AS m_id, r.ts AS m_ts,
+             row_number() OVER (PARTITION BY l.event_id
+                                ORDER BY r.ts DESC, r.event_id DESC) AS rn
+      FROM l JOIN r ON l.user_id = r.user_id AND r.ts <= l.ts
+    ),
+    best AS (SELECT event_id, m_id, m_ts FROM pairs WHERE rn = 1)
+    SELECT l.event_id, l.user_id,
+           b.m_id AS matched_event_id,
+           (epoch_us(l.ts) - epoch_us(b.m_ts))::BIGINT AS lag_us
+    FROM l LEFT JOIN best b ON l.event_id = b.event_id
+    """,
+)
+def _events_asof_join(spark: SparkSession, sf: str) -> DataFrame:
+    """As-of join: each click attached to the user's most recent purchase at
+    or before it (ties: latest event_id). Union + ordered-window merge — ONE
+    key shuffle, no pair explosion; the oracle is the quadratic rank-join
+    form (reference carry-forward analogue:
+    /root/reference/blink/candidate_retrieval/dataset.py:73-110)."""
+    from blink_spark.operators.temporal import asof_join
+
+    e = _t(spark, sf, "events")
+    return asof_join(
+        e.filter(F.col("event_type") == "click"),
+        e.filter(F.col("event_type") == "purchase"),
+        on="user_id",
+    )
+
+
+@_q(
+    "events_window_counts",
+    """
+    WITH l AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+    r AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'view')
+    SELECT l.event_id, l.user_id, count(r.event_id)::BIGINT AS n_in_window
+    FROM l LEFT JOIN r ON l.user_id = r.user_id
+      AND r.ts <= l.ts AND r.ts >= l.ts - INTERVAL 21600 SECOND
+    GROUP BY l.event_id, l.user_id
+    """,
+)
+def _events_window_counts(spark: SparkSession, sf: str) -> DataFrame:
+    """Range-join semantics via the two-marker running-sum trick: per click,
+    the count of same-user views in the closed 6-hour lookback window. One
+    key shuffle + ordered window, O(n log n) per key — never the banded
+    theta join the oracle spells out."""
+    from blink_spark.operators.temporal import window_range_count
+
+    e = _t(spark, sf, "events")
+    return window_range_count(
+        e.filter(F.col("event_type") == "click"),
+        e.filter(F.col("event_type") == "view"),
+        on="user_id",
+        lookback_s=21600,
+    )
+
+
+@_q(
+    "events_kmv_distinct",
+    """
+    WITH h AS (SELECT DISTINCT event_type AS grp,
+                      ('0x' || substr(md5('kmv:' || user_id), 1, 8))::BIGINT AS h
+               FROM events),
+    r AS (SELECT grp, h, row_number() OVER (PARTITION BY grp ORDER BY h) AS rn FROM h),
+    a AS (SELECT grp, count(*)::BIGINT AS n_exact,
+                 max(CASE WHEN rn = 8 THEN h END)::BIGINT AS kth_hash
+          FROM r GROUP BY grp)
+    SELECT grp AS event_type, n_exact, kth_hash,
+           (CASE WHEN n_exact < 8 THEN n_exact
+                 ELSE 30064771072 // kth_hash END)::BIGINT AS est_distinct
+    FROM a
+    """,
+)
+def _events_kmv_distinct(spark: SparkSession, sf: str) -> DataFrame:
+    """KMV (bottom-k) distinct-count sketch: per event type, estimate the
+    distinct users from the 8 smallest md5 hashes — exact integer estimator
+    ``(k-1)·2^32 div kth``, mergeable, ~1/sqrt(k-2) error, audited against
+    the exact count in the same scan."""
+    from blink_spark.operators.sketch import kmv_distinct
+
+    return kmv_distinct(
+        _t(spark, sf, "events"), key_col="user_id", group_col="event_type", k=8
+    )
+
+
+@_q(
+    "doc_chunk_dedup",
+    f"""
+    WITH n AS (SELECT doc_id, string_split({_norm('text')}, ' ') AS tk FROM documents),
+    c AS (SELECT doc_id, tk, unnest(generate_series(0, (len(tk)-1)//16)) AS ci FROM n),
+    h AS (SELECT doc_id, ci,
+                 md5(array_to_string(list_slice(tk, ci*16+1, least((ci+1)*16, len(tk))), ' ')) AS ch
+          FROM c),
+    o AS (SELECT doc_id, doc_id * 1048576 + ci AS pk, ch FROM h),
+    m AS (SELECT doc_id, (pk <> min(pk) OVER (PARTITION BY ch)) AS is_dup FROM o)
+    SELECT doc_id, count(*)::BIGINT AS n_chunks,
+           (count(*) FILTER (is_dup))::BIGINT AS n_dup_chunks,
+           round((count(*) FILTER (is_dup))::double / count(*), 6) AS dup_chunk_frac
+    FROM m GROUP BY doc_id
+    """,
+)
+def _doc_chunk_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Span-level exact-dup mass per document: the fraction of its 16-token
+    chunks whose content first occurs elsewhere (packed-int min window
+    elects the corpus-first occurrence). Chunker is zero-shuffle; the one
+    content-keyed shuffle is the dedup itself."""
+    from blink_spark.operators.corpus import chunk_dedup_stats
+
+    return chunk_dedup_stats(_t(spark, sf, "documents"), size=16)
+
+
+@_q(
+    "corpus_mix_plan",
+    f"""
+    WITH per AS (
+      SELECT source AS stratum, count(*)::BIGINT AS n_docs,
+             sum(len(string_split({_norm('text')}, ' ')))::BIGINT AS n_toks
+      FROM documents GROUP BY 1
+    ),
+    ns AS (SELECT count(*)::BIGINT AS ns FROM per),
+    rated AS (
+      SELECT stratum, n_docs, n_toks,
+             least(1000000, ((25000 // ns.ns) * 1000000) // greatest(n_toks, 1))::BIGINT AS rate_ppm
+      FROM per, ns
+    )
+    SELECT stratum, n_docs, n_toks, rate_ppm,
+           ((n_toks * rate_ppm) // 1000000)::BIGINT AS exp_toks
+    FROM rated
+    """,
+)
+def _corpus_mix_plan(spark: SparkSession, sf: str) -> DataFrame:
+    """Uniform-target domain-mixing plan (DoReMi-lite): per-stratum token
+    counts → integer sampling rate toward an equal share of a 25k-token
+    budget, capped at keep-everything. Pure integer arithmetic; feeds
+    stratified_sample thresholds directly."""
+    from blink_spark.operators.corpus import mix_plan
+
+    return mix_plan(_t(spark, sf, "documents"), budget_tokens=25_000)
+
+
+@_q(
     "ann_pq_recall",
     """
     WITH q0 AS (
@@ -4497,6 +4641,8 @@ _DRIVER_ORDER = [
     "embedding_outliers", "doc_lm_perplexity", "er_blocking_quality",
     "embedding_pq_codes", "ann_pq_recall", "doc_length_profile",
     "er_cluster_stats", "ann_ivfpq_recall",
+    "events_asof_join", "events_window_counts", "events_kmv_distinct",
+    "doc_chunk_dedup", "corpus_mix_plan",
 ]
 
 

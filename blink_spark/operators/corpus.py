@@ -416,6 +416,110 @@ def pack_sequences(
     )
 
 
+def chunk_dedup_stats(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    size: int = 16,
+) -> DataFrame:
+    """Cross-document span-level exact dedup (the "Deduplicating Training
+    Data Makes Language Models Better" finding, at fixed-chunk granularity):
+    per document, how many of its ``size``-token chunks are NOT the corpus's
+    first occurrence of that chunk content — the repeated-span mass a
+    span-level deduper would cut, measured without cutting anything.
+
+    First occurrence = the smallest (doc_id, chunk_idx), packed into one
+    BIGINT (``doc_id * 2^20 + chunk_idx``) so a plain integer ``min`` window
+    elects it identically in both engines. Intra-document repeats count as
+    duplicates too — span dedup removes those as well. Docs longer than
+    2^20 chunks fail fast (raise_error) rather than silently corrupting the
+    pack; ids above 2^43 would need a wider pack.
+
+    Shape at 100 TB: the zero-shuffle chunker feeds ONE chunk-hash-keyed
+    window (the unavoidable content-key shuffle of any exact dedup) and a
+    doc-keyed aggregation. No joins, no collect; skew is bounded by the most
+    repeated chunk, which is exactly the thing being measured.
+    """
+    ch = chunk_windows(docs, id_col, text_col, size)
+    pack = F.when(
+        F.col("chunk_idx") < F.lit(1 << 20),
+        F.col("doc_id") * F.lit(1 << 20) + F.col("chunk_idx"),
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("chunk_dedup_stats: chunk_idx overflows the pack for doc "),
+                F.col("doc_id").cast("string"),
+            )
+        )
+    )
+    owner = F.min("pk").over(Window.partitionBy("chunk_hash"))
+    marked = ch.select("doc_id", "chunk_hash", pack.alias("pk")).select(
+        "doc_id", (F.col("pk") != owner).alias("is_dup")
+    )
+    return marked.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_chunks"),
+        F.count(F.when(F.col("is_dup"), F.lit(1))).cast("long").alias("n_dup_chunks"),
+    ).select(
+        "doc_id",
+        "n_chunks",
+        "n_dup_chunks",
+        F.round(
+            F.col("n_dup_chunks").cast("double") / F.col("n_chunks"), 6
+        ).alias("dup_chunk_frac"),
+    )
+
+
+def mix_plan(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    strata_col: str = "source",
+    budget_tokens: int = 25_000,
+) -> DataFrame:
+    """Domain-mixing plan (the DoReMi-style reweighting step, uniform
+    target): given a total training token budget, compute each stratum's
+    deterministic sampling rate so every stratum contributes an equal share,
+    capped at keep-everything for strata smaller than their share.
+
+    Returns (stratum, n_docs, n_toks, rate_ppm, exp_toks) where
+    ``rate_ppm = min(1e6, (budget div n_strata) * 1e6 div n_toks)`` and
+    ``exp_toks = n_toks * rate_ppm div 1e6`` — all BIGINT, no floats, so the
+    plan is reproducible and feeds ``stratified_sample`` thresholds directly.
+
+    Shape at 100 TB: one stratum-keyed aggregation over a narrow projection
+    (the only corpus-sized shuffle), then a one-row scalar broadcast for the
+    stratum count — the same bm25-idf scalar pattern. The plan table is
+    strata-sized: tiny.
+    """
+    per = (
+        docs.select(
+            F.col(strata_col).alias("stratum"),
+            F.size(F.split(normalize_text(text_col), " ")).cast("long").alias("nt"),
+        )
+        .groupBy("stratum")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("nt").cast("long").alias("n_toks"),
+        )
+    )
+    n_strata = per.agg(F.count("*").alias("ns"))
+    rate = F.least(
+        F.lit(1_000_000).cast("long"),
+        F.expr(f"(({budget_tokens} div ns) * 1000000) div greatest(n_toks, 1)"),
+    )
+    return (
+        per.crossJoin(F.broadcast(n_strata))
+        .withColumn("rate_ppm", rate.cast("long"))
+        .select(
+            "stratum",
+            "n_docs",
+            "n_toks",
+            "rate_ppm",
+            F.expr("(n_toks * rate_ppm) div 1000000").cast("long").alias("exp_toks"),
+        )
+    )
+
+
 def embedding_outliers(
     emb: DataFrame,
     id_col: str = "vec_id",

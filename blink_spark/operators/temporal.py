@@ -1,0 +1,145 @@
+"""Temporal join operators: as-of join and event-window range semantics.
+
+The reference pipeline orders mentions/sentences by position and attaches
+"most recent prior context" during pair construction (reference analogue:
+/root/reference/blink/candidate_retrieval/dataset.py:73-110 walks documents
+in token order carrying forward the open document header; the as-of join is
+that carry-forward expressed relationally over event time).
+
+Scale notes (100 TB):
+- ``asof_join`` is the union + ordered-window form, NOT a range join: a
+  range-predicate join (l.ts >= r.ts) explodes into O(left x right) rows per
+  key before ranking picks one winner. Instead both sides are unioned,
+  shuffled ONCE by the equi-key, sorted within partitions by (ts, side,
+  seq), and the right payload is carried forward with
+  ``last_value(ignore nulls)`` — exactly a streamed merge join: O(n log n)
+  per key, no pair materialization, one Exchange total. This is the plan a
+  1000-executor run wants; skew is bounded by the busiest key's own row
+  count, never by a cross product.
+- Determinism: right rows sort BEFORE left rows at equal timestamps (a
+  trade occurring at the query instant is visible), and among right rows
+  with identical timestamps the largest sequence id wins (window order is
+  ascending, last_value takes the latest).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    ts_col: str = "ts",
+    seq_col: str = "event_id",
+    payload_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """For each left row, attach the most recent right row with
+    ``right.ts <= left.ts`` on the same ``on`` key (ties: latest ``seq_col``).
+
+    Returns the left rows plus ``matched_<seq_col>`` (nullable) and
+    ``lag_us`` (microseconds between the match and the left row, null when
+    unmatched) plus ``matched_<c>`` for every requested payload column.
+    """
+    r_struct = F.struct(
+        F.col(seq_col).alias("seq"), F.col(ts_col).alias("rts"),
+        *[F.col(c).alias(c) for c in payload_cols],
+    )
+    r = right.select(
+        F.col(on).alias("k"),
+        F.col(ts_col).alias("t"),
+        F.lit(0).alias("side"),
+        F.col(seq_col).alias("seq"),
+        r_struct.alias("pay"),
+    )
+    l = left.select(
+        F.col(on).alias("k"),
+        F.col(ts_col).alias("t"),
+        F.lit(1).alias("side"),
+        F.col(seq_col).alias("seq"),
+        F.lit(None).cast(r.schema["pay"].dataType).alias("pay"),
+    )
+    w = (
+        Window.partitionBy("k")
+        .orderBy(F.col("t").asc(), F.col("side").asc(), F.col("seq").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = r.unionByName(l).select(
+        "k", "t", "side", "seq",
+        F.last("pay", ignorenulls=True).over(w).alias("m"),
+    )
+    lag_us = F.expr("timestampdiff(MICROSECOND, m.rts, t)")
+    out = carried.filter(F.col("side") == 1).select(
+        F.col("seq").alias(seq_col),
+        F.col("k").alias(on),
+        F.col("m.seq").alias(f"matched_{seq_col}"),
+        lag_us.cast("long").alias("lag_us"),
+        *[F.col(f"m.{c}").alias(f"matched_{c}") for c in payload_cols],
+    )
+    return out
+
+
+def window_range_count(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    ts_col: str = "ts",
+    seq_col: str = "event_id",
+    lookback_s: int = 3600,
+) -> Column | DataFrame:
+    """Range-join semantics without the range join: for each left row, the
+    COUNT of right rows on the same key within ``[t - lookback_s, t]``
+    (closed on both ends — see marker ordering below).
+
+    The naive form is a banded theta join (r.ts in a window around l.ts) —
+    quadratic per key. This uses the standard two-marker trick: every right
+    row contributes +1 at its own timestamp and -1 at ``ts + lookback``, and
+    a running sum over the unioned, time-ordered stream reads the live count
+    at each left row. One shuffle on the key, O(n log n) per key, exact.
+
+    Marker ordering at equal instants: +1 markers (side 0) sort before the
+    left probe (side 1), which sorts before -1 expiry markers (side 2) — a
+    right row exactly ``lookback_s`` old is still counted (closed lower
+    bound), one landing at the probe instant is counted (closed upper bound).
+    """
+    plus = right.select(
+        F.col(on).alias("k"),
+        F.col(ts_col).alias("t"),
+        F.lit(0).alias("side"),
+        F.col(seq_col).alias("seq"),
+        F.lit(1).alias("delta"),
+    )
+    minus = right.select(
+        F.col(on).alias("k"),
+        (F.col(ts_col) + F.expr(f"INTERVAL {lookback_s} SECOND")).alias("t"),
+        F.lit(2).alias("side"),
+        F.col(seq_col).alias("seq"),
+        F.lit(-1).alias("delta"),
+    )
+    probe = left.select(
+        F.col(on).alias("k"),
+        F.col(ts_col).alias("t"),
+        F.lit(1).alias("side"),
+        F.col(seq_col).alias("seq"),
+        F.lit(0).alias("delta"),
+    )
+    w = (
+        Window.partitionBy("k")
+        .orderBy(F.col("t").asc(), F.col("side").asc(), F.col("seq").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        plus.unionByName(minus).unionByName(probe)
+        .select(
+            "k", "side", "seq",
+            F.sum("delta").over(w).cast("long").alias("live"),
+        )
+        .filter(F.col("side") == 1)
+        .select(
+            F.col("seq").alias(seq_col),
+            F.col("k").alias(on),
+            F.col("live").alias("n_in_window"),
+        )
+    )

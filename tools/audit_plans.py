@@ -67,6 +67,12 @@ ALLOWLIST: dict[str, frozenset[str]] = {
     "macro_micro_value": frozenset({"Exchange SinglePartition"}),
     "ann_bruteforce_topk": frozenset({"BroadcastNestedLoopJoin"}),
     "er_recall_at_k": frozenset({"Exchange SinglePartition"}),
+    # corpus_mix_plan's stratum count is a one-row scalar aggregate
+    # broadcast onto the strata-sized plan table (≤ tens of rows) — the
+    # bm25-idf scalar-denominator pattern; no data-scale rows move.
+    "corpus_mix_plan": frozenset(
+        {"BroadcastNestedLoopJoin", "Exchange SinglePartition"}
+    ),
     # doc_lm_perplexity's smoothing denominator V (count-distinct vocab) is
     # a one-row scalar aggregate broadcast onto the vocabulary²-sized model
     # table — the bm25-idf scalar-denominator pattern.

@@ -877,6 +877,45 @@ def _events_kmv_distinct(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @_q(
+    "doc_token_hll",
+    f"""
+    WITH t AS (SELECT source AS grp, unnest(string_split({_norm('text')}, ' ')) AS tok
+               FROM documents),
+    h AS (SELECT DISTINCT grp, ('0x' || substr(md5('kmv:' || tok), 1, 8))::BIGINT AS h FROM t),
+    r AS (SELECT grp, h % 16 AS j,
+                 28 - length(regexp_replace(bin(h // 16), '^0+', '')) + 1 AS rho
+          FROM h),
+    pr AS (SELECT grp, j, max(rho) AS mj, count(*) AS c FROM r GROUP BY 1, 2),
+    a AS (SELECT grp, sum(c)::BIGINT AS n_exact,
+                 (16 - count(*))::BIGINT AS v_empty,
+                 (sum(1::BIGINT << (32 - mj)) + (16 - count(*)) * 4294967296)::BIGINT AS s_scaled
+          FROM pr GROUP BY 1),
+    e AS (SELECT grp, n_exact, v_empty, s_scaled,
+                 (172288 * 4294967296) // (1000 * s_scaled) AS raw
+          FROM a)
+    SELECT grp AS source, n_exact, v_empty, s_scaled,
+           (CASE WHEN raw <= 40 AND v_empty > 0
+                 THEN floor(16.0 * ln(16.0 / v_empty))
+                 ELSE raw END)::BIGINT AS est_distinct
+    FROM e
+    """,
+)
+def _doc_token_hll(spark: SparkSession, sf: str) -> DataFrame:
+    """HyperLogLog distinct-token estimate per source (m=16 registers):
+    exact-integer registers via bin()-string leading-zero ranks, integer
+    harmonic sum, and the milli-alpha raw estimator — with linear-counting
+    small-range correction and the exact count audited in the same scan."""
+    from blink_spark.functions.text import normalize_text
+    from blink_spark.operators.sketch import hll_distinct
+
+    docs = _t(spark, sf, "documents")
+    t = docs.select(
+        "source", F.explode(F.split(normalize_text("text"), " ")).alias("tok")
+    )
+    return hll_distinct(t, key_col="tok", group_col="source", p=4)
+
+
+@_q(
     "doc_chunk_dedup",
     f"""
     WITH n AS (SELECT doc_id, string_split({_norm('text')}, ' ') AS tk FROM documents),
@@ -4642,7 +4681,7 @@ _DRIVER_ORDER = [
     "embedding_pq_codes", "ann_pq_recall", "doc_length_profile",
     "er_cluster_stats", "ann_ivfpq_recall",
     "events_asof_join", "events_window_counts", "events_kmv_distinct",
-    "doc_chunk_dedup", "corpus_mix_plan",
+    "doc_chunk_dedup", "corpus_mix_plan", "doc_token_hll",
 ]
 
 

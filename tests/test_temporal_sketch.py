@@ -171,3 +171,150 @@ def test_mix_plan_planted(spark):
     # big: 10*1e6 div 20 = 500_000 ppm -> 20*0.5 = 10 tokens expected
     # tiny: 10*1e6 div 2 = 5e6 -> capped at 1e6 -> keeps all 2 tokens
     assert got == {"big": (4, 20, 500_000, 10), "tiny": (1, 2, 1_000_000, 2)}
+
+
+def _hll_py(values, p=4):
+    m = 1 << p
+    width = 32 - p
+    alpha_milli = {16: 673, 32: 697, 64: 709}[m]
+    regs = {}
+    hs = {int(hashlib.md5(f"kmv:{v}".encode()).hexdigest()[:8], 16) for v in values}
+    for h in hs:
+        j, w = h % m, h // m
+        rho = width - w.bit_length() + 1
+        regs[j] = max(regs.get(j, 0), rho)
+    v_empty = m - len(regs)
+    s = sum(1 << (32 - mj) for mj in regs.values()) + v_empty * (1 << 32)
+    raw = (alpha_milli * m * m * (1 << 32)) // (1000 * s)
+    if raw <= (5 * m) // 2 and v_empty > 0:
+        import math
+
+        est = int(math.floor(m * math.log(m / v_empty)))
+    else:
+        est = raw
+    return len(hs), v_empty, s, est
+
+
+def test_hll_matches_pure_python(spark):
+    from blink_spark.operators.sketch import hll_distinct
+
+    small = [("a", f"s{i}") for i in range(5)]       # linear-counting branch
+    big = [("b", f"t{i}") for i in range(3000)]      # raw-estimator branch
+    df = spark.createDataFrame(small + big + small, "grp string, tok string")
+    got = {
+        r["grp"]: (r["n_exact"], r["v_empty"], r["s_scaled"], r["est_distinct"])
+        for r in hll_distinct(df, key_col="tok", group_col="grp", p=4).collect()
+    }
+    assert got["a"] == _hll_py([f"s{i}" for i in range(5)])
+    assert got["b"] == _hll_py([f"t{i}" for i in range(3000)])
+    # branch sanity: "a" must have taken linear counting, "b" the raw path
+    assert got["a"][1] > 0 and got["b"][0] == 3000
+
+
+def test_hll_estimate_in_error_band(spark):
+    """m=64 on 20000 distinct keys: HLL relative error ~1.04/sqrt(m);
+    assert a generous 5-sigma band."""
+    from blink_spark.operators.sketch import hll_distinct
+
+    df = spark.range(20000).select(
+        F.lit("g").alias("grp"), F.col("id").cast("string").alias("tok")
+    )
+    [row] = hll_distinct(df, key_col="tok", group_col="grp", p=6).collect()
+    assert row["n_exact"] == 20000
+    assert abs(row["est_distinct"] - 20000) / 20000 < 5 * 1.04 / 8.0
+
+
+def test_hll_rejects_unsupported_p(spark):
+    import pytest as _pytest
+
+    from blink_spark.operators.sketch import hll_distinct
+
+    df = spark.range(1).select(F.lit("g").alias("grp"), F.col("id").alias("tok"))
+    with _pytest.raises(ValueError):
+        hll_distinct(df, key_col="tok", group_col="grp", p=10)
+
+
+def test_hll_registers_merge_equals_whole(spark):
+    """Mergeability: registers of two overlapping halves, merged by max,
+    estimate exactly what one pass over the union estimates."""
+    from blink_spark.operators.sketch import (
+        hll_distinct,
+        hll_estimate,
+        hll_registers,
+    )
+
+    rows_a = [("g", f"k{i}") for i in range(1000)]
+    rows_b = [("g", f"k{i}") for i in range(500, 1500)]  # overlaps a
+    df_a = spark.createDataFrame(rows_a, "grp string, tok string")
+    df_b = spark.createDataFrame(rows_b, "grp string, tok string")
+    merged = (
+        hll_registers(df_a, "tok", "grp", p=4)
+        .unionByName(hll_registers(df_b, "tok", "grp", p=4))
+        .groupBy("grp", "j")
+        .agg(F.max("mj").cast("int").alias("mj"))
+    )
+    [got] = hll_estimate(merged, "grp", p=4).collect()
+    [want] = hll_distinct(df_a.unionByName(df_b), "tok", "grp", p=4).collect()
+    assert (got["v_empty"], got["s_scaled"], got["est_distinct"]) == (
+        want["v_empty"], want["s_scaled"], want["est_distinct"],
+    )
+
+
+def test_streaming_hll_register_store(spark, tmp_path):
+    """Two micro-batches maintain the register store; the store's estimate
+    equals the one-shot batch estimate over everything seen, and re-merging
+    a batch is a no-op (max is idempotent → at-least-once safe)."""
+    import pandas as pd
+
+    from blink_spark.operators.sketch import hll_distinct, hll_estimate
+    from blink_spark.streaming.sketches import update_hll_register_store
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    store = str(tmp_path / "hll_store")
+    ckpt = str(tmp_path / "ckpt")
+
+    def sink(batch_df, batch_id):
+        update_hll_register_store(
+            batch_df.sparkSession, batch_df, store, "tok", "grp", p=4
+        )
+
+    def run_once():
+        q = (
+            spark.readStream.schema("grp string, tok string")
+            .parquet(str(in_dir))
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    b1 = [("x", f"a{i}") for i in range(800)] + [("y", f"b{i}") for i in range(3)]
+    b2 = [("x", f"a{i}") for i in range(400, 1200)] + [("y", f"b{i}") for i in range(2)]
+    pd.DataFrame(b1, columns=["grp", "tok"]).to_parquet(in_dir / "b1.parquet")
+    run_once()
+    pd.DataFrame(b2, columns=["grp", "tok"]).to_parquet(in_dir / "b2.parquet")
+    run_once()
+
+    est = {
+        r["grp"]: (r["v_empty"], r["s_scaled"], r["est_distinct"])
+        for r in hll_estimate(spark.read.parquet(store), "grp", p=4).collect()
+    }
+    full = spark.createDataFrame(b1 + b2, "grp string, tok string")
+    want = {
+        r["grp"]: (r["v_empty"], r["s_scaled"], r["est_distinct"])
+        for r in hll_distinct(full, "tok", "grp", p=4).collect()
+    }
+    assert est == want
+    # "y" stayed in the linear-counting regime (5 distinct keys)
+    assert est["y"][2] < 16
+
+    # idempotence: merging batch 2 again leaves the store byte-identical
+    before = sorted(map(tuple, spark.read.parquet(store).collect()))
+    update_hll_register_store(
+        spark, spark.createDataFrame(b2, "grp string, tok string"),
+        store, "tok", "grp", p=4,
+    )
+    after = sorted(map(tuple, spark.read.parquet(store).collect()))
+    assert before == after

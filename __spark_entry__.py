@@ -956,7 +956,8 @@ def _doc_chunk_dedup(spark: SparkSession, sf: str) -> DataFrame:
       FROM per, ns
     )
     SELECT stratum, n_docs, n_toks, rate_ppm,
-           ((n_toks * rate_ppm) // 1000000)::BIGINT AS exp_toks
+           ((n_toks // 1000000) * rate_ppm
+            + ((n_toks % 1000000) * rate_ppm) // 1000000)::BIGINT AS exp_toks
     FROM rated
     """,
 )

@@ -486,6 +486,14 @@ def mix_plan(
     ``exp_toks = n_toks * rate_ppm div 1e6`` — all BIGINT, no floats, so the
     plan is reproducible and feeds ``stratified_sample`` thresholds directly.
 
+    Overflow-safe at corpus scale: ``exp_toks`` is computed with the
+    split-multiply identity ``(q*1e6 + r)*rate div 1e6 = q*rate +
+    r*rate div 1e6`` (exact; every intermediate ≤ max(n_toks, 1e12)), and
+    the rate product only evaluates on the uncapped branch where the
+    per-stratum share is below the stratum's token count — shares above
+    2^43 on that branch (a >9.2e12-token budget share) fail fast with
+    raise_error rather than silently wrapping.
+
     Shape at 100 TB: one stratum-keyed aggregation over a narrow projection
     (the only corpus-sized shuffle), then a one-row scalar broadcast for the
     stratum count — the same bm25-idf scalar pattern. The plan table is
@@ -503,9 +511,20 @@ def mix_plan(
         )
     )
     n_strata = per.agg(F.count("*").alias("ns"))
-    rate = F.least(
-        F.lit(1_000_000).cast("long"),
-        F.expr(f"(({budget_tokens} div ns) * 1000000) div greatest(n_toks, 1)"),
+    share = F.expr(f"{budget_tokens} div ns")
+    rate = (
+        F.when(share >= F.col("n_toks"), F.lit(1_000_000).cast("long"))
+        .when(
+            share <= F.lit(1 << 43),
+            F.expr(
+                f"(({budget_tokens} div ns) * 1000000) div greatest(n_toks, 1)"
+            ),
+        )
+        .otherwise(
+            F.raise_error(
+                F.lit("mix_plan: per-stratum share exceeds 2^43 tokens")
+            ).cast("long")
+        )
     )
     return (
         per.crossJoin(F.broadcast(n_strata))
@@ -515,7 +534,12 @@ def mix_plan(
             "n_docs",
             "n_toks",
             "rate_ppm",
-            F.expr("(n_toks * rate_ppm) div 1000000").cast("long").alias("exp_toks"),
+            F.expr(
+                "(n_toks div 1000000) * rate_ppm"
+                " + ((n_toks % 1000000) * rate_ppm) div 1000000"
+            )
+            .cast("long")
+            .alias("exp_toks"),
         )
     )
 

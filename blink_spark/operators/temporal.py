@@ -39,15 +39,26 @@ def asof_join(
     """For each left row, attach the most recent right row with
     ``right.ts <= left.ts`` on the same ``on`` key (ties: latest ``seq_col``).
 
-    Returns the left rows plus ``matched_<seq_col>`` (nullable) and
-    ``lag_us`` (microseconds between the match and the left row, null when
-    unmatched) plus ``matched_<c>`` for every requested payload column.
+    Returns ONE ROW PER LEFT ROW, keyed by ``seq_col``: (seq_col, on,
+    matched_<seq_col>, lag_us, matched_<c>...). ``matched_<seq_col>`` and
+    ``lag_us`` (microseconds from match to left row) are null when
+    unmatched; ``matched_<c>`` carries each requested RIGHT payload column.
+    Other left columns are not carried through — re-attach them by
+    ``seq_col`` (a cheap key join against the original left frame), which
+    keeps the union schema narrow through the big sort.
+
+    NULL semantics match the SQL predicates ``l.k = r.k AND r.ts <= l.ts``:
+    a NULL key or NULL timestamp never matches — NULL-key/NULL-ts left rows
+    come out unmatched, NULL-key/NULL-ts right rows are dropped before the
+    merge (window partitioning would otherwise group NULL keys together,
+    and NULLS FIRST ordering would make a NULL-ts right row visible to
+    every left row, neither of which ``=``/``<=`` ever does).
     """
     r_struct = F.struct(
         F.col(seq_col).alias("seq"), F.col(ts_col).alias("rts"),
         *[F.col(c).alias(c) for c in payload_cols],
     )
-    r = right.select(
+    r = right.filter(F.col(on).isNotNull() & F.col(ts_col).isNotNull()).select(
         F.col(on).alias("k"),
         F.col(ts_col).alias("t"),
         F.lit(0).alias("side"),
@@ -88,7 +99,7 @@ def window_range_count(
     ts_col: str = "ts",
     seq_col: str = "event_id",
     lookback_s: int = 3600,
-) -> Column | DataFrame:
+) -> DataFrame:
     """Range-join semantics without the range join: for each left row, the
     COUNT of right rows on the same key within ``[t - lookback_s, t]``
     (closed on both ends — see marker ordering below).
@@ -103,7 +114,12 @@ def window_range_count(
     left probe (side 1), which sorts before -1 expiry markers (side 2) — a
     right row exactly ``lookback_s`` old is still counted (closed lower
     bound), one landing at the probe instant is counted (closed upper bound).
+
+    NULL semantics match the SQL predicates (``asof_join`` note applies):
+    NULL-key or NULL-ts right rows emit no markers; NULL-key/NULL-ts left
+    rows count 0.
     """
+    right = right.filter(F.col(on).isNotNull() & F.col(ts_col).isNotNull())
     plus = right.select(
         F.col(on).alias("k"),
         F.col(ts_col).alias("t"),

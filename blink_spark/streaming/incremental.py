@@ -56,6 +56,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from blink_spark import schemas
+from blink_spark.streaming.stores import store_exists
 from blink_spark.operators.blocking import df_aware_blocks
 from blink_spark.operators.cluster import assign_clusters, connected_components
 from blink_spark.operators.extract import extract_mentions
@@ -187,7 +188,7 @@ def _refresh_label_index(
 
 
 def _exists(path: str) -> bool:
-    return os.path.exists(os.path.join(path, "_SUCCESS"))
+    return store_exists(path)
 
 
 # every store table is hive-partitioned by its id-hash bucket column; a

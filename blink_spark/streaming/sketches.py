@@ -15,23 +15,20 @@ Scale notes:
   block/prep stores, this store is deliberately NOT hive-bucketed: it is
   sketch-sized (kilobytes), and partition machinery would cost more than
   rewriting it whole.
-- The merged content is localCheckpoint'ed (eager) before the overwrite so
-  the write plan is severed from the parquet files it is replacing — the
-  same read-then-overwrite discipline as the assignment store refresh.
+- Unlike the record stores (which can be rebuilt from retained records), a
+  lost register store is unrecoverable — so the refresh goes through the
+  two-generation write-aside-then-swap in ``streaming/stores.py`` instead of
+  a bare ``mode("overwrite")``: at every crash point a complete generation
+  survives on disk and the reader falls back to it.
 """
 
 from __future__ import annotations
-
-import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from blink_spark.operators.sketch import hll_registers
-
-
-def _exists(path: str) -> bool:
-    return os.path.exists(os.path.join(path, "_SUCCESS"))
+from blink_spark.streaming.stores import commit_store, resolve_store
 
 
 def update_hll_register_store(
@@ -47,8 +44,9 @@ def update_hll_register_store(
     sense: re-merging the same batch is a no-op because max is idempotent —
     an at-least-once sink still yields the exactly-once estimate."""
     batch_regs = hll_registers(batch_df, key_col, group_col, p)
-    if _exists(store_path):
-        old = spark.read.parquet(store_path)
+    cur = resolve_store(store_path)
+    if cur is not None:
+        old = spark.read.parquet(cur)
         merged = (
             batch_regs.unionByName(old)
             .groupBy(group_col, "j")
@@ -56,5 +54,6 @@ def update_hll_register_store(
         )
     else:
         merged = batch_regs
-    merged = merged.localCheckpoint(eager=True)
-    merged.write.mode("overwrite").parquet(store_path)
+    new_dir = store_path + ".new"
+    merged.write.mode("overwrite").parquet(new_dir)
+    commit_store(new_dir, store_path)

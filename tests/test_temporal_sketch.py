@@ -318,3 +318,64 @@ def test_streaming_hll_register_store(spark, tmp_path):
     )
     after = sorted(map(tuple, spark.read.parquet(store).collect()))
     assert before == after
+
+
+def test_temporal_null_semantics_match_sql_equijoin(spark):
+    """NULL keys / NULL timestamps never match (= / <= semantics): NULL-key
+    or NULL-ts left rows come out unmatched / zero, NULL right rows are
+    ignored — window partitioning must not group NULLs the way SQL never
+    does."""
+    from blink_spark.operators.temporal import asof_join, window_range_count
+
+    clicks = _events(
+        spark,
+        [(301, None, _ts(5)), (302, 1, None), (303, 1, _ts(5))],
+    )
+    purchases = _events(
+        spark,
+        [(401, None, _ts(0)), (402, 1, None), (403, 1, _ts(0))],
+    )
+    got = {
+        r["event_id"]: r["matched_event_id"]
+        for r in asof_join(clicks, purchases, on="user_id").collect()
+    }
+    assert got == {301: None, 302: None, 303: 403}
+
+    counts = {
+        r["event_id"]: r["n_in_window"]
+        for r in window_range_count(
+            clicks, purchases, on="user_id", lookback_s=3600
+        ).collect()
+    }
+    assert counts == {301: 0, 302: 0, 303: 1}
+
+
+def test_hll_store_survives_crashed_swap(spark, tmp_path):
+    """Two-generation store protocol: if a crash interrupts the swap after
+    the live generation moved to .prev, the next merge falls back to .prev
+    and no history is lost."""
+    import os
+
+    from blink_spark.operators.sketch import hll_distinct, hll_estimate
+    from blink_spark.streaming.sketches import update_hll_register_store
+    from blink_spark.streaming.stores import resolve_store
+
+    store = str(tmp_path / "regs")
+    b1 = spark.createDataFrame(
+        [("g", f"a{i}") for i in range(600)], "grp string, tok string"
+    )
+    b2 = spark.createDataFrame(
+        [("g", f"b{i}") for i in range(600)], "grp string, tok string"
+    )
+    update_hll_register_store(spark, b1, store, "tok", "grp", p=4)
+    # simulate a crash between the two renames of commit_store: the live
+    # generation sits at .prev, the main path is gone
+    os.rename(store, store + ".prev")
+    assert resolve_store(store) == store + ".prev"
+    update_hll_register_store(spark, b2, store, "tok", "grp", p=4)
+
+    [got] = hll_estimate(spark.read.parquet(store), "grp", p=4).collect()
+    [want] = hll_distinct(b1.unionByName(b2), "tok", "grp", p=4).collect()
+    assert (got["v_empty"], got["s_scaled"], got["est_distinct"]) == (
+        want["v_empty"], want["s_scaled"], want["est_distinct"],
+    )

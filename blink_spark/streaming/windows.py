@@ -83,3 +83,73 @@ def stream_first_seen(stream: DataFrame, fp_col: str = "fp") -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def streaming_sessionize(
+    stream: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "event_time",
+    gap: str = "30 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Event-time session windows in streaming: per key, rows closer than
+    ``gap`` merge into one session; a session finalizes (append mode) once
+    the watermark passes ``last_event + gap``. This is the streaming twin of
+    the batch ``sessionize_events`` query (gap-based running-sum form) —
+    same gap semantics, but here Spark's session_window state keeps only
+    open sessions per key: state is bounded by concurrent activity, not
+    stream lifetime."""
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.col(key_col), F.session_window(F.col(ts_col), gap))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            key_col,
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str = "user_id",
+    left_ts: str = "event_time",
+    right_ts: str = "event_time",
+    lookback_s: int = 3600,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream interval join: each left event pairs with the same-key
+    right events in its closed ``[t - lookback_s, t]`` window — the
+    streaming form of ``operators/temporal.py::window_range_count``'s
+    semantics, with matches enumerated instead of counted.
+
+    Both sides carry watermarks and the join condition bounds right-ts
+    relative to left-ts on BOTH ends, which is exactly what Structured
+    Streaming needs to size the join state and evict rows: unbounded
+    conditions would accumulate state forever. Inner join => matched pairs
+    only; unmatched lefts need the outer variant, which Spark only emits
+    after watermark expiry."""
+    l = left.withWatermark(left_ts, watermark).select(
+        F.col(on).alias("k"),
+        F.col("event_id").alias("left_id"),
+        F.col(left_ts).alias("lt"),
+    )
+    r = right.withWatermark(right_ts, watermark).select(
+        F.col(on).alias("rk"),
+        F.col("event_id").alias("right_id"),
+        F.col(right_ts).alias("rt"),
+    )
+    cond = (
+        (F.col("k") == F.col("rk"))
+        & (F.col("rt") <= F.col("lt"))
+        & (F.col("rt") >= F.col("lt") - F.expr(f"INTERVAL {lookback_s} SECOND"))
+    )
+    return l.join(r, cond, "inner").select(
+        F.col("k").alias(on),
+        "left_id",
+        "right_id",
+        F.expr("timestampdiff(MICROSECOND, rt, lt)").cast("long").alias("lag_us"),
+    )

@@ -35,17 +35,18 @@ def asof_join(
     ts_col: str = "ts",
     seq_col: str = "event_id",
     payload_cols: tuple[str, ...] = (),
+    left_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """For each left row, attach the most recent right row with
     ``right.ts <= left.ts`` on the same ``on`` key (ties: latest ``seq_col``).
 
     Returns ONE ROW PER LEFT ROW, keyed by ``seq_col``: (seq_col, on,
-    matched_<seq_col>, lag_us, matched_<c>...). ``matched_<seq_col>`` and
-    ``lag_us`` (microseconds from match to left row) are null when
-    unmatched; ``matched_<c>`` carries each requested RIGHT payload column.
-    Other left columns are not carried through — re-attach them by
-    ``seq_col`` (a cheap key join against the original left frame), which
-    keeps the union schema narrow through the big sort.
+    <left_cols...>, matched_<seq_col>, lag_us, matched_<c>...).
+    ``matched_<seq_col>`` and ``lag_us`` (microseconds from match to left
+    row) are null when unmatched; ``matched_<c>`` carries each requested
+    RIGHT payload column; ``left_cols`` are carried through verbatim (they
+    ride the union as nulls on the right side — request only what you
+    need, the union schema travels through the big sort).
 
     NULL semantics match the SQL predicates ``l.k = r.k AND r.ts <= l.ts``:
     a NULL key or NULL timestamp never matches — NULL-key/NULL-ts left rows
@@ -58,33 +59,37 @@ def asof_join(
         F.col(seq_col).alias("seq"), F.col(ts_col).alias("rts"),
         *[F.col(c).alias(c) for c in payload_cols],
     )
-    r = right.filter(F.col(on).isNotNull() & F.col(ts_col).isNotNull()).select(
-        F.col(on).alias("k"),
-        F.col(ts_col).alias("t"),
-        F.lit(0).alias("side"),
-        F.col(seq_col).alias("seq"),
-        r_struct.alias("pay"),
-    )
+    lp = {c: f"lp_{c}" for c in left_cols}
     l = left.select(
         F.col(on).alias("k"),
         F.col(ts_col).alias("t"),
         F.lit(1).alias("side"),
         F.col(seq_col).alias("seq"),
-        F.lit(None).cast(r.schema["pay"].dataType).alias("pay"),
+        *[F.col(c).alias(a) for c, a in lp.items()],
     )
+    r = right.filter(F.col(on).isNotNull() & F.col(ts_col).isNotNull()).select(
+        F.col(on).alias("k"),
+        F.col(ts_col).alias("t"),
+        F.lit(0).alias("side"),
+        F.col(seq_col).alias("seq"),
+        *[F.lit(None).cast(l.schema[a].dataType).alias(a) for a in lp.values()],
+        r_struct.alias("pay"),
+    )
+    l = l.withColumn("pay", F.lit(None).cast(r.schema["pay"].dataType))
     w = (
         Window.partitionBy("k")
         .orderBy(F.col("t").asc(), F.col("side").asc(), F.col("seq").asc())
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     carried = r.unionByName(l).select(
-        "k", "t", "side", "seq",
+        "k", "t", "side", "seq", *lp.values(),
         F.last("pay", ignorenulls=True).over(w).alias("m"),
     )
     lag_us = F.expr("timestampdiff(MICROSECOND, m.rts, t)")
     out = carried.filter(F.col("side") == 1).select(
         F.col("seq").alias(seq_col),
         F.col("k").alias(on),
+        *[F.col(a).alias(c) for c, a in lp.items()],
         F.col("m.seq").alias(f"matched_{seq_col}"),
         lag_us.cast("long").alias("lag_us"),
         *[F.col(f"m.{c}").alias(f"matched_{c}") for c in payload_cols],

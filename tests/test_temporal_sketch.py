@@ -379,3 +379,22 @@ def test_hll_store_survives_crashed_swap(spark, tmp_path):
     assert (got["v_empty"], got["s_scaled"], got["est_distinct"]) == (
         want["v_empty"], want["s_scaled"], want["est_distinct"],
     )
+
+
+def test_asof_join_carries_left_and_right_payloads(spark):
+    from blink_spark.operators.temporal import asof_join
+
+    clicks = spark.createDataFrame(
+        [(101, 1, _ts(10), "home")],
+        "event_id long, user_id long, ts timestamp, page string",
+    )
+    purchases = spark.createDataFrame(
+        [(201, 1, _ts(5), 9.5)],
+        "event_id long, user_id long, ts timestamp, value double",
+    )
+    [row] = asof_join(
+        clicks, purchases, on="user_id",
+        payload_cols=("value",), left_cols=("page",),
+    ).collect()
+    assert (row["event_id"], row["page"], row["matched_event_id"],
+            row["matched_value"]) == (101, "home", 201, 9.5)

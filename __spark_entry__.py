@@ -942,6 +942,80 @@ def _doc_chunk_dedup(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @_q(
+    "doc_prefix_jaccard_dups",
+    f"""
+    WITH s AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0),
+    t AS (SELECT doc_id AS doc, unnest({_toks('text')}) AS tok FROM s),
+    d AS (SELECT tok, count(*) AS df FROM t GROUP BY 1),
+    r AS (SELECT t.doc, t.tok,
+                 row_number() OVER (PARTITION BY t.doc
+                                    ORDER BY d.df ASC, t.tok ASC) AS rnk,
+                 count(*) OVER (PARTITION BY t.doc) AS n
+          FROM t JOIN d USING (tok)),
+    p AS (SELECT doc, tok, n FROM r
+          WHERE rnk <= n - ((800000 * n + 999999) // 1000000) + 1),
+    c AS (SELECT DISTINCT x.doc AS a, y.doc AS b, x.n AS na, y.n AS nb
+          FROM p x JOIN p y ON x.tok = y.tok AND x.doc < y.doc),
+    i AS (SELECT c.a, c.b, c.na, c.nb, count(*)::BIGINT AS inter
+          FROM c
+          JOIN t ta ON ta.doc = c.a
+          JOIN t tb ON tb.doc = c.b AND tb.tok = ta.tok
+          GROUP BY 1, 2, 3, 4)
+    SELECT a, b, inter, na::BIGINT AS na, nb::BIGINT AS nb,
+           round(inter::double / (na + nb - inter), 6) AS jac
+    FROM i
+    WHERE inter * 1000000 >= 800000 * (na + nb - inter)
+    """,
+)
+def _doc_prefix_jaccard_dups(spark: SparkSession, sf: str) -> DataFrame:
+    """EXACT set-similarity join (AllPairs/PPJoin prefix filtering): every
+    doc pair with token-set Jaccard >= 0.8, zero false negatives — the
+    exact-guarantee complement to the MinHash path. Prefixes order tokens
+    rarest-first so hot tokens never drive the candidate join; the keep
+    decision is the exact integer cross-multiplication.
+
+    Verification runs on a deterministic 10% doc sample: the synthetic
+    corpus is adversarially self-similar at the SET level, so the exact
+    join's OUTPUT is quadratic in duplicate-group size (~1M pairs at
+    sf0.1) — the sample bounds verification cost without touching the
+    operator, whose exactness is pinned by the brute-force-equality
+    pytest."""
+    from blink_spark.operators.dedup import prefix_jaccard_pairs
+
+    docs = _t(spark, sf, "documents").filter(F.col("doc_id") % 10 == 0)
+    return prefix_jaccard_pairs(docs)
+
+
+@_q(
+    "event_props_stats",
+    """
+    SELECT event_type,
+           count(*)::BIGINT AS n_events,
+           sum(json_extract(props, '$.k')::BIGINT)::BIGINT AS sum_k,
+           min(json_extract(props, '$.k')::BIGINT)::BIGINT AS min_k,
+           max(json_extract(props, '$.k')::BIGINT)::BIGINT AS max_k
+    FROM events GROUP BY event_type
+    """,
+)
+def _event_props_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Semi-structured handling: parse the JSON ``props`` payload with a
+    typed ``from_json`` schema (malformed rows become NULL, not errors —
+    the PERMISSIVE contract a 100 TB ingest needs) and aggregate the
+    extracted field per event type. Parsing is JVM-side codegen; the scan
+    reads only (event_type, props)."""
+    e = _t(spark, sf, "events")
+    parsed = e.select(
+        "event_type", F.from_json("props", "k BIGINT").alias("p")
+    ).select("event_type", F.col("p.k").alias("k"))
+    return parsed.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.sum("k").cast("long").alias("sum_k"),
+        F.min("k").cast("long").alias("min_k"),
+        F.max("k").cast("long").alias("max_k"),
+    )
+
+
+@_q(
     "corpus_mix_plan",
     f"""
     WITH per AS (
@@ -4683,6 +4757,7 @@ _DRIVER_ORDER = [
     "er_cluster_stats", "ann_ivfpq_recall",
     "events_asof_join", "events_window_counts", "events_kmv_distinct",
     "doc_chunk_dedup", "corpus_mix_plan", "doc_token_hll",
+    "doc_prefix_jaccard_dups", "event_props_stats",
 ]
 
 

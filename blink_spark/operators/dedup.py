@@ -356,3 +356,96 @@ def embedding_dedup(
     blocks.unpersist()  # candidate_pairs persisted it
     recs.unpersist()
     return out
+
+
+def prefix_jaccard_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold_ppm: int = 800_000,
+) -> DataFrame:
+    """EXACT set-similarity join via prefix filtering (the AllPairs/PPJoin
+    family, Bayardo et al. WWW'07): every pair of documents whose distinct
+    token sets have Jaccard >= threshold, with ZERO false negatives — the
+    exact-guarantee complement to the MinHash/SimHash paths, whose recall
+    is only probabilistic.
+
+    Prefix principle: order each doc's distinct tokens canonically by
+    (corpus df asc, token asc) — rarest first — and keep only the first
+    ``n - ceil(t*n) + 1`` as its PREFIX. Two sets with Jaccard >= t must
+    share at least one prefix token, so the candidate join runs
+    prefix-to-prefix: hot (frequent) tokens are structurally excluded from
+    prefixes, which is what bounds the join fan-out at corpus scale.
+    Candidates are then verified with the exact integer test
+    ``inter * 1e6 >= t_ppm * (na + nb - inter)`` — no float Jaccard in the
+    keep decision.
+
+    Returns (a, b, inter, na, nb, jac) with a < b, jac rounded to 6 dp.
+
+    Shape at 100 TB: one token-keyed shuffle for the df table, one
+    doc-keyed rank window, a prefix-token equi-join (prefix length is
+    (1-t)*n + 1 — a handful of RARE tokens per doc), and a token-level
+    verification join restricted to surviving candidate pairs. No cross
+    join, no LSH tuning, deterministic output.
+    """
+    from blink_spark.functions.text import tokens
+
+    toks = docs.select(
+        F.col(id_col).alias("doc"),
+        F.explode(tokens(text_col)).alias("tok"),
+    )
+    df_tbl = toks.groupBy("tok").agg(F.count("*").alias("df"))
+    ranked = (
+        toks.join(df_tbl, "tok")
+        .withColumn(
+            "rnk",
+            F.row_number().over(
+                Window.partitionBy("doc").orderBy(
+                    F.col("df").asc(), F.col("tok").asc()
+                )
+            ),
+        )
+        .withColumn("n", F.count("*").over(Window.partitionBy("doc")))
+    )
+    # prefix length = n - ceil(t*n) + 1, all integer:
+    # ceil(t_ppm*n/1e6) = (t_ppm*n + 999999) div 1e6
+    plen = F.expr(
+        f"n - (({threshold_ppm} * n + 999999) div 1000000) + 1"
+    )
+    prefix = ranked.filter(F.col("rnk") <= plen).select("doc", "tok", "n")
+    cand = (
+        prefix.alias("x")
+        .join(prefix.alias("y"), "tok")
+        .filter(F.col("x.doc") < F.col("y.doc"))
+        .select(
+            F.col("x.doc").alias("a"),
+            F.col("y.doc").alias("b"),
+            F.col("x.n").alias("na"),
+            F.col("y.n").alias("nb"),
+        )
+        .distinct()
+    )
+    ta = toks.select(F.col("doc").alias("a"), "tok")
+    tb = toks.select(F.col("doc").alias("b"), "tok")
+    inter = (
+        cand.join(ta, "a")
+        .join(tb, ["b", "tok"])
+        .groupBy("a", "b", "na", "nb")
+        .agg(F.count("*").cast("long").alias("inter"))
+    )
+    kept = inter.filter(
+        F.col("inter") * F.lit(1_000_000)
+        >= F.lit(threshold_ppm) * (F.col("na") + F.col("nb") - F.col("inter"))
+    )
+    return kept.select(
+        "a",
+        "b",
+        "inter",
+        F.col("na").cast("long").alias("na"),
+        F.col("nb").cast("long").alias("nb"),
+        F.round(
+            F.col("inter").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("inter")),
+            6,
+        ).alias("jac"),
+    )

@@ -3209,6 +3209,152 @@ def _er_jdbc_mapping(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@_q("er_sorted_neighborhood", None)  # oracle injected below (fixture path)
+def _er_sorted_neighborhood(spark: SparkSession, sf: str) -> DataFrame:
+    """Sorted-neighborhood blocking over mention surfaces: two-phase global
+    rank (no SinglePartition window) + adjacent-bucket band equi-join —
+    classic SNM as a third blocking strategy next to token-pair and
+    MinHash-LSH."""
+    from blink_spark.operators.blocking import sorted_neighborhood_pairs
+
+    m = _fx(spark, "mentions")
+    return sorted_neighborhood_pairs(m, "mention_id", "mention", window=3)
+
+
+@_q("er_fs_weights", None)  # oracle injected below (fixture path)
+def _er_fs_weights(spark: SparkSession, sf: str) -> DataFrame:
+    """Fellegi-Sunter m/u estimation on the labeled gold pairs: per-feature
+    agreement probabilities among matches vs non-matches and the integer
+    ppm likelihood ratio (monotone log-weight equivalent), over the same
+    boundary-exact features score_pairs decides on."""
+    from blink_spark.operators.scoring import fs_weights, score_pairs
+
+    m = _fx(spark, "mentions").select("mention_id", "mention")
+    g = _fx(spark, "gold_pairs")
+    attrs = (
+        g.select(
+            F.col("mention_id_a").alias("record_id_a"),
+            F.col("mention_id_b").alias("record_id_b"),
+            "same_entity",
+        )
+        .join(
+            m.select(
+                F.col("mention_id").alias("record_id_a"),
+                F.col("mention").alias("mention_a"),
+            ),
+            "record_id_a",
+        )
+        .join(
+            m.select(
+                F.col("mention_id").alias("record_id_b"),
+                F.col("mention").alias("mention_b"),
+            ),
+            "record_id_b",
+        )
+    )
+    scored = score_pairs(attrs, text_a="mention_a", text_b="mention_b")
+    labeled = (
+        scored.withColumn("jacc_hi", F.col("jaccard") >= F.lit(0.65))
+        .withColumn("lev_hi", F.col("lev_ratio") >= F.lit(0.93))
+    )
+    return fs_weights(
+        labeled, ["norm_eq", "jacc_hi", "lev_hi"], label_col="same_entity"
+    )
+
+
+@_q("er_golden_record", None)  # oracle injected below (fixture path)
+def _er_golden_record(spark: SparkSession, sf: str) -> DataFrame:
+    """Survivorship over the S5 clusters: canonical surface per cluster
+    (modal normalized form, lexicographic tie-break) + member count + stable
+    representative id — the deduplicated master table downstream reads."""
+    from blink_spark.operators.cluster import golden_records
+
+    assignments = _QUERIES["er_clusters"](spark, sf)
+    m = _fx(spark, "mentions")
+    return golden_records(assignments, m, "mention_id", "mention")
+
+
+_PII_EMAIL = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+_PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+# PII text is injected deterministically from doc_id arithmetic on BOTH
+# engines (the synthetic corpus contains no organic PII), so counts vary per
+# row and the redacted-text hash checks byte-identical scrub semantics.
+_PII_SQL = (
+    """
+    WITH inj AS (
+      SELECT doc_id,
+             text
+             || CASE WHEN doc_id % 3 = 0
+                  THEN ' reach user' || doc_id::varchar || '@mail'
+                       || (doc_id % 7)::varchar || '.org'
+                  ELSE '' END
+             || CASE WHEN doc_id % 5 = 0
+                  THEN ' from 10.' || (doc_id % 256)::varchar || '.0.'
+                       || (doc_id % 100)::varchar
+                  ELSE '' END AS t
+      FROM documents
+    ),
+    scrub AS (
+      SELECT doc_id,
+             len(regexp_extract_all(t, '__EMAIL__'))::BIGINT AS n_email,
+             len(regexp_extract_all(t, '__IPV4__'))::BIGINT AS n_ipv4,
+             regexp_replace(regexp_replace(t, '__EMAIL__', '<EMAIL>', 'g'),
+                            '__IPV4__', '<IP>', 'g') AS clean
+      FROM inj
+    )
+    SELECT doc_id, n_email, n_ipv4,
+           length(clean)::BIGINT AS clean_len, md5(clean) AS clean_hash
+    FROM scrub
+    """
+    .replace("__EMAIL__", _PII_EMAIL)
+    .replace("__IPV4__", _PII_IPV4)
+)
+
+
+@_q("doc_pii_scrub", _PII_SQL)
+def _doc_pii_scrub(spark: SparkSession, sf: str) -> DataFrame:
+    """PII count + redaction over the documents table (deterministically
+    injected emails/IPv4s) — map-only codegen regexp pass, RE2/Java
+    common-subset patterns so the oracle replays the scrub byte-identically."""
+    from blink_spark.operators.corpus import pii_scrub
+
+    d = _t(spark, sf, "documents")
+    injected = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(
+                    F.lit(" reach user"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@mail"),
+                    (F.col("doc_id") % 7).cast("string"),
+                    F.lit(".org"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.concat(
+                    F.lit(" from 10."),
+                    (F.col("doc_id") % 256).cast("string"),
+                    F.lit(".0."),
+                    (F.col("doc_id") % 100).cast("string"),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    out = pii_scrub(injected, "doc_id", "text")
+    return out.select(
+        "doc_id",
+        "n_email",
+        "n_ipv4",
+        F.length("clean").cast("long").alias("clean_len"),
+        F.md5("clean").alias("clean_hash"),
+    )
+
+
 # --------------------------------------------------------------------------
 # ER oracle SQL (DuckDB) — built lazily because fixture paths are absolute
 # --------------------------------------------------------------------------
@@ -3299,6 +3445,97 @@ def _er_oracles() -> dict[str, str]:
         SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src
       )
       SELECT id AS record_id, min(r) AS cluster_id FROM reach GROUP BY id
+    """
+    snm_sql = f"""
+      WITH m AS (
+        SELECT mention_id, {_norm_m} AS k FROM read_parquet('{men}')
+      ),
+      r AS (
+        SELECT mention_id,
+               row_number() OVER (ORDER BY k, mention_id) - 1 AS rnk
+        FROM m
+      )
+      SELECT a.mention_id AS record_id_a, b.mention_id AS record_id_b,
+             (b.rnk - a.rnk)::BIGINT AS rank_dist
+      FROM r a JOIN r b ON b.rnk - a.rnk BETWEEN 1 AND 3
+    """
+    fs_sql = f"""
+      {scored_cte},
+      lab AS (
+        SELECT j.norm_eq,
+               (j.jaccard >= 0.65) AS jacc_hi,
+               (j.lev_ratio >= 0.93) AS lev_hi,
+               g.same_entity
+        FROM j JOIN read_parquet('{gold}') g
+          ON g.mention_id_a = j.record_id_a
+         AND g.mention_id_b = j.record_id_b
+      ),
+      agg AS (
+        SELECT
+          sum(CASE WHEN same_entity THEN 1 ELSE 0 END)::BIGINT AS n_m,
+          sum(CASE WHEN NOT same_entity THEN 1 ELSE 0 END)::BIGINT AS n_u,
+          sum(CASE WHEN same_entity AND norm_eq THEN 1 ELSE 0 END)::BIGINT AS am_norm_eq,
+          sum(CASE WHEN NOT same_entity AND norm_eq THEN 1 ELSE 0 END)::BIGINT AS au_norm_eq,
+          sum(CASE WHEN same_entity AND jacc_hi THEN 1 ELSE 0 END)::BIGINT AS am_jacc_hi,
+          sum(CASE WHEN NOT same_entity AND jacc_hi THEN 1 ELSE 0 END)::BIGINT AS au_jacc_hi,
+          sum(CASE WHEN same_entity AND lev_hi THEN 1 ELSE 0 END)::BIGINT AS am_lev_hi,
+          sum(CASE WHEN NOT same_entity AND lev_hi THEN 1 ELSE 0 END)::BIGINT AS au_lev_hi
+        FROM lab
+      ),
+      f AS (
+        SELECT 'norm_eq' AS feature, am_norm_eq AS agree_match,
+               au_norm_eq AS agree_nonmatch, n_m, n_u FROM agg
+        UNION ALL
+        SELECT 'jacc_hi', am_jacc_hi, au_jacc_hi, n_m, n_u FROM agg
+        UNION ALL
+        SELECT 'lev_hi', am_lev_hi, au_lev_hi, n_m, n_u FROM agg
+      )
+      SELECT feature, n_m AS n_match, n_u AS n_nonmatch,
+             agree_match, agree_nonmatch,
+             (agree_match * 1000000 // greatest(n_m, 1))::BIGINT AS m_ppm,
+             (agree_nonmatch * 1000000 // greatest(n_u, 1))::BIGINT AS u_ppm,
+             ((agree_match * 1000000 // greatest(n_m, 1)) * 1000000
+              // greatest(agree_nonmatch * 1000000 // greatest(n_u, 1), 1)
+             )::BIGINT AS lr_ppm
+      FROM f
+    """
+    golden_sql = f"""
+      {scored_cte},
+      edges AS (
+        SELECT record_id_a AS src, record_id_b AS dst FROM j WHERE is_match
+        UNION
+        SELECT record_id_b, record_id_a FROM j WHERE is_match
+      ),
+      nodes AS (SELECT mention_id AS id FROM read_parquet('{men}')),
+      reach AS (
+        SELECT id, id AS r FROM nodes
+        UNION
+        SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src
+      ),
+      cl AS (SELECT id AS record_id, min(r) AS cluster_id FROM reach GROUP BY id),
+      a AS (
+        SELECT cl.record_id, cl.cluster_id, m.norm
+        FROM cl JOIN m ON m.mention_id = cl.record_id
+      ),
+      pf AS (
+        SELECT cluster_id, norm, count(*)::BIGINT AS n_form
+        FROM a GROUP BY 1, 2
+      ),
+      canon AS (
+        SELECT cluster_id, norm AS canonical_text, n_form AS canonical_count,
+               row_number() OVER (PARTITION BY cluster_id
+                                  ORDER BY n_form DESC, norm ASC) AS rn
+        FROM pf
+      ),
+      st AS (
+        SELECT cluster_id, count(*)::BIGINT AS n_members,
+               min(record_id) AS rep_record_id
+        FROM a GROUP BY 1
+      )
+      SELECT c.cluster_id, c.canonical_text, c.canonical_count,
+             s.n_members, s.rep_record_id
+      FROM canon c JOIN st s USING (cluster_id)
+      WHERE c.rn = 1
     """
     f1_sql = f"""
       {scored_cte},
@@ -4612,6 +4849,9 @@ def _er_oracles() -> dict[str, str]:
           FROM j
         """,
         "er_clusters": clusters_sql,
+        "er_sorted_neighborhood": snm_sql,
+        "er_fs_weights": fs_sql,
+        "er_golden_record": golden_sql,
         "er_cluster_stats": f"""
           {scored_cte},
           edges AS (
@@ -4758,6 +4998,8 @@ _DRIVER_ORDER = [
     "events_asof_join", "events_window_counts", "events_kmv_distinct",
     "doc_chunk_dedup", "corpus_mix_plan", "doc_token_hll",
     "doc_prefix_jaccard_dups", "event_props_stats",
+    "er_sorted_neighborhood", "er_fs_weights", "er_golden_record",
+    "doc_pii_scrub",
 ]
 
 

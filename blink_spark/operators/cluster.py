@@ -276,3 +276,58 @@ def cluster_size_stats(assignments: DataFrame) -> DataFrame:
             "n_records",
         )
     )
+
+
+def golden_records(
+    assignments: DataFrame,
+    records: DataFrame,
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """Survivorship: one canonical row per cluster — the master-data step
+    that turns an (record_id, cluster_id) assignment into the deduplicated
+    entity table downstream consumers actually read.
+
+    Canonical surface = the cluster's most frequent normalized form, ties
+    broken by lexicographically smallest form (fully deterministic); plus
+    member count and a stable representative id (min record_id — the same
+    min-root convention the CC labels use). The reference resolves each
+    mention group to one entity via argmax over scores
+    (/root/reference/blink/main_dense.py:541-560); survivorship is the
+    corpus-side analogue: pick the surface the most members agree on.
+
+    Scale shape: groupBy (cluster, form) with map-side partial counts, then
+    a row_number window partitioned BY CLUSTER (bounded partitions — the
+    window input is one row per distinct form, not per member), and a
+    co-partitioned join with the per-cluster stats agg. No corpus-sized
+    window, no skew: a mega-cluster contributes at most its distinct forms.
+    """
+    from pyspark.sql import Window
+
+    from blink_spark.functions.text import normalize_text
+
+    r = records.select(
+        F.col(id_col).alias("record_id"),
+        normalize_text(records[text_col]).alias("norm"),
+    )
+    a = assignments.join(r, "record_id")
+    per_form = a.groupBy("cluster_id", "norm").agg(
+        F.count(F.lit(1)).cast("long").alias("n_form")
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("n_form").desc(), F.col("norm").asc()
+    )
+    canon = (
+        per_form.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "cluster_id",
+            F.col("norm").alias("canonical_text"),
+            F.col("n_form").alias("canonical_count"),
+        )
+    )
+    stats = a.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_members"),
+        F.min("record_id").alias("rep_record_id"),
+    )
+    return canon.join(stats, "cluster_id")

@@ -735,3 +735,42 @@ def stratified_sample(
             "keep_thr",
         )
     )
+
+
+# PII scrub patterns: (name, regex, replacement). The regex dialect is the
+# RE2/Java COMMON SUBSET — no lookarounds, no \s (Java's includes \x0B,
+# RE2's doesn't), explicit {m,n} quantifiers and ASCII classes only — so a
+# DuckDB/Trino oracle replays the scrub byte-identically.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+]
+
+
+def pii_scrub(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Count and redact PII spans (emails, IPv4s) — the curation stage every
+    web-scale training corpus runs before anything else ships. Pure codegen:
+    per-pattern counts via ``regexp_extract_all`` on the ORIGINAL text (so
+    counts are independent of redaction order), then a sequential
+    ``regexp_replace`` chain producing the clean text. Zero shuffles — a
+    projection the scan fuses into; at 100 TB this is a map-only pass.
+
+    Reference analogue: the ingestion pipeline strips markup/noise spans
+    before indexing (/root/reference/blink/candidate_retrieval/
+    data_ingestion.py:118-155); PII classes are the production counterpart.
+
+    Output: input columns + ``n_<name>`` long per pattern + ``clean`` text.
+    """
+    t = docs[text_col]
+    counts = [
+        F.size(F.regexp_extract_all(t, F.lit(pat), F.lit(0)))
+        .cast("long")
+        .alias(f"n_{name}")
+        for name, pat, _ in PII_PATTERNS
+    ]
+    clean = t
+    for _, pat, repl in PII_PATTERNS:
+        clean = F.regexp_replace(clean, pat, repl)
+    return docs.select(
+        docs[id_col].alias("doc_id"), *counts, clean.alias("clean")
+    )

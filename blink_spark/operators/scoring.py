@@ -210,3 +210,83 @@ def match_edges(scored: DataFrame) -> DataFrame:
     return scored.filter(F.col("is_match")).select(
         F.col("record_id_a").alias("src"), F.col("record_id_b").alias("dst")
     )
+
+
+def fs_weights(
+    labeled_pairs: DataFrame,
+    feature_cols: list[str],
+    label_col: str = "same_entity",
+) -> DataFrame:
+    """Fellegi-Sunter m/u parameter estimation over labeled pairs.
+
+    For each boolean agreement feature: ``m = P(agree | match)`` and
+    ``u = P(agree | non-match)`` — the two conditional probabilities whose
+    log-ratio is the classic record-linkage match weight. The reference
+    calibrates its pair decision by training a cross-encoder on labeled
+    pairs (/root/reference/blink/crossencoder/train_cross.py:62-106,
+    eval accuracy over labeled candidate grids); this is the closed-form
+    probabilistic-linkage counterpart over the same labeled-pair input, and
+    what a production linkage pipeline uses to tune ``score_pairs``
+    thresholds from a clerical-review sample.
+
+    Exactness: probabilities and the m/u likelihood ratio are reported in
+    integer parts-per-million computed with INTEGER division on exact
+    counts (``agree*1e6 div n``) — no float division anywhere, so any SQL
+    engine reproduces the values bit-for-bit. The likelihood ratio is the
+    monotone equivalent of the log2 match weight (log is engine-libm noise,
+    the ratio is exact).
+
+    Scale shape: ONE full pass — a single global aggregate with map-side
+    partial aggregation (2 + 2·n_features counters per partition), then a
+    driver-sized explode of the one aggregate row into one row per feature.
+    Nothing corpus-sized shuffles.
+    """
+    lbl = F.col(label_col)
+    aggs = [
+        F.sum(F.when(lbl, 1).otherwise(0)).cast("long").alias("n_m"),
+        F.sum(F.when(~lbl, 1).otherwise(0)).cast("long").alias("n_u"),
+    ]
+    for c in feature_cols:
+        agree = F.col(c)
+        aggs.append(
+            F.sum(F.when(lbl & agree, 1).otherwise(0)).cast("long").alias(f"am_{c}")
+        )
+        aggs.append(
+            F.sum(F.when((~lbl) & agree, 1).otherwise(0)).cast("long").alias(f"au_{c}")
+        )
+    one = labeled_pairs.agg(*aggs)
+    per_feature = one.select(
+        "n_m",
+        "n_u",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("feature"),
+                        F.col(f"am_{c}").alias("agree_match"),
+                        F.col(f"au_{c}").alias("agree_nonmatch"),
+                    )
+                    for c in feature_cols
+                ]
+            )
+        ).alias("s"),
+    )
+    return per_feature.select(
+        F.col("s.feature").alias("feature"),
+        F.col("n_m").alias("n_match"),
+        F.col("n_u").alias("n_nonmatch"),
+        F.col("s.agree_match").alias("agree_match"),
+        F.col("s.agree_nonmatch").alias("agree_nonmatch"),
+        F.expr("s.agree_match * 1000000 div greatest(n_m, 1)")
+        .cast("long")
+        .alias("m_ppm"),
+        F.expr("s.agree_nonmatch * 1000000 div greatest(n_u, 1)")
+        .cast("long")
+        .alias("u_ppm"),
+        F.expr(
+            "(s.agree_match * 1000000 div greatest(n_m, 1)) * 1000000"
+            " div greatest(s.agree_nonmatch * 1000000 div greatest(n_u, 1), 1)"
+        )
+        .cast("long")
+        .alias("lr_ppm"),
+    )

@@ -1,0 +1,147 @@
+"""Unit tests for the round-4 linkage additions: sorted-neighborhood
+blocking, Fellegi-Sunter m/u weights, golden-record survivorship, and the
+PII scrub — each against a hand-computed Python expectation."""
+
+from __future__ import annotations
+
+import itertools
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+
+def test_sorted_neighborhood_matches_python_oracle(spark):
+    from blink_spark.operators.blocking import sorted_neighborhood_pairs
+
+    rows = [
+        {"id": f"r{i:02d}", "text": t}
+        for i, t in enumerate(
+            ["delta one", "alpha", "charlie", "bravo", "alpha two",
+             "echo", "bravo x", "delta", "charlie b", "alpha"]
+        )
+    ]
+    df = spark.createDataFrame(pd.DataFrame(rows))
+    got = {
+        (r["record_id_a"], r["record_id_b"], r["rank_dist"])
+        for r in sorted_neighborhood_pairs(df, "id", "text", window=3).collect()
+    }
+    # Python oracle: sort by (normalized text, id), pair with <=3 successors.
+    ordered = sorted(rows, key=lambda r: (" ".join(r["text"].split()), r["id"]))
+    want = {
+        (ordered[i]["id"], ordered[j]["id"], j - i)
+        for i, j in itertools.combinations(range(len(ordered)), 2)
+        if j - i <= 3
+    }
+    assert got == want
+    # every pair exactly once (the adjacent-bucket join must not duplicate)
+    n = sorted_neighborhood_pairs(df, "id", "text", window=3).count()
+    assert n == len(want)
+
+
+def test_sorted_neighborhood_plan_has_no_single_partition(spark):
+    from blink_spark.operators.blocking import sorted_neighborhood_pairs
+
+    rows = [{"id": f"r{i:03d}", "text": f"tok{i % 17} tok{i % 5}"} for i in range(300)]
+    df = spark.createDataFrame(pd.DataFrame(rows))
+    plan = sorted_neighborhood_pairs(df, "id", "text")._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_fs_weights_exact_counts(spark):
+    from blink_spark.operators.scoring import fs_weights
+
+    rows = [
+        # (label, f1, f2): 3 matches, 5 non-matches
+        (True, True, True),
+        (True, True, False),
+        (True, False, False),
+        (False, True, False),
+        (False, False, False),
+        (False, False, False),
+        (False, False, True),
+        (False, False, False),
+    ]
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["same_entity", "f1", "f2"])
+    )
+    out = {r["feature"]: r.asDict() for r in fs_weights(df, ["f1", "f2"]).collect()}
+    f1 = out["f1"]
+    assert (f1["n_match"], f1["n_nonmatch"]) == (3, 5)
+    assert (f1["agree_match"], f1["agree_nonmatch"]) == (2, 1)
+    assert f1["m_ppm"] == 2 * 1_000_000 // 3
+    assert f1["u_ppm"] == 1_000_000 // 5
+    assert f1["lr_ppm"] == (2 * 1_000_000 // 3) * 1_000_000 // (1_000_000 // 5)
+    f2 = out["f2"]
+    assert (f2["agree_match"], f2["agree_nonmatch"]) == (1, 1)
+    assert f2["m_ppm"] == 1_000_000 // 3
+    assert f2["u_ppm"] == 200_000
+
+
+def test_fs_weights_zero_denominators(spark):
+    """All-match input: u side divides by greatest(0,1), never crashes."""
+    from blink_spark.operators.scoring import fs_weights
+
+    df = spark.createDataFrame(
+        pd.DataFrame([(True, True)], columns=["same_entity", "f1"])
+    )
+    r = fs_weights(df, ["f1"]).collect()[0]
+    assert r["n_nonmatch"] == 0 and r["u_ppm"] == 0
+    assert r["m_ppm"] == 1_000_000 and r["lr_ppm"] == 1_000_000 * 1_000_000
+
+
+def test_golden_records_survivorship(spark):
+    from blink_spark.operators.cluster import golden_records
+
+    assignments = spark.createDataFrame(
+        pd.DataFrame(
+            [("a1", "c1"), ("a2", "c1"), ("a3", "c1"), ("a4", "c1"),
+             ("b1", "c2"), ("b2", "c2")],
+            columns=["record_id", "cluster_id"],
+        )
+    )
+    records = spark.createDataFrame(
+        pd.DataFrame(
+            [
+                ("a1", "Acme Corp"),
+                ("a2", "acme  corp"),   # normalizes equal to a1's form
+                ("a3", "acme inc"),
+                ("a4", "acme inc"),     # 2-2 tie with 'acme corp' -> lex smaller wins
+                ("b1", "zeta"),
+                ("b2", "zeta ltd"),
+            ],
+            columns=["id", "name"],
+        )
+    )
+    out = {
+        r["cluster_id"]: r.asDict()
+        for r in golden_records(assignments, records, "id", "name").collect()
+    }
+    # c1: 'acme corp' (count 2) ties 'acme inc' (count 2) -> lexicographic
+    assert out["c1"]["canonical_text"] == "acme corp"
+    assert out["c1"]["canonical_count"] == 2
+    assert out["c1"]["n_members"] == 4
+    assert out["c1"]["rep_record_id"] == "a1"
+    # c2: 1-1 tie -> 'zeta' < 'zeta ltd'
+    assert out["c2"]["canonical_text"] == "zeta"
+    assert out["c2"]["n_members"] == 2
+
+
+def test_pii_scrub_counts_and_redaction(spark):
+    from blink_spark.operators.corpus import pii_scrub
+
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            [
+                ("d1", "mail a.b@x.io and c_d@y.co.uk plus 1.2.3.4 end"),
+                ("d2", "no pii here"),
+                ("d3", "ip 255.255.255.255 only"),
+            ],
+            columns=["doc_id", "text"],
+        )
+    )
+    out = {r["doc_id"]: r.asDict() for r in pii_scrub(df, "doc_id", "text").collect()}
+    assert (out["d1"]["n_email"], out["d1"]["n_ipv4"]) == (2, 1)
+    assert out["d1"]["clean"] == "mail <EMAIL> and <EMAIL> plus <IP> end"
+    assert (out["d2"]["n_email"], out["d2"]["n_ipv4"]) == (0, 0)
+    assert out["d2"]["clean"] == "no pii here"
+    assert out["d3"]["clean"] == "ip <IP> only"

@@ -67,6 +67,10 @@ ALLOWLIST: dict[str, frozenset[str]] = {
     "macro_micro_value": frozenset({"Exchange SinglePartition"}),
     "ann_bruteforce_topk": frozenset({"BroadcastNestedLoopJoin"}),
     "er_recall_at_k": frozenset({"Exchange SinglePartition"}),
+    # er_fs_weights is ONE global scalar aggregate (2 + 2·n_features
+    # counters) with map-side partial agg; the SinglePartition is the
+    # one-row finalize, after which only n_features rows exist.
+    "er_fs_weights": frozenset({"Exchange SinglePartition"}),
     # corpus_mix_plan's stratum count is a one-row scalar aggregate
     # broadcast onto the strata-sized plan table (≤ tens of rows) — the
     # bm25-idf scalar-denominator pattern; no data-scale rows move.

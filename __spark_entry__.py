@@ -3355,6 +3355,76 @@ def _doc_pii_scrub(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@_q("er_match_rule_report", None)  # oracle injected below (fixture path)
+def _er_match_rule_report(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-rule ablation of the match decision over labeled gold pairs:
+    fire rate, exclusive contribution, and precision of each of the three
+    OR-ed decision rules (normalized equality / token-Jaccard / banded
+    Levenshtein), in exact integer ppm."""
+    from blink_spark.functions.similarity import (
+        JACCARD_THRESHOLD,
+        lev_within,
+    )
+    from blink_spark.operators.scoring import match_rule_report, score_pairs
+
+    m = _fx(spark, "mentions").select("mention_id", "mention")
+    g = _fx(spark, "gold_pairs")
+    attrs = (
+        g.select(
+            F.col("mention_id_a").alias("record_id_a"),
+            F.col("mention_id_b").alias("record_id_b"),
+            "same_entity",
+        )
+        .join(
+            m.select(
+                F.col("mention_id").alias("record_id_a"),
+                F.col("mention").alias("mention_a"),
+            ),
+            "record_id_a",
+        )
+        .join(
+            m.select(
+                F.col("mention_id").alias("record_id_b"),
+                F.col("mention").alias("mention_b"),
+            ),
+            "record_id_b",
+        )
+    )
+    scored = score_pairs(attrs, text_a="mention_a", text_b="mention_b")
+    labeled = (
+        scored.withColumn("rule_eq", F.col("norm_eq"))
+        .withColumn("rule_jacc", F.col("jaccard") >= F.lit(JACCARD_THRESHOLD))
+        .withColumn("rule_lev", lev_within("mention_a", "mention_b"))
+    )
+    return match_rule_report(labeled, label_col="same_entity")
+
+
+@_q("er_token_cosine", None)  # oracle injected below (fixture path)
+def _er_token_cosine(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact sparse token-count cosine for the labeled gold pairs —
+    relational sparse algebra (tf rows + (pair, token) equi-join), exact
+    integer dot/norms plus one IEEE-correctly-rounded sqrt+division."""
+    from blink_spark.operators.scoring import token_cosine_pairs
+
+    m = _fx(spark, "mentions").select("mention_id", "mention")
+    pairs = _fx(spark, "gold_pairs").select(
+        F.col("mention_id_a").alias("record_id_a"),
+        F.col("mention_id_b").alias("record_id_b"),
+    )
+    return token_cosine_pairs(pairs, m, "mention_id", "mention")
+
+
+@_q("er_phonetic_blocks", None)  # oracle injected below (fixture path)
+def _er_phonetic_blocks(spark: SparkSession, sf: str) -> DataFrame:
+    """Phonetic blocking over mention surfaces: simplified-Soundex key
+    collision pairs with the cap-and-report block-size discipline — the
+    third blocking strategy next to token-pair / MinHash-LSH / SNM."""
+    from blink_spark.operators.blocking import phonetic_pairs
+
+    m = _fx(spark, "mentions")
+    return phonetic_pairs(m, "mention_id", "mention", max_block=100)
+
+
 # --------------------------------------------------------------------------
 # ER oracle SQL (DuckDB) — built lazily because fixture paths are absolute
 # --------------------------------------------------------------------------
@@ -3498,6 +3568,106 @@ def _er_oracles() -> dict[str, str]:
               // greatest(agree_nonmatch * 1000000 // greatest(n_u, 1), 1)
              )::BIGINT AS lr_ppm
       FROM f
+    """
+    rule_report_sql = f"""
+      {scored_cte},
+      lab AS (
+        SELECT j.norm_eq AS rule_eq,
+               (j.jaccard >= 0.65) AS rule_jacc,
+               (levenshtein(j.mention_a, j.mention_b)
+                  <= floor(greatest(length(j.mention_a), length(j.mention_b)) * 7 / 100)) AS rule_lev,
+               g.same_entity
+        FROM j JOIN read_parquet('{gold}') g
+          ON g.mention_id_a = j.record_id_a
+         AND g.mention_id_b = j.record_id_b
+      ),
+      agg AS (
+        SELECT
+          sum(CASE WHEN rule_eq THEN 1 ELSE 0 END)::BIGINT AS f_eq,
+          sum(CASE WHEN rule_eq AND NOT (rule_jacc OR rule_lev) THEN 1 ELSE 0 END)::BIGINT AS x_eq,
+          sum(CASE WHEN rule_eq AND same_entity THEN 1 ELSE 0 END)::BIGINT AS t_eq,
+          sum(CASE WHEN rule_jacc THEN 1 ELSE 0 END)::BIGINT AS f_jacc,
+          sum(CASE WHEN rule_jacc AND NOT (rule_eq OR rule_lev) THEN 1 ELSE 0 END)::BIGINT AS x_jacc,
+          sum(CASE WHEN rule_jacc AND same_entity THEN 1 ELSE 0 END)::BIGINT AS t_jacc,
+          sum(CASE WHEN rule_lev THEN 1 ELSE 0 END)::BIGINT AS f_lev,
+          sum(CASE WHEN rule_lev AND NOT (rule_eq OR rule_jacc) THEN 1 ELSE 0 END)::BIGINT AS x_lev,
+          sum(CASE WHEN rule_lev AND same_entity THEN 1 ELSE 0 END)::BIGINT AS t_lev
+        FROM lab
+      ),
+      f AS (
+        SELECT 'rule_eq' AS rule, f_eq AS n_fire, x_eq AS n_exclusive,
+               t_eq AS n_true FROM agg
+        UNION ALL
+        SELECT 'rule_jacc', f_jacc, x_jacc, t_jacc FROM agg
+        UNION ALL
+        SELECT 'rule_lev', f_lev, x_lev, t_lev FROM agg
+      )
+      SELECT rule, n_fire, n_exclusive, n_true,
+             (n_true * 1000000 // greatest(n_fire, 1))::BIGINT AS precision_ppm
+      FROM f
+    """
+    token_cosine_sql = f"""
+      WITH m AS (
+        SELECT mention_id, {_norm_m} AS norm FROM read_parquet('{men}')
+      ),
+      tf AS (
+        SELECT mention_id AS record_id, tok, count(*)::BIGINT AS tf
+        FROM (SELECT mention_id, unnest(string_split(norm, ' ')) AS tok FROM m)
+        GROUP BY 1, 2
+      ),
+      norms AS (
+        SELECT record_id, sum(tf * tf)::BIGINT AS norm_sq FROM tf GROUP BY 1
+      ),
+      p AS (
+        SELECT mention_id_a AS record_id_a, mention_id_b AS record_id_b
+        FROM read_parquet('{gold}')
+      ),
+      dots AS (
+        SELECT p.record_id_a, p.record_id_b,
+               sum(a.tf * b.tf)::BIGINT AS dot
+        FROM p
+        JOIN tf a ON a.record_id = p.record_id_a
+        JOIN tf b ON b.record_id = p.record_id_b AND b.tok = a.tok
+        GROUP BY 1, 2
+      )
+      SELECT p.record_id_a, p.record_id_b,
+             coalesce(d.dot, 0)::BIGINT AS dot,
+             na.norm_sq::BIGINT AS norm_a,
+             nb.norm_sq::BIGINT AS norm_b,
+             round(coalesce(d.dot, 0)::double
+                   / sqrt((na.norm_sq * nb.norm_sq)::double), 6) AS cosine
+      FROM p
+      LEFT JOIN dots d
+        ON d.record_id_a = p.record_id_a AND d.record_id_b = p.record_id_b
+      JOIN norms na ON na.record_id = p.record_id_a
+      JOIN norms nb ON nb.record_id = p.record_id_b
+    """
+    _letters_m = f"regexp_replace({_norm_m}, '[^a-z]', '', 'g')"
+    _pcode = (
+        "translate(substring(" + _letters_m + ", 2), "
+        "'bfpvcgjkqsxzdtlmnraeiouyhw', '111122222222334556')"
+    )
+    for _d in "123456":
+        _pcode = (
+            "regexp_replace(" + _pcode + ", '" + _d + "{2,}', '" + _d + "', 'g')"
+        )
+    phonetic_sql = f"""
+      WITH k AS (
+        SELECT mention_id,
+               rpad(upper(substring({_letters_m}, 1, 1))
+                    || substring({_pcode}, 1, 3), 4, '0') AS pkey
+        FROM read_parquet('{men}')
+      ),
+      s AS (
+        SELECT pkey, count(*)::BIGINT AS block_size
+        FROM k GROUP BY 1 HAVING count(*) <= 100
+      )
+      SELECT a.mention_id AS record_id_a, b.mention_id AS record_id_b,
+             s.pkey AS phonetic_key, s.block_size
+      FROM s
+      JOIN k a ON a.pkey = s.pkey
+      JOIN k b ON b.pkey = s.pkey
+      WHERE a.mention_id < b.mention_id
     """
     golden_sql = f"""
       {scored_cte},
@@ -4852,6 +5022,9 @@ def _er_oracles() -> dict[str, str]:
         "er_sorted_neighborhood": snm_sql,
         "er_fs_weights": fs_sql,
         "er_golden_record": golden_sql,
+        "er_match_rule_report": rule_report_sql,
+        "er_token_cosine": token_cosine_sql,
+        "er_phonetic_blocks": phonetic_sql,
         "er_cluster_stats": f"""
           {scored_cte},
           edges AS (
@@ -4999,7 +5172,8 @@ _DRIVER_ORDER = [
     "doc_chunk_dedup", "corpus_mix_plan", "doc_token_hll",
     "doc_prefix_jaccard_dups", "event_props_stats",
     "er_sorted_neighborhood", "er_fs_weights", "er_golden_record",
-    "doc_pii_scrub",
+    "doc_pii_scrub", "er_match_rule_report", "er_token_cosine",
+    "er_phonetic_blocks",
 ]
 
 

@@ -155,3 +155,39 @@ def fingerprint(col: Column | str) -> Column:
     """Order-insensitive document fingerprint: md5 of the sorted distinct
     token list (dedup key robust to token reordering)."""
     return F.md5(F.array_join(F.array_sort(tokens(col)), " "))
+
+
+# Soundex consonant classes (Russell/Odell): the `to` string is shorter than
+# `from`, so vowels + h/w/y are DELETED by translate() in both Spark and
+# DuckDB/Postgres (chars in `from` beyond len(to) are removed).
+_SOUNDEX_FROM = "bfpvcgjkqsxzdtlmnraeiouyhw"
+_SOUNDEX_TO = "111122222222334556"
+
+
+def phonetic_key(col: Column | str) -> Column:
+    """Simplified Soundex key for phonetic blocking: first letter + the
+    first 3 Soundex consonant-class digits of the remainder (runs of the
+    same digit collapsed), zero-padded to 4. Catches misspellings that
+    preserve pronunciation ("jonson"/"johnson") that token and LSH blocking
+    both miss — the classic third blocking key in record linkage.
+
+    Simplifications vs archival Soundex (documented, applied identically on
+    both engines): run-collapse happens after vowel removal (so codes
+    separated by a vowel also collapse), and the first letter's own class
+    digit is not collapsed with the first tail digit. Every step is in the
+    RE2/Java regex COMMON SUBSET — translate + per-digit `regexp_replace(x,
+    'd{2,}', 'd')`, no backreferences (RE2 has none) — so a DuckDB oracle
+    reproduces the key byte-for-byte.
+
+    Reference analogue: the lexical candidate generators normalize surface
+    forms before neighbourhood lookup (/root/reference/blink/
+    candidate_retrieval/candidate_generators.py:60-117); the phonetic key is
+    the same cheap canonicalization idea pushed one level further.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    letters = F.regexp_replace(normalize_text(c), "[^a-z]", "")
+    head = F.upper(F.substring(letters, 1, 1))
+    code = F.translate(F.substring(letters, 2, 1 << 30), _SOUNDEX_FROM, _SOUNDEX_TO)
+    for d in "123456":
+        code = F.regexp_replace(code, f"{d}{{2,}}", d)
+    return F.rpad(F.concat(head, F.substring(code, 1, 3)), 4, "0")

@@ -373,3 +373,53 @@ def sorted_neighborhood_pairs(
             (F.col("rank_b") - F.col("rank_a")).alias("rank_dist"),
         )
     )
+
+
+def phonetic_pairs(
+    df: DataFrame, id_col: str, text_col: str, max_block: int = 100
+) -> DataFrame:
+    """Phonetic blocking: candidate pairs whose simplified-Soundex keys
+    (``functions.text.phonetic_key``) collide — the classic third blocking
+    strategy next to token/LSH (sound-preserving misspellings like
+    "jonson"/"johnson" share no token and often no shingle band). Same
+    cheap-canonicalized-neighbourhood role as the reference's lexical
+    candidate generators (/root/reference/blink/candidate_retrieval/
+    candidate_generators.py:60-117).
+
+    Scale shape: one map-side-combinable groupBy for block sizes, a
+    BROADCAST join of the (distinct-key sized) size table to apply the
+    cap-and-report discipline every other blocker here follows — blocks
+    larger than ``max_block`` are dropped whole (a degenerate key like
+    'S000' over initials would otherwise go quadratic), then a key
+    equi-join bounded by max_block²/2 per block. No inequality join, no
+    skew: the cap IS the skew bound.
+
+    Output: (record_id_a, record_id_b, phonetic_key, block_size) with
+    record_id_a < record_id_b, exactly once per colliding pair.
+    """
+    from blink_spark.functions.text import phonetic_key
+
+    keyed = df.select(
+        df[id_col].alias("record_id"),
+        phonetic_key(df[text_col]).alias("pkey"),
+    )
+    sizes = keyed.groupBy("pkey").agg(
+        F.count(F.lit(1)).cast("long").alias("block_size")
+    )
+    capped = keyed.join(
+        F.broadcast(sizes.filter(F.col("block_size") <= max_block)), "pkey"
+    )
+    left = capped.select(
+        "pkey", "block_size", F.col("record_id").alias("record_id_a")
+    )
+    right = capped.select("pkey", F.col("record_id").alias("record_id_b"))
+    return (
+        left.join(right, "pkey")
+        .filter(F.col("record_id_a") < F.col("record_id_b"))
+        .select(
+            "record_id_a",
+            "record_id_b",
+            F.col("pkey").alias("phonetic_key"),
+            "block_size",
+        )
+    )

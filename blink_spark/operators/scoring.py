@@ -290,3 +290,139 @@ def fs_weights(
         .cast("long")
         .alias("lr_ppm"),
     )
+
+
+def match_rule_report(
+    scored_labeled: DataFrame, label_col: str = "same_entity"
+) -> DataFrame:
+    """Per-rule ablation of the match decision: for each of the three rules
+    score_pairs ORs together (normalized equality, token-Jaccard threshold,
+    banded Levenshtein), how often it fires, how often it is the ONLY rule
+    firing (its exclusive contribution — what recall would be lost if it
+    were removed), and its precision against labels, in exact integer ppm.
+    The linkage-tuning twin of ``fs_weights``: FS asks "how discriminative
+    is each feature", this asks "what does each DECISION rule contribute".
+    The reference tunes its decision by sweeping thresholds over labeled
+    candidates (/root/reference/blink/candidate_ranking/evaluate.py:30-74);
+    this is the relational one-pass equivalent.
+
+    Expects the rule booleans as columns ``rule_eq``, ``rule_jacc``,
+    ``rule_lev`` (callers derive them with the SAME boundary-exact
+    comparisons the decision uses). One global partial-agg pass, one-row
+    finalize, 3-row output — nothing corpus-sized shuffles.
+    """
+    rules = ["rule_eq", "rule_jacc", "rule_lev"]
+    lbl = F.col(label_col)
+    aggs = []
+    for r in rules:
+        fire = F.col(r)
+        others = [F.col(o) for o in rules if o != r]
+        excl = fire & ~(others[0] | others[1])
+        aggs.append(F.sum(F.when(fire, 1).otherwise(0)).cast("long").alias(f"f_{r}"))
+        aggs.append(F.sum(F.when(excl, 1).otherwise(0)).cast("long").alias(f"x_{r}"))
+        aggs.append(
+            F.sum(F.when(fire & lbl, 1).otherwise(0)).cast("long").alias(f"t_{r}")
+        )
+    one = scored_labeled.agg(*aggs)
+    per_rule = one.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("rule"),
+                        F.col(f"f_{r}").alias("n_fire"),
+                        F.col(f"x_{r}").alias("n_exclusive"),
+                        F.col(f"t_{r}").alias("n_true"),
+                    )
+                    for r in rules
+                ]
+            )
+        ).alias("s")
+    )
+    return per_rule.select(
+        F.col("s.rule").alias("rule"),
+        F.col("s.n_fire").alias("n_fire"),
+        F.col("s.n_exclusive").alias("n_exclusive"),
+        F.col("s.n_true").alias("n_true"),
+        F.expr("s.n_true * 1000000 div greatest(s.n_fire, 1)")
+        .cast("long")
+        .alias("precision_ppm"),
+    )
+
+
+def token_cosine_pairs(
+    pairs: DataFrame,
+    records: DataFrame,
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """Exact sparse token-count cosine for candidate pairs — the bag-of-words
+    twin of the embedding cosine the reference's crossencoder approximates
+    (/root/reference/blink/crossencoder/crossencoder.py:135-144 scores the
+    joint pair; here the lexical vector space is explicit and exact).
+
+    Relational sparse algebra, never a dense vector: token counts are
+    (id, token, tf) rows; the dot product is a (pair, token) equi-join with
+    a map-side-combinable sum; norms are per-record aggregates joined back
+    by id. All intermediates are exact integers; the only float ops are one
+    sqrt and one division on identical integer inputs (both correctly
+    rounded by IEEE-754, so any engine reproduces the rounded value).
+
+    Scale: the join is keyed by (pair, token) — bounded by pair count ×
+    tokens-per-record, NOT vocabulary²; skewed hot tokens only amplify
+    pairs that blocking already admitted.
+
+    ``pairs``: (record_id_a, record_id_b). Output: pairs + ``dot``,
+    ``norm_a``, ``norm_b`` (exact longs) + ``cosine`` (round 6).
+    """
+    from blink_spark.functions.text import normalize_text
+
+    tf = (
+        records.select(
+            F.col(id_col).alias("record_id"),
+            F.explode(F.split(normalize_text(records[text_col]), " ")).alias("tok"),
+        )
+        .groupBy("record_id", "tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    norms = tf.groupBy("record_id").agg(
+        F.sum(F.col("tf") * F.col("tf")).cast("long").alias("norm_sq")
+    )
+    ta = tf.select(
+        F.col("record_id").alias("record_id_a"), "tok", F.col("tf").alias("tf_a")
+    )
+    tb = tf.select(
+        F.col("record_id").alias("record_id_b"), "tok", F.col("tf").alias("tf_b")
+    )
+    dots = (
+        pairs.join(ta, "record_id_a")
+        .join(tb, ["record_id_b", "tok"])
+        .groupBy("record_id_a", "record_id_b")
+        .agg(F.sum(F.col("tf_a") * F.col("tf_b")).cast("long").alias("dot"))
+    )
+    out = (
+        pairs.join(dots, ["record_id_a", "record_id_b"], "left")
+        .join(
+            norms.select(
+                F.col("record_id").alias("record_id_a"),
+                F.col("norm_sq").alias("norm_a"),
+            ),
+            "record_id_a",
+        )
+        .join(
+            norms.select(
+                F.col("record_id").alias("record_id_b"),
+                F.col("norm_sq").alias("norm_b"),
+            ),
+            "record_id_b",
+        )
+        .withColumn("dot", F.coalesce(F.col("dot"), F.lit(0).cast("long")))
+    )
+    return out.withColumn(
+        "cosine",
+        F.round(
+            F.col("dot").cast("double")
+            / F.sqrt((F.col("norm_a") * F.col("norm_b")).cast("double")),
+            6,
+        ),
+    )

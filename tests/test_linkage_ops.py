@@ -145,3 +145,93 @@ def test_pii_scrub_counts_and_redaction(spark):
     assert (out["d2"]["n_email"], out["d2"]["n_ipv4"]) == (0, 0)
     assert out["d2"]["clean"] == "no pii here"
     assert out["d3"]["clean"] == "ip <IP> only"
+
+
+def test_match_rule_report_exact_counts(spark):
+    from blink_spark.operators.scoring import match_rule_report
+
+    rows = [
+        # (label, rule_eq, rule_jacc, rule_lev)
+        (True, True, True, True),    # eq fires with others -> not exclusive
+        (True, True, False, False),  # eq exclusive, true
+        (False, True, False, False), # eq exclusive, false positive
+        (True, False, True, False),  # jacc exclusive, true
+        (False, False, False, True), # lev exclusive, false positive
+        (False, False, False, False),
+    ]
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            rows, columns=["same_entity", "rule_eq", "rule_jacc", "rule_lev"]
+        )
+    )
+    out = {r["rule"]: r.asDict() for r in match_rule_report(df).collect()}
+    eq = out["rule_eq"]
+    assert (eq["n_fire"], eq["n_exclusive"], eq["n_true"]) == (3, 2, 2)
+    assert eq["precision_ppm"] == 2 * 1_000_000 // 3
+    jc = out["rule_jacc"]
+    assert (jc["n_fire"], jc["n_exclusive"], jc["n_true"]) == (2, 1, 2)
+    assert jc["precision_ppm"] == 1_000_000
+    lv = out["rule_lev"]
+    assert (lv["n_fire"], lv["n_exclusive"], lv["n_true"]) == (2, 1, 1)
+    assert lv["precision_ppm"] == 500_000
+
+
+def test_token_cosine_exact(spark):
+    from blink_spark.operators.scoring import token_cosine_pairs
+
+    records = spark.createDataFrame(
+        pd.DataFrame(
+            [("r1", "a b a"), ("r2", "a  b"), ("r3", "c d")],
+            columns=["id", "text"],
+        )
+    )
+    pairs = spark.createDataFrame(
+        pd.DataFrame(
+            [("r1", "r2"), ("r1", "r3")],
+            columns=["record_id_a", "record_id_b"],
+        )
+    )
+    out = {
+        (r["record_id_a"], r["record_id_b"]): r.asDict()
+        for r in token_cosine_pairs(pairs, records, "id", "text").collect()
+    }
+    # r1 = {a:2, b:1} (norm_sq 5), r2 = {a:1, b:1} (norm_sq 2): dot = 3
+    p12 = out[("r1", "r2")]
+    assert (p12["dot"], p12["norm_a"], p12["norm_b"]) == (3, 5, 2)
+    assert p12["cosine"] == round(3 / (10 ** 0.5), 6)
+    # r1 vs r3: disjoint vocab -> dot 0 survives the left join as 0
+    p13 = out[("r1", "r3")]
+    assert (p13["dot"], p13["cosine"]) == (0, 0.0)
+
+
+def test_phonetic_key_classic_soundex_pairs(spark):
+    from blink_spark.functions.text import phonetic_key
+
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            [("Robert",), ("Rupert",), ("Johnson",), ("Jonson",), ("",)],
+            columns=["t"],
+        )
+    )
+    got = [r[0] for r in df.select(phonetic_key("t")).collect()]
+    assert got[0] == got[1] == "R163"      # classic Soundex agreement
+    assert got[2] == got[3] == "J525"      # h-deletion collapses the pair
+    assert got[4] == "0000"                # empty input -> all padding
+
+
+def test_phonetic_pairs_caps_oversized_blocks(spark):
+    from blink_spark.operators.blocking import phonetic_pairs
+
+    rows = [(f"s{i:02d}", "smith") for i in range(5)] + [
+        ("j1", "johnson"), ("j2", "jonson"), ("x1", "quartz")
+    ]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["id", "name"]))
+    got = {
+        (r["record_id_a"], r["record_id_b"])
+        for r in phonetic_pairs(df, "id", "name", max_block=4).collect()
+    }
+    # the 5-record smith block exceeds max_block=4 and is dropped whole;
+    # johnson/jonson collide; quartz is a singleton
+    assert got == {("j1", "j2")}
+    full = phonetic_pairs(df, "id", "name", max_block=100)
+    assert full.count() == 10 + 1  # C(5,2) smith pairs + the johnson pair

@@ -71,6 +71,9 @@ ALLOWLIST: dict[str, frozenset[str]] = {
     # counters) with map-side partial agg; the SinglePartition is the
     # one-row finalize, after which only n_features rows exist.
     "er_fs_weights": frozenset({"Exchange SinglePartition"}),
+    # er_match_rule_report has the same shape: one global scalar aggregate
+    # (9 counters, map-side combined), one-row finalize, 3-row output.
+    "er_match_rule_report": frozenset({"Exchange SinglePartition"}),
     # corpus_mix_plan's stratum count is a one-row scalar aggregate
     # broadcast onto the strata-sized plan table (≤ tens of rows) — the
     # bm25-idf scalar-denominator pattern; no data-scale rows move.

@@ -1676,6 +1676,22 @@ def _er_cluster_stats(spark: SparkSession, sf: str) -> DataFrame:
     return cluster_size_stats(_er_clusters(spark, sf))
 
 
+@_q("er_bcubed", None)  # oracle injected below (fixture path)
+def _er_bcubed(spark: SparkSession, sf: str) -> DataFrame:
+    """B-cubed precision/recall/F1 of the S5 linkage clusters against the
+    gold entity labels — the per-record cluster metric (Bagga & Baldwin
+    1998) reported next to pairwise F1; integer nano-unit term sums keep
+    both engines exact."""
+    from blink_spark.operators.eval import bcubed
+
+    clusters = _er_clusters(spark, sf)
+    labels = _fx(spark, "mentions").select(
+        F.col("mention_id").alias("record_id"),
+        F.col("label_id").alias("label"),
+    )
+    return bcubed(clusters, labels)
+
+
 @_q("er_topk_candidates", None)
 def _er_topk(spark: SparkSession, sf: str) -> DataFrame:
     """Top-k entity candidates per mention within first-token blocks — the
@@ -5051,6 +5067,53 @@ def _er_oracles() -> dict[str, str]:
           SELECT -1::BIGINT, sum(n_clusters)::BIGINT, sum(n_records)::BIGINT
           FROM hist
         """,
+        "er_bcubed": f"""
+          {scored_cte},
+          edges AS (
+            SELECT record_id_a AS src, record_id_b AS dst FROM j WHERE is_match
+            UNION
+            SELECT record_id_b, record_id_a FROM j WHERE is_match
+          ),
+          nodes AS (SELECT mention_id AS id FROM read_parquet('{men}')),
+          reach AS (
+            SELECT id, id AS r FROM nodes
+            UNION
+            SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src
+          ),
+          cl AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id),
+          lab AS (SELECT mention_id AS id, label_id FROM read_parquet('{men}')),
+          g AS (
+            SELECT cl.cluster_id, lab.label_id, count(*)::BIGINT AS n_cl
+            FROM cl JOIN lab USING (id) GROUP BY 1, 2
+          ),
+          cs AS (SELECT cluster_id, sum(n_cl)::BIGINT AS n_c FROM g GROUP BY 1),
+          ls AS (SELECT label_id, sum(n_cl)::BIGINT AS n_l FROM g GROUP BY 1),
+          t AS (
+            SELECT n_cl,
+                   ((n_cl * n_cl * 1000000000) // n_c)::BIGINT AS pt,
+                   ((n_cl * n_cl * 1000000000) // n_l)::BIGINT AS rt
+            FROM g JOIN cs USING (cluster_id) JOIN ls USING (label_id)
+          ),
+          a AS (
+            SELECT sum(n_cl)::BIGINT AS n_records, sum(pt)::BIGINT AS p_sum,
+                   sum(rt)::BIGINT AS r_sum
+            FROM t
+          ),
+          m0 AS (
+            SELECT n_records, p_sum, r_sum,
+                   round(p_sum::DOUBLE / (n_records::DOUBLE * 1000000000), 6)
+                     AS bcubed_precision,
+                   round(r_sum::DOUBLE / (n_records::DOUBLE * 1000000000), 6)
+                     AS bcubed_recall
+            FROM a
+          )
+          SELECT n_records, p_sum, r_sum, bcubed_precision, bcubed_recall,
+                 CASE WHEN bcubed_precision + bcubed_recall > 0
+                      THEN round(2.0 * bcubed_precision * bcubed_recall
+                                 / (bcubed_precision + bcubed_recall), 6)
+                      ELSE 0.0 END AS bcubed_f1
+          FROM m0
+        """,
         "er_pairwise_f1": f1_sql,
         "er_topk_candidates": topk_sql,
         "er_recall_at_k": f"""
@@ -5173,7 +5236,7 @@ _DRIVER_ORDER = [
     "doc_prefix_jaccard_dups", "event_props_stats",
     "er_sorted_neighborhood", "er_fs_weights", "er_golden_record",
     "doc_pii_scrub", "er_match_rule_report", "er_token_cosine",
-    "er_phonetic_blocks",
+    "er_phonetic_blocks", "er_bcubed",
 ]
 
 

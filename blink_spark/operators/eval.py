@@ -125,6 +125,89 @@ def macro_micro_accuracy(
     return macro.unionByName(micro).select("kind", "acc")
 
 
+def bcubed(
+    clusters: DataFrame,
+    labels: DataFrame,
+    id_col: str = "record_id",
+    cluster_col: str = "cluster_id",
+    label_col: str = "label",
+) -> DataFrame:
+    """B-cubed precision/recall/F1 (Bagga & Baldwin 1998) of predicted
+    clusters against gold class labels — the per-record cluster-quality
+    metric ER evaluations report next to pairwise F1 (which conditions on
+    a labeled pair sample; B-cubed scores every record).
+
+    Per record r: P(r) = |cluster(r) ∩ class(r)| / |cluster(r)| and
+    R(r) = |cluster(r) ∩ class(r)| / |class(r)|; the score is the mean over
+    records. Grouping records by (cluster, label) collapses the per-record
+    sum into per-group terms n_cl²/n_c and n_cl²/n_l, so the whole metric
+    is two aggregations over a table with one row per (cluster, label) —
+    at 10^12 records that intermediate is tiny (≤ #clusters × avg label
+    spread) and every join onto it is AQE-broadcastable.
+
+    Oracle-parity discipline: the per-group fractions are floored to
+    integer nano-units (``n_cl² · 10⁹ div size``) and summed as BIGINT, so
+    both engines add exact integers in any order; the only float ops are
+    one final division and a 6dp round per metric.
+    """
+    nano = F.lit(1_000_000_000).cast("long")
+    j = clusters.select(
+        F.col(id_col).alias("__id"), F.col(cluster_col).alias("__cl")
+    ).join(
+        labels.select(F.col(id_col).alias("__id"), F.col(label_col).alias("__lb")),
+        "__id",
+    )
+    g = j.groupBy("__cl", "__lb").agg(F.count("*").alias("n_cl"))
+    csize = g.groupBy("__cl").agg(F.sum("n_cl").alias("n_c"))
+    lsize = g.groupBy("__lb").agg(F.sum("n_cl").alias("n_l"))
+    terms = (
+        g.join(csize, "__cl")
+        .join(lsize, "__lb")
+        .select(
+            "n_cl",
+            (F.col("n_cl") * F.col("n_cl") * nano)
+            .cast("long")
+            .alias("num"),
+            "n_c",
+            "n_l",
+        )
+        .select(
+            "n_cl",
+            F.expr("num div n_c").alias("pt"),
+            F.expr("num div n_l").alias("rt"),
+        )
+    )
+    a = terms.agg(
+        F.sum("n_cl").cast("long").alias("n_records"),
+        F.sum("pt").cast("long").alias("p_sum"),
+        F.sum("rt").cast("long").alias("r_sum"),
+    )
+    p = F.round(
+        F.col("p_sum").cast("double")
+        / (F.col("n_records").cast("double") * 1_000_000_000.0),
+        6,
+    )
+    r = F.round(
+        F.col("r_sum").cast("double")
+        / (F.col("n_records").cast("double") * 1_000_000_000.0),
+        6,
+    )
+    out = a.select(
+        "n_records",
+        "p_sum",
+        "r_sum",
+        p.alias("bcubed_precision"),
+        r.alias("bcubed_recall"),
+    )
+    pc, rc = F.col("bcubed_precision"), F.col("bcubed_recall")
+    return out.withColumn(
+        "bcubed_f1",
+        F.when(pc + rc > 0.0, F.round(2.0 * pc * rc / (pc + rc), 6)).otherwise(
+            F.lit(0.0)
+        ),
+    )
+
+
 def valid_candidate_mask(
     scored: DataFrame, score_col: str = "score", sentinel: float = -1.0
 ) -> DataFrame:

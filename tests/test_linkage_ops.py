@@ -235,3 +235,40 @@ def test_phonetic_pairs_caps_oversized_blocks(spark):
     assert got == {("j1", "j2")}
     full = phonetic_pairs(df, "id", "name", max_block=100)
     assert full.count() == 10 + 1  # C(5,2) smith pairs + the johnson pair
+
+
+def test_bcubed_hand_computed(spark):
+    from blink_spark.operators.eval import bcubed
+
+    # Classic worked example: gold classes {1,2,3,4,5} / {6,7} split by the
+    # prediction into {1,2,3} {4,5,6} {7}.
+    assign = [(str(i), c) for i, c in
+              [(1, "A"), (2, "A"), (3, "A"), (4, "B"), (5, "B"), (6, "B"),
+               (7, "C")]]
+    labels = [(str(i), g) for i, g in
+              [(1, "x"), (2, "x"), (3, "x"), (4, "x"), (5, "x"), (6, "y"),
+               (7, "y")]]
+    clusters = spark.createDataFrame(assign, ["record_id", "cluster_id"])
+    lab = spark.createDataFrame(labels, ["record_id", "label"])
+    row = bcubed(clusters, lab).collect()[0]
+    assert row["n_records"] == 7
+    # precision: records 1-3 -> 3/3, records 4,5 -> 2/3, record 6 -> 1/3,
+    # record 7 -> 1/1; mean = (3*1 + 2*(2/3) + 1/3 + 1) / 7
+    p = (3 * 1 + 2 * (2 / 3) + 1 / 3 + 1) / 7
+    # recall: 1-3 -> 3/5, 4,5 -> 2/5, 6 -> 1/2, 7 -> 1/2
+    r = (3 * (3 / 5) + 2 * (2 / 5) + 1 / 2 + 1 / 2) / 7
+    assert abs(row["bcubed_precision"] - p) < 2e-6
+    assert abs(row["bcubed_recall"] - r) < 2e-6
+    assert abs(row["bcubed_f1"] - 2 * p * r / (p + r)) < 4e-6
+
+
+def test_bcubed_perfect_clustering(spark):
+    from blink_spark.operators.eval import bcubed
+
+    rows = [(f"r{i}", f"c{i % 3}") for i in range(9)]
+    clusters = spark.createDataFrame(rows, ["record_id", "cluster_id"])
+    labels = spark.createDataFrame(rows, ["record_id", "label"])
+    row = bcubed(clusters, labels).collect()[0]
+    assert (row["bcubed_precision"], row["bcubed_recall"], row["bcubed_f1"]) == (
+        1.0, 1.0, 1.0,
+    )

@@ -3441,6 +3441,40 @@ def _er_phonetic_blocks(spark: SparkSession, sf: str) -> DataFrame:
     return phonetic_pairs(m, "mention_id", "mention", max_block=100)
 
 
+@_q("er_mutual_best", None)  # oracle injected below (fixture path)
+def _er_mutual_best(spark: SparkSession, sf: str) -> DataFrame:
+    """Reciprocal top-1 mention↔entity assignment over the blocked
+    candidate pairs — keep (mention, entity) only when each is the other's
+    best match (ties: score DESC, other-id ASC), the high-precision 1:1
+    linkage rule layered on the same candidates er_topk_candidates ranks."""
+    from blink_spark.functions.similarity import lev_ratio
+    from blink_spark.operators.eval import reciprocal_best
+
+    m = _fx(spark, "mentions").select("mention_id", "mention")
+    e = _fx(spark, "entities").select("entity_id", "title")
+    mb = m.withColumn("bk", F.substring(F.split("mention", " ")[0], 1, 4))
+    eb = e.withColumn("bk", F.substring(F.lower(F.split("title", " ")[0]), 1, 4))
+    pairs = mb.join(eb, "bk").select(
+        "mention_id",
+        "entity_id",
+        F.round(lev_ratio("mention", F.lower("title")), 6).alias("sim"),
+    )
+    return reciprocal_best(pairs, "mention_id", "entity_id", "sim")
+
+
+@_q("er_meta_blocking", None)  # oracle injected below (fixture path)
+def _er_meta_blocking(spark: SparkSession, sf: str) -> DataFrame:
+    """Meta-blocking over the token-pair block collection: CBS edge
+    weights (number of common blocks per co-occurring pair) + weighted
+    node pruning — the graph-based comparison thinning that precedes
+    pairwise scoring at scale."""
+    from blink_spark.operators.blocking import meta_block_prune, token_pair_blocks
+
+    m = _fx(spark, "mentions")
+    assignments = token_pair_blocks(m, "mention_id", "mention")
+    return meta_block_prune(assignments, max_block=1024)
+
+
 # --------------------------------------------------------------------------
 # ER oracle SQL (DuckDB) — built lazily because fixture paths are absolute
 # --------------------------------------------------------------------------
@@ -5067,6 +5101,46 @@ def _er_oracles() -> dict[str, str]:
           SELECT -1::BIGINT, sum(n_clusters)::BIGINT, sum(n_records)::BIGINT
           FROM hist
         """,
+        "er_meta_blocking": f"""
+          WITH m AS (SELECT mention_id, list_sort({toks_m}) AS toks FROM read_parquet('{men}')),
+          assign AS (
+            SELECT mention_id AS record_id, unnest(
+              CASE WHEN len(toks) >= 2 THEN
+                flatten([[('tp:' || toks[i] || '|' || toks[j])
+                          for j in range(i+1, len(toks)+1)]
+                         for i in range(1, len(toks)+1)])
+              ELSE ['t1:' || toks[1]] END) AS block_key
+            FROM m
+          ),
+          sized AS (
+            SELECT block_key, record_id,
+                   count(*) OVER (PARTITION BY block_key) AS bs
+            FROM assign
+          ),
+          kept AS (SELECT * FROM sized WHERE bs BETWEEN 2 AND 1024),
+          edges AS (
+            SELECT a.record_id AS record_id_a, b.record_id AS record_id_b,
+                   count(*)::BIGINT AS cbs_weight
+            FROM kept a JOIN kept b
+              ON a.block_key = b.block_key AND a.record_id < b.record_id
+            GROUP BY 1, 2
+          ),
+          ends AS (
+            SELECT record_id_a AS node, cbs_weight FROM edges
+            UNION ALL
+            SELECT record_id_b, cbs_weight FROM edges
+          ),
+          stats AS (
+            SELECT node, count(*)::BIGINT AS deg, sum(cbs_weight)::BIGINT AS wsum
+            FROM ends GROUP BY 1
+          )
+          SELECT e.record_id_a, e.record_id_b, e.cbs_weight
+          FROM edges e
+          JOIN stats sa ON sa.node = e.record_id_a
+          JOIN stats sb ON sb.node = e.record_id_b
+          WHERE e.cbs_weight * sa.deg >= sa.wsum
+             OR e.cbs_weight * sb.deg >= sb.wsum
+        """,
         "er_bcubed": f"""
           {scored_cte},
           edges AS (
@@ -5116,6 +5190,44 @@ def _er_oracles() -> dict[str, str]:
         """,
         "er_pairwise_f1": f1_sql,
         "er_topk_candidates": topk_sql,
+        "er_mutual_best": f"""
+          WITH mb AS (
+            SELECT mention_id, mention, substr(string_split(mention, ' ')[1], 1, 4) AS bk
+            FROM read_parquet('{men}')
+          ),
+          eb AS (
+            SELECT entity_id, lower(title) AS title_l,
+                   substr(string_split(lower(title), ' ')[1], 1, 4) AS bk
+            FROM read_parquet('{ent}')
+          ),
+          pairs AS (
+            SELECT mention_id, entity_id,
+                   round(CASE WHEN greatest(length(mn), length(tn)) > 0
+                              THEN 1.0 - levenshtein(mn, tn)::double
+                                   / greatest(length(mn), length(tn))
+                              ELSE 1.0 END, 6) AS sim
+            FROM (SELECT *,
+                    trim(regexp_replace(lower(mention), '[\\t\\n\\x0B\\f\\r ]+', ' ', 'g')) AS mn,
+                    trim(regexp_replace(title_l, '[\\t\\n\\x0B\\f\\r ]+', ' ', 'g')) AS tn
+                  FROM mb JOIN eb USING (bk))
+          ),
+          bl AS (
+            SELECT mention_id, entity_id, sim
+            FROM (SELECT *, row_number() OVER (PARTITION BY mention_id
+                                 ORDER BY sim DESC, entity_id ASC) AS rk
+                  FROM pairs)
+            WHERE rk = 1
+          ),
+          br AS (
+            SELECT mention_id, entity_id
+            FROM (SELECT *, row_number() OVER (PARTITION BY entity_id
+                                 ORDER BY sim DESC, mention_id ASC) AS rk
+                  FROM pairs)
+            WHERE rk = 1
+          )
+          SELECT bl.mention_id, bl.entity_id, bl.sim
+          FROM bl JOIN br USING (mention_id, entity_id)
+        """,
         "er_recall_at_k": f"""
           WITH mb AS (
             SELECT mention_id, mention, substr(string_split(mention, ' ')[1], 1, 4) AS bk
@@ -5236,7 +5348,7 @@ _DRIVER_ORDER = [
     "doc_prefix_jaccard_dups", "event_props_stats",
     "er_sorted_neighborhood", "er_fs_weights", "er_golden_record",
     "doc_pii_scrub", "er_match_rule_report", "er_token_cosine",
-    "er_phonetic_blocks", "er_bcubed",
+    "er_phonetic_blocks", "er_bcubed", "er_meta_blocking", "er_mutual_best",
 ]
 
 

@@ -423,3 +423,75 @@ def phonetic_pairs(
             "block_size",
         )
     )
+
+
+def meta_block_prune(
+    assignments: DataFrame, max_block: int = 1024
+) -> DataFrame:
+    """Meta-blocking: CBS edge weighting + weighted node pruning over a
+    block collection (Papadakis et al., "Meta-Blocking: Taking
+    Entity Resolution to the Next Level", TKDE 2014). Redundancy in a
+    schema-agnostic block collection IS signal: the more blocks two records
+    share, the likelier they match. Build the block graph (one edge per
+    co-occurring pair, weight = number of common blocks), then keep an edge
+    iff its weight reaches the mean incident-edge weight of EITHER endpoint
+    — the standard WNP rule that discards the long tail of weakly-connected
+    comparisons while retaining almost all matches. Plays the same
+    candidate-thinning role as the reference's biencoder top-k cut before
+    crossencoder scoring (/root/reference/blink/main_dense.py:479-498): a
+    cheap graph statistic spares the expensive pairwise scorer most of the
+    candidate volume.
+
+    Exactness: weights/degrees are integer counts and the mean test is a
+    cross-multiplication (``w·deg ≥ wsum``), so there is no division
+    anywhere and both engines agree at the boundary.
+
+    Scale shape: block purging (size > ``max_block`` dropped — canonical
+    meta-blocking block-cleaning, same cap-and-report discipline as
+    ``pairs.candidate_pairs``) bounds the within-block self-join; the CBS
+    weight is a map-side-combinable pair-keyed count; node statistics are
+    one node-keyed aggregation over edge endpoints (2|E| rows), joined back
+    by endpoint equi-joins. Nothing touches raw text and no step is
+    super-linear in the edge count. For skew-heavy collections route the
+    pair generation through the triangle-salted ``pairs.candidate_pairs``
+    path first and feed (pair, block) rows here.
+    """
+    from pyspark.sql import Window
+
+    a = assignments.withColumn(
+        "bs", F.count("*").over(Window.partitionBy("block_key"))
+    ).filter((F.col("bs") >= 2) & (F.col("bs") <= max_block))
+    left = a.select("block_key", F.col("record_id").alias("record_id_a"))
+    right = a.select("block_key", F.col("record_id").alias("record_id_b"))
+    edges = (
+        left.join(right, "block_key")
+        .filter(F.col("record_id_a") < F.col("record_id_b"))
+        .groupBy("record_id_a", "record_id_b")
+        .agg(F.count("*").cast("long").alias("cbs_weight"))
+    )
+    ends = edges.select(
+        F.col("record_id_a").alias("node"), "cbs_weight"
+    ).unionByName(edges.select(F.col("record_id_b").alias("node"), "cbs_weight"))
+    stats = ends.groupBy("node").agg(
+        F.count("*").cast("long").alias("deg"),
+        F.sum("cbs_weight").cast("long").alias("wsum"),
+    )
+    sa = stats.select(
+        F.col("node").alias("record_id_a"),
+        F.col("deg").alias("deg_a"),
+        F.col("wsum").alias("wsum_a"),
+    )
+    sb = stats.select(
+        F.col("node").alias("record_id_b"),
+        F.col("deg").alias("deg_b"),
+        F.col("wsum").alias("wsum_b"),
+    )
+    return (
+        edges.join(sa, "record_id_a")
+        .join(sb, "record_id_b")
+        .filter(
+            (F.col("cbs_weight") * F.col("deg_a") >= F.col("wsum_a"))
+            | (F.col("cbs_weight") * F.col("deg_b") >= F.col("wsum_b"))
+        )
+        .select("record_id_a", "record_id_b", "cbs_weight")
+    )

@@ -218,6 +218,36 @@ def valid_candidate_mask(
     return scored.filter(c.isNotNull() & ~F.isnan(c) & (c != F.lit(sentinel)))
 
 
+def reciprocal_best(
+    scored: DataFrame,
+    left_col: str,
+    right_col: str,
+    score_col: str = "sim",
+) -> DataFrame:
+    """Mutual-best (reciprocal top-1) assignment over scored candidate
+    pairs: keep (l, r) iff r is l's best candidate AND l is r's best — the
+    classic high-precision 1:1 linkage rule (reciprocal best hit). The
+    reference links every mention to its argmax entity
+    (/root/reference/blink/main_dense.py:253); the reciprocal filter is the
+    symmetric tightening used when each entity should absorb at most one
+    mention per context.
+
+    Ties are total-ordered (score DESC, other-id ASC) via
+    ``topk_per_group``, so the assignment is deterministic. Scale shape:
+    two windows partitioned by the (high-cardinality) record ids — each is
+    one hash-partitioned shuffle of the candidate table, no
+    SinglePartition — then an id-pair equi-join of two top-1 sets, both
+    far smaller than the candidate input.
+    """
+    best_l = topk_per_group(scored, left_col, score_col, right_col, 1).drop(
+        "rank"
+    )
+    best_r = topk_per_group(scored, right_col, score_col, left_col, 1).select(
+        left_col, right_col
+    )
+    return best_l.join(best_r, [left_col, right_col])
+
+
 def _span_lcs_counts(gold: list, pred: list) -> tuple[int, int]:
     """Weak/strong match counts for one document's (entity, start, end)
     triples — the LCS dynamic program of the reference's headline ELQ metric

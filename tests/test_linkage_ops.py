@@ -272,3 +272,58 @@ def test_bcubed_perfect_clustering(spark):
     assert (row["bcubed_precision"], row["bcubed_recall"], row["bcubed_f1"]) == (
         1.0, 1.0, 1.0,
     )
+
+
+def test_meta_block_prune_hand_computed(spark):
+    from blink_spark.operators.blocking import meta_block_prune
+
+    # block graph: b1={1,2,3}, b2={1,2}, b3={2,3}, b4={4,5}
+    # edges: (1,2) w=2, (1,3) w=1, (2,3) w=2, (4,5) w=1
+    rows = [
+        ("b1", "r1"), ("b1", "r2"), ("b1", "r3"),
+        ("b2", "r1"), ("b2", "r2"),
+        ("b3", "r2"), ("b3", "r3"),
+        ("b4", "r4"), ("b4", "r5"),
+    ]
+    df = spark.createDataFrame(rows, ["block_key", "record_id"])
+    got = {
+        (r["record_id_a"], r["record_id_b"]): r["cbs_weight"]
+        for r in meta_block_prune(df).collect()
+    }
+    # node means: r1 -> (2+1)/2, r2 -> (2+2)/2, r3 -> (1+2)/2, r4/r5 -> 1
+    # WNP keeps an edge if w >= mean(either endpoint):
+    # (1,2): 2 >= 1.5 yes; (1,3): 1 < 1.5 and 1 also < 1.5 -> pruned;
+    # (2,3): 2 >= 2 yes; (4,5): 1 >= 1 yes.
+    assert got == {("r1", "r2"): 2, ("r2", "r3"): 2, ("r4", "r5"): 1}
+
+
+def test_meta_block_prune_purges_oversized_blocks(spark):
+    from blink_spark.operators.blocking import meta_block_prune
+
+    rows = [("big", f"r{i}") for i in range(6)] + [("ok", "a"), ("ok", "b")]
+    df = spark.createDataFrame(rows, ["block_key", "record_id"])
+    got = {
+        (r["record_id_a"], r["record_id_b"])
+        for r in meta_block_prune(df, max_block=5).collect()
+    }
+    assert got == {("a", "b")}
+
+
+def test_reciprocal_best_mutual_only(spark):
+    from blink_spark.operators.eval import reciprocal_best
+
+    pairs = [
+        # m1's best is e1 (0.9) and e1's best is m1 -> mutual
+        ("m1", "e1", 0.9), ("m1", "e2", 0.5),
+        # m2's best is e1 (0.8) but e1 prefers m1 -> dropped
+        ("m2", "e1", 0.8),
+        # m3/e3 tie group: m3 best -> e3 (0.7, id tie e3<e4);
+        # e3 best -> m3 -> mutual; e4's best is m3 but m3 chose e3
+        ("m3", "e3", 0.7), ("m3", "e4", 0.7),
+    ]
+    df = spark.createDataFrame(pairs, ["mention_id", "entity_id", "sim"])
+    got = {
+        (r["mention_id"], r["entity_id"])
+        for r in reciprocal_best(df, "mention_id", "entity_id", "sim").collect()
+    }
+    assert got == {("m1", "e1"), ("m3", "e3")}

@@ -71,6 +71,10 @@ ALLOWLIST: dict[str, frozenset[str]] = {
     # counters) with map-side partial agg; the SinglePartition is the
     # one-row finalize, after which only n_features rows exist.
     "er_fs_weights": frozenset({"Exchange SinglePartition"}),
+    # er_bcubed is one global scalar aggregate (n_records/p_sum/r_sum) over
+    # the per-(cluster,label) term table — map-side partial agg, one-row
+    # finalize; nothing record-scale crosses the exchange.
+    "er_bcubed": frozenset({"Exchange SinglePartition"}),
     # er_match_rule_report has the same shape: one global scalar aggregate
     # (9 counters, map-side combined), one-row finalize, 3-row output.
     "er_match_rule_report": frozenset({"Exchange SinglePartition"}),

@@ -3371,6 +3371,92 @@ def _doc_pii_scrub(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# The synthetic corpus is single-line unpunctuated word salad, so C4's
+# structural rules would be vacuously false on it; like the PII scrub, the
+# query injects deterministic line structure from doc_id arithmetic on BOTH
+# engines so every rule fires on some rows and not others.
+_C4_INJECTIONS = [
+    (2, "\nthe engine keeps this line."),           # kept line
+    (3, "\nshort line."),                            # < 3 words -> dropped
+    (4, "\nanother good sentence here! and more? yes."),  # 3 sentences
+    (7, "\nlorem ipsum dolor sit amet."),            # page flag
+    (11, "\ncode { display: none } here."),          # brace flag
+]
+
+_C4_SQL = (
+    """
+    WITH inj AS (
+      SELECT doc_id,
+             text
+             """
+    + "\n             ".join(
+        "|| CASE WHEN doc_id % {m} = 0 THEN {lit} ELSE '' END".format(
+            m=m, lit="chr(10) || '" + s[1:].replace("'", "''") + "'"
+        )
+        for m, s in _C4_INJECTIONS
+    )
+    + """ AS t
+      FROM documents
+    ),
+    l AS (
+      SELECT doc_id, t,
+             contains(t, '{') AS has_brace,
+             contains(lower(t), 'lorem ipsum') AS has_lorem,
+             string_split(t, chr(10)) AS ls
+      FROM inj
+    ),
+    k AS (
+      SELECT doc_id, has_brace, has_lorem,
+             len(ls)::BIGINT AS n_lines,
+             [x for x in ls
+              if right(x, 1) IN ('.', '!', '?', '"')
+                 and len(string_split(x, ' ')) >= 3] AS keptl
+      FROM l
+    ),
+    c AS (
+      SELECT doc_id, has_brace, has_lorem, n_lines,
+             len(keptl)::BIGINT AS n_lines_kept,
+             -- array_to_string returns NULL for an empty list in DuckDB;
+             -- Spark's array_join gives '' — coalesce to match
+             coalesce(array_to_string(keptl, chr(10)), '') AS clean
+      FROM k
+    )
+    SELECT doc_id, n_lines, n_lines_kept,
+           (length(clean) - length(translate(clean, '.!?', '')))::BIGINT
+             AS n_sentences,
+           has_brace, has_lorem,
+           (NOT has_brace AND NOT has_lorem
+            AND length(clean) - length(translate(clean, '.!?', '')) >= 3)
+             AS keep,
+           length(clean)::BIGINT AS clean_len,
+           md5(clean) AS clean_hash
+    FROM c
+    """
+)
+
+
+@_q("doc_c4_filters", _C4_SQL)
+def _doc_c4_filters(spark: SparkSession, sf: str) -> DataFrame:
+    """C4-style structural cleaning over the documents table (deterministic
+    injected line structure): terminal-punctuation + min-word line rules,
+    lorem-ipsum / brace page flags, ≥3-sentence keep decision — the
+    standard web-corpus first pass next to the Gopher repetition filters."""
+    from blink_spark.operators.corpus import c4_filters
+
+    d = _t(spark, sf, "documents")
+    injected = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            *[
+                F.when(F.col("doc_id") % m == 0, F.lit(s)).otherwise(F.lit(""))
+                for m, s in _C4_INJECTIONS
+            ],
+        ).alias("text"),
+    )
+    return c4_filters(injected, "doc_id", "text")
+
+
 @_q("er_match_rule_report", None)  # oracle injected below (fixture path)
 def _er_match_rule_report(spark: SparkSession, sf: str) -> DataFrame:
     """Per-rule ablation of the match decision over labeled gold pairs:
@@ -3439,6 +3525,18 @@ def _er_phonetic_blocks(spark: SparkSession, sf: str) -> DataFrame:
 
     m = _fx(spark, "mentions")
     return phonetic_pairs(m, "mention_id", "mention", max_block=100)
+
+
+@_q("er_edit_distance_pairs", None)  # oracle injected below (fixture path)
+def _er_edit_distance_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact Levenshtein-threshold self-join over mention surfaces (d=2)
+    via q-gram prefix filtering + both-short length bands — the typo-class
+    duplicate detector the token/Jaccard blocks miss; zero false negatives
+    at the radius, verified with the JVM levenshtein."""
+    from blink_spark.operators.dedup import edit_distance_pairs
+
+    m = _fx(spark, "mentions")
+    return edit_distance_pairs(m, "mention_id", "mention", max_dist=2, q=3)
 
 
 @_q("er_mutual_best", None)  # oracle injected below (fixture path)
@@ -5190,6 +5288,18 @@ def _er_oracles() -> dict[str, str]:
         """,
         "er_pairwise_f1": f1_sql,
         "er_topk_candidates": topk_sql,
+        "er_edit_distance_pairs": f"""
+          WITH m AS (
+            SELECT mention_id, {_norm_m} AS norm FROM read_parquet('{men}')
+          ),
+          n AS (SELECT mention_id, norm, length(norm) AS len FROM m)
+          SELECT a.mention_id AS record_id_a, b.mention_id AS record_id_b,
+                 levenshtein(a.norm, b.norm)::BIGINT AS lev_dist
+          FROM n a JOIN n b
+            ON b.len BETWEEN a.len - 2 AND a.len + 2
+           AND a.mention_id < b.mention_id
+          WHERE levenshtein(a.norm, b.norm) <= 2
+        """,
         "er_mutual_best": f"""
           WITH mb AS (
             SELECT mention_id, mention, substr(string_split(mention, ' ')[1], 1, 4) AS bk
@@ -5349,6 +5459,7 @@ _DRIVER_ORDER = [
     "er_sorted_neighborhood", "er_fs_weights", "er_golden_record",
     "doc_pii_scrub", "er_match_rule_report", "er_token_cosine",
     "er_phonetic_blocks", "er_bcubed", "er_meta_blocking", "er_mutual_best",
+    "doc_c4_filters", "er_edit_distance_pairs",
 ]
 
 

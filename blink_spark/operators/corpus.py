@@ -774,3 +774,69 @@ def pii_scrub(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return docs.select(
         docs[id_col].alias("doc_id"), *counts, clean.alias("clean")
     )
+
+
+def c4_filters(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """C4-style page/line cleaning (Raffel et al. 2020, §2.2): keep only
+    lines that end in terminal punctuation AND have ≥ 3 words; flag pages
+    containing ``{`` (code) or "lorem ipsum" (placeholder); require ≥ 3
+    sentences in the retained text. Complements the Gopher repetition
+    filters (statistical) with C4's structural rules — together they are
+    the standard first-pass web-corpus cleaning stack.
+
+    Shape: the per-line rules are relationalized (posexplode → codegen
+    flags → one doc-keyed aggregation) rather than folded with interpreted
+    higher-order functions; the retained text is rebuilt from a null-
+    skipping ``collect_list(struct(pos, line))`` sorted per doc, so line
+    order is exact and docs whose every line is dropped still emit a row.
+    One shuffle (the doc-keyed agg), everything before it whole-stage
+    codegen; page-level flags ride the group key.
+
+    Exactness: the line test is a last-character IN-list + a space-split
+    word count — no regex classes whose semantics differ across engines;
+    sentence count is ``length − length(translate(text, '.!?', ''))``.
+    """
+    did = F.col(id_col)
+    has_brace = F.col(text_col).contains("{")
+    has_lorem = F.lower(F.col(text_col)).contains("lorem ipsum")
+    lines = docs.select(
+        did.alias("doc_id"),
+        has_brace.alias("has_brace"),
+        has_lorem.alias("has_lorem"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    )
+    last = F.substring("line", -1, 1)
+    kept = last.isin(".", "!", "?", '"') & (
+        F.size(F.split("line", " ")) >= 3
+    )
+    agg = lines.groupBy("doc_id", "has_brace", "has_lorem").agg(
+        F.count("*").cast("long").alias("n_lines"),
+        F.sum(F.when(kept, 1).otherwise(0)).cast("long").alias("n_lines_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(kept, F.struct(F.col("pos"), F.col("line")))
+                    )
+                ),
+                lambda s: s["line"],
+            ),
+            "\n",
+        ).alias("clean"),
+    )
+    n_sent = (
+        F.length("clean") - F.length(F.translate("clean", ".!?", ""))
+    ).cast("long")
+    return agg.select(
+        "doc_id",
+        "n_lines",
+        "n_lines_kept",
+        n_sent.alias("n_sentences"),
+        "has_brace",
+        "has_lorem",
+        (
+            ~F.col("has_brace") & ~F.col("has_lorem") & (n_sent >= 3)
+        ).alias("keep"),
+        F.length("clean").cast("long").alias("clean_len"),
+        F.md5("clean").alias("clean_hash"),
+    )

@@ -449,3 +449,134 @@ def prefix_jaccard_pairs(
             6,
         ).alias("jac"),
     )
+
+
+def edit_distance_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_dist: int = 2,
+    q: int = 3,
+) -> DataFrame:
+    """EXACT edit-distance similarity join via q-gram prefix filtering (the
+    Ed-Join family, Xiao et al. VLDB'08): every pair of records whose
+    normalized texts are within ``max_dist`` Levenshtein operations, with
+    ZERO false negatives — typo-class duplicates that token/Jaccard joins
+    miss (a one-char edit changes no token-set member count enough) and
+    phonetic keys only approximate.
+
+    Filter stack, each exact:
+    1. q-gram prefix filter — one edit destroys at most ``q`` distinct
+       q-grams, so strings within ``d`` share all but ``d·q`` of the longer
+       side's grams; ordering grams rarest-first (corpus df asc, gram asc)
+       means any such pair must collide inside the first ``d·q + 1`` grams
+       of each side (records with fewer grams emit them all, which covers
+       short-vs-long pairs).
+    2. both-short pairs (``n_grams ≤ d·q`` on both sides, where the gram
+       bound is vacuous) go through a LENGTH-BAND equi-join instead: a
+       pair within distance d differs by at most d in length, so the right
+       side replicates to the 2d+1 bands around its length — bounded
+       fan-out, no cross join.
+    3. candidates pass ``|len_a − len_b| ≤ d`` and are verified with the
+       built-in JVM ``levenshtein`` — only survivors are emitted.
+
+    Texts shorter than ``q`` contribute the whole string as their single
+    gram; any edit may replace it entirely, which is exactly the
+    both-short case and is covered by the band join.
+
+    Returns (record_id_a, record_id_b, lev_dist) with a < b.
+
+    Shape at 100 TB: one gram-keyed shuffle for the df table, one
+    record-keyed rank window, a prefix equi-join on RARE grams (hot grams
+    are structurally excluded), a short-strings band equi-join (2d+1
+    replication), then a verify projection on the surviving pairs only.
+    """
+    from blink_spark.functions.text import normalize_text
+
+    d = int(max_dist)
+    plen = d * q + 1
+    norm = normalize_text(docs[text_col])
+    base = docs.select(
+        docs[id_col].alias("rid"),
+        norm.alias("norm"),
+        F.length(norm).alias("len"),
+    )
+    # relationalized gram stream (HOFs are CodegenFallback): explode the
+    # start positions, substring in codegen, distinct per (rid, gram).
+    # len < q collapses to one start position whose substring is the whole
+    # string — the single-gram semantics the both-short path expects.
+    grams = (
+        base.select(
+            "rid",
+            "len",
+            "norm",
+            F.explode(
+                F.sequence(
+                    F.lit(1), F.greatest(F.col("len") - (q - 1), F.lit(1))
+                )
+            ).alias("i"),
+        )
+        .select("rid", "len", F.expr(f"substring(norm, i, {q})").alias("g"))
+        .distinct()
+    )
+    df_tbl = grams.groupBy("g").agg(F.count("*").alias("df"))
+    ranked = (
+        grams.join(df_tbl, "g")
+        .withColumn(
+            "rnk",
+            F.row_number().over(
+                Window.partitionBy("rid").orderBy(F.col("df").asc(), F.col("g").asc())
+            ),
+        )
+        .withColumn("n_grams", F.count("*").over(Window.partitionBy("rid")))
+    )
+    prefix = ranked.filter(F.col("rnk") <= plen).select(
+        "rid", "g", "len", "n_grams"
+    )
+    cand_long = (
+        prefix.alias("x")
+        .join(prefix.alias("y"), "g")
+        .filter(
+            (F.col("x.rid") < F.col("y.rid"))
+            # at least one side long: the gram bound holds for the pair
+            & ((F.col("x.n_grams") > d * q) | (F.col("y.n_grams") > d * q))
+        )
+        .select(
+            F.col("x.rid").alias("record_id_a"),
+            F.col("y.rid").alias("record_id_b"),
+        )
+    )
+    shorts = ranked.filter(F.col("n_grams") <= d * q).select("rid", "len").distinct()
+    s_left = shorts.select(
+        F.col("rid").alias("record_id_a"), F.col("len").alias("band")
+    )
+    s_right = shorts.select(
+        F.col("rid").alias("record_id_b"),
+        F.explode(
+            F.sequence(F.col("len") - d, F.col("len") + d)
+        ).alias("band"),
+    )
+    cand_short = (
+        s_left.join(s_right, "band")
+        .filter(F.col("record_id_a") < F.col("record_id_b"))
+        .select("record_id_a", "record_id_b")
+    )
+    cand = cand_long.unionByName(cand_short).distinct()
+    na = base.select(
+        F.col("rid").alias("record_id_a"),
+        F.col("norm").alias("norm_a"),
+        F.col("len").alias("len_a"),
+    )
+    nb = base.select(
+        F.col("rid").alias("record_id_b"),
+        F.col("norm").alias("norm_b"),
+        F.col("len").alias("len_b"),
+    )
+    return (
+        cand.join(na, "record_id_a")
+        .join(nb, "record_id_b")
+        .filter(F.abs(F.col("len_a") - F.col("len_b")) <= d)
+        .withColumn("lev_dist", F.levenshtein("norm_a", "norm_b").cast("long"))
+        .filter(F.col("lev_dist") <= d)
+        .select("record_id_a", "record_id_b", "lev_dist")
+    )

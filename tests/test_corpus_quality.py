@@ -722,3 +722,38 @@ def test_corpus_plans_stay_jvm_side(spark):
     assert "Exchange" not in plan
     for bad in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
         assert bad not in plan, bad
+
+
+def test_c4_filters_planted_rules(spark):
+    import pandas as pd
+
+    from blink_spark.operators.corpus import c4_filters
+
+    rows = [
+        # 2 kept lines, 3 sentences, clean page -> keep
+        (1, 'intro line no punct\ngood long sentence here.\nanother one stays! ok fine?'),
+        # line ends right but too short -> dropped; no sentences -> not keep
+        (2, 'word word\nab c.'),
+        # lorem ipsum page flag
+        (3, 'fine sentence stays here.\nlorem ipsum dolor sit amet.\nmore good text here.'),
+        # brace page flag
+        (4, 'css { x } done here.\nsecond fine line stays.'),
+        # every line dropped -> empty clean, still one output row
+        (5, 'nothing\nto keep'),
+    ]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    out = {r["doc_id"]: r.asDict() for r in c4_filters(df, "doc_id", "text").collect()}
+    assert len(out) == 5
+    r1 = out[1]
+    assert (r1["n_lines"], r1["n_lines_kept"], r1["n_sentences"]) == (3, 2, 3)
+    assert r1["keep"] and not r1["has_brace"] and not r1["has_lorem"]
+    r2 = out[2]
+    assert (r2["n_lines_kept"], r2["keep"]) == (0, False)
+    assert out[3]["has_lorem"] and not out[3]["keep"]
+    assert out[4]["has_brace"] and not out[4]["keep"]
+    r5 = out[5]
+    assert (r5["n_lines_kept"], r5["clean_len"]) == (0, 0)
+    # clean text preserves original line order
+    import hashlib
+    want = "good long sentence here.\nanother one stays! ok fine?"
+    assert r1["clean_hash"] == hashlib.md5(want.encode()).hexdigest()

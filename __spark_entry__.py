@@ -3539,6 +3539,42 @@ def _er_edit_distance_pairs(spark: SparkSession, sf: str) -> DataFrame:
     return edit_distance_pairs(m, "mention_id", "mention", max_dist=2, q=3)
 
 
+@_q("er_cluster_repair", None)  # oracle injected below (fixture path)
+def _er_cluster_repair(spark: SparkSession, sf: str) -> DataFrame:
+    """Chain-merge repair report over the S5 match graph: cut zero-
+    triangle-support bridge edges whose endpoints both have other partners
+    (degree >= 2), re-cluster, and report per ORIGINAL cluster how many
+    sub-clusters the repair yields — the mega-cluster triage sheet for
+    transitive-closure over-merging."""
+    from blink_spark.operators.cluster import repair_report
+    from blink_spark.operators.scoring import match_edges, score_pairs
+
+    m = _fx(spark, "mentions").select("mention_id", "mention")
+    g = _fx(spark, "gold_pairs")
+    attrs = (
+        g.select(
+            F.col("mention_id_a").alias("record_id_a"),
+            F.col("mention_id_b").alias("record_id_b"),
+        )
+        .join(
+            m.select(
+                F.col("mention_id").alias("record_id_a"),
+                F.col("mention").alias("mention_a"),
+            ),
+            "record_id_a",
+        )
+        .join(
+            m.select(
+                F.col("mention_id").alias("record_id_b"),
+                F.col("mention").alias("mention_b"),
+            ),
+            "record_id_b",
+        )
+    )
+    edges = match_edges(score_pairs(attrs, text_a="mention_a", text_b="mention_b"))
+    return repair_report(m, "mention_id", edges)
+
+
 @_q("er_mutual_best", None)  # oracle injected below (fixture path)
 def _er_mutual_best(spark: SparkSession, sf: str) -> DataFrame:
     """Reciprocal top-1 mention↔entity assignment over the blocked
@@ -5199,6 +5235,73 @@ def _er_oracles() -> dict[str, str]:
           SELECT -1::BIGINT, sum(n_clusters)::BIGINT, sum(n_records)::BIGINT
           FROM hist
         """,
+        "er_cluster_repair": f"""
+          {scored_cte},
+          me AS (
+            SELECT greatest(record_id_a, record_id_b) AS u,
+                   least(record_id_a, record_id_b) AS v
+            FROM j WHERE is_match GROUP BY 1, 2
+          ),
+          adj AS (SELECT u AS n, v AS w FROM me UNION ALL SELECT v, u FROM me),
+          deg AS (SELECT n, count(*) AS deg FROM adj GROUP BY n),
+          supp AS (
+            SELECT DISTINCT e.u, e.v
+            FROM me e
+            JOIN adj x ON x.n = e.u
+            JOIN adj y ON y.n = e.v AND y.w = x.w
+          ),
+          bridges AS (
+            SELECT e.u, e.v FROM me e
+            JOIN deg du ON du.n = e.u
+            JOIN deg dv ON dv.n = e.v
+            WHERE least(du.deg, dv.deg) >= 2
+              AND NOT EXISTS (SELECT 1 FROM supp s WHERE s.u = e.u AND s.v = e.v)
+          ),
+          kept AS (
+            SELECT e.u, e.v FROM me e
+            WHERE NOT EXISTS (SELECT 1 FROM bridges b WHERE b.u = e.u AND b.v = e.v)
+          ),
+          nodes AS (SELECT mention_id AS id FROM read_parquet('{men}')),
+          eb AS (SELECT u AS src, v AS dst FROM me UNION SELECT v, u FROM me),
+          reach_b AS (
+            SELECT id, id AS r FROM nodes
+            UNION
+            SELECT reach_b.id, e.dst FROM reach_b JOIN eb e ON reach_b.r = e.src
+          ),
+          cl_b AS (SELECT id, min(r) AS cluster_id FROM reach_b GROUP BY id),
+          ea AS (SELECT u AS src, v AS dst FROM kept UNION SELECT v, u FROM kept),
+          reach_a AS (
+            SELECT id, id AS r FROM nodes
+            UNION
+            SELECT reach_a.id, e.dst FROM reach_a JOIN ea e ON reach_a.r = e.src
+          ),
+          cl_a AS (SELECT id, min(r) AS sub_id FROM reach_a GROUP BY id),
+          sub AS (
+            SELECT b.cluster_id, a.sub_id, count(*) AS sub_size
+            FROM cl_b b JOIN cl_a a ON a.id = b.id GROUP BY 1, 2
+          ),
+          es AS (
+            SELECT b.cluster_id, count(*)::BIGINT AS n_edges
+            FROM me e JOIN cl_b b ON b.id = e.u GROUP BY 1
+          ),
+          bs AS (
+            SELECT b.cluster_id, count(*)::BIGINT AS n_bridges
+            FROM bridges e JOIN cl_b b ON b.id = e.u GROUP BY 1
+          ),
+          agg AS (
+            SELECT cluster_id, sum(sub_size)::BIGINT AS n_records,
+                   count(*)::BIGINT AS n_clusters_after,
+                   max(sub_size)::BIGINT AS max_size_after
+            FROM sub GROUP BY 1
+          )
+          SELECT a.cluster_id, a.n_records,
+                 coalesce(es.n_edges, 0)::BIGINT AS n_edges,
+                 coalesce(bs.n_bridges, 0)::BIGINT AS n_bridges,
+                 a.n_clusters_after, a.max_size_after
+          FROM agg a
+          LEFT JOIN es USING (cluster_id)
+          LEFT JOIN bs USING (cluster_id)
+        """,
         "er_meta_blocking": f"""
           WITH m AS (SELECT mention_id, list_sort({toks_m}) AS toks FROM read_parquet('{men}')),
           assign AS (
@@ -5459,7 +5562,7 @@ _DRIVER_ORDER = [
     "er_sorted_neighborhood", "er_fs_weights", "er_golden_record",
     "doc_pii_scrub", "er_match_rule_report", "er_token_cosine",
     "er_phonetic_blocks", "er_bcubed", "er_meta_blocking", "er_mutual_best",
-    "doc_c4_filters", "er_edit_distance_pairs",
+    "doc_c4_filters", "er_edit_distance_pairs", "er_cluster_repair",
 ]
 
 

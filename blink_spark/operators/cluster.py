@@ -331,3 +331,103 @@ def golden_records(
         F.min("record_id").alias("rep_record_id"),
     )
     return canon.join(stats, "cluster_id")
+
+
+def repair_report(
+    records: DataFrame, id_col: str, edges: DataFrame
+) -> DataFrame:
+    """Chain-merge repair of connected-component clusters via zero-triangle
+    bridge removal, reported per pre-repair cluster.
+
+    Transitive closure is the standard ER clustering step (and the
+    reference's coref merge at
+    /root/reference/blink/candidate_retrieval/dataset.py:174-187 is exactly
+    it), but it merges through CHAINS: one spurious a~b match welds two
+    legitimate entities into a mega-cluster. The classic diagnosis is that
+    spurious welds are structurally thin — a *bridge* edge whose endpoints
+    share no common neighbor (zero triangle support) while both sides have
+    other partners. Repair rule, exact and deterministic:
+
+        drop edge (a, b)  iff  support(a, b) = 0  AND  min(deg a, deg b) >= 2
+
+    The degree guard keeps legitimate 2-record clusters (their single edge
+    always has support 0) and pendant attachments; only edges joining two
+    otherwise-connected regions with no shared evidence are cut. Re-cluster
+    the kept edges and report, per ORIGINAL cluster: size, edge count,
+    bridges cut, number of post-repair sub-clusters, and the largest
+    sub-cluster — the mega-cluster triage sheet.
+
+    Shape at 100 TB: support is wedge enumeration — two node-keyed
+    equi-joins (edges×adjacency on each endpoint) and one pair-keyed count;
+    cost is sum-of-degree² within match components, which ER cluster caps
+    bound (match graphs have no web-graph hubs — a record with thousands of
+    confident matches is already a quality incident upstream). Degrees are
+    one adjacency aggregation; both CC passes are the same
+    large-star/small-star machinery as the main pipeline. No collects, no
+    cross joins, no windows.
+    """
+    canon = _canonical(edges.select(F.col("src"), F.col("dst")))
+    adj = canon.select(
+        F.col("u").alias("n"), F.col("v").alias("w")
+    ).unionByName(canon.select(F.col("v").alias("n"), F.col("u").alias("w")))
+    deg = adj.groupBy("n").agg(F.count(F.lit(1)).alias("deg"))
+    supported = (
+        canon.join(
+            adj.select(F.col("n").alias("u"), F.col("w")), "u"
+        )
+        .join(adj.select(F.col("n").alias("v"), F.col("w")), ["v", "w"])
+        .select("u", "v")
+        .distinct()
+    )
+    bridges = (
+        canon.join(supported, ["u", "v"], "left_anti")
+        .join(deg.select(F.col("n").alias("u"), F.col("deg").alias("deg_u")), "u")
+        .join(deg.select(F.col("n").alias("v"), F.col("deg").alias("deg_v")), "v")
+        .filter(F.least("deg_u", "deg_v") >= 2)
+        .select("u", "v")
+    )
+    kept = canon.join(bridges, ["u", "v"], "left_anti")
+    before = assign_clusters(
+        records, id_col, canon.select(F.col("u").alias("src"), F.col("v").alias("dst"))
+    )
+    after = assign_clusters(
+        records, id_col, kept.select(F.col("u").alias("src"), F.col("v").alias("dst"))
+    ).withColumnRenamed("cluster_id", "sub_cluster_id")
+    edge_home = canon.join(
+        before.select(
+            F.col("record_id").alias("u"), F.col("cluster_id")
+        ),
+        "u",
+    )
+    bridge_home = bridges.join(
+        before.select(F.col("record_id").alias("u"), F.col("cluster_id")), "u"
+    )
+    e_stats = edge_home.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_edges")
+    )
+    b_stats = bridge_home.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_bridges")
+    )
+    sub_sizes = (
+        before.join(after, "record_id")
+        .groupBy("cluster_id", "sub_cluster_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("sub_size"))
+    )
+    return (
+        sub_sizes.groupBy("cluster_id")
+        .agg(
+            F.sum("sub_size").cast("long").alias("n_records"),
+            F.count(F.lit(1)).cast("long").alias("n_clusters_after"),
+            F.max("sub_size").cast("long").alias("max_size_after"),
+        )
+        .join(e_stats, "cluster_id", "left")
+        .join(b_stats, "cluster_id", "left")
+        .select(
+            "cluster_id",
+            "n_records",
+            F.coalesce("n_edges", F.lit(0).cast("long")).alias("n_edges"),
+            F.coalesce("n_bridges", F.lit(0).cast("long")).alias("n_bridges"),
+            "n_clusters_after",
+            "max_size_after",
+        )
+    )

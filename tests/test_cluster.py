@@ -177,3 +177,51 @@ def test_cluster_size_stats_histogram(spark):
         for r in cluster_size_stats(assigns).collect()
     }
     assert got == {1: (2, 2), 2: (1, 2), 3: (1, 3), -1: (4, 7)}
+
+
+def test_repair_report_cuts_chain_bridge_keeps_pairs(spark):
+    """Triangle {a1,a2,a3} chain-welded to pair {b1,b2} via bridge a3-b1
+    (zero triangle support, both endpoints degree>=2): the bridge is cut,
+    the pair's own support-0 edge survives the degree guard, and the
+    singleton c1 reports untouched."""
+    from blink_spark.operators.cluster import repair_report
+
+    edges = spark.createDataFrame(
+        [
+            ("a1", "a2"), ("a1", "a3"), ("a2", "a3"),  # triangle
+            ("a3", "b1"),                                 # bridge
+            ("b1", "b2"),                                 # legit pair
+        ],
+        "src string, dst string",
+    )
+    records = spark.createDataFrame(
+        [("a1",), ("a2",), ("a3",), ("b1",), ("b2",), ("c1",)],
+        "mention_id string",
+    )
+    got = {
+        r.cluster_id: (
+            r.n_records, r.n_edges, r.n_bridges,
+            r.n_clusters_after, r.max_size_after,
+        )
+        for r in repair_report(records, "mention_id", edges).collect()
+    }
+    assert got == {"a1": (5, 5, 1, 2, 3), "c1": (1, 0, 0, 1, 1)}
+
+
+def test_repair_report_pendant_edge_survives(spark):
+    """A pendant record hanging off a triangle (deg 1) is support-0 but the
+    degree guard keeps it attached — only two-sided welds are cut."""
+    from blink_spark.operators.cluster import repair_report
+
+    edges = spark.createDataFrame(
+        [("a1", "a2"), ("a1", "a3"), ("a2", "a3"), ("a3", "p1")],
+        "src string, dst string",
+    )
+    records = spark.createDataFrame(
+        [("a1",), ("a2",), ("a3",), ("p1",)], "mention_id string"
+    )
+    rows = repair_report(records, "mention_id", edges).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.cluster_id, r.n_records, r.n_edges, r.n_bridges,
+            r.n_clusters_after, r.max_size_after) == ("a1", 4, 4, 0, 1, 4)

@@ -686,6 +686,65 @@ def _doc_lm_perplexity(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @_q(
+    "doc_dsir_weights",
+    f"""
+    WITH n AS (
+      SELECT doc_id, (lang = 'en') AS is_target,
+             string_split({_norm('text')}, ' ') AS tk
+      FROM documents
+    ),
+    t AS (SELECT doc_id, is_target, generate_subscripts(tk, 1) AS pos,
+                 unnest(tk) AS tok FROM n),
+    bg AS (
+      SELECT doc_id, is_target, tok,
+             lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
+      FROM t
+    ),
+    b AS (
+      SELECT doc_id, is_target,
+             ('0x' || substr(md5(tok || chr(31) || nxt), 1, 8))::BIGINT % 1024
+               AS bucket
+      FROM bg WHERE nxt IS NOT NULL
+    ),
+    cnt AS (
+      SELECT bucket,
+             sum(CASE WHEN is_target THEN 1 ELSE 0 END)::BIGINT AS ct,
+             sum(CASE WHEN is_target THEN 0 ELSE 1 END)::BIGINT AS cb
+      FROM b GROUP BY 1
+    ),
+    tot AS (
+      SELECT sum(CASE WHEN is_target THEN 1 ELSE 0 END)::BIGINT AS tt,
+             sum(CASE WHEN is_target THEN 0 ELSE 1 END)::BIGINT AS tb
+      FROM b
+    ),
+    model AS (
+      SELECT bucket,
+             (floor(ln((ct + 1)::DOUBLE / (tt + 1024)::DOUBLE) * 1000000.0)::BIGINT
+              - floor(ln((cb + 1)::DOUBLE / (tb + 1024)::DOUBLE) * 1000000.0)::BIGINT)
+               AS w_micro
+      FROM cnt CROSS JOIN tot
+    ),
+    s AS (
+      SELECT b.doc_id, b.is_target, count(*)::BIGINT AS n_bigrams,
+             sum(m.w_micro)::BIGINT AS dsir_micro
+      FROM b JOIN model m USING (bucket)
+      GROUP BY 1, 2
+    )
+    SELECT doc_id, is_target, n_bigrams, dsir_micro,
+           round(dsir_micro::DOUBLE / (n_bigrams * 1000000.0), 6) AS avg_w
+    FROM s
+    """,
+)
+def _doc_dsir_weights(spark: SparkSession, sf: str) -> DataFrame:
+    """DSIR-style importance weights (hashed-bigram log-likelihood ratio,
+    target = lang='en') for training-mix data selection; bucket weights
+    quantized once to integer micro-nats so per-doc sums are exact."""
+    from blink_spark.operators.corpus import dsir_weights
+
+    return dsir_weights(_t(spark, sf, "documents"), F.col("lang") == "en")
+
+
+@_q(
     "embedding_outliers",
     """
     WITH q AS (
@@ -5563,6 +5622,7 @@ _DRIVER_ORDER = [
     "doc_pii_scrub", "er_match_rule_report", "er_token_cosine",
     "er_phonetic_blocks", "er_bcubed", "er_meta_blocking", "er_mutual_best",
     "doc_c4_filters", "er_edit_distance_pairs", "er_cluster_repair",
+    "doc_dsir_weights",
 ]
 
 

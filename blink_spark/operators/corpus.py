@@ -840,3 +840,101 @@ def c4_filters(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
         F.length("clean").cast("long").alias("clean_len"),
         F.md5("clean").alias("clean_hash"),
     )
+
+
+def dsir_weights(
+    docs: DataFrame,
+    is_target: Column,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """DSIR-style importance weights for data selection (Xie et al. 2023,
+    "Data Selection for Language Models via Importance Resampling"): score
+    every document by how much more likely its hashed-bigram features are
+    under the TARGET distribution (rows where ``is_target``) than under the
+    background — the standard way to up-sample domain-relevant web data
+    into a training mix without a trained classifier.
+
+    Model: bigram occurrences hash into ``n_buckets`` buckets
+    (md5-derived, engine-portable); each bucket's weight is the add-one-
+    smoothed log-likelihood ratio
+
+        w(b) = ln((ct+1)/(Tt+B)) − ln((cb+1)/(Tb+B))
+
+    quantized ONCE to integer micro-nats per the house float rule (each ln
+    floored independently, so the per-doc aggregation sums exact BIGINTs);
+    a document's score is the sum of its occurrences' bucket weights.
+
+    Shape at 100 TB: one doc-keyed window builds the bigram stream (the
+    same shuffle the repetition/perplexity features ride); the model is a
+    ``n_buckets``-row aggregation (constant-size, broadcast back); totals
+    are a one-row scalar crossJoin. With the hashed model pre-trained the
+    corpus side is a pure map + one doc-keyed partial agg — the property
+    that makes DSIR run as a side pass over an ingest scan.
+    """
+    t = _token_stream(docs, id_col, text_col)
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    flags = docs.select(
+        F.col(id_col).alias("doc_id"), is_target.alias("is_target")
+    )
+    occ = (
+        t.select("doc_id", "tok", F.lead("tok", 1).over(w).alias("nxt"))
+        .filter(F.col("nxt").isNotNull())
+        .select(
+            "doc_id",
+            (
+                _hex_long(
+                    F.md5(F.concat(F.col("tok"), F.lit("\x1f"), F.col("nxt"))), 8
+                )
+                % F.lit(n_buckets)
+            ).alias("bucket"),
+        )
+        .join(flags, "doc_id")
+    )
+    cnt = occ.groupBy("bucket").agg(
+        F.sum(F.when(F.col("is_target"), 1).otherwise(0)).cast("long").alias("ct"),
+        F.sum(F.when(F.col("is_target"), 0).otherwise(1)).cast("long").alias("cb"),
+    )
+    tot = occ.agg(
+        F.sum(F.when(F.col("is_target"), 1).otherwise(0)).cast("long").alias("tt"),
+        F.sum(F.when(F.col("is_target"), 0).otherwise(1)).cast("long").alias("tb"),
+    )
+    model = cnt.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        (
+            F.floor(
+                F.log(
+                    (F.col("ct") + F.lit(1)).cast("double")
+                    / (F.col("tt") + F.lit(n_buckets)).cast("double")
+                )
+                * F.lit(1000000.0)
+            ).cast("long")
+            - F.floor(
+                F.log(
+                    (F.col("cb") + F.lit(1)).cast("double")
+                    / (F.col("tb") + F.lit(n_buckets)).cast("double")
+                )
+                * F.lit(1000000.0)
+            ).cast("long")
+        ).alias("w_micro"),
+    )
+    scored = (
+        occ.join(model, "bucket")
+        .groupBy("doc_id", "is_target")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.sum("w_micro").cast("long").alias("dsir_micro"),
+        )
+    )
+    return scored.select(
+        "doc_id",
+        "is_target",
+        "n_bigrams",
+        "dsir_micro",
+        F.round(
+            F.col("dsir_micro").cast("double")
+            / (F.col("n_bigrams").cast("double") * F.lit(1000000.0)),
+            6,
+        ).alias("avg_w"),
+    )

@@ -757,3 +757,55 @@ def test_c4_filters_planted_rules(spark):
     import hashlib
     want = "good long sentence here.\nanother one stays! ok fine?"
     assert r1["clean_hash"] == hashlib.md5(want.encode()).hexdigest()
+
+
+def test_dsir_weights_equals_bruteforce(spark):
+    import hashlib
+    import math
+
+    import pandas as pd
+
+    from blink_spark.operators.corpus import dsir_weights
+    from pyspark.sql import functions as F
+
+    rows = [
+        (1, True, "alpha beta alpha beta"),
+        (2, True, "alpha beta gamma"),
+        (3, False, "delta epsilon delta"),
+        (4, False, "alpha beta zeta"),
+    ]
+    B = 1024
+
+    def bucket(a, b):
+        h = hashlib.md5(f"{a}\x1f{b}".encode()).hexdigest()
+        return int(h[:8], 16) % B
+
+    occ = []
+    for did, tgt, text in rows:
+        tk = text.split(" ")
+        occ += [(did, tgt, bucket(a, b)) for a, b in zip(tk, tk[1:])]
+    ct = {}
+    cb = {}
+    for _, tgt, bk in occ:
+        (ct if tgt else cb)[bk] = (ct if tgt else cb).get(bk, 0) + 1
+    tt, tb = sum(ct.values()), sum(cb.values())
+    w = {
+        bk: math.floor(math.log((ct.get(bk, 0) + 1) / (tt + B)) * 1e6)
+        - math.floor(math.log((cb.get(bk, 0) + 1) / (tb + B)) * 1e6)
+        for bk in {o[2] for o in occ}
+    }
+    want = {}
+    for did, tgt, bk in occ:
+        n, s = want.get(did, (0, 0))
+        want[did] = (n + 1, s + w[bk])
+
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "tgt", "text"])
+    )
+    got = {
+        r.doc_id: (r.n_bigrams, r.dsir_micro, r.is_target)
+        for r in dsir_weights(df, F.col("tgt")).collect()
+    }
+    assert got == {d: (n, s, d in (1, 2)) for d, (n, s) in want.items()}
+    # target-distinctive docs must outrank background ones
+    assert got[1][1] > got[3][1] and got[2][1] > got[3][1]

@@ -3337,6 +3337,45 @@ def _er_fs_weights(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@_q("er_em_weights", None)  # oracle injected below (fixture path)
+def _er_em_weights(spark: SparkSession, sf: str) -> DataFrame:
+    """UNSUPERVISED Fellegi-Sunter calibration: 3-iteration EM over the
+    boolean agreement features of the gold pairs WITHOUT their labels
+    (Splink-style). One distributed contingency pass; all iterations run
+    on the 2^k cell counts in exact integer ppm arithmetic."""
+    from blink_spark.operators.scoring import em_fs_weights, score_pairs
+
+    m = _fx(spark, "mentions").select("mention_id", "mention")
+    g = _fx(spark, "gold_pairs")
+    attrs = (
+        g.select(
+            F.col("mention_id_a").alias("record_id_a"),
+            F.col("mention_id_b").alias("record_id_b"),
+        )
+        .join(
+            m.select(
+                F.col("mention_id").alias("record_id_a"),
+                F.col("mention").alias("mention_a"),
+            ),
+            "record_id_a",
+        )
+        .join(
+            m.select(
+                F.col("mention_id").alias("record_id_b"),
+                F.col("mention").alias("mention_b"),
+            ),
+            "record_id_b",
+        )
+    )
+    scored = score_pairs(attrs, text_a="mention_a", text_b="mention_b")
+    feats = scored.select(
+        "norm_eq",
+        (F.col("jaccard") >= F.lit(0.65)).alias("jacc_hi"),
+        (F.col("lev_ratio") >= F.lit(0.93)).alias("lev_hi"),
+    )
+    return em_fs_weights(feats, ["norm_eq", "jacc_hi", "lev_hi"], iters=3)
+
+
 @_q("er_golden_record", None)  # oracle injected below (fixture path)
 def _er_golden_record(spark: SparkSession, sf: str) -> DataFrame:
     """Survivorship over the S5 clusters: canonical surface per cluster
@@ -3812,6 +3851,90 @@ def _er_oracles() -> dict[str, str]:
              )::BIGINT AS lr_ppm
       FROM f
     """
+    # er_em_weights oracle: the EM iterations unroll mechanically over the
+    # 2^k-row contingency table, so the CTE chain is GENERATED per
+    # iteration — byte-level twin of em_fs_weights' integer arithmetic.
+    _em_f = ["norm_eq", "jacc_hi", "lev_hi"]
+    _em_parts = [
+        f"""
+      {scored_cte},
+      feats AS (
+        SELECT j.norm_eq AS norm_eq,
+               (j.jaccard >= 0.65) AS jacc_hi,
+               (j.lev_ratio >= 0.93) AS lev_hi
+        FROM j
+      ),
+      cells AS (
+        SELECT norm_eq, jacc_hi, lev_hi, count(*)::BIGINT AS n
+        FROM feats GROUP BY 1, 2, 3
+      ),
+      p0 AS (SELECT 500000::BIGINT AS lam, """
+        + ", ".join(
+            f"900000::BIGINT AS m_{f}, 100000::BIGINT AS u_{f}" for f in _em_f
+        )
+        + ")"
+    ]
+    for _k in range(3):
+        _wcols = ", ".join(
+            f"floor(ln(m_{f}::DOUBLE / u_{f}::DOUBLE) * 1000000.0)::BIGINT AS wa_{f}, "
+            f"floor(ln((1000000 - m_{f})::DOUBLE / (1000000 - u_{f})::DOUBLE)"
+            f" * 1000000.0)::BIGINT AS wd_{f}"
+            for f in _em_f
+        )
+        _terms = " + ".join(
+            f"CASE WHEN c.{f} THEN w.wa_{f} ELSE w.wd_{f} END" for f in _em_f
+        )
+        _acols = ", ".join(
+            f"sum(CASE WHEN {f} THEN n * pw ELSE 0 END)::BIGINT AS swx_{f}, "
+            f"sum(CASE WHEN {f} THEN n * (1000000 - pw) ELSE 0 END)::BIGINT AS snx_{f}"
+            for f in _em_f
+        )
+        _pcols = ", ".join(
+            f"greatest(least((1000000 * swx_{f}) // greatest(sw, 1), 999999), 1)::BIGINT AS m_{f}, "
+            f"greatest(least((1000000 * snx_{f}) // greatest(1000000 * nn - sw, 1), 999999), 1)::BIGINT AS u_{f}"
+            for f in _em_f
+        )
+        _em_parts.append(
+            f"""
+      w{_k} AS (
+        SELECT floor(ln(lam::DOUBLE / (1000000 - lam)::DOUBLE) * 1000000.0)::BIGINT AS lw,
+               {_wcols}
+        FROM p{_k}
+      ),
+      e{_k} AS (
+        SELECT c.norm_eq, c.jacc_hi, c.lev_hi, c.n,
+               floor(1000000.0 / (1.0 + exp(-((w.lw + {_terms})::DOUBLE) / 1000000.0)))::BIGINT AS pw
+        FROM cells c CROSS JOIN w{_k} w
+      ),
+      a{_k} AS (
+        SELECT sum(n)::BIGINT AS nn, sum(n * pw)::BIGINT AS sw,
+               {_acols}
+        FROM e{_k}
+      ),
+      p{_k + 1} AS (
+        SELECT greatest(least(sw // greatest(nn, 1), 999999), 1)::BIGINT AS lam,
+               {_pcols}
+        FROM a{_k}
+      )"""
+        )
+    em_sql = (
+        ",".join(_em_parts)
+        + """
+      SELECT 'lambda' AS feature, lam AS m_ppm, (1000000 - lam)::BIGINT AS u_ppm,
+             floor(ln(lam::DOUBLE / (1000000 - lam)::DOUBLE) * 1000000.0)::BIGINT
+               AS weight_micro
+      FROM p3
+      """
+        + "".join(
+            f"""
+      UNION ALL
+      SELECT '{f}', m_{f}, u_{f},
+             floor(ln(m_{f}::DOUBLE / u_{f}::DOUBLE) * 1000000.0)::BIGINT
+      FROM p3
+      """
+            for f in _em_f
+        )
+    )
     rule_report_sql = f"""
       {scored_cte},
       lab AS (
@@ -5264,6 +5387,7 @@ def _er_oracles() -> dict[str, str]:
         "er_clusters": clusters_sql,
         "er_sorted_neighborhood": snm_sql,
         "er_fs_weights": fs_sql,
+        "er_em_weights": em_sql,
         "er_golden_record": golden_sql,
         "er_match_rule_report": rule_report_sql,
         "er_token_cosine": token_cosine_sql,
@@ -5622,7 +5746,7 @@ _DRIVER_ORDER = [
     "doc_pii_scrub", "er_match_rule_report", "er_token_cosine",
     "er_phonetic_blocks", "er_bcubed", "er_meta_blocking", "er_mutual_best",
     "doc_c4_filters", "er_edit_distance_pairs", "er_cluster_repair",
-    "doc_dsir_weights",
+    "doc_dsir_weights", "er_em_weights",
 ]
 
 

@@ -426,3 +426,91 @@ def token_cosine_pairs(
             6,
         ),
     )
+
+
+def em_fs_weights(
+    pairs: DataFrame,
+    feature_cols: list[str],
+    iters: int = 3,
+    init_lambda_ppm: int = 500_000,
+    init_m_ppm: int = 900_000,
+    init_u_ppm: int = 100_000,
+) -> DataFrame:
+    """UNSUPERVISED Fellegi-Sunter parameter estimation via EM over boolean
+    agreement features — the Splink-style calibration that needs no labeled
+    sample (``fs_weights`` is its supervised twin). This is how a real
+    linkage tunes its match weights when no clerical review exists: the
+    two-component mixture (match / non-match) is fit directly to the
+    observed agreement patterns.
+
+    Exactness + scale in one move: with k boolean features every pair falls
+    into one of 2^k agreement cells, so the E-step over ANY number of pairs
+    is a single distributed ``groupBy(features).count()`` — ONE full pass
+    with map-side partial aggregation, collected as <= 2^k rows (the
+    documented tiny-aggregate collect class, like the two-phase id
+    offsets). All ``iters`` EM iterations then run on the contingency
+    counts in pure integer arithmetic: parameters live in ppm, per-feature
+    log-weights are floored ONCE per iteration to integer micro-nats, the
+    per-cell posterior ``floor(1e6 / (1 + exp(-t/1e6)))`` is the only
+    float touch (on identical integer inputs in any engine), and the
+    M-step is BIGINT cross-multiplication with floor division. A SQL
+    oracle unrolling the same iterations over the same 8-row table
+    reproduces every output bit.
+
+    Returns one row per feature (m_ppm, u_ppm, final agreement log-weight
+    in micro-nats) plus a ``lambda`` row carrying the estimated match
+    prevalence.
+    """
+    import math
+
+    k = len(feature_cols)
+    cells = (
+        pairs.groupBy(*feature_cols)
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .collect()
+    )
+    counts = [
+        (tuple(bool(r[c]) for c in feature_cols), int(r["n"])) for r in cells
+    ]
+    lam = init_lambda_ppm
+    m = [init_m_ppm] * k
+    u = [init_u_ppm] * k
+
+    def _w(num: int, den: int) -> int:
+        return math.floor(math.log(num / den) * 1000000.0)
+
+    for _ in range(iters):
+        lw = _w(lam, 1_000_000 - lam)
+        wa = [_w(m[i], u[i]) for i in range(k)]
+        wd = [_w(1_000_000 - m[i], 1_000_000 - u[i]) for i in range(k)]
+        nn = sw = 0
+        swx = [0] * k
+        snx = [0] * k
+        for x, n in counts:
+            t = lw + sum(wa[i] if x[i] else wd[i] for i in range(k))
+            w = math.floor(1000000.0 / (1.0 + math.exp(-t / 1000000.0)))
+            nn += n
+            sw += n * w
+            for i in range(k):
+                if x[i]:
+                    swx[i] += n * w
+                    snx[i] += n * (1_000_000 - w)
+
+        def _clamp(v: int) -> int:
+            return max(1, min(v, 999_999))
+
+        lam = _clamp(sw // max(nn, 1))
+        m = [_clamp((1_000_000 * swx[i]) // max(sw, 1)) for i in range(k)]
+        u = [
+            _clamp((1_000_000 * snx[i]) // max(1_000_000 * nn - sw, 1))
+            for i in range(k)
+        ]
+
+    rows = [
+        ("lambda", lam, 1_000_000 - lam, _w(lam, 1_000_000 - lam))
+    ] + [
+        (feature_cols[i], m[i], u[i], _w(m[i], u[i])) for i in range(k)
+    ]
+    return pairs.sparkSession.createDataFrame(
+        rows, "feature string, m_ppm long, u_ppm long, weight_micro long"
+    )

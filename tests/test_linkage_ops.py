@@ -327,3 +327,67 @@ def test_reciprocal_best_mutual_only(spark):
         for r in reciprocal_best(df, "mention_id", "entity_id", "sim").collect()
     }
     assert got == {("m1", "e1"), ("m3", "e3")}
+
+
+def test_em_fs_weights_equals_bruteforce(spark):
+    """Planted two-population pair set (clear matches agree on both
+    features, clear non-matches on neither, some noise): EM must equal a
+    pure-python replication bit-for-bit and recover m >> u."""
+    import math
+
+    import pandas as pd
+
+    from blink_spark.operators.scoring import em_fs_weights
+
+    rows = (
+        [(True, True)] * 40      # matches: agree on both
+        + [(False, False)] * 140  # non-matches
+        + [(True, False)] * 12    # noise
+        + [(False, True)] * 8
+    )
+
+    def brute(counts, k, iters):
+        lam, m, u = 500_000, [900_000] * k, [100_000] * k
+        w_ = lambda a, b: math.floor(math.log(a / b) * 1e6)
+        for _ in range(iters):
+            lw = w_(lam, 1_000_000 - lam)
+            wa = [w_(m[i], u[i]) for i in range(k)]
+            wd = [w_(1_000_000 - m[i], 1_000_000 - u[i]) for i in range(k)]
+            nn = sw = 0
+            swx, snx = [0] * k, [0] * k
+            for x, n in counts.items():
+                t = lw + sum(wa[i] if x[i] else wd[i] for i in range(k))
+                pw = math.floor(1e6 / (1.0 + math.exp(-t / 1e6)))
+                nn += n
+                sw += n * pw
+                for i in range(k):
+                    if x[i]:
+                        swx[i] += n * pw
+                        snx[i] += n * (1_000_000 - pw)
+            cl = lambda v: max(1, min(v, 999_999))
+            lam = cl(sw // max(nn, 1))
+            m = [cl((1_000_000 * swx[i]) // max(sw, 1)) for i in range(k)]
+            u = [
+                cl((1_000_000 * snx[i]) // max(1_000_000 * nn - sw, 1))
+                for i in range(k)
+            ]
+        out = {"lambda": (lam, 1_000_000 - lam, w_(lam, 1_000_000 - lam))}
+        for i, f in enumerate(["f1", "f2"]):
+            out[f] = (m[i], u[i], w_(m[i], u[i]))
+        return out
+
+    counts = {}
+    for x in rows:
+        counts[x] = counts.get(x, 0) + 1
+    want = brute(counts, 2, 3)
+
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["f1", "f2"]))
+    got = {
+        r.feature: (r.m_ppm, r.u_ppm, r.weight_micro)
+        for r in em_fs_weights(df, ["f1", "f2"], iters=3).collect()
+    }
+    assert got == want
+    # discriminative features recovered without labels
+    assert got["f1"][0] > got["f1"][1] and got["f2"][0] > got["f2"][1]
+    # prevalence near the planted 52/200
+    assert 150_000 < got["lambda"][0] < 400_000

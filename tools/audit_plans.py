@@ -90,6 +90,13 @@ ALLOWLIST: dict[str, frozenset[str]] = {
     "doc_lm_perplexity": frozenset(
         {"BroadcastNestedLoopJoin", "Exchange SinglePartition"}
     ),
+    # doc_dsir_weights' smoothing totals (Tt/Tb) are a one-row scalar
+    # aggregate broadcast onto the n_buckets-row hashed model table — the
+    # same bm25-idf / lm_perplexity scalar-denominator pattern; the doc
+    # side never crosses either node.
+    "doc_dsir_weights": frozenset(
+        {"BroadcastNestedLoopJoin", "Exchange SinglePartition"}
+    ),
     # er_blocking_quality joins the all-pairs scalar denominator (one row)
     # onto the ≤ log2(max_block) histogram rows; the rollup grand total over
     # those few rows is the other SinglePartition.

@@ -3694,6 +3694,28 @@ def _er_mutual_best(spark: SparkSession, sf: str) -> DataFrame:
     return reciprocal_best(pairs, "mention_id", "entity_id", "sim")
 
 
+@_q("er_one_to_one", None)  # oracle injected below (fixture path)
+def _er_one_to_one(spark: SparkSession, sf: str) -> DataFrame:
+    """Greedy 1:1 mention↔entity assignment: three rounds of mutual-best
+    with endpoint removal over the same blocked candidate pairs
+    er_mutual_best ranks — runner-up pairs freed by an earlier match
+    surface in later rounds, so coverage strictly dominates the single
+    reciprocal pass while keeping the one-to-one constraint."""
+    from blink_spark.functions.similarity import lev_ratio
+    from blink_spark.operators.eval import greedy_one_to_one
+
+    m = _fx(spark, "mentions").select("mention_id", "mention")
+    e = _fx(spark, "entities").select("entity_id", "title")
+    mb = m.withColumn("bk", F.substring(F.split("mention", " ")[0], 1, 4))
+    eb = e.withColumn("bk", F.substring(F.lower(F.split("title", " ")[0]), 1, 4))
+    pairs = mb.join(eb, "bk").select(
+        "mention_id",
+        "entity_id",
+        F.round(lev_ratio("mention", F.lower("title")), 6).alias("sim"),
+    )
+    return greedy_one_to_one(pairs, "mention_id", "entity_id", "sim", rounds=3)
+
+
 @_q("er_meta_blocking", None)  # oracle injected below (fixture path)
 def _er_meta_blocking(spark: SparkSession, sf: str) -> DataFrame:
     """Meta-blocking over the token-pair block collection: CBS edge
@@ -3851,6 +3873,69 @@ def _er_oracles() -> dict[str, str]:
              )::BIGINT AS lr_ppm
       FROM f
     """
+    # er_one_to_one oracle: the greedy rounds unroll mechanically — per
+    # round, both row_number mutual-best sides, the matched set with its
+    # round stamp, and the endpoint-removed remainder (NOT IN is null-safe
+    # here: ids are non-null fixture keys).
+    _o2o_parts = [
+        f"""
+      WITH mb AS (
+        SELECT mention_id, mention, substr(string_split(mention, ' ')[1], 1, 4) AS bk
+        FROM read_parquet('{men}')
+      ),
+      eb AS (
+        SELECT entity_id, lower(title) AS title_l,
+               substr(string_split(lower(title), ' ')[1], 1, 4) AS bk
+        FROM read_parquet('{ent}')
+      ),
+      p0 AS (
+        SELECT mention_id, entity_id,
+               round(CASE WHEN greatest(length(mn), length(tn)) > 0
+                          THEN 1.0 - levenshtein(mn, tn)::double
+                               / greatest(length(mn), length(tn))
+                          ELSE 1.0 END, 6) AS sim
+        FROM (SELECT *,
+                trim(regexp_replace(lower(mention), '[\\t\\n\\x0B\\f\\r ]+', ' ', 'g')) AS mn,
+                trim(regexp_replace(title_l, '[\\t\\n\\x0B\\f\\r ]+', ' ', 'g')) AS tn
+              FROM mb JOIN eb USING (bk))
+      )"""
+    ]
+    for _k in range(3):
+        _o2o_parts.append(
+            f"""
+      bl{_k} AS (
+        SELECT mention_id, entity_id, sim
+        FROM (SELECT *, row_number() OVER (PARTITION BY mention_id
+                             ORDER BY sim DESC, entity_id ASC) AS rk
+              FROM p{_k})
+        WHERE rk = 1
+      ),
+      br{_k} AS (
+        SELECT mention_id, entity_id
+        FROM (SELECT *, row_number() OVER (PARTITION BY entity_id
+                             ORDER BY sim DESC, mention_id ASC) AS rk
+              FROM p{_k})
+        WHERE rk = 1
+      ),
+      m{_k} AS (
+        SELECT bl{_k}.mention_id, bl{_k}.entity_id, bl{_k}.sim,
+               {_k + 1}::BIGINT AS match_round
+        FROM bl{_k} JOIN br{_k} USING (mention_id, entity_id)
+      ),
+      p{_k + 1} AS (
+        SELECT * FROM p{_k}
+        WHERE mention_id NOT IN (SELECT mention_id FROM m{_k})
+          AND entity_id NOT IN (SELECT entity_id FROM m{_k})
+      )"""
+        )
+    one2one_sql = (
+        ",".join(_o2o_parts)
+        + """
+      SELECT * FROM m0
+      UNION ALL SELECT * FROM m1
+      UNION ALL SELECT * FROM m2
+    """
+    )
     # er_em_weights oracle: the EM iterations unroll mechanically over the
     # 2^k-row contingency table, so the CTE chain is GENERATED per
     # iteration — byte-level twin of em_fs_weights' integer arithmetic.
@@ -5388,6 +5473,7 @@ def _er_oracles() -> dict[str, str]:
         "er_sorted_neighborhood": snm_sql,
         "er_fs_weights": fs_sql,
         "er_em_weights": em_sql,
+        "er_one_to_one": one2one_sql,
         "er_golden_record": golden_sql,
         "er_match_rule_report": rule_report_sql,
         "er_token_cosine": token_cosine_sql,
@@ -5746,7 +5832,7 @@ _DRIVER_ORDER = [
     "doc_pii_scrub", "er_match_rule_report", "er_token_cosine",
     "er_phonetic_blocks", "er_bcubed", "er_meta_blocking", "er_mutual_best",
     "doc_c4_filters", "er_edit_distance_pairs", "er_cluster_repair",
-    "doc_dsir_weights", "er_em_weights",
+    "doc_dsir_weights", "er_em_weights", "er_one_to_one",
 ]
 
 

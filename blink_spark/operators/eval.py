@@ -248,6 +248,53 @@ def reciprocal_best(
     return best_l.join(best_r, [left_col, right_col])
 
 
+def greedy_one_to_one(
+    scored: DataFrame,
+    left_col: str,
+    right_col: str,
+    score_col: str = "sim",
+    rounds: int = 3,
+) -> DataFrame:
+    """Greedy 1:1 assignment — iterated mutual-best with endpoint removal,
+    the bounded-round relational form of greedy weighted bipartite matching
+    (the one-to-one constraint of classical record linkage: each left
+    record may absorb at most one right record and vice versa). Each round
+    keeps every reciprocal-top-1 pair — a set that always contains the
+    globally best remaining pair, so every round makes progress — then
+    removes BOTH endpoints of each match before re-ranking, letting
+    runner-up pairs surface that a single ``reciprocal_best`` pass would
+    discard forever. The reference links each mention to its unconstrained
+    argmax entity (/root/reference/blink/main_dense.py:253); this is the
+    1:1-tightened variant used when sources are known duplicate-free.
+
+    Determinism: the per-round mutual best inherits ``topk_per_group``'s
+    total order (score DESC, other-id ASC); ``rounds`` is a fixed constant
+    so the whole assignment is a pure function of the input.
+
+    Scale shape per round: two id-partitioned windows (one shuffle each, no
+    SinglePartition) plus two left_anti equi-joins against the matched-id
+    sets. Each round's matches are ``localCheckpoint``-ed (eager, GC-owned
+    per cache-hygiene policy): the checkpoint truncates the otherwise
+    2^rounds-branching lineage into a linear chain, and the matched set —
+    at most min(|L|,|R|) rows, far below the pair table — is exactly the
+    "small side goes local" class the block-store broadcast uses.
+    """
+    remaining = scored
+    out: DataFrame | None = None
+    for k in range(1, rounds + 1):
+        m = (
+            reciprocal_best(remaining, left_col, right_col, score_col)
+            .withColumn("match_round", F.lit(k).cast("long"))
+            .localCheckpoint()
+        )
+        out = m if out is None else out.unionByName(m)
+        remaining = remaining.join(
+            m.select(left_col), left_col, "left_anti"
+        ).join(m.select(right_col), right_col, "left_anti")
+    assert out is not None
+    return out
+
+
 def _span_lcs_counts(gold: list, pred: list) -> tuple[int, int]:
     """Weak/strong match counts for one document's (entity, start, end)
     triples — the LCS dynamic program of the reference's headline ELQ metric

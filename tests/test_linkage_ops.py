@@ -391,3 +391,52 @@ def test_em_fs_weights_equals_bruteforce(spark):
     assert got["f1"][0] > got["f1"][1] and got["f2"][0] > got["f2"][1]
     # prevalence near the planted 52/200
     assert 150_000 < got["lambda"][0] < 400_000
+
+
+def test_greedy_one_to_one_frees_runners_up(spark):
+    """Planted chain l1-r1-l2-r2-l3-r3: single reciprocal-best yields only
+    (l1, r1); the greedy rounds free each runner-up in turn, matching all
+    three lefts with the correct round stamps and 1:1 endpoint use."""
+    from blink_spark.operators.eval import greedy_one_to_one, reciprocal_best
+
+    pairs = spark.createDataFrame(
+        [
+            ("l1", "r1", 0.9),
+            ("l2", "r1", 0.8),
+            ("l2", "r2", 0.5),
+            ("l3", "r2", 0.4),
+            ("l3", "r3", 0.3),
+        ],
+        "l string, r string, sim double",
+    )
+    single = {
+        (x.l, x.r) for x in reciprocal_best(pairs, "l", "r", "sim").collect()
+    }
+    assert single == {("l1", "r1")}
+
+    got = {
+        (x.l, x.r): x.match_round
+        for x in greedy_one_to_one(pairs, "l", "r", "sim", rounds=3).collect()
+    }
+    assert got == {("l1", "r1"): 1, ("l2", "r2"): 2, ("l3", "r3"): 3}
+    # one-to-one: every endpoint used at most once
+    ls = [l for l, _ in got]
+    rs = [r for _, r in got]
+    assert len(ls) == len(set(ls)) and len(rs) == len(set(rs))
+
+
+def test_greedy_one_to_one_tie_break_deterministic(spark):
+    """Equal scores resolve by other-id ASC on both sides: l1 ties r1/r2
+    at 0.7 -> picks r1; r2's round-1 best is l1 (id ASC) so (l2, r2) is
+    not mutual until l1/r1 are removed in round 2."""
+    from blink_spark.operators.eval import greedy_one_to_one
+
+    pairs = spark.createDataFrame(
+        [("l1", "r1", 0.7), ("l1", "r2", 0.7), ("l2", "r2", 0.7)],
+        "l string, r string, sim double",
+    )
+    got = {
+        (x.l, x.r): x.match_round
+        for x in greedy_one_to_one(pairs, "l", "r", "sim", rounds=2).collect()
+    }
+    assert got == {("l1", "r1"): 1, ("l2", "r2"): 2}

@@ -3376,6 +3376,84 @@ def _er_em_weights(spark: SparkSession, sf: str) -> DataFrame:
     return em_fs_weights(feats, ["norm_eq", "jacc_hi", "lev_hi"], iters=3)
 
 
+@_q("er_review_queue", None)  # oracle injected below (fixture path)
+def _er_review_queue(spark: SparkSession, sf: str) -> DataFrame:
+    """Active-learning clerical-review queue: score every pair with the
+    EM-calibrated Fellegi-Sunter weights (same unsupervised fit as
+    er_em_weights), then least-confident-sample: rank ALL pairs by their
+    posterior's distance from 0.5 and keep the top-100 — the pairs a human
+    reviewer (or a labeling budget) should see first.
+    Arithmetic is the EM operator's integer micro-nat scheme end-to-end,
+    so the queue is engine-exact; the final global top-100 is a
+    TakeOrdered (sort+limit), not a full exchange."""
+    import math
+
+    from blink_spark.operators.scoring import em_fs_weights, score_pairs
+
+    m = _fx(spark, "mentions").select("mention_id", "mention")
+    g = _fx(spark, "gold_pairs")
+    attrs = (
+        g.select(
+            F.col("mention_id_a").alias("record_id_a"),
+            F.col("mention_id_b").alias("record_id_b"),
+        )
+        .join(
+            m.select(
+                F.col("mention_id").alias("record_id_a"),
+                F.col("mention").alias("mention_a"),
+            ),
+            "record_id_a",
+        )
+        .join(
+            m.select(
+                F.col("mention_id").alias("record_id_b"),
+                F.col("mention").alias("mention_b"),
+            ),
+            "record_id_b",
+        )
+    )
+    fcols = ["norm_eq", "jacc_hi", "lev_hi"]
+    feats = score_pairs(attrs, text_a="mention_a", text_b="mention_b").select(
+        "record_id_a",
+        "record_id_b",
+        "norm_eq",
+        (F.col("jaccard") >= F.lit(0.65)).alias("jacc_hi"),
+        (F.col("lev_ratio") >= F.lit(0.93)).alias("lev_hi"),
+    )
+    w = {
+        r["feature"]: r
+        for r in em_fs_weights(feats.select(*fcols), fcols, iters=3).collect()
+    }
+    t = F.lit(int(w["lambda"]["weight_micro"])).cast("long")
+    for f in fcols:
+        wd = math.floor(
+            math.log(
+                (1_000_000 - w[f]["m_ppm"]) / (1_000_000 - w[f]["u_ppm"])
+            )
+            * 1000000.0
+        )
+        t = t + F.when(
+            F.col(f), F.lit(int(w[f]["weight_micro"]))
+        ).otherwise(F.lit(int(wd))).cast("long")
+    post = F.floor(
+        F.lit(1000000.0) / (F.lit(1.0) + F.exp(-t.cast("double") / F.lit(1000000.0)))
+    ).cast("long")
+    out = (
+        feats.select(
+            "record_id_a",
+            "record_id_b",
+            t.alias("t_micro"),
+            post.alias("posterior_ppm"),
+        )
+        .withColumn(
+            "uncert_ppm", F.abs(F.col("posterior_ppm") - F.lit(500000)).cast("long")
+        )
+    )
+    return out.orderBy(
+        F.col("uncert_ppm").asc(), "record_id_a", "record_id_b"
+    ).limit(100)
+
+
 @_q("er_golden_record", None)  # oracle injected below (fixture path)
 def _er_golden_record(spark: SparkSession, sf: str) -> DataFrame:
     """Survivorship over the S5 clusters: canonical surface per cluster
@@ -4019,6 +4097,46 @@ def _er_oracles() -> dict[str, str]:
       """
             for f in _em_f
         )
+    )
+    # er_review_queue oracle: same generated EM chain to p3, then score
+    # every pair with the final weights and uncertainty-sample the band.
+    _q_wcols = ", ".join(
+        f"floor(ln(m_{f}::DOUBLE / u_{f}::DOUBLE) * 1000000.0)::BIGINT AS wa_{f}, "
+        f"floor(ln((1000000 - m_{f})::DOUBLE / (1000000 - u_{f})::DOUBLE)"
+        f" * 1000000.0)::BIGINT AS wd_{f}"
+        for f in _em_f
+    )
+    _q_terms = " + ".join(
+        f"CASE WHEN f.{f} THEN w.wa_{f} ELSE w.wd_{f} END" for f in _em_f
+    )
+    review_queue_sql = (
+        ",".join(_em_parts)
+        + f""",
+      fq AS (
+        SELECT record_id_a, record_id_b,
+               j.norm_eq AS norm_eq,
+               (j.jaccard >= 0.65) AS jacc_hi,
+               (j.lev_ratio >= 0.93) AS lev_hi
+        FROM j
+      ),
+      wf AS (
+        SELECT floor(ln(lam::DOUBLE / (1000000 - lam)::DOUBLE) * 1000000.0)::BIGINT AS lw,
+               {_q_wcols}
+        FROM p3
+      ),
+      sc AS (
+        SELECT f.record_id_a, f.record_id_b,
+               (w.lw + {_q_terms})::BIGINT AS t_micro,
+               floor(1000000.0 / (1.0 + exp(-((w.lw + {_q_terms})::DOUBLE) / 1000000.0)))::BIGINT
+                 AS posterior_ppm
+        FROM fq f CROSS JOIN wf w
+      )
+      SELECT record_id_a, record_id_b, t_micro, posterior_ppm,
+             abs(posterior_ppm - 500000)::BIGINT AS uncert_ppm
+      FROM sc
+      ORDER BY uncert_ppm ASC, record_id_a ASC, record_id_b ASC
+      LIMIT 100
+    """
     )
     rule_report_sql = f"""
       {scored_cte},
@@ -5474,6 +5592,7 @@ def _er_oracles() -> dict[str, str]:
         "er_fs_weights": fs_sql,
         "er_em_weights": em_sql,
         "er_one_to_one": one2one_sql,
+        "er_review_queue": review_queue_sql,
         "er_golden_record": golden_sql,
         "er_match_rule_report": rule_report_sql,
         "er_token_cosine": token_cosine_sql,
@@ -5832,7 +5951,7 @@ _DRIVER_ORDER = [
     "doc_pii_scrub", "er_match_rule_report", "er_token_cosine",
     "er_phonetic_blocks", "er_bcubed", "er_meta_blocking", "er_mutual_best",
     "doc_c4_filters", "er_edit_distance_pairs", "er_cluster_repair",
-    "doc_dsir_weights", "er_em_weights", "er_one_to_one",
+    "doc_dsir_weights", "er_em_weights", "er_one_to_one", "er_review_queue",
 ]
 
 

@@ -3454,6 +3454,80 @@ def _er_review_queue(spark: SparkSession, sf: str) -> DataFrame:
     ).limit(100)
 
 
+@_q("er_progressive_recall", None)  # oracle injected below (fixture path)
+def _er_progressive_recall(spark: SparkSession, sf: str) -> DataFrame:
+    """Progressive (pay-as-you-go) ER: schedule comparisons by cheap
+    token-Jaccard score descending and report the cumulative gold-match
+    recall per comparison budget — the curve that tells an operator how
+    much resolution quality a bounded matching budget buys (Whang et al.,
+     'Pay-As-You-Go Entity Resolution'). Buckets are floor(jaccard*20), so
+    the cumulative window runs over <= 21 aggregated rows (the
+    rank-histogram tiny-table window class); recall/effort are exact
+    BIGINT ppm."""
+    from blink_spark.operators.scoring import score_pairs
+
+    m = _fx(spark, "mentions").select("mention_id", "mention")
+    g = _fx(spark, "gold_pairs")
+    attrs = (
+        g.select(
+            F.col("mention_id_a").alias("record_id_a"),
+            F.col("mention_id_b").alias("record_id_b"),
+            "same_entity",
+        )
+        .join(
+            m.select(
+                F.col("mention_id").alias("record_id_a"),
+                F.col("mention").alias("mention_a"),
+            ),
+            "record_id_a",
+        )
+        .join(
+            m.select(
+                F.col("mention_id").alias("record_id_b"),
+                F.col("mention").alias("mention_b"),
+            ),
+            "record_id_b",
+        )
+    )
+    scored = score_pairs(attrs, text_a="mention_a", text_b="mention_b")
+    per = (
+        scored.select(
+            F.floor(F.col("jaccard") * 20).cast("long").alias("score_bucket"),
+            F.col("same_entity").cast("long").alias("is_gold"),
+        )
+        .groupBy("score_bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("comparisons"),
+            F.sum("is_gold").cast("long").alias("matches"),
+        )
+    )
+    tot = per.agg(
+        F.sum("matches").cast("long").alias("total_matches"),
+        F.sum("comparisons").cast("long").alias("total_comparisons"),
+    )
+    w = Window.orderBy(F.col("score_bucket").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .withColumn("cum_comparisons", F.sum("comparisons").over(w).cast("long"))
+        .withColumn("cum_matches", F.sum("matches").over(w).cast("long"))
+        .select(
+            "score_bucket",
+            "comparisons",
+            "matches",
+            "cum_comparisons",
+            "cum_matches",
+            F.expr(
+                "(1000000 * cum_matches) div greatest(total_matches, 1)"
+            ).cast("long").alias("recall_ppm"),
+            F.expr(
+                "(1000000 * cum_comparisons) div greatest(total_comparisons, 1)"
+            ).cast("long").alias("effort_ppm"),
+        )
+    )
+
+
 @_q("er_golden_record", None)  # oracle injected below (fixture path)
 def _er_golden_record(spark: SparkSession, sf: str) -> DataFrame:
     """Survivorship over the S5 clusters: canonical surface per cluster
@@ -4138,6 +4212,45 @@ def _er_oracles() -> dict[str, str]:
       LIMIT 100
     """
     )
+    # er_progressive_recall: bucketed score schedule + cumulative window
+    # over the tiny per-bucket table (ROWS == RANGE here: buckets distinct).
+    progressive_sql = f"""
+      WITH m AS (
+        SELECT mention_id, {_norm_m} AS norm,
+               list_distinct(string_split({_norm_m}, ' ')) AS t
+        FROM read_parquet('{men}')
+      ),
+      p AS (
+        SELECT g.same_entity::BIGINT AS is_gold,
+               floor(round(len(list_intersect(ma.t, mb.t))::double
+                     / greatest(len(list_distinct(list_concat(ma.t, mb.t))), 1), 6)
+                     * 20)::BIGINT AS score_bucket
+        FROM read_parquet('{gold}') g
+        JOIN m ma ON ma.mention_id = g.mention_id_a
+        JOIN m mb ON mb.mention_id = g.mention_id_b
+      ),
+      per AS (
+        SELECT score_bucket, count(*)::BIGINT AS comparisons,
+               sum(is_gold)::BIGINT AS matches
+        FROM p GROUP BY 1
+      ),
+      tot AS (
+        SELECT sum(matches)::BIGINT AS tm, sum(comparisons)::BIGINT AS tc
+        FROM per
+      ),
+      c AS (
+        SELECT score_bucket, comparisons, matches,
+               (sum(comparisons) OVER (ORDER BY score_bucket DESC))::BIGINT
+                 AS cum_comparisons,
+               (sum(matches) OVER (ORDER BY score_bucket DESC))::BIGINT
+                 AS cum_matches
+        FROM per
+      )
+      SELECT score_bucket, comparisons, matches, cum_comparisons, cum_matches,
+             ((1000000 * cum_matches) // greatest(tm, 1))::BIGINT AS recall_ppm,
+             ((1000000 * cum_comparisons) // greatest(tc, 1))::BIGINT AS effort_ppm
+      FROM c CROSS JOIN tot
+    """
     rule_report_sql = f"""
       {scored_cte},
       lab AS (
@@ -5593,6 +5706,7 @@ def _er_oracles() -> dict[str, str]:
         "er_em_weights": em_sql,
         "er_one_to_one": one2one_sql,
         "er_review_queue": review_queue_sql,
+        "er_progressive_recall": progressive_sql,
         "er_golden_record": golden_sql,
         "er_match_rule_report": rule_report_sql,
         "er_token_cosine": token_cosine_sql,
@@ -5952,6 +6066,7 @@ _DRIVER_ORDER = [
     "er_phonetic_blocks", "er_bcubed", "er_meta_blocking", "er_mutual_best",
     "doc_c4_filters", "er_edit_distance_pairs", "er_cluster_repair",
     "doc_dsir_weights", "er_em_weights", "er_one_to_one", "er_review_queue",
+    "er_progressive_recall",
 ]
 
 

@@ -97,6 +97,17 @@ ALLOWLIST: dict[str, frozenset[str]] = {
     "doc_dsir_weights": frozenset(
         {"BroadcastNestedLoopJoin", "Exchange SinglePartition"}
     ),
+    # er_progressive_recall: the rank-histogram pattern — the unpartitioned
+    # cumulative window and the one-row totals broadcast both run over the
+    # <= 21-row per-bucket aggregate (floor(jaccard*20)), after map-side
+    # partial agg; no pair-scale rows cross either node.
+    "er_progressive_recall": frozenset(
+        {
+            "BroadcastNestedLoopJoin",
+            "Exchange SinglePartition",
+            "Exchange SinglePartition (non-finalize)",
+        }
+    ),
     # er_blocking_quality joins the all-pairs scalar denominator (one row)
     # onto the ≤ log2(max_block) histogram rows; the rollup grand total over
     # those few rows is the other SinglePartition.

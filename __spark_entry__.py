@@ -3528,6 +3528,70 @@ def _er_progressive_recall(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@_q("er_collective_boost", None)  # oracle injected below (fixture path)
+def _er_collective_boost(spark: SparkSession, sf: str) -> DataFrame:
+    """Collective ER (one round of relational evidence propagation,
+    Bhattacharya & Getoor): a mention pair's score is boosted by the mean
+    base similarity of the OTHER pairs linking the same two documents —
+    if several mentions across a doc pair look alike, each individual
+    match becomes more credible. One window partitioned by the
+    (high-cardinality) doc-pair key — a single hash shuffle, no
+    SinglePartition; arithmetic is exact integer ppm (leave-one-out mean
+    via sum/count, floor division)."""
+    from blink_spark.operators.scoring import score_pairs
+
+    m = _fx(spark, "mentions").select("mention_id", "mention", "doc_id")
+    g = _fx(spark, "gold_pairs")
+    attrs = (
+        g.select(
+            F.col("mention_id_a").alias("record_id_a"),
+            F.col("mention_id_b").alias("record_id_b"),
+        )
+        .join(
+            m.select(
+                F.col("mention_id").alias("record_id_a"),
+                F.col("mention").alias("mention_a"),
+                F.col("doc_id").alias("doc_a"),
+            ),
+            "record_id_a",
+        )
+        .join(
+            m.select(
+                F.col("mention_id").alias("record_id_b"),
+                F.col("mention").alias("mention_b"),
+                F.col("doc_id").alias("doc_b"),
+            ),
+            "record_id_b",
+        )
+    )
+    base = score_pairs(attrs, text_a="mention_a", text_b="mention_b").select(
+        "record_id_a",
+        "record_id_b",
+        "doc_a",
+        "doc_b",
+        F.floor(F.col("jaccard") * 1000000).cast("long").alias("base_ppm"),
+    )
+    w = Window.partitionBy("doc_a", "doc_b")
+    neighbor = F.when(
+        F.col("c") > 1,
+        F.expr("(s - base_ppm) div (c - 1)"),
+    ).otherwise(F.lit(0)).cast("long")
+    return (
+        base.withColumn("s", F.sum("base_ppm").over(w).cast("long"))
+        .withColumn("c", F.count(F.lit(1)).over(w).cast("long"))
+        .withColumn("neighbor_ppm", neighbor)
+        .select(
+            "record_id_a",
+            "record_id_b",
+            "base_ppm",
+            "neighbor_ppm",
+            (F.col("base_ppm") + F.expr("neighbor_ppm div 2"))
+            .cast("long")
+            .alias("boosted_ppm"),
+        )
+    )
+
+
 @_q("er_golden_record", None)  # oracle injected below (fixture path)
 def _er_golden_record(spark: SparkSession, sf: str) -> DataFrame:
     """Survivorship over the S5 clusters: canonical surface per cluster
@@ -4250,6 +4314,40 @@ def _er_oracles() -> dict[str, str]:
              ((1000000 * cum_matches) // greatest(tm, 1))::BIGINT AS recall_ppm,
              ((1000000 * cum_comparisons) // greatest(tc, 1))::BIGINT AS effort_ppm
       FROM c CROSS JOIN tot
+    """
+    # er_collective_boost: leave-one-out doc-pair evidence window; window
+    # sums cast ::BIGINT (DuckDB window sums widen to HUGEINT otherwise).
+    collective_sql = f"""
+      WITH m AS (
+        SELECT mention_id, doc_id, {_norm_m} AS norm,
+               list_distinct(string_split({_norm_m}, ' ')) AS t
+        FROM read_parquet('{men}')
+      ),
+      j AS (
+        SELECT g.mention_id_a AS record_id_a, g.mention_id_b AS record_id_b,
+               ma.doc_id AS doc_a, mb.doc_id AS doc_b,
+               floor(round(len(list_intersect(ma.t, mb.t))::double
+                     / greatest(len(list_distinct(list_concat(ma.t, mb.t))), 1), 6)
+                     * 1000000)::BIGINT AS base_ppm
+        FROM read_parquet('{gold}') g
+        JOIN m ma ON ma.mention_id = g.mention_id_a
+        JOIN m mb ON mb.mention_id = g.mention_id_b
+      ),
+      w AS (
+        SELECT record_id_a, record_id_b, base_ppm,
+               (sum(base_ppm) OVER (PARTITION BY doc_a, doc_b))::BIGINT AS s,
+               (count(*) OVER (PARTITION BY doc_a, doc_b))::BIGINT AS c
+        FROM j
+      ),
+      n AS (
+        SELECT record_id_a, record_id_b, base_ppm,
+               (CASE WHEN c > 1 THEN (s - base_ppm) // (c - 1)
+                     ELSE 0 END)::BIGINT AS neighbor_ppm
+        FROM w
+      )
+      SELECT record_id_a, record_id_b, base_ppm, neighbor_ppm,
+             (base_ppm + neighbor_ppm // 2)::BIGINT AS boosted_ppm
+      FROM n
     """
     rule_report_sql = f"""
       {scored_cte},
@@ -5707,6 +5805,7 @@ def _er_oracles() -> dict[str, str]:
         "er_one_to_one": one2one_sql,
         "er_review_queue": review_queue_sql,
         "er_progressive_recall": progressive_sql,
+        "er_collective_boost": collective_sql,
         "er_golden_record": golden_sql,
         "er_match_rule_report": rule_report_sql,
         "er_token_cosine": token_cosine_sql,
@@ -6066,7 +6165,7 @@ _DRIVER_ORDER = [
     "er_phonetic_blocks", "er_bcubed", "er_meta_blocking", "er_mutual_best",
     "doc_c4_filters", "er_edit_distance_pairs", "er_cluster_repair",
     "doc_dsir_weights", "er_em_weights", "er_one_to_one", "er_review_queue",
-    "er_progressive_recall",
+    "er_progressive_recall", "er_collective_boost",
 ]
 
 

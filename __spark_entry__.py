@@ -1751,6 +1751,63 @@ def _er_bcubed(spark: SparkSession, sf: str) -> DataFrame:
     return bcubed(clusters, labels)
 
 
+@_q("er_ari", None)  # oracle injected below (fixture path)
+def _er_ari(spark: SparkSession, sf: str) -> DataFrame:
+    """Adjusted Rand Index of the S5 linkage clusters vs the gold entity
+    labels (Hubert & Arabie 1985) — the chance-corrected pair-counting
+    metric reported alongside B-cubed and pairwise F1. All pair counts are
+    exact BIGINT (C(x,2) by integer div); only the final chance-corrected
+    ratio touches doubles, on identical integers in both engines. Three
+    partial-agg groupBys feed one-row scalar finalizes (the er_bcubed
+    SinglePartition class); pair-count terms overflow BIGINT only past
+    ~4e9 records per cluster — far beyond any single junction's size."""
+    clusters = _er_clusters(spark, sf)
+    labels = _fx(spark, "mentions").select(
+        F.col("mention_id").alias("record_id"),
+        F.col("label_id").alias("label"),
+    )
+    g = (
+        clusters.join(labels, "record_id")
+        .groupBy("cluster_id", "label")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_cl"))
+    )
+    agg = g.agg(
+        F.sum("n_cl").cast("long").alias("n_records"),
+        F.sum(F.expr("n_cl * (n_cl - 1) div 2")).cast("long").alias("index_pairs"),
+    )
+    a = (
+        g.groupBy("cluster_id")
+        .agg(F.sum("n_cl").cast("long").alias("n_c"))
+        .agg(F.sum(F.expr("n_c * (n_c - 1) div 2")).cast("long").alias("a_pairs"))
+    )
+    b = (
+        g.groupBy("label")
+        .agg(F.sum("n_cl").cast("long").alias("n_l"))
+        .agg(F.sum(F.expr("n_l * (n_l - 1) div 2")).cast("long").alias("b_pairs"))
+    )
+    return (
+        agg.crossJoin(F.broadcast(a))
+        .crossJoin(F.broadcast(b))
+        .withColumn(
+            "n2", F.expr("n_records * (n_records - 1) div 2").cast("long")
+        )
+        .withColumn(
+            "den", F.expr("n2 * (a_pairs + b_pairs) - 2 * a_pairs * b_pairs")
+        )
+        .select(
+            "n_records",
+            "index_pairs",
+            "a_pairs",
+            "b_pairs",
+            F.expr(
+                "CASE WHEN den != 0 THEN round(cast(2 * (n2 * index_pairs"
+                " - a_pairs * b_pairs) as double) / cast(den as double), 6)"
+                " ELSE 0.0 END"
+            ).alias("ari"),
+        )
+    )
+
+
 @_q("er_topk_candidates", None)
 def _er_topk(spark: SparkSession, sf: str) -> DataFrame:
     """Top-k entity candidates per mention within first-token blocks — the
@@ -4349,6 +4406,53 @@ def _er_oracles() -> dict[str, str]:
              (base_ppm + neighbor_ppm // 2)::BIGINT AS boosted_ppm
       FROM n
     """
+    # er_ari: same recursive-CTE clusters as er_bcubed; exact BIGINT pair
+    # counts, one double ratio at the end on identical integers.
+    ari_sql = f"""
+      {scored_cte},
+      edges AS (
+        SELECT record_id_a AS src, record_id_b AS dst FROM j WHERE is_match
+        UNION
+        SELECT record_id_b, record_id_a FROM j WHERE is_match
+      ),
+      nodes AS (SELECT mention_id AS id FROM read_parquet('{men}')),
+      reach AS (
+        SELECT id, id AS r FROM nodes
+        UNION
+        SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src
+      ),
+      cl AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id),
+      lab AS (SELECT mention_id AS id, label_id FROM read_parquet('{men}')),
+      g AS (
+        SELECT cl.cluster_id, lab.label_id, count(*)::BIGINT AS n_cl
+        FROM cl JOIN lab USING (id) GROUP BY 1, 2
+      ),
+      agg AS (
+        SELECT sum(n_cl)::BIGINT AS n_records,
+               sum(n_cl * (n_cl - 1) // 2)::BIGINT AS index_pairs
+        FROM g
+      ),
+      ca AS (
+        SELECT sum(n_c * (n_c - 1) // 2)::BIGINT AS a_pairs
+        FROM (SELECT sum(n_cl)::BIGINT AS n_c FROM g GROUP BY cluster_id)
+      ),
+      cb AS (
+        SELECT sum(n_l * (n_l - 1) // 2)::BIGINT AS b_pairs
+        FROM (SELECT sum(n_cl)::BIGINT AS n_l FROM g GROUP BY label_id)
+      ),
+      x AS (
+        SELECT n_records, index_pairs, a_pairs, b_pairs,
+               (n_records * (n_records - 1) // 2)::BIGINT AS n2
+        FROM agg CROSS JOIN ca CROSS JOIN cb
+      )
+      SELECT n_records, index_pairs, a_pairs, b_pairs,
+             CASE WHEN n2 * (a_pairs + b_pairs) - 2 * a_pairs * b_pairs != 0
+                  THEN round((2 * (n2 * index_pairs - a_pairs * b_pairs))::DOUBLE
+                             / (n2 * (a_pairs + b_pairs)
+                                - 2 * a_pairs * b_pairs)::DOUBLE, 6)
+                  ELSE 0.0 END AS ari
+      FROM x
+    """
     rule_report_sql = f"""
       {scored_cte},
       lab AS (
@@ -5806,6 +5910,7 @@ def _er_oracles() -> dict[str, str]:
         "er_review_queue": review_queue_sql,
         "er_progressive_recall": progressive_sql,
         "er_collective_boost": collective_sql,
+        "er_ari": ari_sql,
         "er_golden_record": golden_sql,
         "er_match_rule_report": rule_report_sql,
         "er_token_cosine": token_cosine_sql,
@@ -6165,7 +6270,7 @@ _DRIVER_ORDER = [
     "er_phonetic_blocks", "er_bcubed", "er_meta_blocking", "er_mutual_best",
     "doc_c4_filters", "er_edit_distance_pairs", "er_cluster_repair",
     "doc_dsir_weights", "er_em_weights", "er_one_to_one", "er_review_queue",
-    "er_progressive_recall", "er_collective_boost",
+    "er_progressive_recall", "er_collective_boost", "er_ari",
 ]
 
 

@@ -97,6 +97,12 @@ ALLOWLIST: dict[str, frozenset[str]] = {
     "doc_dsir_weights": frozenset(
         {"BroadcastNestedLoopJoin", "Exchange SinglePartition"}
     ),
+    # er_ari: three one-row scalar finalizes (n/index, a_pairs, b_pairs)
+    # over map-side partial aggs, cross-joined as one-row broadcasts — the
+    # er_bcubed scalar-aggregate class; nothing record-scale crosses.
+    "er_ari": frozenset(
+        {"BroadcastNestedLoopJoin", "Exchange SinglePartition"}
+    ),
     # er_progressive_recall: the rank-histogram pattern — the unpartitioned
     # cumulative window and the one-row totals broadcast both run over the
     # <= 21-row per-bucket aggregate (floor(jaccard*20)), after map-side

@@ -1490,7 +1490,7 @@ def _doc_minhash_bands(spark: SparkSession, sf: str) -> DataFrame:
              count(*) OVER (PARTITION BY doc_id) AS m
       FROM h
     )
-    SELECT DISTINCT doc_id,
+    SELECT DISTINCT doc_id::VARCHAR AS doc_id,
            (2097151 - (sel % 2097152))::INT AS fp_pos,
            (sel // 2097152)::BIGINT AS fp_hash
     FROM wnd WHERE pos <= greatest(m - 3, 1)
@@ -1740,7 +1740,10 @@ def _er_bcubed(spark: SparkSession, sf: str) -> DataFrame:
     """B-cubed precision/recall/F1 of the S5 linkage clusters against the
     gold entity labels — the per-record cluster metric (Bagga & Baldwin
     1998) reported next to pairwise F1; integer nano-unit term sums keep
-    both engines exact."""
+    both engines exact. Overflow bound (round-4 advice): the per-cell
+    n_cl^2 * 1e9 terms exceed BIGINT once a single (cluster, label) cell
+    holds ~3e4 records * sqrt(cells) — Spark wraps where DuckDB raises;
+    at web scale drop the 1e9 scaling and accept double term sums."""
     from blink_spark.operators.eval import bcubed
 
     clusters = _er_clusters(spark, sf)
@@ -1759,8 +1762,16 @@ def _er_ari(spark: SparkSession, sf: str) -> DataFrame:
     exact BIGINT (C(x,2) by integer div); only the final chance-corrected
     ratio touches doubles, on identical integers in both engines. Three
     partial-agg groupBys feed one-row scalar finalizes (the er_bcubed
-    SinglePartition class); pair-count terms overflow BIGINT only past
-    ~4e9 records per cluster — far beyond any single junction's size."""
+    SinglePartition class). Overflow bound (round-4 advice): the binding
+    term is den = n2*(a_pairs+b_pairs), a PRODUCT of pair counts — with
+    n2 ~ n^2/2 and a_pairs up to n2 it exceeds BIGINT once
+    n2*(a_pairs+b_pairs) > 2^63, i.e. as early as n ~ 6.5e4 records if one
+    cluster held everything (realistic skew pushes the bound far higher,
+    but it is NOT the naive per-term ~4e9). Spark would wrap silently
+    where DuckDB raises, so the finalize raises loudly instead: the guard
+    below errors before the multiply when the product can't fit. At
+    true web scale compute the chance term in doubles (inputs stay exact
+    under 2^53) or per-domain."""
     clusters = _er_clusters(spark, sf)
     labels = _fx(spark, "mentions").select(
         F.col("mention_id").alias("record_id"),
@@ -1790,6 +1801,19 @@ def _er_ari(spark: SparkSession, sf: str) -> DataFrame:
         .crossJoin(F.broadcast(b))
         .withColumn(
             "n2", F.expr("n_records * (n_records - 1) div 2").cast("long")
+        )
+        .withColumn(
+            # overflow precondition (see docstring): every term below is
+            # bounded by 2 * n2 * max(a_pairs + b_pairs, index_pairs); fail
+            # loudly (as DuckDB would) instead of wrapping silently.
+            "n2",
+            F.expr(
+                "CASE WHEN n2 <= 9223372036854775807"
+                " div (2 * greatest(a_pairs + b_pairs, index_pairs, 1))"
+                " THEN n2 ELSE raise_error("
+                "'er_ari: pair-count product would overflow BIGINT; "
+                "compute the chance term in doubles at this scale') END"
+            ),
         )
         .withColumn(
             "den", F.expr("n2 * (a_pairs + b_pairs) - 2 * a_pairs * b_pairs")
@@ -3594,7 +3618,10 @@ def _er_collective_boost(spark: SparkSession, sf: str) -> DataFrame:
     match becomes more credible. One window partitioned by the
     (high-cardinality) doc-pair key — a single hash shuffle, no
     SinglePartition; arithmetic is exact integer ppm (leave-one-out mean
-    via sum/count, floor division)."""
+    via sum/count, floor division). The doc-pair key is orientation-
+    canonicalized (least, greatest) so sibling pairs that link the same
+    two documents in opposite a/b order share one evidence window
+    (round-4 advice)."""
     from blink_spark.operators.scoring import score_pairs
 
     m = _fx(spark, "mentions").select("mention_id", "mention", "doc_id")
@@ -3628,7 +3655,9 @@ def _er_collective_boost(spark: SparkSession, sf: str) -> DataFrame:
         "doc_b",
         F.floor(F.col("jaccard") * 1000000).cast("long").alias("base_ppm"),
     )
-    w = Window.partitionBy("doc_a", "doc_b")
+    w = Window.partitionBy(
+        F.least("doc_a", "doc_b"), F.greatest("doc_a", "doc_b")
+    )
     neighbor = F.when(
         F.col("c") > 1,
         F.expr("(s - base_ppm) div (c - 1)"),
@@ -3885,6 +3914,22 @@ def _er_token_cosine(spark: SparkSession, sf: str) -> DataFrame:
         F.col("mention_id_b").alias("record_id_b"),
     )
     return token_cosine_pairs(pairs, m, "mention_id", "mention")
+
+
+@_q("er_tfidf_cosine", None)  # oracle injected below (fixture path)
+def _er_tfidf_cosine(spark: SparkSession, sf: str) -> DataFrame:
+    """IDF-weighted sparse token cosine (WHIRL soft-join comparator,
+    Cohen SIGMOD 1998) for the labeled gold pairs — rare tokens dominate,
+    shared stopwords stop scoring. Rational integer idf surrogate
+    ((1000*N) div df) so no libm log enters the parity surface."""
+    from blink_spark.operators.scoring import tfidf_cosine_pairs
+
+    m = _fx(spark, "mentions").select("mention_id", "mention")
+    pairs = _fx(spark, "gold_pairs").select(
+        F.col("mention_id_a").alias("record_id_a"),
+        F.col("mention_id_b").alias("record_id_b"),
+    )
+    return tfidf_cosine_pairs(pairs, m, "mention_id", "mention")
 
 
 @_q("er_phonetic_blocks", None)  # oracle injected below (fixture path)
@@ -4392,8 +4437,10 @@ def _er_oracles() -> dict[str, str]:
       ),
       w AS (
         SELECT record_id_a, record_id_b, base_ppm,
-               (sum(base_ppm) OVER (PARTITION BY doc_a, doc_b))::BIGINT AS s,
-               (count(*) OVER (PARTITION BY doc_a, doc_b))::BIGINT AS c
+               (sum(base_ppm) OVER (PARTITION BY least(doc_a, doc_b),
+                                    greatest(doc_a, doc_b)))::BIGINT AS s,
+               (count(*) OVER (PARTITION BY least(doc_a, doc_b),
+                               greatest(doc_a, doc_b)))::BIGINT AS c
         FROM j
       ),
       n AS (
@@ -4520,6 +4567,54 @@ def _er_oracles() -> dict[str, str]:
              nb.norm_sq::BIGINT AS norm_b,
              round(coalesce(d.dot, 0)::double
                    / sqrt((na.norm_sq * nb.norm_sq)::double), 6) AS cosine
+      FROM p
+      LEFT JOIN dots d
+        ON d.record_id_a = p.record_id_a AND d.record_id_b = p.record_id_b
+      JOIN norms na ON na.record_id = p.record_id_a
+      JOIN norms nb ON nb.record_id = p.record_id_b
+    """
+    # er_tfidf_cosine: same sparse-algebra shape, components weighted by the
+    # rational idf surrogate (1000*N)//df — integer floor div on positives is
+    # identical across engines; norms kept as separate sqrt factors so the
+    # product can't overflow BIGINT.
+    tfidf_cosine_sql = f"""
+      WITH m AS (
+        SELECT mention_id, {_norm_m} AS norm FROM read_parquet('{men}')
+      ),
+      tf AS (
+        SELECT mention_id AS record_id, tok, count(*)::BIGINT AS tf
+        FROM (SELECT mention_id, unnest(string_split(norm, ' ')) AS tok FROM m)
+        GROUP BY 1, 2
+      ),
+      nrec AS (SELECT count(DISTINCT mention_id)::BIGINT AS n FROM m),
+      dfk AS (SELECT tok, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+      w AS (
+        SELECT tf.record_id, tf.tok,
+               (tf.tf * ((1000 * nrec.n) // dfk.df))::BIGINT AS x
+        FROM tf JOIN dfk ON dfk.tok = tf.tok CROSS JOIN nrec
+      ),
+      norms AS (
+        SELECT record_id, sum(x * x)::BIGINT AS norm_sq FROM w GROUP BY 1
+      ),
+      p AS (
+        SELECT mention_id_a AS record_id_a, mention_id_b AS record_id_b
+        FROM read_parquet('{gold}')
+      ),
+      dots AS (
+        SELECT p.record_id_a, p.record_id_b,
+               sum(a.x * b.x)::BIGINT AS dot
+        FROM p
+        JOIN w a ON a.record_id = p.record_id_a
+        JOIN w b ON b.record_id = p.record_id_b AND b.tok = a.tok
+        GROUP BY 1, 2
+      )
+      SELECT p.record_id_a, p.record_id_b,
+             coalesce(d.dot, 0)::BIGINT AS dot,
+             na.norm_sq::BIGINT AS norm_a,
+             nb.norm_sq::BIGINT AS norm_b,
+             round(coalesce(d.dot, 0)::double
+                   / (sqrt(na.norm_sq::double) * sqrt(nb.norm_sq::double)), 6)
+               AS tfidf_cosine
       FROM p
       LEFT JOIN dots d
         ON d.record_id_a = p.record_id_a AND d.record_id_b = p.record_id_b
@@ -5914,6 +6009,7 @@ def _er_oracles() -> dict[str, str]:
         "er_golden_record": golden_sql,
         "er_match_rule_report": rule_report_sql,
         "er_token_cosine": token_cosine_sql,
+        "er_tfidf_cosine": tfidf_cosine_sql,
         "er_phonetic_blocks": phonetic_sql,
         "er_cluster_stats": f"""
           {scored_cte},
@@ -5944,9 +6040,13 @@ def _er_oracles() -> dict[str, str]:
         "er_cluster_repair": f"""
           {scored_cte},
           me AS (
+            -- record_id_a != record_id_b mirrors Spark's _canonical u != v
+            -- filter: a self-loop gold pair would otherwise survive here and
+            -- inflate degrees/support (round-4 advice)
             SELECT greatest(record_id_a, record_id_b) AS u,
                    least(record_id_a, record_id_b) AS v
-            FROM j WHERE is_match GROUP BY 1, 2
+            FROM j WHERE is_match AND record_id_a != record_id_b
+            GROUP BY 1, 2
           ),
           adj AS (SELECT u AS n, v AS w FROM me UNION ALL SELECT v, u FROM me),
           deg AS (SELECT n, count(*) AS deg FROM adj GROUP BY n),
@@ -6219,45 +6319,9 @@ def _er_oracles() -> dict[str, str]:
 # additions rotate in. Bodies and oracles are untouched — this is a
 # dict-order permutation only.
 _DRIVER_ORDER = [
-    # 20 retained from the old window (original relative order)
-    "sessionize_events", "er_clusters", "er_pairwise_f1",
-    "pivot_event_counts",
-    "wikidata_scan", "doc_sentences", "er_threshold_prune", "er_bm25_topk",
-    "er_coref_merge", "er_rank_histogram", "er_world_macro_micro",
-    "er_span_embedding_agg", "ann_ivf_recall",
-    "wiki_extractor_scan", "wiki_links", "wiki_incoming_links",
-    "jsonl_mention_scan", "er_blocking_recall", "conll_stream_spans",
-    "conll_csv_scan",
-    # 22 rotated INTO the window (former positions 50-71)
-    "scalar_wiki_forms", "er_pair_tokens", "er_pair_concat",
-    "er_candidate_fetch", "er_zeshel_doc_join", "er_pair_rerank",
-    "er_media_decode", "er_media_frames", "er_media_resize",
-    "embedding_label_centroids", "simhash_near_dups", "er_overlap_prune",
-    "jsonl_entity_scan", "er_span_repeat_prune", "er_repeat_overlap_prune",
-    "er_kb_ingest_filter", "er_pem_lookup", "doc_minhash_dedup",
-    "doc_ngram_containment_dups", "ann_lsh_recall", "embedding_cosine_dups",
-    "er_jdbc_mapping_scan",
-    # round-4 additions, rotated straight into the window (7 more multi-green
-    # veterans — er_two_key_fallback_join, cube_returnflag_status,
-    # order_key_set_ops, er_span_enumeration, er_question_mentions,
-    # er_span_f1_weak_strong, er_inverted_index_topk — parked to make room,
-    # so every query defined this round earns a driver row this round)
-    "doc_winnow_fingerprints", "doc_bpe_tokens", "doc_winnow_excerpt_dups",
-    "doc_repetition_filters", "doc_tfidf_top_terms", "doc_domain_sample",
-    "doc_decontaminate", "doc_curation_pipeline",
-    # 30 multi-green veterans rotated OUT (keep their definitions + oracles)
-    "er_two_key_fallback_join", "cube_returnflag_status", "order_key_set_ops",
-    "er_span_enumeration", "er_question_mentions", "er_span_f1_weak_strong",
-    "er_inverted_index_topk", "er_span_scores",
-    "pricing_summary", "top_orders_per_customer", "revenue_by_region",
-    "customers_with_orders", "customers_without_orders", "event_neighbors",
-    "macro_micro_value", "doc_token_stats", "doc_quality", "doc_lang_id",
-    "doc_fingerprint_dedup", "doc_minhash_bands", "ann_bruteforce_topk",
-    "er_extract_mentions", "er_media_spans", "er_span_invariant",
-    "er_token_pair_blocks", "er_candidate_pairs", "er_scored_gold_pairs",
-    "er_topk_candidates", "er_recall_at_k", "softmax_confidence",
-    # round-5 candidates: defined late in round 4, parked at the tail until
-    # the round-5 rotation swaps them into the driver window
+    # ---- ROUND-5 WINDOW (first 50 = the driver's verification sample) ----
+    # positions 1-39: the 39 never-driver-green round-4 tail queries, rotated
+    # in for their one and only chance at a driver row (round 5 is final)
     "doc_chunk_windows", "doc_vocab_coverage", "doc_pack_sequences",
     "embedding_outliers", "doc_lm_perplexity", "er_blocking_quality",
     "embedding_pq_codes", "ann_pq_recall", "doc_length_profile",
@@ -6271,6 +6335,42 @@ _DRIVER_ORDER = [
     "doc_c4_filters", "er_edit_distance_pairs", "er_cluster_repair",
     "doc_dsir_weights", "er_em_weights", "er_one_to_one", "er_review_queue",
     "er_progressive_recall", "er_collective_boost", "er_ari",
+    # position 40: red in r4 (oracle doc_id was BIGINT vs Spark string — the
+    # driver hashes typed values; oracle now casts ::VARCHAR) — re-verify
+    "doc_winnow_fingerprints",
+    # positions 41-50: multi-green veterans holding slots for round-5
+    # additions (each new query replaces one of these, veteran moves to tail)
+    "sessionize_events", "er_clusters", "er_pairwise_f1",
+    "pivot_event_counts", "wikidata_scan", "doc_sentences",
+    "er_threshold_prune", "er_bm25_topk", "er_coref_merge",
+    "er_tfidf_cosine",
+    # ---- TAIL (driver-green in r1-r4; definitions + oracles unchanged) ----
+    "er_rank_histogram",
+    "er_world_macro_micro", "er_span_embedding_agg", "ann_ivf_recall",
+    "wiki_extractor_scan", "wiki_links", "wiki_incoming_links",
+    "jsonl_mention_scan", "er_blocking_recall", "conll_stream_spans",
+    "conll_csv_scan",
+    "scalar_wiki_forms", "er_pair_tokens", "er_pair_concat",
+    "er_candidate_fetch", "er_zeshel_doc_join", "er_pair_rerank",
+    "er_media_decode", "er_media_frames", "er_media_resize",
+    "embedding_label_centroids", "simhash_near_dups", "er_overlap_prune",
+    "jsonl_entity_scan", "er_span_repeat_prune", "er_repeat_overlap_prune",
+    "er_kb_ingest_filter", "er_pem_lookup", "doc_minhash_dedup",
+    "doc_ngram_containment_dups", "ann_lsh_recall", "embedding_cosine_dups",
+    "er_jdbc_mapping_scan",
+    "doc_bpe_tokens", "doc_winnow_excerpt_dups",
+    "doc_repetition_filters", "doc_tfidf_top_terms", "doc_domain_sample",
+    "doc_decontaminate", "doc_curation_pipeline",
+    "er_two_key_fallback_join", "cube_returnflag_status", "order_key_set_ops",
+    "er_span_enumeration", "er_question_mentions", "er_span_f1_weak_strong",
+    "er_inverted_index_topk", "er_span_scores",
+    "pricing_summary", "top_orders_per_customer", "revenue_by_region",
+    "customers_with_orders", "customers_without_orders", "event_neighbors",
+    "macro_micro_value", "doc_token_stats", "doc_quality", "doc_lang_id",
+    "doc_fingerprint_dedup", "doc_minhash_bands", "ann_bruteforce_topk",
+    "er_extract_mentions", "er_media_spans", "er_span_invariant",
+    "er_token_pair_blocks", "er_candidate_pairs", "er_scored_gold_pairs",
+    "er_topk_candidates", "er_recall_at_k", "softmax_confidence",
 ]
 
 

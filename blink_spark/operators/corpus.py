@@ -938,3 +938,76 @@ def dsir_weights(
             6,
         ).alias("avg_w"),
     )
+
+
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_quality(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Gopher quality rules (Rae et al. 2021, §A1.1) — the word-statistic
+    document filters next to the repetition filters (same paper, separate
+    table): word count bounds, mean word length bounds, symbol-to-word
+    ratio (# and ellipsis), fraction of words with an alphabetic
+    character, and the ≥2-distinct-stopwords rule. The structural C4 rules
+    and the statistical repetition rules are implemented separately
+    (``c4_filters`` / ``repetition_features``); this completes the
+    standard three-stage web-corpus quality stack.
+
+    Shape: one posexplode over normalized words → codegen per-word flags →
+    ONE doc-keyed aggregation (single shuffle). Ellipsis/hash counts are
+    non-regex ``replace`` length deltas on the raw text (left-to-right
+    non-overlapping in both engines); all ratios are exact integer ppm via
+    positive floor division, so the oracle reproduces every boundary.
+
+    Output: doc_id, n_words, mean_word_len_ppm, symbol_ratio_ppm,
+    alpha_word_ppm, n_stopwords_distinct, keep.
+    """
+    did = F.col(id_col)
+    norm = normalize_text(F.col(text_col))
+    n_ellipsis = (
+        (F.length(text_col) - F.length(F.replace(F.col(text_col), F.lit("..."))))
+        / 3
+    ).cast("long")
+    n_hash = (
+        F.length(text_col) - F.length(F.replace(F.col(text_col), F.lit("#")))
+    ).cast("long")
+    words = docs.select(
+        did.alias("doc_id"),
+        n_ellipsis.alias("n_ellipsis"),
+        n_hash.alias("n_hash"),
+        F.explode(F.split(norm, " ")).alias("w"),
+    )
+    flags = words.select(
+        "doc_id",
+        "n_ellipsis",
+        "n_hash",
+        F.length("w").alias("wlen"),
+        F.col("w").rlike("[a-z]").alias("is_alpha"),
+        F.when(F.col("w").isin(*GOPHER_STOPWORDS), F.col("w")).alias("sw"),
+    )
+    agg = flags.groupBy("doc_id", "n_ellipsis", "n_hash").agg(
+        F.count(F.lit(1)).cast("long").alias("n_words"),
+        F.sum("wlen").cast("long").alias("n_word_chars"),
+        F.sum(F.when(F.col("is_alpha"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_alpha_words"),
+        F.countDistinct("sw").cast("long").alias("n_stopwords_distinct"),
+    )
+    mean_len = F.expr("(1000000 * n_word_chars) div n_words")
+    symbol = F.expr("(1000000 * (n_ellipsis + n_hash)) div n_words")
+    alpha = F.expr("(1000000 * n_alpha_words) div n_words")
+    return agg.select(
+        "doc_id",
+        "n_words",
+        mean_len.cast("long").alias("mean_word_len_ppm"),
+        symbol.cast("long").alias("symbol_ratio_ppm"),
+        alpha.cast("long").alias("alpha_word_ppm"),
+        "n_stopwords_distinct",
+        (
+            F.col("n_words").between(50, 100_000)
+            & mean_len.between(3_000_000, 10_000_000)
+            & (symbol <= 100_000)
+            & (alpha >= 800_000)
+            & (F.col("n_stopwords_distinct") >= 2)
+        ).alias("keep"),
+    )

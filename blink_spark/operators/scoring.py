@@ -514,3 +514,104 @@ def em_fs_weights(
     return pairs.sparkSession.createDataFrame(
         rows, "feature string, m_ppm long, u_ppm long, weight_micro long"
     )
+
+
+def tfidf_cosine_pairs(
+    pairs: DataFrame,
+    records: DataFrame,
+    id_col: str,
+    text_col: str,
+    idf_scale: int = 1000,
+) -> DataFrame:
+    """IDF-weighted sparse token cosine for candidate pairs — the WHIRL /
+    soft-join comparator (Cohen, SIGMOD 1998) that token_cosine_pairs
+    lacks: rare tokens dominate the score, so shared stopwords stop
+    producing false high similarity. The reference's candidate retrieval
+    leans on the same inverse-document-frequency arbitration
+    (/root/reference/blink/candidate_retrieval/candidate_generators.py
+    BM25 boosts); here it is the exact vector-space form.
+
+    Exact cross-engine parity: the idf weight is the RATIONAL surrogate
+    ``w(tok) = (idf_scale * N) div df(tok)`` — a positive integer floor
+    division identical in Spark (`div`) and DuckDB (`//`) — instead of a
+    libm log whose 1-ulp engine differences could flip a floor. The
+    tf-idf component is ``tf * w`` (exact long); dot and squared norms are
+    exact long sums; the only float ops are two IEEE-correctly-rounded
+    sqrts and one multiply+divide on identical integers (norms stay as
+    separate sqrt factors so the product can't overflow BIGINT where
+    ``norm_a * norm_b`` would).
+
+    Scale: identical shape to token_cosine_pairs — (pair, token)
+    equi-join bounded by pairs × tokens-per-record, map-side-combinable
+    sums, df/N computed with one vocabulary-keyed aggregation broadcast
+    back onto the tf rows (vocab is corpus-bounded; the join key is the
+    token, already shuffled for df anyway).
+
+    Output: pairs + ``dot``, ``norm_a``, ``norm_b`` (exact longs) +
+    ``tfidf_cosine`` (round 6).
+    """
+    from blink_spark.functions.text import normalize_text
+
+    tf = (
+        records.select(
+            F.col(id_col).alias("record_id"),
+            F.explode(F.split(normalize_text(records[text_col]), " ")).alias("tok"),
+        )
+        .groupBy("record_id", "tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    n_records = records.select(F.col(id_col)).distinct().count()
+    df_tok = tf.groupBy("tok").agg(
+        F.count(F.lit(1)).cast("long").alias("df")
+    )
+    weighted = tf.join(df_tok, "tok").select(
+        "record_id",
+        "tok",
+        (F.col("tf") * F.expr(f"({idf_scale} * {n_records}L) div df"))
+        .cast("long")
+        .alias("x"),
+    )
+    norms = weighted.groupBy("record_id").agg(
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("norm_sq")
+    )
+    xa = weighted.select(
+        F.col("record_id").alias("record_id_a"), "tok", F.col("x").alias("x_a")
+    )
+    xb = weighted.select(
+        F.col("record_id").alias("record_id_b"), "tok", F.col("x").alias("x_b")
+    )
+    dots = (
+        pairs.join(xa, "record_id_a")
+        .join(xb, ["record_id_b", "tok"])
+        .groupBy("record_id_a", "record_id_b")
+        .agg(F.sum(F.col("x_a") * F.col("x_b")).cast("long").alias("dot"))
+    )
+    out = (
+        pairs.join(dots, ["record_id_a", "record_id_b"], "left")
+        .join(
+            norms.select(
+                F.col("record_id").alias("record_id_a"),
+                F.col("norm_sq").alias("norm_a"),
+            ),
+            "record_id_a",
+        )
+        .join(
+            norms.select(
+                F.col("record_id").alias("record_id_b"),
+                F.col("norm_sq").alias("norm_b"),
+            ),
+            "record_id_b",
+        )
+        .withColumn("dot", F.coalesce(F.col("dot"), F.lit(0).cast("long")))
+    )
+    return out.withColumn(
+        "tfidf_cosine",
+        F.round(
+            F.col("dot").cast("double")
+            / (
+                F.sqrt(F.col("norm_a").cast("double"))
+                * F.sqrt(F.col("norm_b").cast("double"))
+            ),
+            6,
+        ),
+    )

@@ -204,6 +204,42 @@ def test_token_cosine_exact(spark):
     assert (p13["dot"], p13["cosine"]) == (0, 0.0)
 
 
+def test_tfidf_cosine_exact(spark):
+    from blink_spark.operators.scoring import tfidf_cosine_pairs
+
+    records = spark.createDataFrame(
+        pd.DataFrame(
+            [("r1", "a b a"), ("r2", "a  b"), ("r3", "c d")],
+            columns=["id", "text"],
+        )
+    )
+    pairs = spark.createDataFrame(
+        pd.DataFrame(
+            [("r1", "r2"), ("r1", "r3")],
+            columns=["record_id_a", "record_id_b"],
+        )
+    )
+    out = {
+        (r["record_id_a"], r["record_id_b"]): r.asDict()
+        for r in tfidf_cosine_pairs(pairs, records, "id", "text").collect()
+    }
+    # N=3; df(a)=df(b)=2 -> w=1500, df(c)=df(d)=1 -> w=3000
+    # r1 = {a:3000, b:1500} (norm 11_250_000), r2 = {a:1500, b:1500}
+    # (norm 4_500_000): dot = 4_500_000 + 2_250_000
+    p12 = out[("r1", "r2")]
+    assert (p12["dot"], p12["norm_a"], p12["norm_b"]) == (
+        6_750_000, 11_250_000, 4_500_000,
+    )
+    assert p12["tfidf_cosine"] == round(
+        6_750_000 / (11_250_000 ** 0.5 * 4_500_000 ** 0.5), 6
+    )
+    # idf does its job: the unweighted cosines are equal for equal token
+    # overlap, but rare-token pairs would outscore stopword pairs here
+    p13 = out[("r1", "r3")]
+    assert (p13["dot"], p13["tfidf_cosine"]) == (0, 0.0)
+    assert p13["norm_b"] == 18_000_000
+
+
 def test_phonetic_key_classic_soundex_pairs(spark):
     from blink_spark.functions.text import phonetic_key
 

@@ -97,6 +97,19 @@ def main() -> int:
             if "HUGEINT" in tu or tu.startswith("DECIMAL"):
                 problems.append(f"oracle col {c} has driver-hostile type {t} "
                                 f"(add an explicit ::BIGINT/::DOUBLE cast)")
+        # The driver hashes TYPED values, but _cell()'s str() masks e.g.
+        # Spark string "123" vs DuckDB BIGINT 123 (the r4 doc_winnow bug):
+        # compare the per-column Python type signature explicitly.
+        if sorted(s_cols) == sorted(d_cols) and len(s_rows) and len(d_rows):
+            s_i = {c: i for i, c in enumerate(s_cols)}
+            d_i = {c: i for i, c in enumerate(d_cols)}
+            for c in s_cols:
+                st = {type(r[s_i[c]]).__name__ for r in s_rows} - {"NoneType"}
+                dt = {type(r[d_i[c]]).__name__ for r in d_rows} - {"NoneType"}
+                if st != dt:
+                    problems.append(
+                        f"col {c} python-type mismatch spark={sorted(st)} "
+                        f"duckdb={sorted(dt)} (driver hashes typed values)")
         if len(s_rows) != len(d_rows):
             problems.append(f"rowcount spark={len(s_rows)} duckdb={len(d_rows)}")
         if sorted(s_cols) != sorted(d_cols):

@@ -3857,6 +3857,76 @@ def _doc_c4_filters(spark: SparkSession, sf: str) -> DataFrame:
     return c4_filters(injected, "doc_id", "text")
 
 
+_GOPHER_SQL = f"""
+    WITH inj AS (
+      SELECT doc_id,
+             text || CASE WHEN doc_id % 5 = 0 THEN ' ## read more ...' ELSE '' END
+                  || CASE WHEN doc_id % 9 = 0 THEN ' ... see #4 ###' ELSE '' END AS t
+      FROM documents
+    ),
+    base AS (
+      SELECT doc_id, {_norm('t')} AS norm,
+             ((length(t) - length(replace(t, '...', ''))) // 3)::BIGINT AS n_ellipsis,
+             (length(t) - length(replace(t, '#', '')))::BIGINT AS n_hash
+      FROM inj
+    ),
+    w AS (
+      SELECT doc_id, n_ellipsis, n_hash, unnest(string_split(norm, ' ')) AS w
+      FROM base
+    ),
+    f AS (
+      SELECT doc_id, n_ellipsis, n_hash, length(w) AS wlen,
+             regexp_matches(w, '[a-z]') AS is_alpha,
+             CASE WHEN w IN ('the','be','to','of','and','that','have','with')
+                  THEN w END AS sw
+      FROM w
+    ),
+    a AS (
+      SELECT doc_id, n_ellipsis, n_hash,
+             count(*)::BIGINT AS n_words,
+             sum(wlen)::BIGINT AS n_word_chars,
+             sum(CASE WHEN is_alpha THEN 1 ELSE 0 END)::BIGINT AS n_alpha_words,
+             count(DISTINCT sw)::BIGINT AS n_stopwords_distinct
+      FROM f GROUP BY 1, 2, 3
+    )
+    SELECT doc_id, n_words,
+           ((1000000 * n_word_chars) // n_words)::BIGINT AS mean_word_len_ppm,
+           ((1000000 * (n_ellipsis + n_hash)) // n_words)::BIGINT
+             AS symbol_ratio_ppm,
+           ((1000000 * n_alpha_words) // n_words)::BIGINT AS alpha_word_ppm,
+           n_stopwords_distinct,
+           (n_words BETWEEN 50 AND 100000
+            AND (1000000 * n_word_chars) // n_words
+                BETWEEN 3000000 AND 10000000
+            AND (1000000 * (n_ellipsis + n_hash)) // n_words <= 100000
+            AND (1000000 * n_alpha_words) // n_words >= 800000
+            AND n_stopwords_distinct >= 2) AS keep
+    FROM a
+    """
+
+
+@_q("doc_gopher_quality", _GOPHER_SQL)
+def _doc_gopher_quality(spark: SparkSession, sf: str) -> DataFrame:
+    """Gopher word-statistic quality rules (Rae et al. 2021 §A1.1) over the
+    documents table with a deterministic symbol injection so the # /
+    ellipsis rules execute: completes the C4-structural + Gopher-repetition
+    + Gopher-quality web-corpus cleaning stack. All ratios integer ppm."""
+    from blink_spark.operators.corpus import gopher_quality
+
+    d = _t(spark, sf, "documents")
+    injected = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 5 == 0, F.lit(" ## read more ..."))
+            .otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 9 == 0, F.lit(" ... see #4 ###"))
+            .otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return gopher_quality(injected, "doc_id", "text")
+
+
 @_q("er_match_rule_report", None)  # oracle injected below (fixture path)
 def _er_match_rule_report(spark: SparkSession, sf: str) -> DataFrame:
     """Per-rule ablation of the match decision over labeled gold pairs:
@@ -6342,10 +6412,10 @@ _DRIVER_ORDER = [
     # additions (each new query replaces one of these, veteran moves to tail)
     "sessionize_events", "er_clusters", "er_pairwise_f1",
     "pivot_event_counts", "wikidata_scan", "doc_sentences",
-    "er_threshold_prune", "er_bm25_topk", "er_coref_merge",
-    "er_tfidf_cosine",
+    "er_threshold_prune", "er_bm25_topk",
+    "er_tfidf_cosine", "doc_gopher_quality",
     # ---- TAIL (driver-green in r1-r4; definitions + oracles unchanged) ----
-    "er_rank_histogram",
+    "er_coref_merge", "er_rank_histogram",
     "er_world_macro_micro", "er_span_embedding_agg", "ann_ivf_recall",
     "wiki_extractor_scan", "wiki_links", "wiki_incoming_links",
     "jsonl_mention_scan", "er_blocking_recall", "conll_stream_spans",

@@ -809,3 +809,40 @@ def test_dsir_weights_equals_bruteforce(spark):
     assert got == {d: (n, s, d in (1, 2)) for d, (n, s) in want.items()}
     # target-distinctive docs must outrank background ones
     assert got[1][1] > got[3][1] and got[2][1] > got[3][1]
+
+
+def test_gopher_quality_hand_computed(spark):
+    import pandas as pd
+
+    from blink_spark.operators.corpus import gopher_quality
+
+    long_good = " ".join(
+        ["the quick brown fox jumps over that lazy dog with style and grace"]
+        * 5
+    )  # 65 words, all alphabetic, stopwords {the, that, with, and} -> 4
+    symbolic = "short doc ... with ## symbols #"  # 7 words, 1 ellipsis, 3 hash
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            [(1, long_good), (2, symbolic)], columns=["doc_id", "text"]
+        )
+    )
+    out = {r.doc_id: r.asDict() for r in
+           gopher_quality(df, "doc_id", "text").collect()}
+
+    g = out[1]
+    assert g["n_words"] == 65
+    chars = sum(len(w) for w in long_good.split())
+    assert g["mean_word_len_ppm"] == (1_000_000 * chars) // 65
+    assert g["symbol_ratio_ppm"] == 0
+    assert g["alpha_word_ppm"] == 1_000_000
+    assert g["n_stopwords_distinct"] == 4
+    assert bool(g["keep"]) is True
+
+    s = out[2]
+    assert s["n_words"] == 7
+    # 1 ellipsis + 3 '#' chars over 7 words
+    assert s["symbol_ratio_ppm"] == (1_000_000 * 4) // 7
+    # '...', '##', '#' carry no [a-z]
+    assert s["alpha_word_ppm"] == (1_000_000 * 4) // 7
+    assert s["n_stopwords_distinct"] == 1  # 'with'
+    assert bool(s["keep"]) is False  # word count below 50

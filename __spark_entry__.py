@@ -3857,6 +3857,77 @@ def _doc_c4_filters(spark: SparkSession, sf: str) -> DataFrame:
     return c4_filters(injected, "doc_id", "text")
 
 
+_INJ_LINES_SQL = "text\n             " + "\n             ".join(
+    "|| CASE WHEN doc_id % {m} = 0 THEN {lit} ELSE '' END".format(
+        m=m, lit="chr(10) || '" + s[1:].replace("'", "''") + "'"
+    )
+    for m, s in _C4_INJECTIONS
+)
+
+_LINE_DEDUP_SQL = f"""
+    WITH inj AS (
+      SELECT doc_id, {_INJ_LINES_SQL} AS t
+      FROM documents
+    ),
+    lsx AS (SELECT doc_id, string_split(t, chr(10)) AS ls FROM inj),
+    ix AS (
+      SELECT doc_id, unnest(range(1, len(ls) + 1))::INT AS i, ls FROM lsx
+    ),
+    ln AS (
+      SELECT doc_id, i - 1 AS pos,
+             trim(regexp_replace(lower(ls[i]),
+                                 '[\\t\\n\\x0B\\f\\r ]+', ' ', 'g')) AS norm
+      FROM ix
+    ),
+    mk AS (
+      SELECT doc_id, length(norm)::BIGINT AS nchars,
+             doc_id * 1048576 + pos AS pk, md5(norm) AS h
+      FROM ln WHERE length(norm) > 0
+    ),
+    d AS (
+      SELECT doc_id, nchars,
+             (pk != min(pk) OVER (PARTITION BY h)) AS is_dup
+      FROM mk
+    ),
+    a AS (
+      SELECT doc_id, count(*)::BIGINT AS n_lines,
+             sum(CASE WHEN is_dup THEN 1 ELSE 0 END)::BIGINT AS n_dup_lines,
+             sum(nchars)::BIGINT AS n_line_chars,
+             sum(CASE WHEN is_dup THEN nchars ELSE 0 END)::BIGINT AS dup_chars
+      FROM d GROUP BY 1
+    )
+    SELECT doc_id, n_lines, n_dup_lines,
+           round(n_dup_lines::double / n_lines, 6) AS dup_line_frac,
+           n_line_chars,
+           ((1000000 * dup_chars) // greatest(n_line_chars, 1))::BIGINT
+             AS dup_char_ppm
+    FROM a
+    """
+
+
+@_q("doc_line_dedup", _LINE_DEDUP_SQL)
+def _doc_line_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """CCNet/RefinedWeb line-level cross-document dedup statistics over the
+    documents table with the deterministic C4 line injections (so shared
+    boilerplate lines exist): duplicate-line count and the normalized char
+    mass those duplicates carry, first occurrence elected by packed-int
+    min window. Complements chunk_dedup_stats (fixed token windows)."""
+    from blink_spark.operators.dedup import line_dedup_stats
+
+    d = _t(spark, sf, "documents")
+    injected = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            *[
+                F.when(F.col("doc_id") % m == 0, F.lit(s)).otherwise(F.lit(""))
+                for m, s in _C4_INJECTIONS
+            ],
+        ).alias("text"),
+    )
+    return line_dedup_stats(injected, "doc_id", "text")
+
+
 _GOPHER_SQL = f"""
     WITH inj AS (
       SELECT doc_id,
@@ -6412,10 +6483,10 @@ _DRIVER_ORDER = [
     # additions (each new query replaces one of these, veteran moves to tail)
     "sessionize_events", "er_clusters", "er_pairwise_f1",
     "pivot_event_counts", "wikidata_scan", "doc_sentences",
-    "er_threshold_prune", "er_bm25_topk",
-    "er_tfidf_cosine", "doc_gopher_quality",
+    "er_threshold_prune",
+    "er_tfidf_cosine", "doc_gopher_quality", "doc_line_dedup",
     # ---- TAIL (driver-green in r1-r4; definitions + oracles unchanged) ----
-    "er_coref_merge", "er_rank_histogram",
+    "er_bm25_topk", "er_coref_merge", "er_rank_histogram",
     "er_world_macro_micro", "er_span_embedding_agg", "ann_ivf_recall",
     "wiki_extractor_scan", "wiki_links", "wiki_incoming_links",
     "jsonl_mention_scan", "er_blocking_recall", "conll_stream_spans",

@@ -584,3 +584,33 @@ def test_ivfpq_results_subset_of_probed_cells(spark):
     assert hits, "no hits returned"
     for r in hits:
         assert (r.query_id, r.cid) in probes
+
+
+def test_line_dedup_stats_planted(spark):
+    import pandas as pd
+
+    from blink_spark.operators.dedup import line_dedup_stats
+
+    footer = "Copyright ACME corp."
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            [
+                (1, "unique alpha line.\n" + footer),
+                (2, "unique beta line.\n" + footer + "\n\n"),
+                (3, footer + "\nunique gamma line.\n" + footer),
+            ],
+            columns=["doc_id", "text"],
+        )
+    )
+    out = {r.doc_id: r.asDict() for r in
+           line_dedup_stats(docs, "doc_id", "text").collect()}
+    # doc 1 owns the footer's first occurrence (smallest packed key)
+    assert (out[1]["n_lines"], out[1]["n_dup_lines"]) == (2, 0)
+    # doc 2: blank line excluded; its footer is a duplicate
+    assert (out[2]["n_lines"], out[2]["n_dup_lines"]) == (2, 1)
+    assert out[2]["dup_line_frac"] == 0.5
+    f = len(footer.lower())
+    total2 = len("unique beta line.") + f
+    assert out[2]["dup_char_ppm"] == (1_000_000 * f) // total2
+    # doc 3 repeats the footer twice, both non-first
+    assert (out[3]["n_lines"], out[3]["n_dup_lines"]) == (3, 2)

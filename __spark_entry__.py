@@ -3609,6 +3609,83 @@ def _er_progressive_recall(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@_q("er_pr_curve", None)  # oracle injected below (fixture path)
+def _er_pr_curve(spark: SparkSession, sf: str) -> DataFrame:
+    """Threshold-sweep operating curve over the labeled gold pairs:
+    precision, recall and F1 of the "match if jaccard >= t" rule at every
+    score bucket — the empirical curve an operator reads to place the
+    Fellegi-Sunter upper threshold (er_progressive_recall answers budget,
+    this answers QUALITY at a threshold). One groupBy onto <= 21 buckets,
+    then the tiny-table cumulative window (rank-histogram class); P/R/F1
+    are exact integer ppm, F1 computed from the already-floored P and R
+    so both engines floor identically."""
+    from blink_spark.operators.scoring import score_pairs
+
+    m = _fx(spark, "mentions").select("mention_id", "mention")
+    g = _fx(spark, "gold_pairs")
+    attrs = (
+        g.select(
+            F.col("mention_id_a").alias("record_id_a"),
+            F.col("mention_id_b").alias("record_id_b"),
+            "same_entity",
+        )
+        .join(
+            m.select(
+                F.col("mention_id").alias("record_id_a"),
+                F.col("mention").alias("mention_a"),
+            ),
+            "record_id_a",
+        )
+        .join(
+            m.select(
+                F.col("mention_id").alias("record_id_b"),
+                F.col("mention").alias("mention_b"),
+            ),
+            "record_id_b",
+        )
+    )
+    scored = score_pairs(attrs, text_a="mention_a", text_b="mention_b")
+    per = (
+        scored.select(
+            F.floor(F.col("jaccard") * 20).cast("long").alias("score_bucket"),
+            F.col("same_entity").cast("long").alias("is_gold"),
+        )
+        .groupBy("score_bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("comparisons"),
+            F.sum("is_gold").cast("long").alias("matches"),
+        )
+    )
+    tot = per.agg(F.sum("matches").cast("long").alias("total_gold"))
+    w = Window.orderBy(F.col("score_bucket").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = (
+        per.crossJoin(F.broadcast(tot))
+        .withColumn("n_predicted", F.sum("comparisons").over(w).cast("long"))
+        .withColumn("n_tp", F.sum("matches").over(w).cast("long"))
+        .withColumn(
+            "precision_ppm",
+            F.expr("(1000000 * n_tp) div greatest(n_predicted, 1)").cast("long"),
+        )
+        .withColumn(
+            "recall_ppm",
+            F.expr("(1000000 * n_tp) div greatest(total_gold, 1)").cast("long"),
+        )
+    )
+    return cum.select(
+        (F.col("score_bucket") * 50000).cast("long").alias("threshold_ppm"),
+        "n_predicted",
+        "n_tp",
+        "precision_ppm",
+        "recall_ppm",
+        F.expr(
+            "(2 * precision_ppm * recall_ppm)"
+            " div greatest(precision_ppm + recall_ppm, 1)"
+        ).cast("long").alias("f1_ppm"),
+    )
+
+
 @_q("er_collective_boost", None)  # oracle injected below (fixture path)
 def _er_collective_boost(spark: SparkSession, sf: str) -> DataFrame:
     """Collective ER (one round of relational evidence propagation,
@@ -4557,6 +4634,51 @@ def _er_oracles() -> dict[str, str]:
              ((1000000 * cum_matches) // greatest(tm, 1))::BIGINT AS recall_ppm,
              ((1000000 * cum_comparisons) // greatest(tc, 1))::BIGINT AS effort_ppm
       FROM c CROSS JOIN tot
+    """
+    # er_pr_curve: same bucketed-cumulative shape; F1 floored from the
+    # already-floored ppm P/R so both engines agree exactly.
+    pr_curve_sql = f"""
+      WITH m AS (
+        SELECT mention_id, {_norm_m} AS norm,
+               list_distinct(string_split({_norm_m}, ' ')) AS t
+        FROM read_parquet('{men}')
+      ),
+      p AS (
+        SELECT g.same_entity::BIGINT AS is_gold,
+               floor(round(len(list_intersect(ma.t, mb.t))::double
+                     / greatest(len(list_distinct(list_concat(ma.t, mb.t))), 1), 6)
+                     * 20)::BIGINT AS score_bucket
+        FROM read_parquet('{gold}') g
+        JOIN m ma ON ma.mention_id = g.mention_id_a
+        JOIN m mb ON mb.mention_id = g.mention_id_b
+      ),
+      per AS (
+        SELECT score_bucket, count(*)::BIGINT AS comparisons,
+               sum(is_gold)::BIGINT AS matches
+        FROM p GROUP BY 1
+      ),
+      tot AS (SELECT sum(matches)::BIGINT AS total_gold FROM per),
+      c AS (
+        SELECT score_bucket,
+               (sum(comparisons) OVER (ORDER BY score_bucket DESC))::BIGINT
+                 AS n_predicted,
+               (sum(matches) OVER (ORDER BY score_bucket DESC))::BIGINT
+                 AS n_tp
+        FROM per
+      ),
+      pr AS (
+        SELECT score_bucket, n_predicted, n_tp,
+               ((1000000 * n_tp) // greatest(n_predicted, 1))::BIGINT
+                 AS precision_ppm,
+               ((1000000 * n_tp) // greatest(total_gold, 1))::BIGINT
+                 AS recall_ppm
+        FROM c CROSS JOIN tot
+      )
+      SELECT (score_bucket * 50000)::BIGINT AS threshold_ppm,
+             n_predicted, n_tp, precision_ppm, recall_ppm,
+             ((2 * precision_ppm * recall_ppm)
+              // greatest(precision_ppm + recall_ppm, 1))::BIGINT AS f1_ppm
+      FROM pr
     """
     # er_collective_boost: leave-one-out doc-pair evidence window; window
     # sums cast ::BIGINT (DuckDB window sums widen to HUGEINT otherwise).
@@ -6145,6 +6267,7 @@ def _er_oracles() -> dict[str, str]:
         "er_one_to_one": one2one_sql,
         "er_review_queue": review_queue_sql,
         "er_progressive_recall": progressive_sql,
+        "er_pr_curve": pr_curve_sql,
         "er_collective_boost": collective_sql,
         "er_ari": ari_sql,
         "er_golden_record": golden_sql,
@@ -6483,9 +6606,9 @@ _DRIVER_ORDER = [
     # additions (each new query replaces one of these, veteran moves to tail)
     "sessionize_events", "er_clusters", "er_pairwise_f1",
     "pivot_event_counts", "wikidata_scan", "doc_sentences",
-    "er_threshold_prune",
-    "er_tfidf_cosine", "doc_gopher_quality", "doc_line_dedup",
+    "er_tfidf_cosine", "doc_gopher_quality", "doc_line_dedup", "er_pr_curve",
     # ---- TAIL (driver-green in r1-r4; definitions + oracles unchanged) ----
+    "er_threshold_prune",
     "er_bm25_topk", "er_coref_merge", "er_rank_histogram",
     "er_world_macro_micro", "er_span_embedding_agg", "ann_ivf_recall",
     "wiki_extractor_scan", "wiki_links", "wiki_incoming_links",

@@ -476,3 +476,22 @@ def test_greedy_one_to_one_tie_break_deterministic(spark):
         for x in greedy_one_to_one(pairs, "l", "r", "sim", rounds=2).collect()
     }
     assert got == {("l1", "r1"): 1, ("l2", "r2"): 2}
+
+
+def test_pr_curve_fixture_shape(spark):
+    import __spark_entry__ as entry
+
+    rows = sorted(
+        (r.asDict() for r in
+         entry._QUERIES["er_pr_curve"](spark, "unused").collect()),
+        key=lambda r: -r["threshold_ppm"],
+    )
+    # top bucket: everything predicted at jaccard=1.0 is a true match
+    assert rows[0]["precision_ppm"] == 1_000_000
+    # recall is monotone non-decreasing as the threshold drops and ends at 1
+    recalls = [r["recall_ppm"] for r in rows]
+    assert recalls == sorted(recalls) and recalls[-1] == 1_000_000
+    # the operating point: jaccard >= 0.60 is the best single-rule F1 on
+    # the fixture corpus (the full 3-rule decision reaches F1 = 1.0)
+    best = max(rows, key=lambda r: r["f1_ppm"])
+    assert best["threshold_ppm"] == 600_000 and best["f1_ppm"] == 973_324

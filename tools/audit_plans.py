@@ -114,6 +114,16 @@ ALLOWLIST: dict[str, frozenset[str]] = {
             "Exchange SinglePartition (non-finalize)",
         }
     ),
+    # er_pr_curve: identical rank-histogram shape to er_progressive_recall
+    # — unpartitioned cumulative window + one-row total-gold broadcast over
+    # the <= 21-row bucket aggregate; no pair-scale rows cross either node.
+    "er_pr_curve": frozenset(
+        {
+            "BroadcastNestedLoopJoin",
+            "Exchange SinglePartition",
+            "Exchange SinglePartition (non-finalize)",
+        }
+    ),
     # er_blocking_quality joins the all-pairs scalar denominator (one row)
     # onto the ≤ log2(max_block) histogram rows; the rollup grand total over
     # those few rows is the other SinglePartition.

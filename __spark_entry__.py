@@ -4150,6 +4150,23 @@ def _er_tfidf_cosine(spark: SparkSession, sf: str) -> DataFrame:
     return tfidf_cosine_pairs(pairs, m, "mention_id", "mention")
 
 
+@_q("er_monge_elkan", None)  # oracle injected below (fixture path)
+def _er_monge_elkan(spark: SparkSession, sf: str) -> DataFrame:
+    """Monge-Elkan hybrid token comparator over the labeled gold pairs
+    (best inner bigram-Dice match per token, averaged; both asymmetric
+    directions + symmetric mean) — the reordering-AND-typo-tolerant
+    similarity next to token cosine / Jaccard / Levenshtein. Exact
+    integer ppm throughout."""
+    from blink_spark.operators.scoring import monge_elkan_pairs
+
+    m = _fx(spark, "mentions").select("mention_id", "mention")
+    pairs = _fx(spark, "gold_pairs").select(
+        F.col("mention_id_a").alias("record_id_a"),
+        F.col("mention_id_b").alias("record_id_b"),
+    )
+    return monge_elkan_pairs(pairs, m, "mention_id", "mention")
+
+
 @_q("er_phonetic_blocks", None)  # oracle injected below (fixture path)
 def _er_phonetic_blocks(spark: SparkSession, sf: str) -> DataFrame:
     """Phonetic blocking over mention surfaces: simplified-Soundex key
@@ -4883,6 +4900,63 @@ def _er_oracles() -> dict[str, str]:
         ON d.record_id_a = p.record_id_a AND d.record_id_b = p.record_id_b
       JOIN norms na ON na.record_id = p.record_id_a
       JOIN norms nb ON nb.record_id = p.record_id_b
+    """
+    # er_monge_elkan: bigram sets over the distinct token vocabulary, Dice
+    # in integer ppm, max-per-token then floor-mean-per-pair; sums cast
+    # ::BIGINT before the floor div (DuckDB widens sums to HUGEINT).
+    monge_elkan_sql = f"""
+      WITH m AS (
+        SELECT mention_id, {_norm_m} AS norm FROM read_parquet('{men}')
+      ),
+      t AS (
+        SELECT DISTINCT mention_id AS rid, unnest(string_split(norm, ' ')) AS tok
+        FROM m
+      ),
+      v AS (SELECT DISTINCT tok FROM t),
+      bg AS (
+        SELECT tok,
+               list_distinct([substr(tok, i, 2)
+                              for i in range(1, greatest(length(tok)-1, 1)+1)])
+                 AS bset
+        FROM v
+      ),
+      p AS (
+        SELECT mention_id_a AS record_id_a, mention_id_b AS record_id_b
+        FROM read_parquet('{gold}')
+      ),
+      s AS (
+        SELECT p.record_id_a, p.record_id_b, a.tok AS tok_a, b.tok AS tok_b,
+               (2000000 * len(list_intersect(x.bset, y.bset)))
+                 // greatest(len(x.bset) + len(y.bset), 1) AS sim_ppm
+        FROM p
+        JOIN t a ON a.rid = p.record_id_a
+        JOIN t b ON b.rid = p.record_id_b
+        JOIN bg x ON x.tok = a.tok
+        JOIN bg y ON y.tok = b.tok
+      ),
+      ma AS (
+        SELECT record_id_a, record_id_b, tok_a, max(sim_ppm) AS ms
+        FROM s GROUP BY 1, 2, 3
+      ),
+      mb AS (
+        SELECT record_id_a, record_id_b, tok_b, max(sim_ppm) AS ms
+        FROM s GROUP BY 1, 2, 3
+      ),
+      ga AS (
+        SELECT record_id_a, record_id_b,
+               (sum(ms)::BIGINT // count(*))::BIGINT AS me_ab_ppm
+        FROM ma GROUP BY 1, 2
+      ),
+      gb AS (
+        SELECT record_id_a, record_id_b,
+               (sum(ms)::BIGINT // count(*))::BIGINT AS me_ba_ppm
+        FROM mb GROUP BY 1, 2
+      )
+      SELECT ga.record_id_a, ga.record_id_b, me_ab_ppm, me_ba_ppm,
+             ((me_ab_ppm + me_ba_ppm) // 2)::BIGINT AS me_sym_ppm
+      FROM ga
+      JOIN gb ON gb.record_id_a = ga.record_id_a
+             AND gb.record_id_b = ga.record_id_b
     """
     _letters_m = f"regexp_replace({_norm_m}, '[^a-z]', '', 'g')"
     _pcode = (
@@ -6274,6 +6348,7 @@ def _er_oracles() -> dict[str, str]:
         "er_match_rule_report": rule_report_sql,
         "er_token_cosine": token_cosine_sql,
         "er_tfidf_cosine": tfidf_cosine_sql,
+        "er_monge_elkan": monge_elkan_sql,
         "er_phonetic_blocks": phonetic_sql,
         "er_cluster_stats": f"""
           {scored_cte},
@@ -6605,10 +6680,11 @@ _DRIVER_ORDER = [
     # positions 41-50: multi-green veterans holding slots for round-5
     # additions (each new query replaces one of these, veteran moves to tail)
     "sessionize_events", "er_clusters", "er_pairwise_f1",
-    "pivot_event_counts", "wikidata_scan", "doc_sentences",
+    "pivot_event_counts", "wikidata_scan",
     "er_tfidf_cosine", "doc_gopher_quality", "doc_line_dedup", "er_pr_curve",
+    "er_monge_elkan",
     # ---- TAIL (driver-green in r1-r4; definitions + oracles unchanged) ----
-    "er_threshold_prune",
+    "doc_sentences", "er_threshold_prune",
     "er_bm25_topk", "er_coref_merge", "er_rank_histogram",
     "er_world_macro_micro", "er_span_embedding_agg", "ann_ivf_recall",
     "wiki_extractor_scan", "wiki_links", "wiki_incoming_links",

@@ -615,3 +615,134 @@ def tfidf_cosine_pairs(
             6,
         ),
     )
+
+
+def monge_elkan_pairs(
+    pairs: DataFrame,
+    records: DataFrame,
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """Monge-Elkan hybrid similarity (Monge & Elkan 1996; the recursive
+    field-matching comparator of the record-linkage literature): for each
+    token of A take its BEST match among B's tokens under an inner
+    character-level similarity, then average — tolerant of token
+    reorderings AND per-token typos at once, which whole-string
+    Levenshtein and set Jaccard each miss. The inner similarity is Dice
+    over distinct character bigrams, kept in exact integer ppm so the
+    oracle reproduces every boundary (no float comparator enters the
+    parity surface). Both asymmetric directions plus the symmetric mean
+    are returned (ME is famously asymmetric).
+
+    Relational shape: per-token bigram sets are computed ONCE over the
+    distinct token vocabulary (position explode → substr → collect_set,
+    all codegen; vocabulary-bounded, not pair-bounded) and joined onto the
+    (pair, tok_a, tok_b) product, which blocking already bounded. The
+    max-per-token and mean-per-pair steps are two keyed aggregations that
+    reuse the same product frame. At 100 TB the one extra knob is
+    memoizing sims for distinct (tok_a, tok_b) combinations before the
+    join-back; at mention-scale tokens-per-record is small so the product
+    stays ~|pairs| * t^2.
+
+    Output: record_id_a, record_id_b, me_ab_ppm, me_ba_ppm, me_sym_ppm.
+    """
+    from blink_spark.functions.text import normalize_text
+
+    t = (
+        records.select(
+            F.col(id_col).alias("rid"),
+            F.explode(
+                F.split(normalize_text(records[text_col]), " ")
+            ).alias("tok"),
+        )
+        .distinct()
+    )
+    bg = (
+        t.select("tok")
+        .distinct()
+        .select(
+            "tok",
+            F.explode(
+                F.sequence(
+                    F.lit(1), F.greatest(F.length("tok") - 1, F.lit(1))
+                )
+            ).alias("i"),
+        )
+        .select("tok", F.col("tok").substr(F.col("i"), F.lit(2)).alias("b2"))
+        .groupBy("tok")
+        .agg(F.collect_set("b2").alias("bset"))
+        .select("tok", "bset", F.size("bset").cast("long").alias("nb"))
+    )
+    p = pairs.select("record_id_a", "record_id_b")
+    tab = (
+        p.join(
+            t.select(F.col("rid").alias("record_id_a"), F.col("tok").alias("tok_a")),
+            "record_id_a",
+        )
+        .join(
+            t.select(F.col("rid").alias("record_id_b"), F.col("tok").alias("tok_b")),
+            "record_id_b",
+        )
+    )
+    s = (
+        tab.join(
+            bg.select(
+                F.col("tok").alias("tok_a"),
+                F.col("bset").alias("ba"),
+                F.col("nb").alias("na"),
+            ),
+            "tok_a",
+        )
+        .join(
+            bg.select(
+                F.col("tok").alias("tok_b"),
+                F.col("bset").alias("bb"),
+                F.col("nb").alias("nbb"),
+            ),
+            "tok_b",
+        )
+        .select(
+            "record_id_a",
+            "record_id_b",
+            "tok_a",
+            "tok_b",
+            (
+                F.lit(2_000_000)
+                * F.size(F.array_intersect("ba", "bb")).cast("long")
+            ).alias("twice_inter"),
+            (F.col("na") + F.col("nbb")).alias("denom"),
+        )
+        .select(
+            "record_id_a",
+            "record_id_b",
+            "tok_a",
+            "tok_b",
+            F.expr("twice_inter div greatest(denom, 1)")
+            .cast("long")
+            .alias("sim_ppm"),
+        )
+    )
+    ma = s.groupBy("record_id_a", "record_id_b", "tok_a").agg(
+        F.max("sim_ppm").alias("ms")
+    )
+    mb = s.groupBy("record_id_a", "record_id_b", "tok_b").agg(
+        F.max("sim_ppm").alias("ms")
+    )
+    ga = ma.groupBy("record_id_a", "record_id_b").agg(
+        F.expr("sum(ms) div count(*)").cast("long").alias("me_ab_ppm")
+    )
+    gb = mb.groupBy("record_id_a", "record_id_b").agg(
+        F.expr("sum(ms) div count(*)").cast("long").alias("me_ba_ppm")
+    )
+    return (
+        ga.join(gb, ["record_id_a", "record_id_b"])
+        .select(
+            "record_id_a",
+            "record_id_b",
+            "me_ab_ppm",
+            "me_ba_ppm",
+            F.expr("(me_ab_ppm + me_ba_ppm) div 2")
+            .cast("long")
+            .alias("me_sym_ppm"),
+        )
+    )

@@ -495,3 +495,44 @@ def test_pr_curve_fixture_shape(spark):
     # the fixture corpus (the full 3-rule decision reaches F1 = 1.0)
     best = max(rows, key=lambda r: r["f1_ppm"])
     assert best["threshold_ppm"] == 600_000 and best["f1_ppm"] == 973_324
+
+
+def test_monge_elkan_hand_computed(spark):
+    from blink_spark.operators.scoring import monge_elkan_pairs
+
+    records = spark.createDataFrame(
+        pd.DataFrame(
+            [("r1", "john smith"), ("r2", "smith jon"), ("r3", "zzz")],
+            columns=["id", "text"],
+        )
+    )
+    pairs = spark.createDataFrame(
+        pd.DataFrame(
+            [("r1", "r2"), ("r1", "r3")],
+            columns=["record_id_a", "record_id_b"],
+        )
+    )
+    out = {
+        (r["record_id_a"], r["record_id_b"]): r.asDict()
+        for r in monge_elkan_pairs(pairs, records, "id", "text").collect()
+    }
+
+    def bigrams(t):
+        return {t[i:i + 2] for i in range(max(len(t) - 1, 1))}
+
+    def dice_ppm(a, b):
+        ba, bb = bigrams(a), bigrams(b)
+        return (2_000_000 * len(ba & bb)) // max(len(ba) + len(bb), 1)
+
+    def me_ppm(ta, tb):
+        return sum(max(dice_ppm(x, y) for y in tb) for x in ta) // len(ta)
+
+    a, b = ["john", "smith"], ["smith", "jon"]
+    p12 = out[("r1", "r2")]
+    assert p12["me_ab_ppm"] == me_ppm(a, b)
+    assert p12["me_ba_ppm"] == me_ppm(b, a)
+    assert p12["me_sym_ppm"] == (p12["me_ab_ppm"] + p12["me_ba_ppm"]) // 2
+    # reorder-tolerant: 'smith' matches perfectly, 'john'~'jon' partially
+    assert p12["me_ab_ppm"] > 600_000
+    # disjoint bigrams -> 0
+    assert out[("r1", "r3")]["me_sym_ppm"] == 0

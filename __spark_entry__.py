@@ -4150,6 +4150,108 @@ def _er_tfidf_cosine(spark: SparkSession, sf: str) -> DataFrame:
     return tfidf_cosine_pairs(pairs, m, "mention_id", "mention")
 
 
+@_q("er_blocking_ensemble", None)  # oracle injected below (fixture path)
+def _er_blocking_ensemble(spark: SparkSession, sf: str) -> DataFrame:
+    """Multi-pass blocking ensemble report (the standard production RL
+    practice, e.g. Papadakis et al. survey): run token-pair, sorted-
+    neighborhood and phonetic blocking, canonicalize pair orientation, and
+    report per strategy the generated pair volume, the gold matches it
+    covers, the gold matches ONLY it covers (exclusive contribution — the
+    reason the pass earns its shuffle), and recall ppm, plus the union
+    row. Small aggregates over the blocked pair sets; one-row totals ride
+    the allowlisted scalar-finalize class."""
+    from blink_spark.operators.blocking import (
+        phonetic_pairs,
+        sorted_neighborhood_pairs,
+    )
+
+    m = _fx(spark, "mentions")
+    u = F.least("record_id_a", "record_id_b").alias("u")
+    v = F.greatest("record_id_a", "record_id_b").alias("v")
+
+    def canon(df, name):
+        return df.select(u, v).distinct().withColumn("strategy", F.lit(name))
+
+    strat = (
+        canon(_er_cand_pairs(spark, sf), "token_pair")
+        .unionByName(
+            canon(
+                sorted_neighborhood_pairs(m, "mention_id", "mention", window=3),
+                "snm",
+            )
+        )
+        .unionByName(
+            canon(
+                phonetic_pairs(m, "mention_id", "mention", max_block=100),
+                "phonetic",
+            )
+        )
+    )
+    gold = (
+        _fx(spark, "gold_pairs")
+        .filter(F.col("same_entity"))
+        .select(
+            F.least("mention_id_a", "mention_id_b").alias("u"),
+            F.greatest("mention_id_a", "mention_id_b").alias("v"),
+        )
+        .distinct()
+    )
+    cov = strat.join(gold, ["u", "v"])
+    ns = cov.groupBy("u", "v").agg(F.countDistinct("strategy").alias("ns"))
+    cov2 = cov.join(ns, ["u", "v"])
+    tg = gold.agg(F.count(F.lit(1)).cast("long").alias("total_gold"))
+    base = strat.groupBy("strategy").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs")
+    )
+    cs = cov2.groupBy("strategy").agg(
+        F.count(F.lit(1)).cast("long").alias("n_gold_covered"),
+        F.sum(F.when(F.col("ns") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_gold_unique"),
+    )
+    per = (
+        base.join(cs, "strategy", "left")
+        .crossJoin(F.broadcast(tg))
+        .select(
+            "strategy",
+            "n_pairs",
+            F.coalesce("n_gold_covered", F.lit(0)).cast("long").alias(
+                "n_gold_covered"
+            ),
+            F.coalesce("n_gold_unique", F.lit(0)).cast("long").alias(
+                "n_gold_unique"
+            ),
+            F.expr(
+                "(1000000 * coalesce(n_gold_covered, 0))"
+                " div greatest(total_gold, 1)"
+            ).cast("long").alias("recall_ppm"),
+        )
+    )
+    up = strat.select("u", "v").distinct().agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs")
+    )
+    uc = ns.agg(
+        F.count(F.lit(1)).cast("long").alias("n_gold_covered"),
+        F.sum(F.when(F.col("ns") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_gold_unique"),
+    )
+    union_row = (
+        up.crossJoin(F.broadcast(uc))
+        .crossJoin(F.broadcast(tg))
+        .select(
+            F.lit("union").alias("strategy"),
+            "n_pairs",
+            "n_gold_covered",
+            "n_gold_unique",
+            F.expr("(1000000 * n_gold_covered) div greatest(total_gold, 1)")
+            .cast("long")
+            .alias("recall_ppm"),
+        )
+    )
+    return per.unionByName(union_row)
+
+
 @_q("er_monge_elkan", None)  # oracle injected below (fixture path)
 def _er_monge_elkan(spark: SparkSession, sf: str) -> DataFrame:
     """Monge-Elkan hybrid token comparator over the labeled gold pairs
@@ -4984,6 +5086,99 @@ def _er_oracles() -> dict[str, str]:
       JOIN k a ON a.pkey = s.pkey
       JOIN k b ON b.pkey = s.pkey
       WHERE a.mention_id < b.mention_id
+    """
+    # er_blocking_ensemble: the three strategy pair sets (token-pair cap
+    # 4096 / SNM window 3 / phonetic block<=100) canonicalized and unioned;
+    # per-strategy coverage, exclusive contribution and recall ppm.
+    ensemble_sql = f"""
+      WITH mm AS (
+        SELECT mention_id, list_sort({toks_m}) AS toks FROM read_parquet('{men}')
+      ),
+      assign AS (
+        SELECT mention_id AS record_id, unnest(
+          CASE WHEN len(toks) >= 2 THEN
+            flatten([[('tp:' || toks[i] || '|' || toks[j])
+                      for j in range(i+1, len(toks)+1)]
+                     for i in range(1, len(toks)+1)])
+          ELSE ['t1:' || toks[1]] END) AS block_key
+        FROM mm
+      ),
+      sized AS (
+        SELECT block_key, record_id,
+               count(*) OVER (PARTITION BY block_key) AS bs
+        FROM assign
+      ),
+      kept AS (SELECT * FROM sized WHERE bs <= 4096),
+      tokp AS (
+        SELECT DISTINCT a.record_id AS u, b.record_id AS v
+        FROM kept a JOIN kept b
+          ON a.block_key = b.block_key AND a.record_id < b.record_id
+      ),
+      snr AS (
+        SELECT mention_id,
+               row_number() OVER (ORDER BY k, mention_id) - 1 AS rnk
+        FROM (SELECT mention_id, {_norm_m} AS k FROM read_parquet('{men}'))
+      ),
+      snmp AS (
+        SELECT DISTINCT least(a.mention_id, b.mention_id) AS u,
+               greatest(a.mention_id, b.mention_id) AS v
+        FROM snr a JOIN snr b ON b.rnk - a.rnk BETWEEN 1 AND 3
+      ),
+      pk AS (
+        SELECT mention_id,
+               rpad(upper(substring({_letters_m}, 1, 1))
+                    || substring({_pcode}, 1, 3), 4, '0') AS pkey
+        FROM read_parquet('{men}')
+      ),
+      ps AS (SELECT pkey FROM pk GROUP BY 1 HAVING count(*) <= 100),
+      phop AS (
+        SELECT DISTINCT a.mention_id AS u, b.mention_id AS v
+        FROM ps JOIN pk a ON a.pkey = ps.pkey JOIN pk b ON b.pkey = ps.pkey
+        WHERE a.mention_id < b.mention_id
+      ),
+      strat AS (
+        SELECT 'token_pair' AS strategy, u, v FROM tokp
+        UNION ALL SELECT 'snm', u, v FROM snmp
+        UNION ALL SELECT 'phonetic', u, v FROM phop
+      ),
+      gold_c AS (
+        SELECT DISTINCT least(mention_id_a, mention_id_b) AS u,
+               greatest(mention_id_a, mention_id_b) AS v
+        FROM read_parquet('{gold}') WHERE same_entity
+      ),
+      cov AS (
+        SELECT s.strategy, s.u, s.v
+        FROM strat s JOIN gold_c g ON g.u = s.u AND g.v = s.v
+      ),
+      ns AS (SELECT u, v, count(DISTINCT strategy) AS ns FROM cov GROUP BY 1, 2),
+      tg AS (SELECT count(*)::BIGINT AS total_gold FROM gold_c),
+      base AS (SELECT strategy, count(*)::BIGINT AS n_pairs FROM strat GROUP BY 1),
+      cs AS (
+        SELECT c.strategy, count(*)::BIGINT AS n_gold_covered,
+               sum(CASE WHEN ns.ns = 1 THEN 1 ELSE 0 END)::BIGINT
+                 AS n_gold_unique
+        FROM cov c JOIN ns ON ns.u = c.u AND ns.v = c.v GROUP BY 1
+      ),
+      up AS (
+        SELECT count(*)::BIGINT AS n_pairs
+        FROM (SELECT DISTINCT u, v FROM strat)
+      ),
+      uc AS (
+        SELECT count(*)::BIGINT AS n_gold_covered,
+               sum(CASE WHEN ns = 1 THEN 1 ELSE 0 END)::BIGINT AS n_gold_unique
+        FROM ns
+      )
+      SELECT b.strategy, b.n_pairs,
+             coalesce(cs.n_gold_covered, 0)::BIGINT AS n_gold_covered,
+             coalesce(cs.n_gold_unique, 0)::BIGINT AS n_gold_unique,
+             ((1000000 * coalesce(cs.n_gold_covered, 0))
+              // greatest(tg.total_gold, 1))::BIGINT AS recall_ppm
+      FROM base b LEFT JOIN cs ON cs.strategy = b.strategy CROSS JOIN tg
+      UNION ALL
+      SELECT 'union', up.n_pairs, uc.n_gold_covered, uc.n_gold_unique,
+             ((1000000 * uc.n_gold_covered)
+              // greatest(tg.total_gold, 1))::BIGINT
+      FROM up, uc, tg
     """
     golden_sql = f"""
       {scored_cte},
@@ -6349,6 +6544,7 @@ def _er_oracles() -> dict[str, str]:
         "er_token_cosine": token_cosine_sql,
         "er_tfidf_cosine": tfidf_cosine_sql,
         "er_monge_elkan": monge_elkan_sql,
+        "er_blocking_ensemble": ensemble_sql,
         "er_phonetic_blocks": phonetic_sql,
         "er_cluster_stats": f"""
           {scored_cte},
@@ -6680,11 +6876,11 @@ _DRIVER_ORDER = [
     # positions 41-50: multi-green veterans holding slots for round-5
     # additions (each new query replaces one of these, veteran moves to tail)
     "sessionize_events", "er_clusters", "er_pairwise_f1",
-    "pivot_event_counts", "wikidata_scan",
+    "pivot_event_counts",
     "er_tfidf_cosine", "doc_gopher_quality", "doc_line_dedup", "er_pr_curve",
-    "er_monge_elkan",
+    "er_monge_elkan", "er_blocking_ensemble",
     # ---- TAIL (driver-green in r1-r4; definitions + oracles unchanged) ----
-    "doc_sentences", "er_threshold_prune",
+    "wikidata_scan", "doc_sentences", "er_threshold_prune",
     "er_bm25_topk", "er_coref_merge", "er_rank_histogram",
     "er_world_macro_micro", "er_span_embedding_agg", "ann_ivf_recall",
     "wiki_extractor_scan", "wiki_links", "wiki_incoming_links",

@@ -536,3 +536,20 @@ def test_monge_elkan_hand_computed(spark):
     assert p12["me_ab_ppm"] > 600_000
     # disjoint bigrams -> 0
     assert out[("r1", "r3")]["me_sym_ppm"] == 0
+
+
+def test_blocking_ensemble_invariants(spark):
+    import __spark_entry__ as entry
+
+    rows = {r["strategy"]: r.asDict() for r in
+            entry._QUERIES["er_blocking_ensemble"](spark, "unused").collect()}
+    assert set(rows) == {"token_pair", "snm", "phonetic", "union"}
+    u = rows["union"]
+    singles = [rows[s] for s in ("token_pair", "snm", "phonetic")]
+    # union covers at least what the best single pass covers
+    assert u["n_gold_covered"] >= max(s["n_gold_covered"] for s in singles)
+    # exclusive contributions sum to the union's exactly-once count
+    assert sum(s["n_gold_unique"] for s in singles) == u["n_gold_unique"]
+    # each auxiliary pass earns its keep on the fixture corpus
+    assert rows["snm"]["n_gold_unique"] > 0 or rows["phonetic"]["n_gold_unique"] > 0
+    assert u["recall_ppm"] <= 1_000_000

@@ -114,6 +114,13 @@ ALLOWLIST: dict[str, frozenset[str]] = {
             "Exchange SinglePartition (non-finalize)",
         }
     ),
+    # er_blocking_ensemble: the one-row total-gold / union-count scalar
+    # finalizes broadcast onto the 4-row per-strategy report — the er_ari
+    # scalar-aggregate class; all pair-scale work happens in keyed
+    # aggregations before these nodes.
+    "er_blocking_ensemble": frozenset(
+        {"BroadcastNestedLoopJoin", "Exchange SinglePartition"}
+    ),
     # er_pr_curve: identical rank-histogram shape to er_progressive_recall
     # — unpartitioned cumulative window + one-row total-gold broadcast over
     # the <= 21-row bucket aggregate; no pair-scale rows cross either node.

@@ -1206,6 +1206,97 @@ def _ann_pq_recall(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @_q(
+    "ann_int8_recall",
+    """
+    WITH q0 AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> floor(x::DOUBLE * 1000000)::BIGINT) AS qv
+      FROM embeddings
+      WHERE len(embedding) = 64
+    ),
+    c0 AS (
+      SELECT vec_id,
+             list_transform(qv, x ->
+               (least(greatest(x + 1000000, 0), 2000000) * 254) // 2000000) AS cv
+      FROM q0
+    ),
+    e AS (SELECT vec_id, generate_subscripts(qv, 1) AS dimpos, unnest(qv) AS v
+          FROM q0),
+    c AS (SELECT vec_id, generate_subscripts(cv, 1) AS dimpos, unnest(cv) AS v
+          FROM c0),
+    ap AS (
+      SELECT a.vec_id AS query_id, b.vec_id AS item_id,
+             sum((a.v - b.v) * (a.v - b.v))::BIGINT AS d2
+      FROM (SELECT * FROM c WHERE vec_id < 64) a
+      JOIN c b ON a.dimpos = b.dimpos AND b.vec_id <> a.vec_id
+      GROUP BY 1, 2
+    ),
+    ap_top AS (
+      SELECT query_id, item_id FROM (
+        SELECT query_id, item_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY d2 ASC, item_id ASC) AS rank
+        FROM ap
+      ) WHERE rank <= 10
+    ),
+    ex AS (
+      SELECT a.vec_id AS query_id, b.vec_id AS item_id,
+             sum((a.v - b.v) * (a.v - b.v))::BIGINT AS d2
+      FROM (SELECT * FROM e WHERE vec_id < 64) a
+      JOIN e b ON a.dimpos = b.dimpos AND b.vec_id <> a.vec_id
+      GROUP BY 1, 2
+    ),
+    ex_top AS (
+      SELECT query_id, item_id FROM (
+        SELECT query_id, item_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY d2 ASC, item_id ASC) AS rank
+        FROM ex
+      ) WHERE rank <= 10
+    )
+    SELECT count(*) AS n_exact,
+           cast(sum(CASE WHEN a.item_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_found,
+           round(avg(CASE WHEN a.item_id IS NOT NULL THEN 1.0 ELSE 0.0 END), 6)
+             AS recall
+    FROM ex_top x LEFT JOIN ap_top a
+      ON a.query_id = x.query_id AND a.item_id = x.item_id
+    """,
+)
+def _ann_int8_recall(spark: SparkSession, sf: str) -> DataFrame:
+    """8-bit scalar-quantization search (FAISS IndexScalarQuantizer QT_8bit
+    analogue, symmetric distance over codes) vs exact integer-L2 top-10
+    recall — the 4x-memory-compression point of the ANN family next to PQ
+    (64x) and IVF/LSH (pruning). Codes are exact integers (clamp + affine
+    + positive floor div), so the recall eval is fully oracled."""
+    from blink_spark.functions.hashing import int_l2, quantize_emb, sq8_codes
+    from blink_spark.operators.ann import ann_recall_vs_exact, brute_force_topk
+
+    e = _t(spark, sf, "embeddings")
+    eq = e.select("vec_id", quantize_emb("embedding").alias("qv")).filter(
+        F.size("qv") == 64
+    )
+    codes = eq.select("vec_id", sq8_codes("qv").alias("cv"))
+    qc = codes.filter(F.col("vec_id") < 64).select(
+        F.col("vec_id").alias("qid"), F.col("cv").alias("qcv")
+    )
+    approx = brute_force_topk(
+        qc, codes, k=10, query_id="qid", query_emb="qcv",
+        item_id="vec_id", item_emb="cv",
+        scorer=lambda a, b: -int_l2(a, b),
+    )
+    qq = eq.filter(F.col("vec_id") < 64).select(
+        F.col("vec_id").alias("qid"), F.col("qv").alias("qqv")
+    )
+    exact = brute_force_topk(
+        qq, eq, k=10, query_id="qid", query_emb="qqv",
+        item_id="vec_id", item_emb="qv",
+        scorer=lambda a, b: -int_l2(a, b),
+    )
+    return ann_recall_vs_exact(approx, exact)
+
+
+@_q(
     "ann_ivfpq_recall",
     """
     WITH q0 AS (
@@ -6876,10 +6967,10 @@ _DRIVER_ORDER = [
     # positions 41-50: multi-green veterans holding slots for round-5
     # additions (each new query replaces one of these, veteran moves to tail)
     "sessionize_events", "er_clusters", "er_pairwise_f1",
-    "pivot_event_counts",
     "er_tfidf_cosine", "doc_gopher_quality", "doc_line_dedup", "er_pr_curve",
-    "er_monge_elkan", "er_blocking_ensemble",
+    "er_monge_elkan", "er_blocking_ensemble", "ann_int8_recall",
     # ---- TAIL (driver-green in r1-r4; definitions + oracles unchanged) ----
+    "pivot_event_counts",
     "wikidata_scan", "doc_sentences", "er_threshold_prune",
     "er_bm25_topk", "er_coref_merge", "er_rank_histogram",
     "er_world_macro_micro", "er_span_embedding_agg", "ann_ivf_recall",

@@ -261,3 +261,18 @@ def sign_lsh_bucket_exact(
 def int_plane_sql_literal(seed: int, p: int, dim: int) -> str:
     """The same hyperplane as a DuckDB BIGINT[] literal (oracle side)."""
     return "[" + ",".join(str(x) for x in int_plane(seed, p, dim)) + "]::BIGINT[]"
+
+
+def sq8_codes(quantized_col: str) -> "Column":
+    """8-bit scalar quantization of a quantized (array<long>, micro-unit)
+    embedding — the FAISS IndexScalarQuantizer QT_8bit analogue: each
+    dimension affine-mapped from the fixed [-1, 1] range onto 0..254.
+    Integer-only (clamp → scale → positive floor div), so both engines
+    produce identical codes; values outside [-1, 1] saturate, as a fixed
+    trained range does in FAISS. Takes the COLUMN NAME (the expression is
+    a SQL `transform` so the floor `div` stays integer; Column-lambda
+    arithmetic would force a float division)."""
+    return F.expr(
+        f"transform({quantized_col}, "
+        "x -> (least(greatest(x + 1000000, 0), 2000000) * 254) div 2000000)"
+    )

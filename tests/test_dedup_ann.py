@@ -614,3 +614,20 @@ def test_line_dedup_stats_planted(spark):
     assert out[2]["dup_char_ppm"] == (1_000_000 * f) // total2
     # doc 3 repeats the footer twice, both non-first
     assert (out[3]["n_lines"], out[3]["n_dup_lines"]) == (3, 2)
+
+
+def test_sq8_codes_exact_mapping(spark):
+    import pandas as pd
+
+    from blink_spark.functions.hashing import quantize_emb, sq8_codes
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"vec_id": [1], "embedding": [[-1.5, -1.0, 0.0, 0.5, 1.0]]})
+    )
+    out = (
+        df.select(quantize_emb("embedding").alias("qv"))
+        .select(sq8_codes("qv").alias("cv"))
+        .collect()[0]["cv"]
+    )
+    # [-1,1] affine-maps to 0..254; out-of-range saturates; 0.0 -> midpoint
+    assert out == [0, 0, 127, 190, 254]

@@ -144,6 +144,14 @@ ALLOWLIST: dict[str, frozenset[str]] = {
     "ann_pq_recall": frozenset(
         {"BroadcastNestedLoopJoin", "Exchange SinglePartition"}
     ),
+    # ann_int8_recall: BOTH sides are exact-by-contract brute force (the
+    # point measured is the int8 codes' distance fidelity, not pruning), so
+    # the BNLJ is the documented baseline shape twice; the recall line is a
+    # one-row finalize. The SQ8 memory win composes with IVF/LSH pruning
+    # for the production path.
+    "ann_int8_recall": frozenset(
+        {"BroadcastNestedLoopJoin", "Exchange SinglePartition"}
+    ),
     # ann_ivfpq_recall: same disposition — the BNLJ is the exact baseline;
     # the IVF-PQ side is cell equi-join + broadcast dtable (plan-test-pinned).
     "ann_ivfpq_recall": frozenset(

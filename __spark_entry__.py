@@ -1845,6 +1845,22 @@ def _er_bcubed(spark: SparkSession, sf: str) -> DataFrame:
     return bcubed(clusters, labels)
 
 
+@_q("er_cluster_purity", None)  # oracle injected below (fixture path)
+def _er_cluster_purity(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-cluster purity + Gini impurity of the S5 linkage clusters vs
+    the gold entity labels — the cluster-LOCAL quality report next to the
+    corpus-level B-cubed/ARI aggregates (purity = what survivorship gets
+    right; Gini = how mixed the remainder is). Exact integer ppm."""
+    from blink_spark.operators.eval import cluster_purity
+
+    clusters = _er_clusters(spark, sf)
+    labels = _fx(spark, "mentions").select(
+        F.col("mention_id").alias("record_id"),
+        F.col("label_id").alias("label"),
+    )
+    return cluster_purity(clusters, labels)
+
+
 @_q("er_ari", None)  # oracle injected below (fixture path)
 def _er_ari(spark: SparkSession, sf: str) -> DataFrame:
     """Adjusted Rand Index of the S5 linkage clusters vs the gold entity
@@ -6821,6 +6837,39 @@ def _er_oracles() -> dict[str, str]:
                       ELSE 0.0 END AS bcubed_f1
           FROM m0
         """,
+        "er_cluster_purity": f"""
+          {scored_cte},
+          edges AS (
+            SELECT record_id_a AS src, record_id_b AS dst FROM j WHERE is_match
+            UNION
+            SELECT record_id_b, record_id_a FROM j WHERE is_match
+          ),
+          nodes AS (SELECT mention_id AS id FROM read_parquet('{men}')),
+          reach AS (
+            SELECT id, id AS r FROM nodes
+            UNION
+            SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src
+          ),
+          cl AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id),
+          lab AS (SELECT mention_id AS id, label_id FROM read_parquet('{men}')),
+          g AS (
+            SELECT cl.cluster_id, lab.label_id, count(*)::BIGINT AS n_cl
+            FROM cl JOIN lab USING (id) GROUP BY 1, 2
+          ),
+          a AS (
+            SELECT cluster_id,
+                   sum(n_cl)::BIGINT AS n_records,
+                   count(*)::BIGINT AS n_labels,
+                   max(n_cl)::BIGINT AS n_dominant,
+                   sum(n_cl * n_cl)::BIGINT AS sum_sq
+            FROM g GROUP BY 1
+          )
+          SELECT cluster_id, n_records, n_labels, n_dominant,
+                 ((1000000 * n_dominant) // n_records)::BIGINT AS purity_ppm,
+                 (1000000 - (1000000 * sum_sq) // (n_records * n_records))::BIGINT
+                   AS gini_ppm
+          FROM a
+        """,
         "er_pairwise_f1": f1_sql,
         "er_topk_candidates": topk_sql,
         "er_edit_distance_pairs": f"""
@@ -6966,11 +7015,12 @@ _DRIVER_ORDER = [
     "doc_winnow_fingerprints",
     # positions 41-50: multi-green veterans holding slots for round-5
     # additions (each new query replaces one of these, veteran moves to tail)
-    "sessionize_events", "er_clusters", "er_pairwise_f1",
+    "sessionize_events", "er_clusters",
     "er_tfidf_cosine", "doc_gopher_quality", "doc_line_dedup", "er_pr_curve",
     "er_monge_elkan", "er_blocking_ensemble", "ann_int8_recall",
+    "er_cluster_purity",
     # ---- TAIL (driver-green in r1-r4; definitions + oracles unchanged) ----
-    "pivot_event_counts",
+    "er_pairwise_f1", "pivot_event_counts",
     "wikidata_scan", "doc_sentences", "er_threshold_prune",
     "er_bm25_topk", "er_coref_merge", "er_rank_histogram",
     "er_world_macro_micro", "er_span_embedding_agg", "ann_ivf_recall",

@@ -421,3 +421,60 @@ def topk_per_group(
     return scored.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= k
     )
+
+
+def cluster_purity(
+    clusters: DataFrame,
+    labels: DataFrame,
+    id_col: str = "record_id",
+    cluster_col: str = "cluster_id",
+    label_col: str = "label",
+) -> DataFrame:
+    """Per-cluster purity and Gini impurity against gold class labels —
+    the cluster-local quality report next to the corpus-level B-cubed /
+    ARI aggregates: purity names each cluster's dominant-label share (the
+    fraction survivorship would get right), Gini names how mixed the rest
+    is. Both exact integer ppm: purity = (1e6 * max_label_count) div size,
+    gini = 1e6 - (1e6 * sum(count_i^2)) div size^2 — no float enters the
+    parity surface. The squared-size product bounds exactness: size^2 *
+    1e6 needs size < ~3e6 records per cluster before BIGINT wraps (guarded
+    upstream by the match-graph cap-and-report discipline).
+
+    Shape: one (cluster, label) keyed aggregation then one cluster-keyed
+    aggregation — two shuffles on high-cardinality keys, no windows, no
+    single-partition anything.
+    """
+    g = (
+        clusters.select(
+            F.col(id_col).alias("record_id"), F.col(cluster_col).alias("cluster_id")
+        )
+        .join(
+            labels.select(
+                F.col(id_col).alias("record_id"), F.col(label_col).alias("label")
+            ),
+            "record_id",
+        )
+        .groupBy("cluster_id", "label")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_cl"))
+    )
+    return (
+        g.groupBy("cluster_id")
+        .agg(
+            F.sum("n_cl").cast("long").alias("n_records"),
+            F.count(F.lit(1)).cast("long").alias("n_labels"),
+            F.max("n_cl").cast("long").alias("n_dominant"),
+            F.sum(F.col("n_cl") * F.col("n_cl")).cast("long").alias("sum_sq"),
+        )
+        .select(
+            "cluster_id",
+            "n_records",
+            "n_labels",
+            "n_dominant",
+            F.expr("(1000000 * n_dominant) div n_records")
+            .cast("long")
+            .alias("purity_ppm"),
+            F.expr("1000000 - (1000000 * sum_sq) div (n_records * n_records)")
+            .cast("long")
+            .alias("gini_ppm"),
+        )
+    )

@@ -553,3 +553,30 @@ def test_blocking_ensemble_invariants(spark):
     # each auxiliary pass earns its keep on the fixture corpus
     assert rows["snm"]["n_gold_unique"] > 0 or rows["phonetic"]["n_gold_unique"] > 0
     assert u["recall_ppm"] <= 1_000_000
+
+
+def test_cluster_purity_hand_computed(spark):
+    from blink_spark.operators.eval import cluster_purity
+
+    clusters = spark.createDataFrame(
+        pd.DataFrame(
+            [("a1", "c1"), ("a2", "c1"), ("a3", "c1"), ("a4", "c1"),
+             ("b1", "c2")],
+            columns=["record_id", "cluster_id"],
+        )
+    )
+    labels = spark.createDataFrame(
+        pd.DataFrame(
+            [("a1", 7), ("a2", 7), ("a3", 7), ("a4", 9), ("b1", 5)],
+            columns=["record_id", "label"],
+        )
+    )
+    out = {r["cluster_id"]: r.asDict()
+           for r in cluster_purity(clusters, labels).collect()}
+    c1 = out["c1"]
+    assert (c1["n_records"], c1["n_labels"], c1["n_dominant"]) == (4, 2, 3)
+    assert c1["purity_ppm"] == 750_000
+    # gini = 1 - (9 + 1)/16
+    assert c1["gini_ppm"] == 1_000_000 - (1_000_000 * 10) // 16
+    c2 = out["c2"]
+    assert (c2["purity_ppm"], c2["gini_ppm"]) == (1_000_000, 0)

@@ -4435,6 +4435,41 @@ def _er_cluster_repair(spark: SparkSession, sf: str) -> DataFrame:
     return repair_report(m, "mention_id", edges)
 
 
+@_q("er_open_triangles", None)  # oracle injected below (fixture path)
+def _er_open_triangles(spark: SparkSession, sf: str) -> DataFrame:
+    """Wedge/triangle census + global clustering coefficient of the S4
+    match graph — the pre-closure structural diagnostic: duplicate groups
+    are near-cliques, chain merges are open wedges. One row, exact
+    integer ppm."""
+    from blink_spark.operators.cluster import triangle_census
+    from blink_spark.operators.scoring import match_edges, score_pairs
+
+    m = _fx(spark, "mentions").select("mention_id", "mention")
+    g = _fx(spark, "gold_pairs")
+    attrs = (
+        g.select(
+            F.col("mention_id_a").alias("record_id_a"),
+            F.col("mention_id_b").alias("record_id_b"),
+        )
+        .join(
+            m.select(
+                F.col("mention_id").alias("record_id_a"),
+                F.col("mention").alias("mention_a"),
+            ),
+            "record_id_a",
+        )
+        .join(
+            m.select(
+                F.col("mention_id").alias("record_id_b"),
+                F.col("mention").alias("mention_b"),
+            ),
+            "record_id_b",
+        )
+    )
+    edges = match_edges(score_pairs(attrs, text_a="mention_a", text_b="mention_b"))
+    return triangle_census(edges)
+
+
 @_q("er_mutual_best", None)  # oracle injected below (fixture path)
 def _er_mutual_best(spark: SparkSession, sf: str) -> DataFrame:
     """Reciprocal top-1 mention↔entity assignment over the blocked
@@ -6837,6 +6872,34 @@ def _er_oracles() -> dict[str, str]:
                       ELSE 0.0 END AS bcubed_f1
           FROM m0
         """,
+        "er_open_triangles": f"""
+          {scored_cte},
+          me AS (
+            SELECT greatest(record_id_a, record_id_b) AS u,
+                   least(record_id_a, record_id_b) AS v
+            FROM j WHERE is_match AND record_id_a != record_id_b
+            GROUP BY 1, 2
+          ),
+          adj AS (SELECT u AS n, v AS w FROM me UNION ALL SELECT v, u FROM me),
+          deg AS (SELECT n, count(*)::BIGINT AS deg FROM adj GROUP BY 1),
+          wed AS (
+            SELECT count(*)::BIGINT AS n_nodes,
+                   sum(deg * (deg - 1) // 2)::BIGINT AS n_wedges
+            FROM deg
+          ),
+          t3 AS (
+            SELECT count(*)::BIGINT AS tri3
+            FROM me e
+            JOIN adj x ON x.n = e.u
+            JOIN adj y ON y.n = e.v AND y.w = x.w
+          ),
+          ec AS (SELECT count(*)::BIGINT AS n_edges FROM me)
+          SELECT n_nodes, n_edges, n_wedges,
+                 (tri3 // 3)::BIGINT AS n_triangles,
+                 ((1000000 * tri3) // greatest(n_wedges, 1))::BIGINT
+                   AS closure_ppm
+          FROM wed, t3, ec
+        """,
         "er_cluster_purity": f"""
           {scored_cte},
           edges AS (
@@ -7015,12 +7078,12 @@ _DRIVER_ORDER = [
     "doc_winnow_fingerprints",
     # positions 41-50: multi-green veterans holding slots for round-5
     # additions (each new query replaces one of these, veteran moves to tail)
-    "sessionize_events", "er_clusters",
+    "sessionize_events",
     "er_tfidf_cosine", "doc_gopher_quality", "doc_line_dedup", "er_pr_curve",
     "er_monge_elkan", "er_blocking_ensemble", "ann_int8_recall",
-    "er_cluster_purity",
+    "er_cluster_purity", "er_open_triangles",
     # ---- TAIL (driver-green in r1-r4; definitions + oracles unchanged) ----
-    "er_pairwise_f1", "pivot_event_counts",
+    "er_clusters", "er_pairwise_f1", "pivot_event_counts",
     "wikidata_scan", "doc_sentences", "er_threshold_prune",
     "er_bm25_topk", "er_coref_merge", "er_rank_histogram",
     "er_world_macro_micro", "er_span_embedding_agg", "ann_ivf_recall",

@@ -431,3 +431,57 @@ def repair_report(
             "max_size_after",
         )
     )
+
+
+def triangle_census(edges: DataFrame) -> DataFrame:
+    """Wedge/triangle census and global clustering coefficient of the
+    match graph — the structural-health diagnostic read BEFORE transitive
+    closure: genuine duplicate groups are near-cliques (high closure),
+    while chain merges show up as open wedges (exactly the zero-support
+    bridges ``repair_clusters`` cuts; this reports the corpus-wide rate
+    instead of acting on it).
+
+    Exact integers end to end: wedges = sum over nodes of C(deg, 2);
+    triangle incidences counted by the standard edge × adjacency common-
+    neighbor equi-join (each triangle seen once per edge → 3T), so
+    closure_ppm = (1e6 * 3T) div wedges is the textbook global clustering
+    coefficient in ppm.
+
+    Scale: the join is keyed on (node, neighbor) — cost is sum over edges
+    of deg(u)+deg(v), the classic triangle-counting bound. Match-graph
+    degrees are bounded by the blocking cap-and-report discipline; at
+    web scale the standard refinement is degree-ordered orientation
+    (charge each triangle to its lowest-degree vertex), which drops in
+    here as a filter on the adjacency sides without changing semantics.
+
+    Output (one row): n_nodes, n_edges, n_wedges, n_triangles,
+    closure_ppm.
+    """
+    e = _canonical(edges)
+    adj = e.select(F.col("u").alias("n"), F.col("v").alias("w")).unionByName(
+        e.select(F.col("v").alias("n"), F.col("u").alias("w"))
+    )
+    deg = adj.groupBy("n").agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    wed = deg.agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes"),
+        F.sum(F.expr("deg * (deg - 1) div 2")).cast("long").alias("n_wedges"),
+    )
+    tri3 = (
+        e.join(adj.select(F.col("n").alias("u"), "w"), "u")
+        .join(adj.select(F.col("n").alias("v"), "w"), ["v", "w"])
+        .agg(F.count(F.lit(1)).cast("long").alias("tri3"))
+    )
+    ec = e.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
+    return (
+        wed.crossJoin(F.broadcast(tri3))
+        .crossJoin(F.broadcast(ec))
+        .select(
+            "n_nodes",
+            "n_edges",
+            "n_wedges",
+            F.expr("tri3 div 3").cast("long").alias("n_triangles"),
+            F.expr("(1000000 * tri3) div greatest(n_wedges, 1)")
+            .cast("long")
+            .alias("closure_ppm"),
+        )
+    )

@@ -225,3 +225,26 @@ def test_repair_report_pendant_edge_survives(spark):
     r = rows[0]
     assert (r.cluster_id, r.n_records, r.n_edges, r.n_bridges,
             r.n_clusters_after, r.max_size_after) == ("a1", 4, 4, 0, 1, 4)
+
+
+def test_triangle_census_hand_computed(spark):
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from blink_spark.operators.cluster import triangle_census
+
+    # triangle a-b-c + chain c-d-e (+ duplicate/reversed edges to exercise
+    # canonicalization)
+    edges = spark.createDataFrame(
+        pd.DataFrame(
+            [("a", "b"), ("b", "c"), ("c", "a"), ("a", "c"),
+             ("c", "d"), ("d", "e")],
+            columns=["src", "dst"],
+        )
+    )
+    r = triangle_census(edges).collect()[0].asDict()
+    # degrees: a=2 b=2 c=3 d=2 e=1 -> wedges = 1+1+3+1+0 = 6
+    assert (r["n_nodes"], r["n_edges"], r["n_wedges"]) == (5, 5, 6)
+    assert r["n_triangles"] == 1
+    # global clustering coefficient 3*1/6 = 0.5
+    assert r["closure_ppm"] == 500_000

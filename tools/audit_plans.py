@@ -121,6 +121,13 @@ ALLOWLIST: dict[str, frozenset[str]] = {
     "er_blocking_ensemble": frozenset(
         {"BroadcastNestedLoopJoin", "Exchange SinglePartition"}
     ),
+    # er_open_triangles: three one-row scalar finalizes (wedge sum,
+    # triangle count, edge count) broadcast-joined into the single output
+    # row — the er_ari scalar-aggregate class; the triangle join itself is
+    # a keyed equi-join that never crosses these nodes.
+    "er_open_triangles": frozenset(
+        {"BroadcastNestedLoopJoin", "Exchange SinglePartition"}
+    ),
     # er_pr_curve: identical rank-histogram shape to er_progressive_recall
     # — unpartitioned cumulative window + one-row total-gold broadcast over
     # the <= 21-row bucket aggregate; no pair-scale rows cross either node.

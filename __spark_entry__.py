@@ -3158,6 +3158,85 @@ def _doc_minhash_dedup(spark: SparkSession, sf: str) -> DataFrame:
                          bands=4, rows=8, shingle_n=7, jaccard_threshold=0.8)
 
 
+@_q(
+    "doc_minhash_calibration",
+    """
+    WITH n AS (
+      SELECT doc_id::varchar AS record_id,
+             trim(regexp_replace(lower(text), '[\\t\\n\\x0B\\f\\r ]+', ' ', 'g')) AS t
+      FROM documents
+    ),
+    sh AS (
+      SELECT record_id,
+             list_distinct([substr(t, i, 7) for i in range(1, greatest(length(t)-6, 1)+1)]) AS sh
+      FROM n
+    ),
+    hs AS (
+      SELECT record_id, sh,
+             [md5('h0:' || g) || md5('h1:' || g) || md5('h2:' || g) || md5('h3:' || g)
+              for g in sh] AS hh
+      FROM sh
+    ),
+    sig AS (
+      SELECT record_id, sh,
+             [list_min([substr(h, i*4 + 1, 4) for h in hh]) for i in range(0, 32)] AS sig
+      FROM hs
+    ),
+    assign AS (
+      SELECT record_id, sh, sig,
+             unnest(['b' || b || ':' || md5(array_to_string(sig[b*8+1:b*8+8], ','))
+                     for b in range(0, 4)]) AS block_key
+      FROM sig
+    ),
+    sized AS (
+      SELECT record_id, sh, sig, block_key,
+             count(*) OVER (PARTITION BY block_key) AS bs
+      FROM assign
+    ),
+    kept AS (SELECT * FROM sized WHERE bs <= 4096),
+    pairs AS (
+      SELECT a.record_id AS ra, b.record_id AS rb,
+             any_value(a.sh) AS sha, any_value(b.sh) AS shb,
+             any_value(a.sig) AS siga, any_value(b.sig) AS sigb
+      FROM kept a JOIN kept b
+        ON a.block_key = b.block_key AND a.record_id < b.record_id
+      GROUP BY a.record_id, b.record_id
+    ),
+    per AS (
+      SELECT
+        len([i for i in range(0, 32) if siga[i+1] = sigb[i+1]])::BIGINT
+          AS n_equal_slots,
+        ((1000000 * len(list_intersect(sha, shb)))
+         // greatest(len(list_distinct(list_concat(sha, shb))), 1))::BIGINT
+          AS true_ppm
+      FROM pairs
+    ),
+    p2 AS (
+      SELECT n_equal_slots, true_ppm,
+             abs(((1000000 * n_equal_slots) // 32)::BIGINT - true_ppm) AS abs_err
+      FROM per
+    )
+    SELECT n_equal_slots, count(*)::BIGINT AS n_pairs,
+           (sum(true_ppm)::BIGINT // count(*))::BIGINT AS mean_true_ppm,
+           (sum(abs_err)::BIGINT // count(*))::BIGINT AS mean_abs_err_ppm,
+           max(abs_err)::BIGINT AS max_abs_err_ppm
+    FROM p2 GROUP BY 1
+    """,
+)
+def _doc_minhash_calibration(spark: SparkSession, sf: str) -> DataFrame:
+    """Sketch-vs-truth calibration of the MinHash estimator over the same
+    LSH-blocked pairs minhash_dedup verifies: per signature-agreement
+    level, realized mean/max absolute error of the slot-agreement estimate
+    against true shingle Jaccard — the table that justifies a signature
+    width and match threshold. Exact integer ppm, floor means."""
+    from blink_spark.operators.dedup import minhash_calibration
+
+    d = _t(spark, sf, "documents")
+    return minhash_calibration(
+        d, "doc_id", "text", bands=4, rows=8, shingle_n=7
+    )
+
+
 def _q_emb(col: str = "embedding") -> str:
     """DuckDB mirror of hashing.quantize_emb: floor(v * 10^6) per component."""
     return f"[floor(x::double * 1000000)::BIGINT for x in {col}]"
@@ -7078,12 +7157,12 @@ _DRIVER_ORDER = [
     "doc_winnow_fingerprints",
     # positions 41-50: multi-green veterans holding slots for round-5
     # additions (each new query replaces one of these, veteran moves to tail)
-    "sessionize_events",
     "er_tfidf_cosine", "doc_gopher_quality", "doc_line_dedup", "er_pr_curve",
     "er_monge_elkan", "er_blocking_ensemble", "ann_int8_recall",
-    "er_cluster_purity", "er_open_triangles",
+    "er_cluster_purity", "er_open_triangles", "doc_minhash_calibration",
     # ---- TAIL (driver-green in r1-r4; definitions + oracles unchanged) ----
-    "er_clusters", "er_pairwise_f1", "pivot_event_counts",
+    "sessionize_events", "er_clusters", "er_pairwise_f1",
+    "pivot_event_counts",
     "wikidata_scan", "doc_sentences", "er_threshold_prune",
     "er_bm25_topk", "er_coref_merge", "er_rank_histogram",
     "er_world_macro_micro", "er_span_embedding_agg", "ann_ivf_recall",

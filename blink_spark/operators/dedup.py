@@ -663,3 +663,117 @@ def line_dedup_stats(
             .alias("dup_char_ppm"),
         )
     )
+
+
+def minhash_calibration(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bands: int = 4,
+    rows: int = 8,
+    shingle_n: int = 7,
+    max_block: int = 4096,
+) -> DataFrame:
+    """MinHash estimator calibration over the LSH-blocked candidate pairs:
+    per signature-agreement level, how far the sketch estimate
+    (agreeing slots / k) sits from the TRUE shingle Jaccard — the error
+    table an operator reads before trusting a signature width / threshold
+    choice (Broder's estimator is unbiased with sd ~ sqrt(j(1-j)/k); this
+    measures the realized error on the corpus, including banding bias).
+
+    Same block construction as ``minhash_dedup`` (bands x rows signature,
+    cap-and-keep blocks), so the measured pairs are exactly the pairs the
+    dedup path would verify. All quantities exact integer ppm with floor
+    means — no float enters the parity surface.
+
+    Shape: signature + shingle set computed once per doc; one band-keyed
+    window (the LSH shuffle), one pair self-join, one 33-row aggregation.
+    The per-pair slot comparison folds two k-wide arrays — interpreted
+    HOF, but over BLOCKED pairs only (the verify-stage cost class, not
+    corpus x corpus).
+
+    Output: n_equal_slots, n_pairs, mean_true_ppm, mean_abs_err_ppm,
+    max_abs_err_ppm.
+    """
+    from blink_spark.functions.hashing import minhash_signature
+    from blink_spark.functions.text import shingles
+
+    k = bands * rows
+    sig = minhash_signature(df[text_col], k=k, shingle_n=shingle_n)
+    base = df.select(
+        F.col(id_col).cast("string").alias("record_id"),
+        shingles(df[text_col], n=shingle_n).alias("sh"),
+        sig.alias("sig"),
+    )
+    assign = base.select(
+        "record_id",
+        "sh",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.concat(
+                        F.lit(f"b{b}:"),
+                        F.md5(F.array_join(F.slice("sig", b * rows + 1, rows), ",")),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("block_key"),
+    )
+    sized = assign.withColumn(
+        "bs", F.count(F.lit(1)).over(Window.partitionBy("block_key"))
+    )
+    kept = sized.filter(F.col("bs") <= max_block)
+    a = kept.select(
+        F.col("record_id").alias("ra"),
+        F.col("sh").alias("sha"),
+        F.col("sig").alias("siga"),
+        "block_key",
+    )
+    b = kept.select(
+        F.col("record_id").alias("rb"),
+        F.col("sh").alias("shb"),
+        F.col("sig").alias("sigb"),
+        "block_key",
+    )
+    pairs = (
+        a.join(b, "block_key")
+        .filter(F.col("ra") < F.col("rb"))
+        .groupBy("ra", "rb")
+        .agg(
+            F.any_value("sha").alias("sha"),
+            F.any_value("shb").alias("shb"),
+            F.any_value("siga").alias("siga"),
+            F.any_value("sigb").alias("sigb"),
+        )
+    )
+    n_eq = F.aggregate(
+        F.zip_with(
+            "siga", "sigb", lambda x, y: F.when(x == y, 1).otherwise(0)
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    per = pairs.select(
+        n_eq.alias("n_equal_slots"),
+        F.expr(
+            "(1000000 * size(array_intersect(sha, shb)))"
+            " div greatest(size(array_distinct(concat(sha, shb))), 1)"
+        ).cast("long").alias("true_ppm"),
+    ).withColumn(
+        "est_ppm", F.expr(f"(1000000 * n_equal_slots) div {k}").cast("long")
+    ).withColumn("abs_err", F.abs(F.col("est_ppm") - F.col("true_ppm")))
+    return (
+        per.groupBy("n_equal_slots")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.expr("sum(true_ppm) div count(*)").cast("long").alias(
+                "mean_true_ppm"
+            ),
+            F.expr("sum(abs_err) div count(*)").cast("long").alias(
+                "mean_abs_err_ppm"
+            ),
+            F.max("abs_err").cast("long").alias("max_abs_err_ppm"),
+        )
+    )

@@ -631,3 +631,30 @@ def test_sq8_codes_exact_mapping(spark):
     )
     # [-1,1] affine-maps to 0..254; out-of-range saturates; 0.0 -> midpoint
     assert out == [0, 0, 127, 190, 254]
+
+
+def test_minhash_calibration_planted(spark):
+    import pandas as pd
+
+    from blink_spark.operators.dedup import minhash_calibration
+
+    base = "the quick brown fox jumps over the lazy dog " * 4
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            [
+                (1, base),
+                (2, base),                # exact dup: 32/32 slots, err 0
+                (3, base + "tail variation here"),
+                (4, "completely different content about spark engines"),
+            ],
+            columns=["doc_id", "text"],
+        )
+    )
+    out = {r["n_equal_slots"]: r.asDict()
+           for r in minhash_calibration(docs, "doc_id", "text").collect()}
+    # the exact-dup pair lands at full agreement with zero error
+    assert 32 in out
+    full = out[32]
+    assert full["n_pairs"] >= 1
+    assert full["mean_true_ppm"] == 1_000_000
+    assert full["max_abs_err_ppm"] == 0

@@ -7155,8 +7155,9 @@ _DRIVER_ORDER = [
     # position 40: red in r4 (oracle doc_id was BIGINT vs Spark string — the
     # driver hashes typed values; oracle now casts ::VARCHAR) — re-verify
     "doc_winnow_fingerprints",
-    # positions 41-50: multi-green veterans holding slots for round-5
-    # additions (each new query replaces one of these, veteran moves to tail)
+    # positions 41-50: the ten round-5 additions — each displaced a parked
+    # multi-green veteran; this is their ONLY driver-verification chance
+    # (round 5 is final), so do NOT rotate them out
     "er_tfidf_cosine", "doc_gopher_quality", "doc_line_dedup", "er_pr_curve",
     "er_monge_elkan", "er_blocking_ensemble", "ann_int8_recall",
     "er_cluster_purity", "er_open_triangles", "doc_minhash_calibration",

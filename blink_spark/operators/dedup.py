@@ -616,13 +616,20 @@ def line_dedup_stats(
     ).select(
         "doc_id", "pos", normalize_text(F.col("line")).alias("norm")
     ).filter(F.length("norm") > 0)
+    # guard BOTH pack fields: pos >= 2^20 or doc_id >= 2^43 would wrap the
+    # long multiply silently in Spark while DuckDB raises — fail loudly on
+    # both engines instead (the er_ari/winnow overflow discipline)
     pack = F.when(
-        F.col("pos") < F.lit(1 << 20),
+        (F.col("pos") < F.lit(1 << 20))
+        & (F.col("doc_id").cast("long") < F.lit(1 << 43)),
         F.col("doc_id") * F.lit(1 << 20) + F.col("pos"),
     ).otherwise(
         F.raise_error(
             F.concat(
-                F.lit("line_dedup_stats: line pos overflows the pack for doc "),
+                F.lit(
+                    "line_dedup_stats: (doc_id, line pos) overflows the "
+                    "packed key for doc "
+                ),
                 F.col("doc_id").cast("string"),
             )
         )
@@ -700,11 +707,15 @@ def minhash_calibration(
 
     k = bands * rows
     sig = minhash_signature(df[text_col], k=k, shingle_n=shingle_n)
+    # localCheckpoint (eager, GC-owned — cache-hygiene rule): the signature
+    # is an interpreted per-shingle HOF fold, and `kept` feeds BOTH sides
+    # of the block self-join — without this the most expensive projection
+    # of the query evaluates twice.
     base = df.select(
         F.col(id_col).cast("string").alias("record_id"),
         shingles(df[text_col], n=shingle_n).alias("sh"),
         sig.alias("sig"),
-    )
+    ).localCheckpoint()
     assign = base.select(
         "record_id",
         "sh",

@@ -560,14 +560,24 @@ def tfidf_cosine_pairs(
         .groupBy("record_id", "tok")
         .agg(F.count(F.lit(1)).cast("long").alias("tf"))
     )
-    n_records = records.select(F.col(id_col)).distinct().count()
-    df_tok = tf.groupBy("tok").agg(
-        F.count(F.lit(1)).cast("long").alias("df")
+    # N stays lazy: a one-row count aggregate broadcast onto the
+    # vocabulary-sized df table (the er_blocking_ensemble `tg` pattern) —
+    # no Spark job fires at DataFrame-construction time, and the integer
+    # `div` surrogate is unchanged.
+    n_df = (
+        records.select(F.col(id_col))
+        .distinct()
+        .agg(F.count(F.lit(1)).cast("long").alias("n_rec"))
+    )
+    df_tok = (
+        tf.groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("df"))
+        .crossJoin(F.broadcast(n_df))
     )
     weighted = tf.join(df_tok, "tok").select(
         "record_id",
         "tok",
-        (F.col("tf") * F.expr(f"({idf_scale} * {n_records}L) div df"))
+        (F.col("tf") * F.expr(f"({idf_scale} * n_rec) div df"))
         .cast("long")
         .alias("x"),
     )

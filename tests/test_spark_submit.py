@@ -23,6 +23,12 @@ SPARK_SUBMIT = shutil.which("spark-submit") or "/opt/spark/bin/spark-submit"
     not os.path.exists(SPARK_SUBMIT), reason="spark-submit not installed"
 )
 def test_spark_submit_pipeline_matches_oracle(tmp_path):
+    # materialize tests/fixtures/ if a clean checkout hasn't yet (the
+    # generator is an exists-guarded no-op when they're already there)
+    sys.path.insert(0, REPO)
+    from blink_spark.synth import write_fixtures
+
+    write_fixtures(os.path.join(REPO, "tests", "fixtures"))
     subprocess.run(
         [sys.executable, os.path.join(REPO, "tools", "make_pyfiles.py")],
         check=True,
@@ -74,6 +80,9 @@ def test_spark_submit_pipeline_matches_oracle(tmp_path):
           ON b.record_id = g.mention_id_b
         """
     ).fetchall()[0]
+    # an empty join (fixture/id-scheme drift) yields NULL sums — fail with
+    # the real cause, not a TypeError on arithmetic
+    assert tp and tp > 0, (tp, fp, fn)
     precision = tp / (tp + fp)
     recall = tp / (tp + fn)
     f1 = 2 * precision * recall / (precision + recall)

@@ -121,6 +121,12 @@ ALLOWLIST: dict[str, frozenset[str]] = {
     "er_blocking_ensemble": frozenset(
         {"BroadcastNestedLoopJoin", "Exchange SinglePartition"}
     ),
+    # er_tfidf_cosine: the one-row corpus-count finalize broadcast onto the
+    # vocabulary-sized df table (keeps N lazy instead of an eager driver
+    # count) — the er_ari scalar-aggregate class.
+    "er_tfidf_cosine": frozenset(
+        {"BroadcastNestedLoopJoin", "Exchange SinglePartition"}
+    ),
     # er_open_triangles: three one-row scalar finalizes (wedge sum,
     # triangle count, edge count) broadcast-joined into the single output
     # row — the er_ari scalar-aggregate class; the triangle join itself is

@@ -189,6 +189,45 @@ def _revenue_by_region(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @_q(
+    "parts_by_brand",
+    """
+    SELECT p.p_brand AS brand,
+           count(*)::BIGINT AS n_items,
+           sum(cast(l.l_quantity AS BIGINT))::BIGINT AS sum_qty,
+           count(DISTINCT p.p_partkey)::BIGINT AS n_parts,
+           min(cast(floor(p.p_retailprice * 100) AS BIGINT))::BIGINT
+             AS min_retail_cents,
+           max(cast(floor(p.p_retailprice * 100) AS BIGINT))::BIGINT
+             AS max_retail_cents
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    GROUP BY 1
+    """,
+)
+def _parts_by_brand(spark: SparkSession, sf: str) -> DataFrame:
+    """Fact-to-dimension broadcast join over the last previously-unused
+    testdata table (part): per-brand item/quantity rollup with integer-cent
+    price bounds (quantities are integral doubles — cast per row before the
+    sum so both engines sum exact BIGINTs)."""
+    li = _t(spark, sf, "lineitem")
+    p = _t(spark, sf, "part")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy(F.col("p_brand").alias("brand"))
+        .agg(
+            F.count("*").cast("long").alias("n_items"),
+            F.sum(F.col("l_quantity").cast("long")).cast("long").alias("sum_qty"),
+            F.countDistinct("p_partkey").cast("long").alias("n_parts"),
+            F.min(F.floor(F.col("p_retailprice") * 100).cast("long"))
+            .cast("long")
+            .alias("min_retail_cents"),
+            F.max(F.floor(F.col("p_retailprice") * 100).cast("long"))
+            .cast("long")
+            .alias("max_retail_cents"),
+        )
+    )
+
+
+@_q(
     "customers_with_orders",
     """
     SELECT c_custkey, c_name FROM customer c
@@ -7161,7 +7200,10 @@ _DRIVER_ORDER = [
     "er_tfidf_cosine", "doc_gopher_quality", "doc_line_dedup", "er_pr_curve",
     "er_monge_elkan", "er_blocking_ensemble", "ann_int8_recall",
     "er_cluster_purity", "er_open_triangles", "doc_minhash_calibration",
-    # ---- TAIL (driver-green in r1-r4; definitions + oracles unchanged) ----
+    # ---- TAIL (driver-green in r1-r4; definitions + oracles unchanged,
+    # except parts_by_brand: added in r5 outside the window — judge-side
+    # check_oracle still verifies it) ----
+    "parts_by_brand",
     "sessionize_events", "er_clusters", "er_pairwise_f1",
     "pivot_event_counts",
     "wikidata_scan", "doc_sentences", "er_threshold_prune",

@@ -4644,6 +4644,140 @@ def _er_meta_blocking(spark: SparkSession, sf: str) -> DataFrame:
     return meta_block_prune(assignments, max_block=1024)
 
 
+@_q(
+    "doc_duplicate_ngram_spans",
+    f"""
+    WITH n AS (SELECT doc_id, string_split({_norm('text')}, ' ') AS tk
+               FROM documents),
+    g0 AS (
+      SELECT doc_id,
+             unnest(range(0, greatest(len(tk) - 4, 0)))::INT AS pos, tk
+      FROM n
+    ),
+    g AS (
+      SELECT doc_id, pos,
+             md5(array_to_string(tk[pos + 1:pos + 5], ' ')) AS gh
+      FROM g0
+    ),
+    dup AS (SELECT gh FROM g GROUP BY gh HAVING count(DISTINCT doc_id) >= 2),
+    d AS (SELECT g.doc_id, g.pos FROM g JOIN dup USING (gh)),
+    isl AS (
+      SELECT doc_id, pos,
+             CASE WHEN pos <= max(pos) OVER (PARTITION BY doc_id ORDER BY pos
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) + 5
+                  THEN 0 ELSE 1 END AS brk
+      FROM d
+    ),
+    grp AS (
+      SELECT doc_id, pos,
+             (sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT
+               AS island
+      FROM isl
+    )
+    SELECT doc_id, min(pos)::INT AS span_start, (max(pos) + 4)::INT AS span_end,
+           count(*)::BIGINT AS n_dup_grams
+    FROM grp GROUP BY doc_id, island
+    """,
+)
+def _doc_duplicate_ngram_spans(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact-substring dedup spans (Lee et al. 2022 ExactSubstr recast
+    relationally): maximal cross-document duplicated word-5-gram extents —
+    the precise passage you'd cut, where winnowing only flags candidates."""
+    from blink_spark.operators.dedup import duplicate_ngram_spans
+
+    d = _t(spark, sf, "documents")
+    return duplicate_ngram_spans(d, "doc_id", "text", n=5, min_docs=2).withColumnRenamed(
+        "record_id", "doc_id"
+    )
+
+
+@_q(
+    "doc_token_quantiles",
+    f"""
+    WITH c AS (SELECT len(string_split({_norm('text')}, ' '))::BIGINT AS ntok
+               FROM documents),
+    h AS (SELECT ntok, count(*)::BIGINT AS cnt FROM c GROUP BY ntok),
+    cum AS (SELECT ntok, (sum(cnt) OVER (ORDER BY ntok
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT AS cum
+            FROM h),
+    t AS (SELECT count(*)::BIGINT AS n FROM c),
+    p AS (SELECT unnest([25, 50, 75, 90, 99])::INT AS pct)
+    SELECT p.pct AS pct, min(cum.ntok)::BIGINT AS ntok
+    FROM p, cum, t
+    WHERE cum.cum >= (p.pct * t.n + 99) // 100
+    GROUP BY p.pct
+    """,
+)
+def _doc_token_quantiles(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact distributed token-length percentiles (percentile_disc
+    semantics) via histogram + two-phase running sum — no approx sketch,
+    no single-task global sort (the anti-pattern ids.py exists to kill)."""
+    from blink_spark.functions.text import normalize_text
+    from blink_spark.operators.corpus import exact_quantiles
+
+    d = _t(spark, sf, "documents")
+    vals = d.select(F.size(F.split(normalize_text("text"), " ")).alias("ntok"))
+    return exact_quantiles(vals, "ntok", [25, 50, 75, 90, 99]).select(
+        "pct", F.col("val").alias("ntok")
+    )
+
+
+@_q(
+    "events_funnel_conversion",
+    """
+    WITH s1 AS (
+      SELECT user_id, min(ts) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    s2 AS (
+      SELECT e.user_id, min(e.ts) AS t2
+      FROM events e JOIN s1 ON s1.user_id = e.user_id
+      WHERE e.event_type = 'click' AND e.ts > s1.t1
+      GROUP BY e.user_id
+    ),
+    s3 AS (
+      SELECT e.user_id, min(e.ts) AS t3
+      FROM events e JOIN s2 ON s2.user_id = e.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+      GROUP BY e.user_id
+    )
+    SELECT 1::INT AS step, 'view' AS event_type,
+           (SELECT count(*) FROM s1)::BIGINT AS n_users
+    UNION ALL
+    SELECT 2::INT, 'click', (SELECT count(*) FROM s2)::BIGINT
+    UNION ALL
+    SELECT 3::INT, 'purchase', (SELECT count(*) FROM s3)::BIGINT
+    """,
+)
+def _events_funnel_conversion(spark: SparkSession, sf: str) -> DataFrame:
+    """Sequential funnel (view -> click -> purchase, strict min-ts
+    chaining): per-stage reached-user counts over the event stream."""
+    from blink_spark.operators.temporal import funnel_steps
+
+    ev = _t(spark, sf, "events")
+    return funnel_steps(ev, "user_id", "ts", "event_type", ["view", "click", "purchase"])
+
+
+@_q("er_match_pagerank", None)  # oracle injected below (fixture path)
+def _er_match_pagerank(spark: SparkSession, sf: str) -> DataFrame:
+    """Integer-exact 3-iteration PageRank over the gold match graph — hub
+    records (rank growing across supersteps) are the over-merge suspects
+    er_cluster_repair attacks structurally; this ranks them for triage."""
+    from blink_spark.operators.cluster import integer_pagerank
+
+    g = _fx(spark, "gold_pairs")
+    edges = (
+        g.filter(F.col("same_entity") & (F.col("mention_id_a") != F.col("mention_id_b")))
+        .select(
+            F.least("mention_id_a", "mention_id_b").alias("u"),
+            F.greatest("mention_id_a", "mention_id_b").alias("v"),
+        )
+        .distinct()
+    )
+    return integer_pagerank(edges, iters=3)
+
+
 # --------------------------------------------------------------------------
 # ER oracle SQL (DuckDB) — built lazily because fixture paths are absolute
 # --------------------------------------------------------------------------
@@ -6653,6 +6787,39 @@ def _er_oracles() -> dict[str, str]:
       )
     """
     return {
+        # integer-exact PageRank over the gold match graph: every step is
+        # BIGINT floor division ('//' here, 'div' in Spark — identical on the
+        # non-negative values involved); sums cast ::BIGINT before arithmetic
+        # so DuckDB never surfaces HUGEINT to the comparator
+        "er_match_pagerank": f"""
+          WITH raw AS (
+            SELECT least(mention_id_a, mention_id_b) AS u,
+                   greatest(mention_id_a, mention_id_b) AS v
+            FROM read_parquet('{gold}')
+            WHERE same_entity AND mention_id_a != mention_id_b
+            GROUP BY 1, 2
+          ),
+          e AS (SELECT u, v FROM raw UNION ALL SELECT v, u FROM raw),
+          deg AS (SELECT u, count(*)::BIGINT AS deg FROM e GROUP BY u),
+          r0 AS (SELECT u AS n, 1000000::BIGINT AS r FROM deg),
+          r1 AS (
+            SELECT e.v AS n,
+                   (150000 + (850 * (sum(r0.r // d.deg))::BIGINT) // 1000)::BIGINT AS r
+            FROM e JOIN r0 ON r0.n = e.u JOIN deg d ON d.u = e.u GROUP BY e.v
+          ),
+          r2 AS (
+            SELECT e.v AS n,
+                   (150000 + (850 * (sum(r1.r // d.deg))::BIGINT) // 1000)::BIGINT AS r
+            FROM e JOIN r1 ON r1.n = e.u JOIN deg d ON d.u = e.u GROUP BY e.v
+          ),
+          r3 AS (
+            SELECT e.v AS n,
+                   (150000 + (850 * (sum(r2.r // d.deg))::BIGINT) // 1000)::BIGINT AS r
+            FROM e JOIN r2 ON r2.n = e.u JOIN deg d ON d.u = e.u GROUP BY e.v
+          )
+          SELECT r3.n AS record_id, r3.r AS pr_ppm, d.deg AS deg
+          FROM r3 JOIN deg d ON d.u = r3.n
+        """,
         "softmax_confidence": softmax_sql,
         "er_span_enumeration": span_enum_sql,
         "er_overlap_prune": overlap_prune_sql,
@@ -7233,6 +7400,10 @@ _DRIVER_ORDER = [
     "er_extract_mentions", "er_media_spans", "er_span_invariant",
     "er_token_pair_blocks", "er_candidate_pairs", "er_scored_gold_pairs",
     "er_topk_candidates", "er_recall_at_k", "softmax_confidence",
+    # r5 late additions, appended OUTSIDE the window (positions > 50, like
+    # parts_by_brand): no driver row, judge-side check_oracle verifies them
+    "doc_duplicate_ngram_spans", "doc_token_quantiles",
+    "events_funnel_conversion", "er_match_pagerank",
 ]
 
 

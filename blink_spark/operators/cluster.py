@@ -485,3 +485,53 @@ def triangle_census(edges: DataFrame) -> DataFrame:
             .alias("closure_ppm"),
         )
     )
+
+
+def integer_pagerank(edges: DataFrame, iters: int = 3) -> DataFrame:
+    """Fixed-iteration PageRank in exact integer micro-units over the
+    undirected match graph (damping 0.85; no dangling redistribution —
+    every node of an edge list has degree >= 1).
+
+    Hub detection for ER quality control: records whose rank keeps growing
+    across supersteps sit at the center of chain merges (the same suspects
+    ``repair_report`` attacks structurally), so the rank column is the
+    review-queue ordering for over-merge triage. Reference analogue: the
+    reference ranks candidate entities by (dense) score per mention
+    (/root/reference/blink/main_dense.py:282 argsort); this ranks records
+    by global link structure instead.
+
+    Determinism/parity: ranks start at 1_000_000 per node and every step is
+    ``150000 + (850 * sum(r_u div deg_u)) div 1000`` in BIGINT floor
+    division — no float summation order, so any ANSI engine reproduces it
+    bit-for-bit. Scale notes (100 TB): each iteration is exactly one shuffle
+    (groupBy destination with partial aggregation) joined against a
+    degree table that co-partitions with the edge list — the same superstep
+    shape as large/small-star CC; nothing is collected to the driver.
+
+    edges: canonical undirected pairs (u, v), u != v, deduped.
+    Returns (record_id, pr_ppm, deg).
+    """
+    both = edges.select("u", "v").union(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    deg = both.groupBy("u").agg(F.count("*").alias("deg"))
+    ranks = deg.select(F.col("u").alias("n"), F.lit(1_000_000).cast("long").alias("r"))
+    for _ in range(iters):
+        contrib = (
+            both.join(ranks.withColumnRenamed("n", "u"), "u")
+            .join(deg, "u")
+            .select(F.col("v").alias("n"), F.expr("r div deg").alias("share"))
+        )
+        ranks = (
+            contrib.groupBy("n")
+            .agg(F.sum("share").alias("s"))
+            .select(
+                "n",
+                F.expr("cast(150000 + (850 * s) div 1000 as bigint)").alias("r"),
+            )
+        )
+    return ranks.join(deg, ranks["n"] == deg["u"]).select(
+        F.col("n").alias("record_id"),
+        F.col("r").alias("pr_ppm"),
+        F.col("deg").alias("deg"),
+    )

@@ -1011,3 +1011,39 @@ def gopher_quality(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
             & (F.col("n_stopwords_distinct") >= 2)
         ).alias("keep"),
     )
+
+
+def exact_quantiles(
+    docs: DataFrame, value_col: Column | str, pcts: list[int]
+) -> DataFrame:
+    """Exact distributed percentiles with percentile_disc semantics (the
+    smallest value whose cumulative count reaches ceil(p*N/100)) — the
+    corpus-profiling statistic (token-length percentiles drive chunk-size
+    and packing decisions) computed WITHOUT an approx sketch and WITHOUT a
+    single-task global sort.
+
+    Scale notes (100 TB): groupBy(value) collapses N rows to the distinct
+    value count before anything ordered happens; the cumulative count is the
+    range-partitioned two-phase running sum (ids.partitioned_running_sum —
+    parallel shuffle, one tiny per-partition-prefix broadcast); the
+    percentile/threshold table (len(pcts) rows) is broadcast against it.
+    Total: one shuffle + one O(distinct-values) pass, where a naive global
+    row_number() funnels all N rows through one task.
+
+    Returns (pct, val) — val in the integer domain of ``value_col``.
+    """
+    from blink_spark.operators.ids import partitioned_running_sum
+
+    c = F.col(value_col) if isinstance(value_col, str) else value_col
+    vals = docs.select(c.cast("long").alias("val"))
+    h = vals.groupBy("val").agg(F.count("*").alias("cnt"))
+    cum = partitioned_running_sum(h, "val", "cnt", "cum")
+    tot = h.agg(F.sum("cnt").alias("n"))
+    p = docs.sparkSession.createDataFrame([(int(x),) for x in pcts], "pct int")
+    thr = F.expr("cast((pct * n + 99) div 100 as bigint)")
+    return (
+        cum.crossJoin(F.broadcast(p.crossJoin(tot)))
+        .filter(F.col("cum") >= thr)
+        .groupBy("pct")
+        .agg(F.min("val").alias("val"))
+    )

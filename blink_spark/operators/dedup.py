@@ -13,7 +13,7 @@ from pyspark.sql import functions as F
 
 from blink_spark.functions.hashing import embed_text_udf, hamming64
 from blink_spark.functions.similarity import cosine
-from blink_spark.functions.text import fingerprint, shingles
+from blink_spark.functions.text import fingerprint, normalize_text, shingles
 from blink_spark.operators.cluster import assign_clusters
 from blink_spark.operators.pairs import candidate_pairs, pairs_with_attrs
 from blink_spark.operators.scoring import match_edges
@@ -787,4 +787,76 @@ def minhash_calibration(
             ),
             F.max("abs_err").cast("long").alias("max_abs_err_ppm"),
         )
+    )
+
+
+def duplicate_ngram_spans(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 5,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Maximal cross-document duplicated word-n-gram spans — the relational
+    form of exact-substring dedup (Lee et al. 2022, "Deduplicating Training
+    Data Makes Language Models Better": suffix-array ExactSubstr, recast as
+    gram-hash document-frequency counting + gaps-and-islands interval merge).
+    Complements ``winnow_fingerprints``: winnowing samples a sparse
+    fingerprint set for candidate detection; this reports the exact token
+    extent of every shared passage (the part you'd actually cut).
+
+    Reference analogue: the reference dedups training mentions by exact
+    context-window equality (/root/reference/blink/biencoder/data_process.py
+    builds fixed windows and drops exact repeats); this generalizes that to
+    arbitrary-length shared passages across documents.
+
+    Scale notes (100 TB): one shuffle keyed by the 16-byte gram hash for the
+    document-frequency count (partial aggregation applies — per-partition
+    distinct collapses before the exchange), one shuffle keyed by doc for
+    the per-doc windows (bounded partitions: a doc's own token count). No
+    suffix array, no sort of the global token stream, no Python in the plan.
+
+    Returns one row per maximal duplicated span:
+    (record_id, span_start, span_end, n_dup_grams) — token offsets, 0-based
+    inclusive; every n-gram starting inside [span_start, span_end - n + 1]
+    appears in >= ``min_docs`` distinct documents.
+    """
+    toks = docs.select(
+        F.col(id_col).alias("record_id"),
+        F.split(normalize_text(text_col), " ").alias("tk"),
+    ).select(
+        "record_id", F.size("tk").alias("m"), F.posexplode("tk").alias("pos", "tok")
+    )
+    w = Window.partitionBy("record_id").orderBy("pos")
+    gram_parts = [F.col("tok")] + [F.lead("tok", i).over(w) for i in range(1, n)]
+    grams = (
+        toks.withColumn("gram", F.concat_ws(" ", *gram_parts))
+        .filter(F.col("pos") <= F.col("m") - n)
+        .select("record_id", "pos", F.md5("gram").alias("gh"))
+    )
+    dup = (
+        grams.groupBy("gh")
+        .agg(F.countDistinct("record_id").alias("nd"))
+        .filter(F.col("nd") >= min_docs)
+        .select("gh")
+    )
+    hits = grams.join(dup, "gh").select("record_id", "pos")
+    # gaps-and-islands: two starts merge when their [pos, pos+n-1] extents
+    # overlap or touch, i.e. pos <= prev_max_pos + n
+    prev_end = (
+        F.max("pos").over(w.rowsBetween(Window.unboundedPreceding, -1)) + (n - 1)
+    )
+    marked = hits.withColumn(
+        "brk", F.when(F.col("pos") <= prev_end + 1, F.lit(0)).otherwise(F.lit(1))
+    )
+    island = F.sum("brk").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    return (
+        marked.withColumn("island", island)
+        .groupBy("record_id", "island")
+        .agg(
+            F.min("pos").cast("int").alias("span_start"),
+            (F.max("pos") + (n - 1)).cast("int").alias("span_end"),
+            F.count("*").alias("n_dup_grams"),
+        )
+        .drop("island")
     )

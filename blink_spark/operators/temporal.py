@@ -164,3 +164,50 @@ def window_range_count(
             F.col("live").alias("n_in_window"),
         )
     )
+
+
+def funnel_steps(
+    events: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    steps: list[str],
+) -> DataFrame:
+    """Ordered-funnel conversion counts: a user reaches step k when they
+    have a step-k event STRICTLY after their earliest qualifying
+    step-(k-1) event (min-timestamp chaining — the classic sequential
+    funnel, and the event-stream analogue of the reference's ordered
+    mention -> candidate -> link progression).
+
+    Scale notes (100 TB): every stage is a filter + groupBy(user) + equi-join
+    on the SAME key, so the shuffle layout established by step 1 is reused
+    down the chain (AQE coalesces; no window over the full event stream, no
+    per-user event-list collection, state bounded at one timestamp per
+    surviving user per stage).
+
+    Returns one row per step: (step, event_type, n_users).
+    """
+    cur: DataFrame | None = None
+    outs: list[DataFrame] = []
+    for i, name in enumerate(steps):
+        stage = events.filter(F.col(type_col) == name)
+        if cur is None:
+            cur = stage.groupBy(user_col).agg(F.min(ts_col).alias("_t"))
+        else:
+            cur = (
+                stage.join(cur, user_col)
+                .filter(F.col(ts_col) > F.col("_t"))
+                .groupBy(user_col)
+                .agg(F.min(ts_col).alias("_t"))
+            )
+        outs.append(
+            cur.agg(F.count("*").alias("n_users")).select(
+                F.lit(i + 1).cast("int").alias("step"),
+                F.lit(name).alias("event_type"),
+                "n_users",
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionAll(o)
+    return out

@@ -1,0 +1,96 @@
+"""Unit tests for the round-5 tail operators (duplicate-ngram spans,
+integer PageRank, exact quantiles, funnel) against hand-computed truths."""
+
+from __future__ import annotations
+
+
+def test_duplicate_ngram_spans_merges_to_maximal_extent(spark):
+    from blink_spark.operators.dedup import duplicate_ngram_spans
+
+    shared = "the quick brown fox jumps over gate"  # 7 words -> 3 dup 5-grams
+    docs = spark.createDataFrame(
+        [
+            (1, f"u1 u2 {shared} a1 a2"),  # shared at token offsets 2..8
+            (2, f"b1 {shared} b2 b3 b4"),  # shared at token offsets 1..7
+            (3, "c1 c2 c3 c4 c5 c6 c7 c8 c9"),  # nothing shared
+        ],
+        "doc_id int, text string",
+    )
+    out = {
+        r["record_id"]: (r["span_start"], r["span_end"], r["n_dup_grams"])
+        for r in duplicate_ngram_spans(docs, "doc_id", "text").collect()
+    }
+    assert out == {1: (2, 8, 3), 2: (1, 7, 3)}
+
+
+def test_duplicate_ngram_spans_keeps_separate_islands(spark):
+    from blink_spark.operators.dedup import duplicate_ngram_spans
+
+    p1 = "alpha beta gamma delta epsilon"  # exactly one 5-gram
+    p2 = "zeta eta theta iota kappa"
+    docs = spark.createDataFrame(
+        [
+            (1, f"{p1} x1 x2 x3 x4 x5 x6 {p2}"),
+            (2, f"{p1} y1 y2"),
+            (3, f"z1 z2 {p2}"),
+        ],
+        "doc_id int, text string",
+    )
+    rows = sorted(
+        (r["record_id"], r["span_start"], r["span_end"])
+        for r in duplicate_ngram_spans(docs, "doc_id", "text").collect()
+    )
+    # doc 1 carries TWO maximal islands (offsets 0-4 and 11-15), not one
+    assert rows == [(1, 0, 4), (1, 11, 15), (2, 0, 4), (3, 2, 6)]
+
+
+def test_integer_pagerank_path_graph_exact(spark):
+    from blink_spark.operators.cluster import integer_pagerank
+
+    edges = spark.createDataFrame([("a", "b"), ("b", "c")], "u string, v string")
+    got = {
+        r["record_id"]: (r["pr_ppm"], r["deg"])
+        for r in integer_pagerank(edges, iters=1).collect()
+    }
+    # r1(a) = 150000 + 850*(1000000 div 2) div 1000 = 575000 (from b's share)
+    # r1(b) = 150000 + 850*(1000000 + 1000000) div 1000 = 1850000
+    assert got == {"a": (575000, 1), "b": (1850000, 2), "c": (575000, 1)}
+    assert sorted(r["record_id"] for r in integer_pagerank(edges, iters=3).collect()) == [
+        "a",
+        "b",
+        "c",
+    ]
+
+
+def test_exact_quantiles_percentile_disc_semantics(spark):
+    from blink_spark.operators.corpus import exact_quantiles
+
+    vals = spark.createDataFrame([(i,) for i in range(1, 11)], "v long")
+    got = {
+        r["pct"]: r["val"]
+        for r in exact_quantiles(vals, "v", [25, 50, 75, 90, 99]).collect()
+    }
+    # threshold = ceil(p*10/100): 25->cum>=3, 50->5, 75->8 (ceil 7.5), 99->10
+    assert got == {25: 3, 50: 5, 75: 8, 90: 9, 99: 10}
+
+
+def test_funnel_steps_strict_ordering(spark):
+    from blink_spark.operators.temporal import funnel_steps
+
+    ev = spark.createDataFrame(
+        [
+            (1, 1, "view"),
+            (1, 2, "click"),
+            (1, 3, "purchase"),
+            (2, 1, "click"),  # click BEFORE view: must not qualify
+            (2, 2, "view"),
+            (2, 3, "purchase"),  # purchase without a qualifying click: no
+            (3, 1, "view"),
+        ],
+        "user_id int, ts long, event_type string",
+    )
+    out = {
+        r["event_type"]: (r["step"], r["n_users"])
+        for r in funnel_steps(ev, "user_id", "ts", "event_type", ["view", "click", "purchase"]).collect()
+    }
+    assert out == {"view": (1, 3), "click": (2, 1), "purchase": (3, 1)}

@@ -170,6 +170,18 @@ ALLOWLIST: dict[str, frozenset[str]] = {
     "ann_ivfpq_recall": frozenset(
         {"BroadcastNestedLoopJoin", "Exchange SinglePartition"}
     ),
+    # doc_token_quantiles: the BNLJ broadcasts (5 percentile rows × one-row
+    # total-count finalize) onto the distinct-value cumulative histogram —
+    # the bm25-idf scalar-denominator class; the N-row document scan
+    # collapses in a keyed partial agg before either node.
+    "doc_token_quantiles": frozenset(
+        {"BroadcastNestedLoopJoin", "Exchange SinglePartition"}
+    ),
+    # events_funnel_conversion: three one-row per-step reached-user count
+    # finalizes (map-side partial_count children) unioned into the 3-row
+    # report — the er_pairwise_f1 scalar-aggregate class; all event-scale
+    # work happens in user-keyed joins/aggs before these nodes.
+    "events_funnel_conversion": frozenset({"Exchange SinglePartition"}),
 }
 
 # Exchange SinglePartition is only allowed when feeding a scalar finalize:

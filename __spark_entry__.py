@@ -4759,6 +4759,73 @@ def _events_funnel_conversion(spark: SparkSession, sf: str) -> DataFrame:
     return funnel_steps(ev, "user_id", "ts", "event_type", ["view", "click", "purchase"])
 
 
+@_q(
+    "doc_ngram_novelty",
+    f"""
+    WITH n AS (SELECT doc_id, string_split({_norm('text')}, ' ') AS tk
+               FROM documents),
+    g0 AS (
+      SELECT doc_id,
+             unnest(range(0, greatest(len(tk) - 4, 0)))::INT AS pos, tk
+      FROM n
+    ),
+    g AS (
+      SELECT DISTINCT doc_id,
+             md5(array_to_string(tk[pos + 1:pos + 5], ' ')) AS gh
+      FROM g0
+    ),
+    first AS (SELECT gh, min(doc_id) AS first_id FROM g GROUP BY gh)
+    SELECT g.doc_id,
+           count(*)::BIGINT AS n_grams,
+           (sum(CASE WHEN g.doc_id = f.first_id THEN 1 ELSE 0 END))::BIGINT
+             AS n_novel,
+           ((1000000 * (sum(CASE WHEN g.doc_id = f.first_id THEN 1 ELSE 0 END))::BIGINT)
+             // count(*))::BIGINT AS novelty_ppm
+    FROM g JOIN first f USING (gh)
+    GROUP BY g.doc_id
+    """,
+)
+def _doc_ngram_novelty(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-doc 5-gram novelty vs the corpus-first (min doc_id) occurrence —
+    the data-mixing curation signal: low novelty = restated boilerplate."""
+    from blink_spark.operators.dedup import ngram_novelty
+
+    d = _t(spark, sf, "documents")
+    return ngram_novelty(d, "doc_id", "text", n=5).withColumnRenamed(
+        "record_id", "doc_id"
+    )
+
+
+@_q(
+    "events_retention_cohorts",
+    """
+    WITH w AS (
+      SELECT DISTINCT user_id,
+             ((CAST(ts AS DATE) - DATE '2024-01-01') // 7)::BIGINT AS wk
+      FROM events
+    ),
+    f AS (SELECT user_id, min(wk) AS cohort FROM w GROUP BY user_id),
+    act AS (
+      SELECT f.cohort, (w.wk - f.cohort)::BIGINT AS week_offset,
+             count(*)::BIGINT AS n_users
+      FROM w JOIN f USING (user_id) GROUP BY 1, 2
+    ),
+    base AS (SELECT cohort, n_users AS cohort_size FROM act WHERE week_offset = 0)
+    SELECT a.cohort AS cohort_week, a.week_offset AS week_offset,
+           a.n_users AS n_users, b.cohort_size AS cohort_size,
+           ((1000000 * a.n_users) // b.cohort_size)::BIGINT AS retention_ppm
+    FROM act a JOIN base b ON b.cohort = a.cohort
+    """,
+)
+def _events_retention_cohorts(spark: SparkSession, sf: str) -> DataFrame:
+    """Weekly cohort retention (first-activity week × offset, exact ppm) —
+    integer date arithmetic so both engines agree on period boundaries."""
+    from blink_spark.operators.temporal import retention_cohorts
+
+    ev = _t(spark, sf, "events")
+    return retention_cohorts(ev, "user_id", "ts", epoch="2024-01-01", period_days=7)
+
+
 @_q("er_match_pagerank", None)  # oracle injected below (fixture path)
 def _er_match_pagerank(spark: SparkSession, sf: str) -> DataFrame:
     """Integer-exact 3-iteration PageRank over the gold match graph — hub
@@ -7404,6 +7471,7 @@ _DRIVER_ORDER = [
     # parts_by_brand): no driver row, judge-side check_oracle verifies them
     "doc_duplicate_ngram_spans", "doc_token_quantiles",
     "events_funnel_conversion", "er_match_pagerank",
+    "doc_ngram_novelty", "events_retention_cohorts",
 ]
 
 

@@ -821,19 +821,7 @@ def duplicate_ngram_spans(
     inclusive; every n-gram starting inside [span_start, span_end - n + 1]
     appears in >= ``min_docs`` distinct documents.
     """
-    toks = docs.select(
-        F.col(id_col).alias("record_id"),
-        F.split(normalize_text(text_col), " ").alias("tk"),
-    ).select(
-        "record_id", F.size("tk").alias("m"), F.posexplode("tk").alias("pos", "tok")
-    )
-    w = Window.partitionBy("record_id").orderBy("pos")
-    gram_parts = [F.col("tok")] + [F.lead("tok", i).over(w) for i in range(1, n)]
-    grams = (
-        toks.withColumn("gram", F.concat_ws(" ", *gram_parts))
-        .filter(F.col("pos") <= F.col("m") - n)
-        .select("record_id", "pos", F.md5("gram").alias("gh"))
-    )
+    grams = word_ngram_hashes(docs, id_col, text_col, n)
     dup = (
         grams.groupBy("gh")
         .agg(F.countDistinct("record_id").alias("nd"))
@@ -841,6 +829,7 @@ def duplicate_ngram_spans(
         .select("gh")
     )
     hits = grams.join(dup, "gh").select("record_id", "pos")
+    w = Window.partitionBy("record_id").orderBy("pos")
     # gaps-and-islands: two starts merge when their [pos, pos+n-1] extents
     # overlap or touch, i.e. pos <= prev_max_pos + n
     prev_end = (
@@ -859,4 +848,67 @@ def duplicate_ngram_spans(
             F.count("*").alias("n_dup_grams"),
         )
         .drop("island")
+    )
+
+
+def word_ngram_hashes(
+    docs: DataFrame, id_col: str, text_col: str, n: int = 5
+) -> DataFrame:
+    """Positional word-n-gram md5 stream (record_id, pos, gh) — shared gram
+    builder for exact-substring spans and novelty profiling. Per-doc lead
+    windows (doc-keyed partitions, codegen); no HOF array folds."""
+    toks = docs.select(
+        F.col(id_col).alias("record_id"),
+        F.split(normalize_text(text_col), " ").alias("tk"),
+    ).select(
+        "record_id", F.size("tk").alias("m"), F.posexplode("tk").alias("pos", "tok")
+    )
+    w = Window.partitionBy("record_id").orderBy("pos")
+    gram_parts = [F.col("tok")] + [F.lead("tok", i).over(w) for i in range(1, n)]
+    return (
+        toks.withColumn("gram", F.concat_ws(" ", *gram_parts))
+        .filter(F.col("pos") <= F.col("m") - n)
+        .select("record_id", "pos", F.md5("gram").alias("gh"))
+    )
+
+
+def ngram_novelty(
+    docs: DataFrame, id_col: str, text_col: str, n: int = 5
+) -> DataFrame:
+    """Per-document n-gram novelty profile: the share of a doc's distinct
+    word-n-grams whose corpus-FIRST occurrence (minimum record id — the
+    deterministic "earlier document" order) is this document. The curation
+    signal behind novelty-ordered data mixing: low-novelty docs restate
+    what earlier corpus already covers (boilerplate, syndication), and the
+    corpus-level novelty curve flattens exactly where incremental crawl
+    stops adding information.
+
+    Same corpus-first election as ``line_dedup_stats`` (min over the gram
+    group), at gram rather than line granularity. Scale notes (100 TB): one
+    gram-keyed shuffle for the min-id election (partial agg applies), one
+    doc-keyed count — no window over the global gram stream.
+
+    Docs with fewer than ``n`` tokens emit no grams and no row (documented:
+    novelty is undefined for them).
+
+    Returns (record_id, n_grams, n_novel, novelty_ppm) — distinct-gram
+    counts, ppm in BIGINT floor division.
+    """
+    g = word_ngram_hashes(docs, id_col, text_col, n).select("record_id", "gh").distinct()
+    first = g.groupBy("gh").agg(F.min("record_id").alias("first_id"))
+    return (
+        g.join(first, "gh")
+        .groupBy("record_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum(
+                F.when(F.col("record_id") == F.col("first_id"), 1).otherwise(0)
+            ).alias("n_novel"),
+        )
+        .select(
+            "record_id",
+            "n_grams",
+            "n_novel",
+            F.expr("(1000000 * n_novel) div n_grams").alias("novelty_ppm"),
+        )
     )

@@ -211,3 +211,52 @@ def funnel_steps(
     for o in outs[1:]:
         out = out.unionAll(o)
     return out
+
+
+def retention_cohorts(
+    events: DataFrame,
+    user_col: str,
+    ts_col: str,
+    epoch: str = "2024-01-01",
+    period_days: int = 7,
+) -> DataFrame:
+    """Cohort retention table: users bucketed by the period of their FIRST
+    event (the cohort), then counted at each later period offset, with
+    retention as an exact integer ppm of the cohort's size — the activity
+    analogue of the funnel (who comes back, vs who converts).
+
+    Period index = integer days since ``epoch`` floor-divided by
+    ``period_days`` — pure integer date arithmetic, no engine-specific
+    date_trunc('week') start-of-week conventions in the parity surface.
+
+    Scale notes (100 TB): the raw stream collapses to distinct
+    (user, period) in one keyed partial agg before anything else; cohort
+    assignment is a groupBy(user) + same-key equi-join (funnel_steps'
+    reusable-layout argument); the final join is cohort-keyed over the
+    periods² -bounded retention table. No windows, no driver collection.
+
+    Returns (cohort_week, week_offset, n_users, cohort_size, retention_ppm).
+    """
+    period = F.expr(
+        f"cast(datediff(to_date({ts_col}), date'{epoch}') div {period_days} as bigint)"
+    )
+    w = events.select(F.col(user_col).alias("u"), period.alias("wk")).distinct()
+    f = w.groupBy("u").agg(F.min("wk").alias("cohort"))
+    act = (
+        w.join(f, "u")
+        .groupBy("cohort", (F.col("wk") - F.col("cohort")).alias("week_offset"))
+        .agg(F.count("*").alias("n_users"))
+    )
+    base = act.filter(F.col("week_offset") == 0).select(
+        "cohort", F.col("n_users").alias("cohort_size")
+    )
+    return (
+        act.join(base, "cohort")
+        .select(
+            F.col("cohort").alias("cohort_week"),
+            "week_offset",
+            "n_users",
+            "cohort_size",
+            F.expr("(1000000 * n_users) div cohort_size").alias("retention_ppm"),
+        )
+    )

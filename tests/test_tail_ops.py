@@ -94,3 +94,49 @@ def test_funnel_steps_strict_ordering(spark):
         for r in funnel_steps(ev, "user_id", "ts", "event_type", ["view", "click", "purchase"]).collect()
     }
     assert out == {"view": (1, 3), "click": (2, 1), "purchase": (3, 1)}
+
+
+def test_ngram_novelty_corpus_first_election(spark):
+    from blink_spark.operators.dedup import ngram_novelty
+
+    six = "w1 w2 w3 w4 w5 w6"  # 2 distinct 5-grams
+    docs = spark.createDataFrame(
+        [(1, six), (2, f"{six} x1 x2 x3 x4 x5")],  # doc2: 7 grams, 2 reused
+        "doc_id int, text string",
+    )
+    got = {
+        r["record_id"]: (r["n_grams"], r["n_novel"], r["novelty_ppm"])
+        for r in ngram_novelty(docs, "doc_id", "text").collect()
+    }
+    assert got == {1: (2, 2, 1000000), 2: (7, 5, 5000000 // 7)}
+
+
+def test_retention_cohorts_integer_weeks(spark):
+    from datetime import datetime
+
+    from blink_spark.operators.temporal import retention_cohorts
+
+    ev = spark.createDataFrame(
+        [
+            (1, datetime(2024, 1, 1, 8)),  # wk 0
+            (1, datetime(2024, 1, 9, 8)),  # wk 1 -> offset 1
+            (2, datetime(2024, 1, 2, 8)),  # wk 0 only
+            (3, datetime(2024, 1, 10, 8)),  # wk 1 cohort
+            (3, datetime(2024, 1, 24, 8)),  # wk 3 -> offset 2
+        ],
+        "user_id int, ts timestamp",
+    )
+    got = {
+        (r["cohort_week"], r["week_offset"]): (
+            r["n_users"],
+            r["cohort_size"],
+            r["retention_ppm"],
+        )
+        for r in retention_cohorts(ev, "user_id", "ts").collect()
+    }
+    assert got == {
+        (0, 0): (2, 2, 1000000),
+        (0, 1): (1, 2, 500000),
+        (1, 0): (1, 1, 1000000),
+        (1, 2): (1, 1, 1000000),
+    }

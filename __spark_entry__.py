@@ -4845,6 +4845,25 @@ def _er_match_pagerank(spark: SparkSession, sf: str) -> DataFrame:
     return integer_pagerank(edges, iters=3)
 
 
+@_q("er_match_kcore", None)  # oracle injected below (fixture path)
+def _er_match_kcore(spark: SparkSession, sf: str) -> DataFrame:
+    """Bounded k-core peel (k=3, 3 rounds) of the gold match graph — the
+    attachment-strength triage: core survivors are safe to auto-merge,
+    eviction round orders the periphery for review."""
+    from blink_spark.operators.cluster import kcore_peel
+
+    g = _fx(spark, "gold_pairs")
+    edges = (
+        g.filter(F.col("same_entity") & (F.col("mention_id_a") != F.col("mention_id_b")))
+        .select(
+            F.least("mention_id_a", "mention_id_b").alias("u"),
+            F.greatest("mention_id_a", "mention_id_b").alias("v"),
+        )
+        .distinct()
+    )
+    return kcore_peel(edges, k=3, rounds=3)
+
+
 # --------------------------------------------------------------------------
 # ER oracle SQL (DuckDB) — built lazily because fixture paths are absolute
 # --------------------------------------------------------------------------
@@ -6887,6 +6906,51 @@ def _er_oracles() -> dict[str, str]:
           SELECT r3.n AS record_id, r3.r AS pr_ppm, d.deg AS deg
           FROM r3 JOIN deg d ON d.u = r3.n
         """,
+        # bounded k-core peel (k=3, 3 rounds), unrolled like the pagerank
+        # chain: each round drops sub-k nodes from the previous round's
+        # degree table, refilters the edge list to surviving endpoints, and
+        # recounts; survivors isolated by a peel stay at degree 0 via the
+        # LEFT JOIN so the next round evicts them — identical to the Spark
+        # operator's coalesce(d, 0)
+        "er_match_kcore": f"""
+          WITH raw AS (
+            SELECT least(mention_id_a, mention_id_b) AS u,
+                   greatest(mention_id_a, mention_id_b) AS v
+            FROM read_parquet('{gold}')
+            WHERE same_entity AND mention_id_a != mention_id_b
+            GROUP BY 1, 2
+          ),
+          e AS (SELECT u, v FROM raw UNION ALL SELECT v, u FROM raw),
+          deg0 AS (SELECT u, count(*)::BIGINT AS deg0 FROM e GROUP BY u),
+          d0 AS (SELECT u, deg0 AS deg FROM deg0),
+          dead1 AS (SELECT u, 1::BIGINT AS rr FROM d0 WHERE deg < 3),
+          a1 AS (SELECT u FROM d0 WHERE deg >= 3),
+          e1 AS (SELECT e.u, e.v FROM e
+                 WHERE e.u IN (SELECT u FROM a1) AND e.v IN (SELECT u FROM a1)),
+          d1 AS (SELECT a.u, coalesce(c.d, 0)::BIGINT AS deg FROM a1 a
+                 LEFT JOIN (SELECT u, count(*)::BIGINT AS d FROM e1 GROUP BY u) c
+                 USING (u)),
+          dead2 AS (SELECT u, 2::BIGINT AS rr FROM d1 WHERE deg < 3),
+          a2 AS (SELECT u FROM d1 WHERE deg >= 3),
+          e2 AS (SELECT e1.u, e1.v FROM e1
+                 WHERE e1.u IN (SELECT u FROM a2) AND e1.v IN (SELECT u FROM a2)),
+          d2 AS (SELECT a.u, coalesce(c.d, 0)::BIGINT AS deg FROM a2 a
+                 LEFT JOIN (SELECT u, count(*)::BIGINT AS d FROM e2 GROUP BY u) c
+                 USING (u)),
+          dead3 AS (SELECT u, 3::BIGINT AS rr FROM d2 WHERE deg < 3),
+          a3 AS (SELECT u FROM d2 WHERE deg >= 3),
+          e3 AS (SELECT e2.u, e2.v FROM e2
+                 WHERE e2.u IN (SELECT u FROM a3) AND e2.v IN (SELECT u FROM a3)),
+          d3 AS (SELECT a.u, coalesce(c.d, 0)::BIGINT AS deg FROM a3 a
+                 LEFT JOIN (SELECT u, count(*)::BIGINT AS d FROM e3 GROUP BY u) c
+                 USING (u)),
+          removed AS (SELECT * FROM dead1 UNION ALL SELECT * FROM dead2
+                      UNION ALL SELECT * FROM dead3)
+          SELECT g.u AS record_id, g.deg0 AS deg0,
+                 coalesce(r.rr, 0)::BIGINT AS removed_round,
+                 coalesce(d3.deg, 0)::BIGINT AS core_deg
+          FROM deg0 g LEFT JOIN removed r USING (u) LEFT JOIN d3 USING (u)
+        """,
         "softmax_confidence": softmax_sql,
         "er_span_enumeration": span_enum_sql,
         "er_overlap_prune": overlap_prune_sql,
@@ -7471,7 +7535,7 @@ _DRIVER_ORDER = [
     # parts_by_brand): no driver row, judge-side check_oracle verifies them
     "doc_duplicate_ngram_spans", "doc_token_quantiles",
     "events_funnel_conversion", "er_match_pagerank",
-    "doc_ngram_novelty", "events_retention_cohorts",
+    "doc_ngram_novelty", "events_retention_cohorts", "er_match_kcore",
 ]
 
 

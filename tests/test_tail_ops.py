@@ -140,3 +140,29 @@ def test_retention_cohorts_integer_weeks(spark):
         (1, 0): (1, 1, 1000000),
         (1, 2): (1, 1, 1000000),
     }
+
+
+def test_kcore_peel_cascading_evictions(spark):
+    from blink_spark.operators.cluster import kcore_peel
+
+    # K4 core {1,2,3,4}; node 5 bridges node 1 to pendants 6,7.
+    # Round 1 evicts 6,7 (deg 1); that drops 5 to deg 1, evicted round 2;
+    # the K4 survives all rounds at core degree 3 (node 1 started at 4).
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),
+         (1, 5), (5, 6), (5, 7)],
+        "u int, v int",
+    )
+    got = {
+        r["record_id"]: (r["deg0"], r["removed_round"], r["core_deg"])
+        for r in kcore_peel(edges, k=3, rounds=3).collect()
+    }
+    assert got == {
+        1: (4, 0, 3),
+        2: (3, 0, 3),
+        3: (3, 0, 3),
+        4: (3, 0, 3),
+        5: (3, 2, 0),
+        6: (1, 1, 0),
+        7: (1, 1, 0),
+    }

@@ -4864,6 +4864,26 @@ def _er_match_kcore(spark: SparkSession, sf: str) -> DataFrame:
     return kcore_peel(edges, k=3, rounds=3)
 
 
+@_q("er_match_bfs_depth", None)  # oracle injected below (fixture path)
+def _er_match_bfs_depth(spark: SparkSession, sf: str) -> DataFrame:
+    """Multi-source BFS hop depth from local-minimum seeds over the gold
+    match graph — chain-length triage: records many hops from every seed
+    are in their cluster only through chains of pairwise decisions
+    (transitive drift), the over-merge mode per-pair scores cannot see."""
+    from blink_spark.operators.cluster import bfs_seed_distance
+
+    g = _fx(spark, "gold_pairs")
+    edges = (
+        g.filter(F.col("same_entity") & (F.col("mention_id_a") != F.col("mention_id_b")))
+        .select(
+            F.least("mention_id_a", "mention_id_b").alias("u"),
+            F.greatest("mention_id_a", "mention_id_b").alias("v"),
+        )
+        .distinct()
+    )
+    return bfs_seed_distance(edges, rounds=3)
+
+
 # --------------------------------------------------------------------------
 # ER oracle SQL (DuckDB) — built lazily because fixture paths are absolute
 # --------------------------------------------------------------------------
@@ -6951,6 +6971,39 @@ def _er_oracles() -> dict[str, str]:
                  coalesce(d3.deg, 0)::BIGINT AS core_deg
           FROM deg0 g LEFT JOIN removed r USING (u) LEFT JOIN d3 USING (u)
         """,
+        # multi-source BFS from local-minimum seeds, unrolled: each frontier
+        # is neighbors-of-previous-frontier minus everything already seen;
+        # ids are non-null so the NOT IN anti-joins are safe
+        "er_match_bfs_depth": f"""
+          WITH raw AS (
+            SELECT least(mention_id_a, mention_id_b) AS u,
+                   greatest(mention_id_a, mention_id_b) AS v
+            FROM read_parquet('{gold}')
+            WHERE same_entity AND mention_id_a != mention_id_b
+            GROUP BY 1, 2
+          ),
+          e AS (SELECT u, v FROM raw UNION ALL SELECT v, u FROM raw),
+          nm AS (SELECT u, min(v) AS mn FROM e GROUP BY u),
+          s0 AS (SELECT u FROM nm WHERE u < mn),
+          f1 AS (SELECT DISTINCT e.v AS u FROM e
+                 WHERE e.u IN (SELECT u FROM s0)
+                   AND e.v NOT IN (SELECT u FROM s0)),
+          f2 AS (SELECT DISTINCT e.v AS u FROM e
+                 WHERE e.u IN (SELECT u FROM f1)
+                   AND e.v NOT IN (SELECT u FROM s0)
+                   AND e.v NOT IN (SELECT u FROM f1)),
+          f3 AS (SELECT DISTINCT e.v AS u FROM e
+                 WHERE e.u IN (SELECT u FROM f2)
+                   AND e.v NOT IN (SELECT u FROM s0)
+                   AND e.v NOT IN (SELECT u FROM f1)
+                   AND e.v NOT IN (SELECT u FROM f2)),
+          vis AS (SELECT u, 0::BIGINT AS d FROM s0
+                  UNION ALL SELECT u, 1::BIGINT FROM f1
+                  UNION ALL SELECT u, 2::BIGINT FROM f2
+                  UNION ALL SELECT u, 3::BIGINT FROM f3)
+          SELECT nm.u AS record_id, coalesce(v.d, -1)::BIGINT AS bfs_dist
+          FROM nm LEFT JOIN vis v USING (u)
+        """,
         "softmax_confidence": softmax_sql,
         "er_span_enumeration": span_enum_sql,
         "er_overlap_prune": overlap_prune_sql,
@@ -7536,6 +7589,7 @@ _DRIVER_ORDER = [
     "doc_duplicate_ngram_spans", "doc_token_quantiles",
     "events_funnel_conversion", "er_match_pagerank",
     "doc_ngram_novelty", "events_retention_cohorts", "er_match_kcore",
+    "er_match_bfs_depth",
 ]
 
 

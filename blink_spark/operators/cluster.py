@@ -602,3 +602,59 @@ def kcore_peel(edges: DataFrame, k: int = 3, rounds: int = 3) -> DataFrame:
             F.coalesce("core_deg", F.lit(0)).cast("long").alias("core_deg"),
         )
     )
+
+
+def bfs_seed_distance(edges: DataFrame, rounds: int = 3) -> DataFrame:
+    """Multi-source BFS hop distance from local-minimum seeds: a node is a
+    seed iff its id is smaller than every neighbor's, and every other node
+    gets the hop count to its nearest seed, bounded at ``rounds``.
+
+    The fourth superstep primitive in the match-graph triage family —
+    connected components (star contraction), PageRank (full relaxation),
+    k-core (peeling) measure membership, centrality, and attachment; hop
+    depth measures CHAIN LENGTH: a record three hops from every seed is
+    only in the cluster through a chain of pairwise decisions, the classic
+    transitive-drift over-merge mode a per-pair scorer
+    (/root/reference/blink/main_dense.py:479-498) cannot see. Every
+    connected component contains its global-minimum node, which is a local
+    minimum, so every node has a seed in its component — ``bfs_dist = -1``
+    genuinely means "further than ``rounds`` hops", not "no seed".
+
+    Exactness: hop counts are set-deterministic integers (min distance to
+    the nearest seed); no floats, no tie-breaks.
+    Scale notes (100 TB): each superstep is one frontier-keyed semi-join +
+    one visited anti-join — frontier-sized work, not graph-sized (Pregel
+    BFS); the visited set grows monotonically and stays id-keyed.
+
+    edges: canonical undirected pairs (u, v), u != v, deduped.
+    Returns (record_id, bfs_dist): 0 for seeds, 1..rounds for reached
+    nodes, -1 for nodes beyond ``rounds`` hops from every seed.
+    """
+    both = edges.select("u", "v").union(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    nbr_min = both.groupBy("u").agg(F.min("v").alias("mn"))
+    seeds = nbr_min.filter(F.col("u") < F.col("mn")).select("u")
+
+    visited = seeds.select("u", F.lit(0).cast("long").alias("bfs_dist"))
+    frontier = seeds
+    for r in range(1, rounds + 1):
+        nxt = (
+            both.join(frontier, "u", "left_semi")
+            .select(F.col("v").alias("u"))
+            .distinct()
+            .join(visited.select("u"), "u", "left_anti")
+        )
+        visited = visited.unionByName(
+            nxt.select("u", F.lit(r).cast("long").alias("bfs_dist"))
+        )
+        frontier = nxt
+
+    return (
+        nbr_min.select("u")
+        .join(visited, "u", "left")
+        .select(
+            F.col("u").alias("record_id"),
+            F.coalesce("bfs_dist", F.lit(-1)).cast("long").alias("bfs_dist"),
+        )
+    )

@@ -166,3 +166,26 @@ def test_kcore_peel_cascading_evictions(spark):
         6: (1, 1, 0),
         7: (1, 1, 0),
     }
+
+
+def test_bfs_seed_distance_bounded_hops(spark):
+    from blink_spark.operators.cluster import bfs_seed_distance
+
+    # path 1-2-3-4-5: single local-min seed 1; node 5 is 4 hops out,
+    # beyond rounds=3 -> -1. Triangle {10,11,12}: seed 10, both others 1
+    # hop. Cherry 30-32-31: TWO seeds (30, 31), center at hop 1.
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5),
+         (10, 11), (11, 12), (10, 12),
+         (30, 32), (31, 32)],
+        "u int, v int",
+    )
+    got = {
+        r["record_id"]: r["bfs_dist"]
+        for r in bfs_seed_distance(edges, rounds=3).collect()
+    }
+    assert got == {
+        1: 0, 2: 1, 3: 2, 4: 3, 5: -1,
+        10: 0, 11: 1, 12: 1,
+        30: 0, 31: 0, 32: 1,
+    }

@@ -562,7 +562,9 @@ def kcore_peel(edges: DataFrame, k: int = 3, rounds: int = 3) -> DataFrame:
     Scale notes (100 TB): each round is one groupBy-degree shuffle plus two
     semi-join filters keyed on node id — the same superstep shape as
     large/small-star CC; the edge set only shrinks. Nothing is collected
-    to the driver.
+    to the driver. Both per-round frames localCheckpoint (the CC
+    convention): ``deg`` and ``cur`` each re-reference the previous round
+    several times, so without the lineage cut the plan grows ~3x per round.
 
     edges: canonical undirected pairs (u, v), u != v, deduped.
     Returns (record_id, deg0, removed_round, core_deg): initial degree,
@@ -585,12 +587,14 @@ def kcore_peel(edges: DataFrame, k: int = 3, rounds: int = 3) -> DataFrame:
         alive = deg.filter(F.col("deg") >= k).select("u")
         cur = cur.join(alive, "u", "left_semi").join(
             alive.withColumnRenamed("u", "v"), "v", "left_semi"
-        )
+        ).localCheckpoint()
         # survivors isolated by the peel drop out of the edge list — the
         # left join keeps them at degree 0 so the next round evicts them
         deg = alive.join(
             cur.groupBy("u").agg(F.count("*").cast("long").alias("d")), "u", "left"
-        ).select("u", F.coalesce("d", F.lit(0)).cast("long").alias("deg"))
+        ).select(
+            "u", F.coalesce("d", F.lit(0)).cast("long").alias("deg")
+        ).localCheckpoint()
 
     return (
         deg0.join(removed, "u", "left")
@@ -624,7 +628,9 @@ def bfs_seed_distance(edges: DataFrame, rounds: int = 3) -> DataFrame:
     the nearest seed); no floats, no tie-breaks.
     Scale notes (100 TB): each superstep is one frontier-keyed semi-join +
     one visited anti-join — frontier-sized work, not graph-sized (Pregel
-    BFS); the visited set grows monotonically and stays id-keyed.
+    BFS); the visited set grows monotonically and stays id-keyed. Each
+    frontier localCheckpoints (the CC convention) so the visited chain is
+    a flat union of materialized frontiers, not re-derived lineage.
 
     edges: canonical undirected pairs (u, v), u != v, deduped.
     Returns (record_id, bfs_dist): 0 for seeds, 1..rounds for reached
@@ -644,6 +650,7 @@ def bfs_seed_distance(edges: DataFrame, rounds: int = 3) -> DataFrame:
             .select(F.col("v").alias("u"))
             .distinct()
             .join(visited.select("u"), "u", "left_anti")
+            .localCheckpoint()
         )
         visited = visited.unionByName(
             nxt.select("u", F.lit(r).cast("long").alias("bfs_dist"))

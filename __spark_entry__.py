@@ -4826,15 +4826,13 @@ def _events_retention_cohorts(spark: SparkSession, sf: str) -> DataFrame:
     return retention_cohorts(ev, "user_id", "ts", epoch="2024-01-01", period_days=7)
 
 
-@_q("er_match_pagerank", None)  # oracle injected below (fixture path)
-def _er_match_pagerank(spark: SparkSession, sf: str) -> DataFrame:
-    """Integer-exact 3-iteration PageRank over the gold match graph — hub
-    records (rank growing across supersteps) are the over-merge suspects
-    er_cluster_repair attacks structurally; this ranks them for triage."""
-    from blink_spark.operators.cluster import integer_pagerank
-
+def _gold_match_edges(spark: SparkSession) -> DataFrame:
+    """Canonical undirected edge set of the gold match graph — the shared
+    input contract of the structural-triage family (PageRank / k-core /
+    BFS depth): positive pairs only, self-loops dropped, least/greatest
+    orientation, deduped. All three oracles unroll the SAME `raw` CTE."""
     g = _fx(spark, "gold_pairs")
-    edges = (
+    return (
         g.filter(F.col("same_entity") & (F.col("mention_id_a") != F.col("mention_id_b")))
         .select(
             F.least("mention_id_a", "mention_id_b").alias("u"),
@@ -4842,7 +4840,16 @@ def _er_match_pagerank(spark: SparkSession, sf: str) -> DataFrame:
         )
         .distinct()
     )
-    return integer_pagerank(edges, iters=3)
+
+
+@_q("er_match_pagerank", None)  # oracle injected below (fixture path)
+def _er_match_pagerank(spark: SparkSession, sf: str) -> DataFrame:
+    """Integer-exact 3-iteration PageRank over the gold match graph — hub
+    records (rank growing across supersteps) are the over-merge suspects
+    er_cluster_repair attacks structurally; this ranks them for triage."""
+    from blink_spark.operators.cluster import integer_pagerank
+
+    return integer_pagerank(_gold_match_edges(spark), iters=3)
 
 
 @_q("er_match_kcore", None)  # oracle injected below (fixture path)
@@ -4852,16 +4859,7 @@ def _er_match_kcore(spark: SparkSession, sf: str) -> DataFrame:
     eviction round orders the periphery for review."""
     from blink_spark.operators.cluster import kcore_peel
 
-    g = _fx(spark, "gold_pairs")
-    edges = (
-        g.filter(F.col("same_entity") & (F.col("mention_id_a") != F.col("mention_id_b")))
-        .select(
-            F.least("mention_id_a", "mention_id_b").alias("u"),
-            F.greatest("mention_id_a", "mention_id_b").alias("v"),
-        )
-        .distinct()
-    )
-    return kcore_peel(edges, k=3, rounds=3)
+    return kcore_peel(_gold_match_edges(spark), k=3, rounds=3)
 
 
 @_q("er_match_bfs_depth", None)  # oracle injected below (fixture path)
@@ -4872,16 +4870,7 @@ def _er_match_bfs_depth(spark: SparkSession, sf: str) -> DataFrame:
     (transitive drift), the over-merge mode per-pair scores cannot see."""
     from blink_spark.operators.cluster import bfs_seed_distance
 
-    g = _fx(spark, "gold_pairs")
-    edges = (
-        g.filter(F.col("same_entity") & (F.col("mention_id_a") != F.col("mention_id_b")))
-        .select(
-            F.least("mention_id_a", "mention_id_b").alias("u"),
-            F.greatest("mention_id_a", "mention_id_b").alias("v"),
-        )
-        .distinct()
-    )
-    return bfs_seed_distance(edges, rounds=3)
+    return bfs_seed_distance(_gold_match_edges(spark), rounds=3)
 
 
 # --------------------------------------------------------------------------

@@ -31,6 +31,15 @@ def _canonical(edges: DataFrame) -> DataFrame:
     )
 
 
+def _bidirectional(edges: DataFrame) -> DataFrame:
+    """Canonical (u, v) pairs expanded to both directions — the shared
+    adjacency form of the structural-triage family (PageRank, k-core,
+    BFS depth), so per-node degrees/neighbors are one groupBy("u") away."""
+    return edges.select("u", "v").union(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+
+
 def _large_star(edges: DataFrame) -> DataFrame:
     """For each node, connect strictly-larger neighbors to the minimum of
     the closed neighborhood."""
@@ -511,9 +520,7 @@ def integer_pagerank(edges: DataFrame, iters: int = 3) -> DataFrame:
     edges: canonical undirected pairs (u, v), u != v, deduped.
     Returns (record_id, pr_ppm, deg).
     """
-    both = edges.select("u", "v").union(
-        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    )
+    both = _bidirectional(edges)
     deg = both.groupBy("u").agg(F.count("*").alias("deg"))
     ranks = deg.select(F.col("u").alias("n"), F.lit(1_000_000).cast("long").alias("r"))
     for _ in range(iters):
@@ -571,9 +578,7 @@ def kcore_peel(edges: DataFrame, k: int = 3, rounds: int = 3) -> DataFrame:
     eviction round in 1..rounds (0 = survived), and the node's degree
     among fellow survivors (0 for evicted nodes).
     """
-    both = edges.select("u", "v").union(
-        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    )
+    both = _bidirectional(edges)
     deg0 = both.groupBy("u").agg(F.count("*").cast("long").alias("deg0"))
 
     cur = both
@@ -636,9 +641,7 @@ def bfs_seed_distance(edges: DataFrame, rounds: int = 3) -> DataFrame:
     Returns (record_id, bfs_dist): 0 for seeds, 1..rounds for reached
     nodes, -1 for nodes beyond ``rounds`` hops from every seed.
     """
-    both = edges.select("u", "v").union(
-        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    )
+    both = _bidirectional(edges)
     nbr_min = both.groupBy("u").agg(F.min("v").alias("mn"))
     seeds = nbr_min.filter(F.col("u") < F.col("mn")).select("u")
 

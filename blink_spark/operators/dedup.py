@@ -818,8 +818,12 @@ def duplicate_ngram_spans(
 
     Returns one row per maximal duplicated span:
     (record_id, span_start, span_end, n_dup_grams) — token offsets, 0-based
-    inclusive; every n-gram starting inside [span_start, span_end - n + 1]
-    appears in >= ``min_docs`` distinct documents.
+    inclusive. Spans are the merged extents of duplicated-gram starts whose
+    [pos, pos + n - 1] windows overlap OR touch, so two duplicated passages
+    shared with DIFFERENT partner docs coalesce when token-adjacent: every
+    token in the span is covered by some >=``min_docs`` gram, but interior
+    gram STARTS between two touching islands need not themselves be
+    duplicated (``n_dup_grams`` counts the starts that are).
     """
     grams = word_ngram_hashes(docs, id_col, text_col, n)
     dup = (

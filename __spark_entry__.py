@@ -4873,6 +4873,93 @@ def _er_match_bfs_depth(spark: SparkSession, sf: str) -> DataFrame:
     return bfs_seed_distance(_gold_match_edges(spark), rounds=3)
 
 
+@_q("er_missing_links", None)  # oracle injected below (fixture path)
+def _er_missing_links(spark: SparkSession, sf: str) -> DataFrame:
+    """Common-neighbor link prediction over the SCORED match graph (the
+    gold graph is transitively closed, so its missing-link set is empty
+    by construction): non-adjacent distance-2 pairs ranked by
+    shared-neighbor support and exact-ppm neighborhood Jaccard — the
+    matches the pairwise scorer rejected but the accepted match structure
+    implies, i.e. the recall-repair queue."""
+    from blink_spark.operators.cluster import link_prediction
+    from blink_spark.operators.scoring import match_edges, score_pairs
+
+    m = _fx(spark, "mentions").select("mention_id", "mention")
+    g = _fx(spark, "gold_pairs")
+    attrs = (
+        g.select(
+            F.col("mention_id_a").alias("record_id_a"),
+            F.col("mention_id_b").alias("record_id_b"),
+        )
+        .join(
+            m.select(
+                F.col("mention_id").alias("record_id_a"),
+                F.col("mention").alias("mention_a"),
+            ),
+            "record_id_a",
+        )
+        .join(
+            m.select(
+                F.col("mention_id").alias("record_id_b"),
+                F.col("mention").alias("mention_b"),
+            ),
+            "record_id_b",
+        )
+    )
+    scored = match_edges(score_pairs(attrs, text_a="mention_a", text_b="mention_b"))
+    edges = (
+        scored.filter(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v")
+        )
+        .distinct()
+    )
+    return link_prediction(edges, min_common=2)
+
+
+@_q("er_clustering_coefficient", None)  # oracle injected below (fixture path)
+def _er_clustering_coefficient(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-record local clustering coefficient (exact ppm) over the gold
+    match graph — separates records inside near-cliques (high lcc, safe
+    merges) from pure chain links (lcc 0 at degree >= 2, the
+    transitive-drift suspects)."""
+    from blink_spark.operators.cluster import local_clustering
+
+    return local_clustering(_gold_match_edges(spark))
+
+
+@_q(
+    "events_markov_transitions",
+    """
+    WITH s AS (
+      SELECT event_type AS src_type,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS dst_type
+      FROM events
+    ),
+    t AS (
+      SELECT src_type, dst_type, count(*)::BIGINT AS n_transitions
+      FROM s WHERE dst_type IS NOT NULL GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT src_type, sum(n_transitions)::BIGINT AS total
+      FROM t GROUP BY src_type
+    )
+    SELECT t.src_type, t.dst_type, t.n_transitions,
+           ((1000000 * t.n_transitions) // tot.total)::BIGINT AS p_ppm
+    FROM t JOIN tot USING (src_type)
+    """,
+)
+def _events_markov_transitions(spark: SparkSession, sf: str) -> DataFrame:
+    """First-order Markov transition table over per-user event sequences
+    (count + exact-ppm conditional probability; ties broken by event_id so
+    both engines enumerate identical adjacencies)."""
+    from blink_spark.operators.temporal import markov_transitions
+
+    ev = _t(spark, sf, "events")
+    return markov_transitions(ev, "user_id", "ts", "event_type", "event_id")
+
+
 # --------------------------------------------------------------------------
 # ER oracle SQL (DuckDB) — built lazily because fixture paths are absolute
 # --------------------------------------------------------------------------
@@ -6993,6 +7080,65 @@ def _er_oracles() -> dict[str, str]:
           SELECT nm.u AS record_id, coalesce(v.d, -1)::BIGINT AS bfs_dist
           FROM nm LEFT JOIN vis v USING (u)
         """,
+        # common-neighbor link prediction over the SCORED match graph:
+        # same scored/is_match CTE as er_cluster_repair, wedge self-join
+        # keyed on the shared neighbor, NOT EXISTS anti-join against the
+        # canonical edge set, exact-ppm neighborhood Jaccard in BIGINT
+        # floor division
+        "er_missing_links": f"""
+          {scored_cte},
+          me AS (
+            SELECT least(record_id_a, record_id_b) AS u,
+                   greatest(record_id_a, record_id_b) AS v
+            FROM j WHERE is_match AND record_id_a != record_id_b
+            GROUP BY 1, 2
+          ),
+          e AS (SELECT u, v FROM me UNION ALL SELECT v, u FROM me),
+          deg AS (SELECT u, count(*)::BIGINT AS deg FROM e GROUP BY u),
+          w AS (
+            SELECT e1.v AS a, e2.v AS b, count(*)::BIGINT AS cn
+            FROM e e1 JOIN e e2 ON e1.u = e2.u AND e1.v < e2.v
+            GROUP BY 1, 2
+          ),
+          cand AS (
+            SELECT a, b, cn FROM w
+            WHERE cn >= 2
+              AND NOT EXISTS (SELECT 1 FROM me r WHERE r.u = w.a AND r.v = w.b)
+          )
+          SELECT c.a AS record_id_a, c.b AS record_id_b,
+                 c.cn AS common_neighbors,
+                 ((1000000 * c.cn) // (da.deg + db.deg - c.cn))::BIGINT
+                   AS jaccard_ppm
+          FROM cand c
+          JOIN deg da ON da.u = c.a
+          JOIN deg db ON db.u = c.b
+        """,
+        # per-node local clustering coefficient: triangle incidences are
+        # charged to the common neighbor w (one charge per vertex per
+        # triangle), lcc = 2*tri/(deg*(deg-1)) in exact-ppm floor division
+        "er_clustering_coefficient": f"""
+          WITH raw AS (
+            SELECT least(mention_id_a, mention_id_b) AS u,
+                   greatest(mention_id_a, mention_id_b) AS v
+            FROM read_parquet('{gold}')
+            WHERE same_entity AND mention_id_a != mention_id_b
+            GROUP BY 1, 2
+          ),
+          e AS (SELECT u, v FROM raw UNION ALL SELECT v, u FROM raw),
+          deg AS (SELECT u, count(*)::BIGINT AS deg FROM e GROUP BY u),
+          tri AS (
+            SELECT a2.v AS w, count(*)::BIGINT AS n_triangles
+            FROM raw r
+            JOIN e a1 ON a1.u = r.u
+            JOIN e a2 ON a2.u = r.v AND a2.v = a1.v
+            GROUP BY 1
+          )
+          SELECT d.u AS record_id, d.deg,
+                 coalesce(t.n_triangles, 0)::BIGINT AS n_triangles,
+                 ((1000000 * 2 * coalesce(t.n_triangles, 0))
+                  // greatest(d.deg * (d.deg - 1), 1))::BIGINT AS lcc_ppm
+          FROM deg d LEFT JOIN tri t ON t.w = d.u
+        """,
         "softmax_confidence": softmax_sql,
         "er_span_enumeration": span_enum_sql,
         "er_overlap_prune": overlap_prune_sql,
@@ -7578,7 +7724,8 @@ _DRIVER_ORDER = [
     "doc_duplicate_ngram_spans", "doc_token_quantiles",
     "events_funnel_conversion", "er_match_pagerank",
     "doc_ngram_novelty", "events_retention_cohorts", "er_match_kcore",
-    "er_match_bfs_depth",
+    "er_match_bfs_depth", "er_missing_links", "er_clustering_coefficient",
+    "events_markov_transitions",
 ]
 
 

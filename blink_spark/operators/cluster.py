@@ -668,3 +668,111 @@ def bfs_seed_distance(edges: DataFrame, rounds: int = 3) -> DataFrame:
             F.coalesce("bfs_dist", F.lit(-1)).cast("long").alias("bfs_dist"),
         )
     )
+
+
+def link_prediction(edges: DataFrame, min_common: int = 2) -> DataFrame:
+    """Common-neighbor link prediction over the match graph: every
+    NON-adjacent pair at distance 2 ranked by shared-neighbor support —
+    the classic "suggest the missing match" pass run after pairwise
+    scoring, because blocking plus per-pair thresholds routinely miss an
+    edge both of whose endpoints already match the same third record.
+    Reference analogue: the reference scores only pairs its candidate
+    generator produced (/root/reference/blink/main_dense.py:479-498);
+    this surfaces the pairs the generator never emitted but the accepted
+    match structure implies.
+
+    Exact integers end to end: common-neighbor counts are BIGINT;
+    neighborhood Jaccard is ``(1e6 * cn) div (deg_a + deg_b - cn)`` in
+    floor division (cn common neighbors can't exceed either degree, so
+    the denominator is >= max(deg) >= 1).
+
+    Scale notes (100 TB): the wedge self-join is keyed on the shared
+    neighbor — cost is sum over nodes of C(deg, 2), the same bound as the
+    triangle census, kept polynomially small by the blocking cap-and-
+    report discipline upstream; ``min_common`` prunes the candidate set
+    before the degree joins. The anti-join against existing edges is an
+    equi-join on the canonical pair key. Nothing touches the driver.
+
+    edges: canonical undirected pairs (u, v), u != v, deduped (either
+    orientation — adjacency is symmetrized internally).
+    Returns (record_id_a, record_id_b, common_neighbors, jaccard_ppm)
+    with record_id_a < record_id_b, common_neighbors >= min_common.
+    """
+    both = _bidirectional(edges)
+    deg = both.groupBy("u").agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    wedges = (
+        both.select(F.col("u").alias("n"), F.col("v").alias("a"))
+        .join(both.select(F.col("u").alias("n"), F.col("v").alias("b")), "n")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).cast("long").alias("common_neighbors"))
+        .filter(F.col("common_neighbors") >= min_common)
+    )
+    existing = both.filter(F.col("u") < F.col("v")).select(
+        F.col("u").alias("a"), F.col("v").alias("b")
+    )
+    return (
+        wedges.join(existing, ["a", "b"], "left_anti")
+        .join(deg.select(F.col("u").alias("a"), F.col("deg").alias("deg_a")), "a")
+        .join(deg.select(F.col("u").alias("b"), F.col("deg").alias("deg_b")), "b")
+        .select(
+            F.col("a").alias("record_id_a"),
+            F.col("b").alias("record_id_b"),
+            "common_neighbors",
+            F.expr(
+                "(1000000 * common_neighbors)"
+                " div (deg_a + deg_b - common_neighbors)"
+            )
+            .cast("long")
+            .alias("jaccard_ppm"),
+        )
+    )
+
+
+def local_clustering(edges: DataFrame) -> DataFrame:
+    """Per-node local clustering coefficient of the match graph in exact
+    ppm — the per-record companion to ``triangle_census``: the census
+    reports the corpus-wide closure rate, this labels EACH record with how
+    clique-like its own neighborhood is, so the review queue can separate
+    records inside near-cliques (high lcc — safe merges) from records
+    whose neighbors never corroborate each other (lcc 0 at degree >= 2 —
+    pure chain links, the transitive-drift suspects).
+
+    Triangle incidences are charged to the common neighbor: each canonical
+    edge (u, v) joined against both endpoints' adjacency lists yields one
+    incidence at every w adjacent to both — per triangle that is exactly
+    one charge per vertex. ``lcc_ppm = (1e6 * 2 * tri) div (deg * (deg-1))``
+    in BIGINT floor division; degree-1 nodes have no wedge and report 0.
+
+    Scale notes (100 TB): same join bound as ``triangle_census`` (sum over
+    edges of deg(u) + deg(v)); the degree-ordered-orientation refinement
+    drops in identically. One extra groupBy(w) keyed shuffle for the
+    per-node counts; no driver collection.
+
+    edges: canonical undirected pairs (u, v), u != v, deduped (either
+    orientation). Returns (record_id, deg, n_triangles, lcc_ppm).
+    """
+    both = _bidirectional(edges)
+    e = both.filter(F.col("u") < F.col("v"))
+    adj = both.select(F.col("u").alias("n"), F.col("v").alias("w"))
+    deg = both.groupBy("u").agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    tri = (
+        e.join(adj.select(F.col("n").alias("u"), "w"), "u")
+        .join(adj.select(F.col("n").alias("v"), "w"), ["v", "w"])
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+    )
+    return (
+        deg.join(tri, deg["u"] == tri["w"], "left")
+        .select(
+            F.col("u").alias("record_id"),
+            "deg",
+            F.coalesce("n_triangles", F.lit(0)).cast("long").alias("n_triangles"),
+            F.expr(
+                "(1000000 * 2 * coalesce(n_triangles, 0))"
+                " div greatest(deg * (deg - 1), 1)"
+            )
+            .cast("long")
+            .alias("lcc_ppm"),
+        )
+    )

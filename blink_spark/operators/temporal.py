@@ -260,3 +260,51 @@ def retention_cohorts(
             F.expr("(1000000 * n_users) div cohort_size").alias("retention_ppm"),
         )
     )
+
+
+def markov_transitions(
+    events: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    id_col: str,
+) -> DataFrame:
+    """First-order Markov transition table over per-user event sequences:
+    for every ordered (src_type -> dst_type) adjacency within a user's
+    timeline, the transition count and its exact-ppm conditional
+    probability P(dst | src) — the sequence-model companion to the funnel
+    (which checks ONE prescribed order) and retention (which ignores order
+    entirely): this reports ALL observed orders, so drop-off paths and
+    loops are visible without pre-declaring them.
+
+    Determinism: the per-user order is (ts, id) — ``id_col`` breaks
+    equal-timestamp ties, so both engines enumerate identical adjacencies.
+    Probabilities are ``(1e6 * n) div total`` in BIGINT floor division.
+
+    Scale notes (100 TB): one window shuffle keyed on user (the
+    sessionize/funnel layout, reusable across the temporal family), then
+    two keyed partial aggs over the |types|^2-bounded transition table —
+    the wide input collapses before anything global happens. The final
+    per-src total join is broadcast-sized by construction.
+
+    Returns (src_type, dst_type, n_transitions, p_ppm).
+    """
+    w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    s = events.select(
+        F.col(type_col).alias("src_type"),
+        F.lead(type_col).over(w).alias("dst_type"),
+    )
+    t = (
+        s.filter(F.col("dst_type").isNotNull())
+        .groupBy("src_type", "dst_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_transitions"))
+    )
+    tot = t.groupBy("src_type").agg(
+        F.sum("n_transitions").cast("long").alias("total")
+    )
+    return t.join(F.broadcast(tot), "src_type").select(
+        "src_type",
+        "dst_type",
+        "n_transitions",
+        F.expr("(1000000 * n_transitions) div total").cast("long").alias("p_ppm"),
+    )

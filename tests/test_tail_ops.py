@@ -189,3 +189,77 @@ def test_bfs_seed_distance_bounded_hops(spark):
         10: 0, 11: 1, 12: 1,
         30: 0, 31: 0, 32: 1,
     }
+
+
+def test_link_prediction_distance_two_pairs_only(spark):
+    from blink_spark.operators.cluster import link_prediction
+
+    # square 1-2-3-4-1 with pendant 5 on node 1: the two diagonals are the
+    # only pairs with >= 2 common neighbors; pendant wedges (cn=1) are
+    # pruned; adjacent pairs never appear.
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (1, 4), (1, 5)],
+        "u int, v int",
+    )
+    got = {
+        (r["record_id_a"], r["record_id_b"]): (
+            r["common_neighbors"],
+            r["jaccard_ppm"],
+        )
+        for r in link_prediction(edges, min_common=2).collect()
+    }
+    # (1,3): cn {2,4}, deg 3 and 2 -> 2/(3+2-2) = 666666 ppm
+    # (2,4): cn {1,3}, deg 2 and 2 -> 2/(2+2-2) = 1000000 ppm
+    assert got == {(1, 3): (2, 666666), (2, 4): (2, 1000000)}
+
+
+def test_local_clustering_triangle_with_pendant(spark):
+    from blink_spark.operators.cluster import local_clustering
+
+    # triangle {1,2,3} + pendant 4 on node 3
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4)],
+        "u int, v int",
+    )
+    got = {
+        r["record_id"]: (r["deg"], r["n_triangles"], r["lcc_ppm"])
+        for r in local_clustering(edges).collect()
+    }
+    assert got == {
+        1: (2, 1, 1000000),
+        2: (2, 1, 1000000),
+        3: (3, 1, 333333),
+        4: (1, 0, 0),
+    }
+
+
+def test_markov_transitions_counts_and_tie_order(spark):
+    from datetime import datetime
+
+    from blink_spark.operators.temporal import markov_transitions
+
+    t1, t2, t3 = (datetime(2024, 1, 1, h) for h in (9, 10, 11))
+    # user 1: A,B share a timestamp (event_id breaks the tie), then A, C;
+    # user 2: A then B. Transitions: A->B x2, B->A x1, A->C x1.
+    ev = spark.createDataFrame(
+        [
+            (1, t1, 1, "A"),
+            (2, t1, 1, "B"),
+            (3, t2, 1, "A"),
+            (4, t3, 1, "C"),
+            (5, t1, 2, "A"),
+            (6, t2, 2, "B"),
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string",
+    )
+    got = {
+        (r["src_type"], r["dst_type"]): (r["n_transitions"], r["p_ppm"])
+        for r in markov_transitions(
+            ev, "user_id", "ts", "event_type", "event_id"
+        ).collect()
+    }
+    assert got == {
+        ("A", "B"): (2, 666666),
+        ("B", "A"): (1, 1000000),
+        ("A", "C"): (1, 333333),
+    }

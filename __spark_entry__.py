@@ -4928,6 +4928,55 @@ def _er_clustering_coefficient(spark: SparkSession, sf: str) -> DataFrame:
     return local_clustering(_gold_match_edges(spark))
 
 
+@_q("er_canopy_assign", None)  # oracle injected below (fixture path)
+def _er_canopy_assign(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic canopy blocking over the mention table: each
+    informative token (df in [2, 20]) elects its minimum record id as a
+    canopy center; members report shared-token counts with the classic
+    two-radius contract (loose >= 1 shared token, tight >= 2)."""
+    from blink_spark.operators.blocking import canopy_assign
+
+    m = _fx(spark, "mentions")
+    return canopy_assign(m, "mention_id", "mention")
+
+
+@_q(
+    "events_session_paths",
+    """
+    WITH s AS (
+      SELECT user_id, event_id, ts, event_type,
+             cast(sum(is_new) OVER (PARTITION BY user_id
+                                    ORDER BY ts NULLS FIRST, event_id NULLS FIRST
+                                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+      FROM (
+        SELECT user_id, event_id, ts, event_type,
+               CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                           OVER (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id NULLS FIRST)
+                         <= 1800000000 THEN 0 ELSE 1 END AS is_new
+        FROM events
+      )
+    ),
+    p AS (
+      SELECT user_id, session_seq,
+             string_agg(event_type, '>' ORDER BY ts, event_id) AS path,
+             count(*)::BIGINT AS n
+      FROM s GROUP BY 1, 2
+    )
+    SELECT path, count(*)::BIGINT AS n_sessions, sum(n)::BIGINT AS n_events
+    FROM p GROUP BY path
+    """,
+)
+def _events_session_paths(spark: SparkSession, sf: str) -> DataFrame:
+    """Session path mining: gap-sessionize (30-min rule, µs-exact), build
+    each session's time-ordered event-type path string, count occurrences
+    of each exact path — full multi-step trajectories the funnel and the
+    Markov table both project away."""
+    from blink_spark.operators.temporal import session_paths
+
+    ev = _t(spark, sf, "events")
+    return session_paths(ev, "user_id", "ts", "event_type", "event_id")
+
+
 @_q(
     "events_markov_transitions",
     """
@@ -7113,6 +7162,25 @@ def _er_oracles() -> dict[str, str]:
           JOIN deg da ON da.u = c.a
           JOIN deg db ON db.u = c.b
         """,
+        # deterministic canopy blocking: token df filter, min-id center
+        # election per informative token, (center, record) shared-token
+        # counts with the two-radius tight/loose contract
+        "er_canopy_assign": f"""
+          WITH m AS (
+            SELECT mention_id AS record_id, {_toks('mention')} AS t
+            FROM read_parquet('{men}')
+          ),
+          tk AS (SELECT record_id, unnest(t) AS tok FROM m),
+          dfq AS (SELECT tok, count(*)::BIGINT AS df FROM tk GROUP BY tok),
+          kept AS (SELECT tok FROM dfq WHERE df >= 2 AND df <= 20),
+          ktk AS (SELECT tk.record_id, tk.tok FROM tk JOIN kept USING (tok)),
+          ctr AS (SELECT tok, min(record_id) AS center_id FROM ktk GROUP BY tok)
+          SELECT c.center_id, k.record_id,
+                 count(*)::BIGINT AS n_shared,
+                 (count(*) >= 2) AS is_tight
+          FROM ktk k JOIN ctr c USING (tok)
+          GROUP BY 1, 2
+        """,
         # per-node local clustering coefficient: triangle incidences are
         # charged to the common neighbor w (one charge per vertex per
         # triangle), lcc = 2*tri/(deg*(deg-1)) in exact-ppm floor division
@@ -7725,7 +7793,7 @@ _DRIVER_ORDER = [
     "events_funnel_conversion", "er_match_pagerank",
     "doc_ngram_novelty", "events_retention_cohorts", "er_match_kcore",
     "er_match_bfs_depth", "er_missing_links", "er_clustering_coefficient",
-    "events_markov_transitions",
+    "events_markov_transitions", "er_canopy_assign", "events_session_paths",
 ]
 
 

@@ -308,3 +308,77 @@ def markov_transitions(
         "n_transitions",
         F.expr("(1000000 * n_transitions) div total").cast("long").alias("p_ppm"),
     )
+
+
+def session_paths(
+    events: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    id_col: str,
+    gap_us: int = 1800 * 1_000_000,
+) -> DataFrame:
+    """Session path mining: gap-sessionize each user's stream (same
+    30-minute-gap rule as the sessionization operator), concatenate each
+    session's event types in time order into a path string, and count how
+    often each exact path occurs — the pattern-mining view of the event
+    stream that the funnel (one prescribed order) and the Markov table
+    (one-step memory) both project away: full multi-step trajectories,
+    loops included, surface here without being pre-declared.
+
+    Determinism: within-session order is (ts, id) — ``id_col`` breaks
+    equal-timestamp ties, so both engines concatenate identical paths;
+    gap comparison is at full microsecond precision (the sessionize
+    parity lesson). Counts are BIGINT.
+
+    Scale notes (100 TB): one user-keyed window pass for the session
+    marker + running sum (the sessionize layout, reused as-is), one
+    (user, session)-keyed aggregation whose state is bounded by session
+    length (sessions are gap-bounded by construction), then a path-keyed
+    partial-agg count. No driver collection; path cardinality is bounded
+    by session count.
+
+    Returns (path, n_sessions, n_events).
+    """
+    w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    gap = F.expr(f"timestampdiff(MICROSECOND, prev_ts, {ts_col})")
+    marked = events.select(
+        F.col(user_col).alias("u"),
+        F.col(ts_col).alias("ts"),
+        F.col(id_col).alias("eid"),
+        F.col(type_col).alias("etype"),
+        F.lag(ts_col).over(w).alias("prev_ts"),
+    ).select(
+        "u",
+        "ts",
+        "eid",
+        "etype",
+        F.when(gap <= gap_us, 0).otherwise(1).alias("is_new"),
+    )
+    sess = marked.select(
+        "u",
+        "ts",
+        "eid",
+        "etype",
+        F.sum("is_new")
+        .over(
+            Window.partitionBy("u")
+            .orderBy("ts", "eid")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        .alias("session_seq"),
+    )
+    per_session = sess.groupBy("u", "session_seq").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("ts", "eid", "etype"))),
+                lambda x: x["etype"],
+            ),
+            ">",
+        ).alias("path"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    return per_session.groupBy("path").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sessions"),
+        F.sum("n").cast("long").alias("n_events"),
+    )

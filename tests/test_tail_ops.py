@@ -263,3 +263,81 @@ def test_markov_transitions_counts_and_tie_order(spark):
         ("B", "A"): (1, 1000000),
         ("A", "C"): (1, 333333),
     }
+
+
+def test_canopy_assign_hand_computed(spark):
+    from blink_spark.operators.blocking import canopy_assign
+
+    # token dfs: alpha {r1,r2}, beta {r1,r3}, gamma {r2,r3} (all df=2),
+    # delta df=1 (dropped), epsilon/zeta {r5,r6} (df=2).
+    rows = [
+        ("r1", "alpha beta"),
+        ("r2", "alpha gamma"),
+        ("r3", "beta gamma"),
+        ("r4", "delta"),
+        ("r5", "epsilon zeta"),
+        ("r6", "epsilon zeta"),
+    ]
+    df = spark.createDataFrame(rows, ["mention_id", "mention"])
+    got = {
+        (r["center_id"], r["record_id"]): (r["n_shared"], r["is_tight"])
+        for r in canopy_assign(df, "mention_id", "mention").collect()
+    }
+    # centers: alpha->r1, beta->r1, gamma->r2, epsilon->r5, zeta->r5
+    assert got == {
+        ("r1", "r1"): (2, True),
+        ("r1", "r2"): (1, False),
+        ("r1", "r3"): (1, False),
+        ("r2", "r2"): (1, False),
+        ("r2", "r3"): (1, False),
+        ("r5", "r5"): (2, True),
+        ("r5", "r6"): (2, True),
+    }
+    # r4's only token is df-1: it lands in no canopy at all
+    assert not any(rec == "r4" for _, rec in got)
+
+
+def test_canopy_assign_df_max_drops_stopword_tokens(spark):
+    from blink_spark.operators.blocking import canopy_assign
+
+    # "the" appears in all 4 records; with df_max=3 it is stopword-like
+    # and elects nothing, so only "rare" (df=2) forms a canopy.
+    rows = [
+        ("a", "the rare"),
+        ("b", "the rare"),
+        ("c", "the alone"),
+        ("d", "the"),
+    ]
+    df = spark.createDataFrame(rows, ["mention_id", "mention"])
+    got = {
+        (r["center_id"], r["record_id"])
+        for r in canopy_assign(df, "mention_id", "mention", df_max=3).collect()
+    }
+    assert got == {("a", "a"), ("a", "b")}
+
+
+def test_session_paths_gap_boundary_and_tie_order(spark):
+    from datetime import datetime, timedelta
+
+    from blink_spark.operators.temporal import session_paths
+
+    t0 = datetime(2024, 1, 1, 9)
+    m = timedelta(minutes=1)
+    rows = [
+        # user 1: A,B then a 40-min gap -> second session "C"
+        (1, t0, 1, "A"), (2, t0 + 10 * m, 1, "B"), (3, t0 + 50 * m, 1, "C"),
+        # user 2: plain "A>B"
+        (4, t0, 2, "A"), (5, t0 + 10 * m, 2, "B"),
+        # user 3: equal timestamps -> event_id breaks the tie: "X>Y"
+        (6, t0, 3, "X"), (7, t0, 3, "Y"),
+        # user 4: gap of exactly 30 min is INSIDE the session (<=)
+        (8, t0, 4, "A"), (9, t0 + 30 * m, 4, "B"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+    got = {
+        r["path"]: (r["n_sessions"], r["n_events"])
+        for r in session_paths(ev, "user_id", "ts", "event_type", "event_id").collect()
+    }
+    assert got == {"A>B": (3, 6), "C": (1, 1), "X>Y": (1, 2)}

@@ -4928,6 +4928,25 @@ def _er_clustering_coefficient(spark: SparkSession, sf: str) -> DataFrame:
     return local_clustering(_gold_match_edges(spark))
 
 
+@_q("er_cluster_churn", None)  # oracle injected below (fixture path)
+def _er_cluster_churn(spark: SparkSession, sf: str) -> DataFrame:
+    """Clustering snapshot diff: (gold entity partition x S5 linkage
+    clusters) contingency cells with per-cell split/merge/stable triage —
+    the monitoring report an incremental store emits between snapshots:
+    which entities the linkage scattered (split), which clusters absorbed
+    several entities (merged), which survived 1:1 (stable)."""
+    from blink_spark.operators.cluster import cluster_churn
+
+    m = _fx(spark, "mentions")
+    old = m.select(
+        F.col("mention_id").alias("record_id"), F.col("label_id").alias("old_id")
+    )
+    new = _QUERIES["er_clusters"](spark, sf).select(
+        "record_id", F.col("cluster_id").alias("new_id")
+    )
+    return cluster_churn(old, new)
+
+
 @_q("er_canopy_assign", None)  # oracle injected below (fixture path)
 def _er_canopy_assign(spark: SparkSession, sf: str) -> DataFrame:
     """Deterministic canopy blocking over the mention table: each
@@ -4975,6 +4994,54 @@ def _events_session_paths(spark: SparkSession, sf: str) -> DataFrame:
 
     ev = _t(spark, sf, "events")
     return session_paths(ev, "user_id", "ts", "event_type", "event_id")
+
+
+@_q(
+    "doc_domain_keyness",
+    f"""
+    WITH tk AS (
+      SELECT source AS domain, doc_id, unnest({_toks('text')}) AS tok
+      FROM documents
+    ),
+    a AS (SELECT domain, tok, count(*)::BIGINT AS df_domain FROM tk GROUP BY 1, 2),
+    tt AS (SELECT tok, sum(df_domain)::BIGINT AS t_tot FROM a GROUP BY 1),
+    dt AS (SELECT source AS domain, count(*)::BIGINT AS d_tot
+           FROM documents GROUP BY 1),
+    nn AS (SELECT count(*)::BIGINT AS n FROM documents),
+    keyed AS (
+      SELECT a.domain, a.tok, a.df_domain, tt.t_tot, dt.d_tot,
+             ((a.df_domain * 1000000) // dt.d_tot)::BIGINT AS rate_in_ppm,
+             ((tt.t_tot * 1000000) // nn.n)::BIGINT AS rate_all_ppm
+      FROM a JOIN tt USING (tok) JOIN dt USING (domain) CROSS JOIN nn
+      WHERE tt.t_tot >= 3
+    ),
+    r AS (
+      SELECT domain, tok, df_domain, t_tot,
+             ((rate_in_ppm * 1000000) // greatest(rate_all_ppm, 1))::BIGINT
+               AS lift_ppm,
+             (df_domain * 1000 - (d_tot * rate_all_ppm) // 1000)::BIGINT
+               AS excess_milli,
+             row_number() OVER (
+               PARTITION BY domain
+               ORDER BY ((rate_in_ppm * 1000000) // greatest(rate_all_ppm, 1)) DESC,
+                        rate_in_ppm DESC, tok
+             ) AS rank
+      FROM keyed
+    )
+    SELECT domain, tok AS term, df_domain,
+           (t_tot - df_domain)::BIGINT AS df_rest,
+           lift_ppm, excess_milli, rank::BIGINT AS rank
+    FROM r WHERE rank <= 10
+    """,
+)
+def _doc_domain_keyness(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-domain keyness: the 10 tokens most over-represented in each
+    source by document-frequency lift, in overflow-safe two-stage exact
+    ppm — the domain-shift diagnostic run before choosing per-source
+    mixing weights."""
+    from blink_spark.operators.corpus import domain_keyness
+
+    return domain_keyness(_t(spark, sf, "documents"))
 
 
 @_q(
@@ -7344,6 +7411,48 @@ def _er_oracles() -> dict[str, str]:
           FROM j
         """,
         "er_clusters": clusters_sql,
+        # snapshot diff of the gold entity partition vs the linkage
+        # clusters: contingency cells + per-cell split/merge triage
+        "er_cluster_churn": f"""
+          {scored_cte},
+          edges AS (
+            SELECT record_id_a AS src, record_id_b AS dst FROM j WHERE is_match
+            UNION
+            SELECT record_id_b, record_id_a FROM j WHERE is_match
+          ),
+          nodes AS (SELECT mention_id AS id FROM read_parquet('{men}')),
+          reach AS (
+            SELECT id, id AS r FROM nodes
+            UNION
+            SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src
+          ),
+          cl AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id),
+          old AS (
+            SELECT mention_id AS record_id, label_id AS old_id
+            FROM read_parquet('{men}')
+          ),
+          cells AS (
+            SELECT o.old_id, c.cluster_id AS new_id, count(*)::BIGINT AS n_records
+            FROM old o JOIN cl c ON c.id = o.record_id GROUP BY 1, 2
+          ),
+          op AS (
+            SELECT old_id, sum(n_records)::BIGINT AS old_total,
+                   count(*)::BIGINT AS old_n_parts
+            FROM cells GROUP BY 1
+          ),
+          np AS (
+            SELECT new_id, sum(n_records)::BIGINT AS new_total,
+                   count(*)::BIGINT AS new_n_parts
+            FROM cells GROUP BY 1
+          )
+          SELECT cells.old_id, cells.new_id, cells.n_records,
+                 op.old_total, np.new_total, op.old_n_parts, np.new_n_parts,
+                 CASE WHEN op.old_n_parts = 1 AND np.new_n_parts = 1 THEN 'stable'
+                      WHEN op.old_n_parts > 1 AND np.new_n_parts > 1 THEN 'reshuffled'
+                      WHEN op.old_n_parts > 1 THEN 'split'
+                      ELSE 'merged' END AS status
+          FROM cells JOIN op USING (old_id) JOIN np USING (new_id)
+        """,
         "er_sorted_neighborhood": snm_sql,
         "er_fs_weights": fs_sql,
         "er_em_weights": em_sql,
@@ -7794,6 +7903,7 @@ _DRIVER_ORDER = [
     "doc_ngram_novelty", "events_retention_cohorts", "er_match_kcore",
     "er_match_bfs_depth", "er_missing_links", "er_clustering_coefficient",
     "events_markov_transitions", "er_canopy_assign", "events_session_paths",
+    "er_cluster_churn", "doc_domain_keyness",
 ]
 
 

@@ -776,3 +776,75 @@ def local_clustering(edges: DataFrame) -> DataFrame:
             .alias("lcc_ppm"),
         )
     )
+
+
+def cluster_churn(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str = "record_id",
+    old_col: str = "old_id",
+    new_col: str = "new_id",
+) -> DataFrame:
+    """Clustering snapshot diff: the (old x new) contingency cells plus
+    per-cell split/merge triage — the monitoring report an incremental ER
+    store needs between consecutive snapshots (or against a reference
+    partition): which clusters survived intact, which entity got split
+    across how many clusters, which cluster absorbed how many entities.
+    Plays the evaluation role of the reference's per-world accuracy splits
+    (/root/reference/blink/biencoder/eval_biencoder.py:66-77) at the
+    partition level rather than per mention.
+
+    Inputs are two full assignments over the SAME record universe
+    (``id_col`` + ``old_col`` / ``new_col``); records present in only one
+    snapshot are out of contract (inner-join semantics, documented).
+
+    Per cell (old_id, new_id): ``n_records`` in the intersection,
+    ``old_total`` / ``new_total`` cluster sizes, ``old_n_parts`` (how many
+    new clusters this old cluster scattered into), ``new_n_parts`` (how
+    many old clusters this new cluster absorbed), and ``status``:
+    'stable' (1:1), 'split' (old scattered, new pure), 'merged' (new
+    absorbed several olds, old intact), 'reshuffled' (both).
+
+    Exactness: counts only. Scale notes (100 TB): one record-keyed
+    equi-join (both assignments co-partition on record id), then three
+    partial aggs — cells are keyed by cluster-id pairs, the two profile
+    joins reuse the cluster-key layouts. No windows, no driver collection;
+    every intermediate is bounded by the record count.
+    """
+    cells = (
+        old.join(new, id_col)
+        .groupBy(old_col, new_col)
+        .agg(F.count(F.lit(1)).cast("long").alias("n_records"))
+    )
+    o = cells.groupBy(old_col).agg(
+        F.sum("n_records").cast("long").alias("old_total"),
+        F.count(F.lit(1)).cast("long").alias("old_n_parts"),
+    )
+    n = cells.groupBy(new_col).agg(
+        F.sum("n_records").cast("long").alias("new_total"),
+        F.count(F.lit(1)).cast("long").alias("new_n_parts"),
+    )
+    return (
+        cells.join(o, old_col)
+        .join(n, new_col)
+        .select(
+            old_col,
+            new_col,
+            "n_records",
+            "old_total",
+            "new_total",
+            "old_n_parts",
+            "new_n_parts",
+            F.when(
+                (F.col("old_n_parts") == 1) & (F.col("new_n_parts") == 1),
+                F.lit("stable"),
+            )
+            .when(
+                (F.col("old_n_parts") > 1) & (F.col("new_n_parts") > 1),
+                F.lit("reshuffled"),
+            )
+            .when(F.col("old_n_parts") > 1, F.lit("split"))
+            .otherwise(F.lit("merged"))
+            .alias("status"),
+        )
+    )

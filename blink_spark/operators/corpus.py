@@ -33,7 +33,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from blink_spark.functions.text import normalize_text
+from blink_spark.functions.text import normalize_text, tokens
 
 
 def _hex_long(col: Column, n_hex: int) -> Column:
@@ -1046,4 +1046,88 @@ def exact_quantiles(
         .filter(F.col("cum") >= thr)
         .groupBy("pct")
         .agg(F.min("val").alias("val"))
+    )
+
+
+def domain_keyness(
+    docs: DataFrame,
+    domain_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_df: int = 3,
+    k: int = 10,
+) -> DataFrame:
+    """Per-domain keyness table: the ``k`` tokens most over-represented in
+    each domain relative to the whole corpus, by document-frequency lift —
+    the domain-shift / data-mixing diagnostic a curation pipeline runs
+    before deciding per-source sampling weights (which tokens make src X
+    different from the mix ``mix_plan`` is about to compose).
+
+    Lift is computed in two exact integer stages so NO intermediate
+    exceeds ~1e15 at any corpus size (unlike a single
+    ``a*n*1e6/(d_tot*t_tot)`` product, which overflows BIGINT past ~3M
+    docs): ``rate_in_ppm = a*1e6 div d_tot`` (token's doc-frequency rate
+    inside the domain), ``rate_all_ppm = t_tot*1e6 div n`` (corpus-wide
+    rate), ``lift_ppm = rate_in_ppm*1e6 div max(rate_all_ppm, 1)``. The
+    double rounding costs <= 1 ulp per stage, identically on both engines
+    (integer div throughout, nonnegative operands). ``excess_milli`` =
+    observed-minus-expected in-domain df in milli-docs, same regime.
+
+    Tokens with global df < ``min_df`` are noise-suppressed. Rank order is
+    (lift_ppm desc, rate_in_ppm desc, token asc) — fully deterministic.
+
+    Scale notes (100 TB): distinct-token explode → (domain, token) partial
+    agg; the global token table derives from it by a second partial agg on
+    the token key; the domain totals and the corpus total are a
+    |domains|-row broadcast and a one-row scalar crossJoin. The final
+    top-k window partitions by domain over the (domains x vocab)-bounded
+    keyness table, far smaller than the corpus. No driver collection.
+
+    Returns (domain, term, df_domain, df_rest, lift_ppm, excess_milli,
+    rank).
+    """
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(domain_col).alias("domain"),
+        F.explode(tokens(F.col(text_col))).alias("tok"),
+    )
+    a_tbl = base.groupBy("domain", "tok").agg(
+        F.count(F.lit(1)).cast("long").alias("df_domain")
+    )
+    t_tot = a_tbl.groupBy("tok").agg(F.sum("df_domain").cast("long").alias("t_tot"))
+    d_tot = docs.groupBy(F.col(domain_col).alias("domain")).agg(
+        F.count(F.lit(1)).cast("long").alias("d_tot")
+    )
+    n = docs.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    keyed = (
+        a_tbl.join(t_tot, "tok")
+        .filter(F.col("t_tot") >= min_df)
+        .join(F.broadcast(d_tot), "domain")
+        .crossJoin(F.broadcast(n))
+        .withColumn("rate_in_ppm", F.expr("(df_domain * 1000000) div d_tot"))
+        .withColumn("rate_all_ppm", F.expr("(t_tot * 1000000) div n"))
+        .withColumn(
+            "lift_ppm",
+            F.expr("(rate_in_ppm * 1000000) div greatest(rate_all_ppm, 1)"),
+        )
+        .withColumn(
+            "excess_milli",
+            F.expr("df_domain * 1000 - (d_tot * rate_all_ppm) div 1000"),
+        )
+    )
+    w = Window.partitionBy("domain").orderBy(
+        F.col("lift_ppm").desc(), F.col("rate_in_ppm").desc(), F.col("tok").asc()
+    )
+    return (
+        keyed.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "domain",
+            F.col("tok").alias("term"),
+            "df_domain",
+            (F.col("t_tot") - F.col("df_domain")).cast("long").alias("df_rest"),
+            F.col("lift_ppm").cast("long").alias("lift_ppm"),
+            F.col("excess_milli").cast("long").alias("excess_milli"),
+            F.col("rank").cast("long").alias("rank"),
+        )
     )

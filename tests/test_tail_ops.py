@@ -341,3 +341,62 @@ def test_session_paths_gap_boundary_and_tie_order(spark):
         for r in session_paths(ev, "user_id", "ts", "event_type", "event_id").collect()
     }
     assert got == {"A>B": (3, 6), "C": (1, 1), "X>Y": (1, 2)}
+
+
+def test_cluster_churn_status_classification(spark):
+    from blink_spark.operators.cluster import cluster_churn
+
+    old = spark.createDataFrame(
+        [("r1", "A"), ("r2", "A"), ("r3", "B"), ("r4", "B"), ("r5", "C"),
+         ("r6", "D"), ("r7", "E"), ("r8", "E"), ("r9", "F")],
+        ["record_id", "old_id"],
+    )
+    new = spark.createDataFrame(
+        [("r1", "X"), ("r2", "X"), ("r3", "Y"), ("r4", "Z"), ("r5", "W"),
+         ("r6", "W"), ("r7", "V"), ("r8", "U"), ("r9", "U")],
+        ["record_id", "new_id"],
+    )
+    got = {
+        (r["old_id"], r["new_id"]): (
+            r["n_records"], r["old_total"], r["new_total"], r["status"]
+        )
+        for r in cluster_churn(old, new).collect()
+    }
+    assert got == {
+        ("A", "X"): (2, 2, 2, "stable"),       # survived 1:1
+        ("B", "Y"): (1, 2, 1, "split"),        # B scattered into Y+Z
+        ("B", "Z"): (1, 2, 1, "split"),
+        ("C", "W"): (1, 1, 2, "merged"),       # W absorbed C+D
+        ("D", "W"): (1, 1, 2, "merged"),
+        ("E", "V"): (1, 2, 1, "split"),        # E scattered; U also absorbs F
+        ("E", "U"): (1, 2, 2, "reshuffled"),
+        ("F", "U"): (1, 1, 2, "merged"),
+    }
+
+
+def test_domain_keyness_hand_computed(spark):
+    from blink_spark.operators.corpus import domain_keyness
+
+    docs = spark.createDataFrame(
+        [
+            (1, "d1", "apple banana"),
+            (2, "d1", "apple cherry"),
+            (3, "d2", "banana cherry"),
+            (4, "d2", "cherry date"),
+        ],
+        ["doc_id", "source", "text"],
+    )
+    got = {
+        (r["domain"], r["term"]): (
+            r["df_domain"], r["df_rest"], r["lift_ppm"], r["excess_milli"], r["rank"]
+        )
+        for r in domain_keyness(docs, min_df=2).collect()
+    }
+    # n=4, d_tot=2 each; t_tot: apple 2, banana 2, cherry 3 (date df-1 dropped)
+    assert got == {
+        ("d1", "apple"): (2, 0, 2_000_000, 1000, 1),
+        ("d1", "banana"): (1, 1, 1_000_000, 0, 2),
+        ("d1", "cherry"): (1, 2, 666_666, -500, 3),
+        ("d2", "cherry"): (2, 1, 1_333_333, 500, 1),
+        ("d2", "banana"): (1, 1, 1_000_000, 0, 2),
+    }

@@ -97,6 +97,13 @@ ALLOWLIST: dict[str, frozenset[str]] = {
     "doc_dsir_weights": frozenset(
         {"BroadcastNestedLoopJoin", "Exchange SinglePartition"}
     ),
+    # doc_domain_keyness: the corpus total n is a one-row scalar aggregate
+    # (map-side partial agg) broadcast onto the (domains x vocab)-bounded
+    # keyness table — the lm_perplexity/dsir scalar-denominator pattern;
+    # the token stream never crosses either node.
+    "doc_domain_keyness": frozenset(
+        {"BroadcastNestedLoopJoin", "Exchange SinglePartition"}
+    ),
     # er_ari: three one-row scalar finalizes (n/index, a_pairs, b_pairs)
     # over map-side partial aggs, cross-joined as one-row broadcasts — the
     # er_bcubed scalar-aggregate class; nothing record-scale crosses.

@@ -4947,6 +4947,19 @@ def _er_cluster_churn(spark: SparkSession, sf: str) -> DataFrame:
     return cluster_churn(old, new)
 
 
+@_q("er_swoosh_merge", None)  # oracle injected below (fixture path)
+def _er_swoosh_merge(spark: SparkSession, sf: str) -> DataFrame:
+    """Bounded R-Swoosh over the mention table: two match→CC→union-merge
+    supersteps with exact-integer Jaccard matching on df-capped token
+    profiles — merges that only become visible AFTER a first merge (the
+    transitive-enablement case one-shot linkage misses) land in round 2.
+    Oracle: the same two rounds unrolled as recursive-CTE closures."""
+    from blink_spark.operators.swoosh import swoosh_merge
+
+    m = _fx(spark, "mentions")
+    return swoosh_merge(m, "mention_id", "mention", rounds=2)
+
+
 @_q("er_canopy_assign", None)  # oracle injected below (fixture path)
 def _er_canopy_assign(spark: SparkSession, sf: str) -> DataFrame:
     """Deterministic canopy blocking over the mention table: each
@@ -7229,6 +7242,80 @@ def _er_oracles() -> dict[str, str]:
           JOIN deg da ON da.u = c.a
           JOIN deg db ON db.u = c.b
         """,
+        # bounded R-Swoosh: two unrolled match->CC->union-merge rounds;
+        # match = exact-integer Jaccard on df-capped token profiles,
+        # CC = recursive-CTE closure, merge = distinct token union
+        "er_swoosh_merge": f"""
+          WITH RECURSIVE m AS (
+            SELECT mention_id AS rid, unnest({_toks('mention')}) AS tok
+            FROM read_parquet('{men}')
+          ),
+          kept AS (
+            SELECT tok FROM (SELECT tok, count(*) AS df FROM m GROUP BY 1)
+            WHERE df <= 20
+          ),
+          p0 AS (SELECT rid AS pid, m.tok FROM m JOIN kept USING (tok)),
+          s0 AS (SELECT pid, count(*)::BIGINT AS sz FROM p0 GROUP BY 1),
+          pr0 AS (
+            SELECT a.pid AS pa, b.pid AS pb, count(*)::BIGINT AS ns
+            FROM p0 a JOIN p0 b ON a.tok = b.tok AND a.pid < b.pid
+            GROUP BY 1, 2
+          ),
+          e0 AS (
+            SELECT pa, pb FROM pr0
+            JOIN s0 sa ON sa.pid = pr0.pa
+            JOIN s0 sb ON sb.pid = pr0.pb
+            WHERE (ns * 1000000) // (sa.sz + sb.sz - ns) >= 500000
+          ),
+          ed0 AS (SELECT pa AS src, pb AS dst FROM e0
+                  UNION SELECT pb, pa FROM e0),
+          n0 AS (SELECT DISTINCT pid AS id FROM p0),
+          r0 AS (
+            SELECT id, id AS r FROM n0
+            UNION
+            SELECT r0.id, e.dst FROM r0 JOIN ed0 e ON r0.r = e.src
+          ),
+          c0 AS (SELECT id, min(r) AS np FROM r0 GROUP BY id),
+          p1 AS (SELECT DISTINCT c0.np AS pid, p0.tok
+                 FROM p0 JOIN c0 ON c0.id = p0.pid),
+          s1 AS (SELECT pid, count(*)::BIGINT AS sz FROM p1 GROUP BY 1),
+          pr1 AS (
+            SELECT a.pid AS pa, b.pid AS pb, count(*)::BIGINT AS ns
+            FROM p1 a JOIN p1 b ON a.tok = b.tok AND a.pid < b.pid
+            GROUP BY 1, 2
+          ),
+          e1 AS (
+            SELECT pa, pb FROM pr1
+            JOIN s1 sa ON sa.pid = pr1.pa
+            JOIN s1 sb ON sb.pid = pr1.pb
+            WHERE (ns * 1000000) // (sa.sz + sb.sz - ns) >= 500000
+          ),
+          ed1 AS (SELECT pa AS src, pb AS dst FROM e1
+                  UNION SELECT pb, pa FROM e1),
+          n1 AS (SELECT DISTINCT pid AS id FROM p1),
+          r1 AS (
+            SELECT id, id AS r FROM n1
+            UNION
+            SELECT r1.id, e.dst FROM r1 JOIN ed1 e ON r1.r = e.src
+          ),
+          c1 AS (SELECT id, min(r) AS np FROM r1 GROUP BY id),
+          p2 AS (SELECT DISTINCT c1.np AS pid, p1.tok
+                 FROM p1 JOIN c1 ON c1.id = p1.pid),
+          s2 AS (SELECT pid, count(*)::BIGINT AS psz FROM p2 GROUP BY 1),
+          map0 AS (SELECT mention_id AS record_id, mention_id AS pid
+                   FROM read_parquet('{men}')),
+          map1 AS (
+            SELECT record_id, coalesce(c0.np, map0.pid) AS pid
+            FROM map0 LEFT JOIN c0 ON c0.id = map0.pid
+          ),
+          map2 AS (
+            SELECT record_id, coalesce(c1.np, map1.pid) AS pid
+            FROM map1 LEFT JOIN c1 ON c1.id = map1.pid
+          )
+          SELECT record_id, map2.pid AS profile_id,
+                 coalesce(s2.psz, 0)::BIGINT AS profile_n_tokens
+          FROM map2 LEFT JOIN s2 ON s2.pid = map2.pid
+        """,
         # deterministic canopy blocking: token df filter, min-id center
         # election per informative token, (center, record) shared-token
         # counts with the two-radius tight/loose contract
@@ -7903,7 +7990,7 @@ _DRIVER_ORDER = [
     "doc_ngram_novelty", "events_retention_cohorts", "er_match_kcore",
     "er_match_bfs_depth", "er_missing_links", "er_clustering_coefficient",
     "events_markov_transitions", "er_canopy_assign", "events_session_paths",
-    "er_cluster_churn", "doc_domain_keyness",
+    "er_cluster_churn", "doc_domain_keyness", "er_swoosh_merge",
 ]
 
 

@@ -400,3 +400,29 @@ def test_domain_keyness_hand_computed(spark):
         ("d2", "cherry"): (2, 1, 1_333_333, 500, 1),
         ("d2", "banana"): (1, 1, 1_000_000, 0, 2),
     }
+
+
+def test_swoosh_merge_transitive_enablement(spark):
+    from blink_spark.operators.swoosh import swoosh_merge
+
+    # r3 matches NEITHER r1 nor r2 alone (J=1/4), but matches their round-1
+    # union {a,b,c,d} at J=2/4 — the merge-enables-match case R-Swoosh
+    # exists for. r4 shares no informative token with anyone.
+    rows = [("r1", "a b c"), ("r2", "b c d"), ("r3", "a d"), ("r4", "q r")]
+    df = spark.createDataFrame(rows, ["mention_id", "mention"])
+
+    one = {
+        r["record_id"]: (r["profile_id"], r["profile_n_tokens"])
+        for r in swoosh_merge(df, "mention_id", "mention", rounds=1).collect()
+    }
+    assert one == {
+        "r1": ("r1", 4), "r2": ("r1", 4), "r3": ("r3", 2), "r4": ("r4", 2),
+    }
+
+    two = {
+        r["record_id"]: (r["profile_id"], r["profile_n_tokens"])
+        for r in swoosh_merge(df, "mention_id", "mention", rounds=2).collect()
+    }
+    assert two == {
+        "r1": ("r1", 4), "r2": ("r1", 4), "r3": ("r1", 4), "r4": ("r4", 2),
+    }

@@ -4947,6 +4947,37 @@ def _er_cluster_churn(spark: SparkSession, sf: str) -> DataFrame:
     return cluster_churn(old, new)
 
 
+@_q("er_orc_mention_scan", None)  # oracle injected below (fixture path)
+def _er_orc_mention_scan(spark: SparkSession, sf: str) -> DataFrame:
+    """ORC source roundtrip — the mention table written as a
+    world-partitioned ORC sink, read back through ``spark.read.orc`` with
+    a two-world partition-pruned + stripe-pushdown scan. DuckDB reads no
+    ORC, so the oracle runs the identical projection on the parquet
+    fixture; the hash match proves the roundtrip is value-exact."""
+    import tempfile
+
+    from blink_spark.functions.text import token_count
+    from blink_spark.sources.orc import read_orc, write_orc
+
+    src = _fx(spark, "mentions").select(
+        "mention_id", "mention", "world", "label_id"
+    )
+    path = os.path.join(tempfile.mkdtemp(prefix="blink_orc_"), "mentions_orc")
+    write_orc(src, path, partition_by="world")
+    return (
+        read_orc(spark, path)
+        .filter(F.col("world").isin("world_03", "world_07"))
+        .filter(F.col("label_id") % 2 == 0)
+        .select(
+            "mention_id",
+            "mention",
+            "world",
+            "label_id",
+            token_count("mention").cast("long").alias("n_tokens"),
+        )
+    )
+
+
 @_q("er_swoosh_merge", None)  # oracle injected below (fixture path)
 def _er_swoosh_merge(spark: SparkSession, sf: str) -> DataFrame:
     """Bounded R-Swoosh over the mention table: two match→CC→union-merge
@@ -7242,6 +7273,16 @@ def _er_oracles() -> dict[str, str]:
           JOIN deg da ON da.u = c.a
           JOIN deg db ON db.u = c.b
         """,
+        # ORC roundtrip scan: oracle runs the identical projection on the
+        # parquet fixture (DuckDB reads no ORC; the hash match proves the
+        # write->read roundtrip value-exact)
+        "er_orc_mention_scan": f"""
+          SELECT mention_id, mention, world, label_id,
+                 len(regexp_split_to_array(trim(mention),
+                     '[\\t\\n\\x0B\\f\\r ]+'))::BIGINT AS n_tokens
+          FROM read_parquet('{men}')
+          WHERE world IN ('world_03', 'world_07') AND label_id % 2 = 0
+        """,
         # bounded R-Swoosh: two unrolled match->CC->union-merge rounds;
         # match = exact-integer Jaccard on df-capped token profiles,
         # CC = recursive-CTE closure, merge = distinct token union
@@ -7991,6 +8032,7 @@ _DRIVER_ORDER = [
     "er_match_bfs_depth", "er_missing_links", "er_clustering_coefficient",
     "events_markov_transitions", "er_canopy_assign", "events_session_paths",
     "er_cluster_churn", "doc_domain_keyness", "er_swoosh_merge",
+    "er_orc_mention_scan",
 ]
 
 

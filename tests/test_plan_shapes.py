@@ -10,6 +10,7 @@ import __spark_entry__ as entry
 from blink_spark.plans.inspect import (
     explain_str,
     has_broadcast_join,
+    partition_filters,
     pushed_filters,
     scan_read_schema,
 )
@@ -251,3 +252,15 @@ def test_candidate_pairs_sizes_blocks_with_one_assignment_shuffle(spark):
     # 40 blocks of 7-8 records: sum of C(size,2)
     assert n == sum(1 for i in range(300) for j in range(i + 1, 300) if i % 40 == j % 40)
     assignments.unpersist()
+
+
+def test_orc_scan_prunes_partitions_and_pushes_filters(spark):
+    """The ORC roundtrip source must behave like the parquet stores: the
+    world filter prunes hive partitions at the directory level and the
+    label predicate reaches the ORC scan as a pushed filter — a second
+    columnar format with the same scan discipline, not a full-table read."""
+    df = entry.queries()["er_orc_mention_scan"](spark, TESTDATA)
+    pf = " ".join(partition_filters(df))
+    assert "world" in pf, f"no partition pruning on ORC scan: {pf!r}"
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "OrcScan" in plan or "orc" in plan.lower(), plan[:500]

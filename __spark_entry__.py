@@ -4947,6 +4947,48 @@ def _er_cluster_churn(spark: SparkSession, sf: str) -> DataFrame:
     return cluster_churn(old, new)
 
 
+@_q(
+    "events_value_runs",
+    """
+    WITH m AS (
+      SELECT user_id AS k, ts, event_id AS eid, event_type AS state,
+             CASE WHEN lag(event_type) OVER w IS NULL
+                    OR lag(event_type) OVER w <> event_type
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id
+                   ORDER BY ts NULLS FIRST, event_id NULLS FIRST)
+    ),
+    r AS (
+      SELECT k, ts, state,
+             cast(sum(is_new) OVER (PARTITION BY k
+                                    ORDER BY ts NULLS FIRST, eid NULLS FIRST
+                                    ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS run_seq
+      FROM m
+    ),
+    p AS (
+      SELECT k, run_seq, min(state) AS state, min(ts) AS valid_from,
+             count(*)::BIGINT AS n_events
+      FROM r GROUP BY 1, 2
+    )
+    SELECT k AS key, run_seq, state, valid_from,
+           lead(valid_from) OVER (PARTITION BY k ORDER BY run_seq) AS valid_to,
+           n_events
+    FROM p
+    """,
+)
+def _events_value_runs(spark: SparkSession, sf: str) -> DataFrame:
+    """SCD2-style value runs: each user's event-type stream run-length
+    encoded into validity intervals (valid_from inclusive, valid_to =
+    next run's start, NULL while current) — the dimension-build cut of
+    the stream: sessionize cuts on time gaps, this cuts on value changes."""
+    from blink_spark.operators.temporal import value_runs
+
+    ev = _t(spark, sf, "events")
+    return value_runs(ev, "user_id", "ts", "event_type", "event_id")
+
+
 @_q("er_orc_mention_scan", None)  # oracle injected below (fixture path)
 def _er_orc_mention_scan(spark: SparkSession, sf: str) -> DataFrame:
     """ORC source roundtrip — the mention table written as a
@@ -4976,6 +5018,23 @@ def _er_orc_mention_scan(spark: SparkSession, sf: str) -> DataFrame:
             token_count("mention").cast("long").alias("n_tokens"),
         )
     )
+
+
+@_q("er_block_filter", None)  # oracle injected below (fixture path)
+def _er_block_filter(spark: SparkSession, sf: str) -> DataFrame:
+    """Papadakis block filtering over token blocking of the mention table:
+    each record keeps its 3 smallest (most discriminative) blocks;
+    singleton blocks are purged first. The step between block building
+    and pair generation that bounds per-record comparison cost."""
+    from blink_spark.functions.text import tokens
+    from blink_spark.operators.blocking import block_filter_top_r
+
+    m = _fx(spark, "mentions")
+    blocks = m.select(
+        F.col("mention_id").alias("record_id"),
+        F.explode(tokens(F.col("mention"))).alias("block_key"),
+    )
+    return block_filter_top_r(blocks)
 
 
 @_q("er_swoosh_merge", None)  # oracle injected below (fixture path)
@@ -7283,6 +7342,30 @@ def _er_oracles() -> dict[str, str]:
           FROM read_parquet('{men}')
           WHERE world IN ('world_03', 'world_07') AND label_id % 2 = 0
         """,
+        # Papadakis block filtering: token blocking, singleton blocks
+        # purged, each record keeps its r=3 smallest blocks under the
+        # deterministic (block_size asc, block_key asc) rank
+        "er_block_filter": f"""
+          WITH b AS (
+            SELECT mention_id AS record_id, unnest({_toks('mention')}) AS block_key
+            FROM read_parquet('{men}')
+          ),
+          sz AS (
+            SELECT block_key, count(*)::BIGINT AS block_size
+            FROM b GROUP BY 1
+          ),
+          r AS (
+            SELECT b.record_id, b.block_key, sz.block_size,
+                   row_number() OVER (
+                     PARTITION BY b.record_id
+                     ORDER BY sz.block_size ASC, b.block_key ASC
+                   )::BIGINT AS rank
+            FROM b JOIN sz USING (block_key)
+            WHERE sz.block_size >= 2
+          )
+          SELECT record_id, block_key, block_size, rank
+          FROM r WHERE rank <= 3
+        """,
         # bounded R-Swoosh: two unrolled match->CC->union-merge rounds;
         # match = exact-integer Jaccard on df-capped token profiles,
         # CC = recursive-CTE closure, merge = distinct token union
@@ -8032,7 +8115,7 @@ _DRIVER_ORDER = [
     "er_match_bfs_depth", "er_missing_links", "er_clustering_coefficient",
     "events_markov_transitions", "er_canopy_assign", "events_session_paths",
     "er_cluster_churn", "doc_domain_keyness", "er_swoosh_merge",
-    "er_orc_mention_scan",
+    "er_orc_mention_scan", "events_value_runs", "er_block_filter",
 ]
 
 

@@ -16,7 +16,7 @@ All three emit the same shape: (block_key string, record_id string, text).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from blink_spark.functions.hashing import embed_text_udf, sign_lsh_bucket
@@ -554,5 +554,51 @@ def canopy_assign(
             "record_id",
             "n_shared",
             (F.col("n_shared") >= t1).alias("is_tight"),
+        )
+    )
+
+
+def block_filter_top_r(
+    blocks: DataFrame,
+    block_col: str = "block_key",
+    id_col: str = "record_id",
+    r: int = 3,
+) -> DataFrame:
+    """Block filtering (Papadakis et al., "Comparative analysis of
+    approximate blocking techniques for entity resolution", PVLDB 2016):
+    every record keeps only its ``r`` SMALLEST blocks — small blocks are
+    the most discriminative, and dropping a record from a mega block
+    removes |block|-1 candidate comparisons at the cost of recall only if
+    NO small block covers the pair. This is the per-record counterpart of
+    the per-edge WNP pruning in ``meta_block_prune``; pipelines run it
+    between block building and pair generation.
+
+    Singleton blocks generate no comparisons and are dropped before
+    ranking (the standard block-purging precondition). Rank order is
+    (block_size asc, block_key asc) — fully deterministic.
+
+    Scale notes (100 TB): one block-keyed partial-agg for sizes, one
+    size join back on the same key, then a record-keyed window whose
+    partition is bounded by the record's own block memberships (tokens
+    per record, not corpus scale). No driver collection.
+
+    Returns (record_id, block_key, block_size, rank).
+    """
+    sizes = blocks.groupBy(block_col).agg(
+        F.count(F.lit(1)).cast("long").alias("block_size")
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("block_size").asc(), F.col(block_col).asc()
+    )
+    return (
+        blocks.join(sizes, block_col)
+        .filter(F.col("block_size") >= 2)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= r)
+        .select(
+            id_col,
+            block_col,
+            "block_size",
+            F.col("rank").cast("long").alias("rank"),
         )
     )

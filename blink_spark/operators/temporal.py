@@ -382,3 +382,74 @@ def session_paths(
         F.count(F.lit(1)).cast("long").alias("n_sessions"),
         F.sum("n").cast("long").alias("n_events"),
     )
+
+
+def value_runs(
+    events: DataFrame,
+    key_col: str,
+    ts_col: str,
+    val_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Run-length encoding of a per-key value stream into SCD2-style
+    validity intervals: consecutive equal values collapse into one run with
+    ``valid_from`` = the run's first event time and ``valid_to`` = the NEXT
+    run's ``valid_from`` (exclusive end, the slowly-changing-dimension
+    type-2 convention); the key's current run carries ``valid_to`` NULL.
+    This is the dimension-build view of the event stream — sessionize cuts
+    on time gaps, this cuts on VALUE CHANGES regardless of gap.
+
+    Determinism: within-key order is (ts, id) — ``id_col`` breaks equal
+    timestamps identically on both engines; a change at an equal-timestamp
+    boundary is therefore well-defined. Interval endpoints compare at full
+    microsecond precision.
+
+    Scale notes (100 TB): two key-partitioned window passes over the raw
+    stream (change marker + running run counter — the sessionize layout),
+    one (key, run)-keyed partial agg, then one key-partitioned window over
+    the RUNS table (≤ one row per change, usually ≪ events) for the lead.
+    No driver collection, no unpartitioned window.
+
+    Returns (key, run_seq, state, valid_from, valid_to, n_events).
+    """
+    w = Window.partitionBy(key_col).orderBy(ts_col, id_col)
+    marked = events.select(
+        F.col(key_col).alias("k"),
+        F.col(ts_col).alias("ts"),
+        F.col(id_col).alias("eid"),
+        F.col(val_col).alias("state"),
+        F.when(
+            F.lag(val_col).over(w).isNull()
+            | (F.lag(val_col).over(w) != F.col(val_col)),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_new"),
+    )
+    runs = marked.select(
+        "k",
+        "ts",
+        "state",
+        F.sum("is_new")
+        .over(
+            Window.partitionBy("k")
+            .orderBy("ts", "eid")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        .cast("long")
+        .alias("run_seq"),
+    )
+    per_run = runs.groupBy("k", "run_seq").agg(
+        F.first("state").alias("state"),
+        F.min("ts").alias("valid_from"),
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+    )
+    w_run = Window.partitionBy("k").orderBy("run_seq")
+    return per_run.select(
+        F.col("k").alias("key"),
+        "run_seq",
+        "state",
+        "valid_from",
+        F.lead("valid_from").over(w_run).alias("valid_to"),
+        "n_events",
+    )

@@ -426,3 +426,59 @@ def test_swoosh_merge_transitive_enablement(spark):
     assert two == {
         "r1": ("r1", 4), "r2": ("r1", 4), "r3": ("r1", 4), "r4": ("r4", 2),
     }
+
+
+def test_value_runs_scd2_intervals(spark):
+    from datetime import datetime
+
+    from blink_spark.operators.temporal import value_runs
+
+    t = [datetime(2024, 1, 1, 9, m) for m in range(6)]
+    rows = [
+        # user 1: A A B A  -> runs A(2), B(1), A(1); same-value non-adjacent
+        # states are SEPARATE runs (run-length, not group-by-value)
+        (1, t[0], 1, "A"), (2, t[1], 1, "A"), (3, t[2], 1, "B"), (4, t[3], 1, "A"),
+        # user 2: equal timestamps, event_id order decides: B then A
+        (5, t[0], 2, "B"), (6, t[0], 2, "A"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+    got = {
+        (r["key"], r["run_seq"]): (
+            r["state"], r["valid_from"], r["valid_to"], r["n_events"]
+        )
+        for r in value_runs(ev, "user_id", "ts", "event_type", "event_id").collect()
+    }
+    assert got == {
+        (1, 1): ("A", t[0], t[2], 2),
+        (1, 2): ("B", t[2], t[3], 1),
+        (1, 3): ("A", t[3], None, 1),   # current run: open interval
+        (2, 1): ("B", t[0], t[0], 1),
+        (2, 2): ("A", t[0], None, 1),
+    }
+
+
+def test_block_filter_keeps_r_smallest_blocks(spark):
+    from blink_spark.operators.blocking import block_filter_top_r
+
+    rows = [
+        # block sizes: big=3, mid=2, tiny=2, solo=1 (purged)
+        ("r1", "big"), ("r2", "big"), ("r3", "big"),
+        ("r1", "mid"), ("r2", "mid"),
+        ("r1", "tiny"), ("r3", "tiny"),
+        ("r1", "aaa"), ("r2", "aaa"),   # size 2, key-first on ties
+        ("r3", "solo"),
+    ]
+    blocks = spark.createDataFrame(rows, "record_id string, block_key string")
+    got = {
+        (r["record_id"], r["rank"]): (r["block_key"], r["block_size"])
+        for r in block_filter_top_r(blocks, r=2).collect()
+    }
+    # r1 has 4 blocks of sizes (2,2,2,3): keeps aaa, mid (key asc on ties)
+    # r3's singleton 'solo' is purged; keeps tiny(2) then big(3)
+    assert got == {
+        ("r1", 1): ("aaa", 2), ("r1", 2): ("mid", 2),
+        ("r2", 1): ("aaa", 2), ("r2", 2): ("mid", 2),
+        ("r3", 1): ("tiny", 2), ("r3", 2): ("big", 3),
+    }

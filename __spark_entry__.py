@@ -5037,6 +5037,49 @@ def _er_block_filter(spark: SparkSession, sf: str) -> DataFrame:
     return block_filter_top_r(blocks)
 
 
+@_q("er_resource_allocation", None)  # oracle injected below (fixture path)
+def _er_resource_allocation(spark: SparkSession, sf: str) -> DataFrame:
+    """Resource-allocation link prediction over the SCORED match graph:
+    er_missing_links' recall-repair queue re-ranked so a shared RARE
+    neighbor (a record matched to few others) outweighs a shared hub —
+    the distinction common-neighbor counting cannot make. Terms are
+    exact ``1e9 div deg`` integers (no libm log), same wedge-join shape."""
+    from blink_spark.operators.cluster import resource_allocation
+    from blink_spark.operators.scoring import match_edges, score_pairs
+
+    m = _fx(spark, "mentions").select("mention_id", "mention")
+    g = _fx(spark, "gold_pairs")
+    attrs = (
+        g.select(
+            F.col("mention_id_a").alias("record_id_a"),
+            F.col("mention_id_b").alias("record_id_b"),
+        )
+        .join(
+            m.select(
+                F.col("mention_id").alias("record_id_a"),
+                F.col("mention").alias("mention_a"),
+            ),
+            "record_id_a",
+        )
+        .join(
+            m.select(
+                F.col("mention_id").alias("record_id_b"),
+                F.col("mention").alias("mention_b"),
+            ),
+            "record_id_b",
+        )
+    )
+    scored = match_edges(score_pairs(attrs, text_a="mention_a", text_b="mention_b"))
+    edges = (
+        scored.filter(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v")
+        )
+        .distinct()
+    )
+    return resource_allocation(edges, min_common=2)
+
+
 @_q("er_swoosh_merge", None)  # oracle injected below (fixture path)
 def _er_swoosh_merge(spark: SparkSession, sf: str) -> DataFrame:
     """Bounded R-Swoosh over the mention table: two match→CC→union-merge
@@ -7332,6 +7375,36 @@ def _er_oracles() -> dict[str, str]:
           JOIN deg da ON da.u = c.a
           JOIN deg db ON db.u = c.b
         """,
+        # resource-allocation link prediction: same scored match graph and
+        # wedge join as er_missing_links, but the neighbor's degree joins
+        # on the wedge apex and each common neighbor contributes the exact
+        # integer term 1e9 div deg (no libm log anywhere)
+        "er_resource_allocation": f"""
+          {scored_cte},
+          me AS (
+            SELECT least(record_id_a, record_id_b) AS u,
+                   greatest(record_id_a, record_id_b) AS v
+            FROM j WHERE is_match AND record_id_a != record_id_b
+            GROUP BY 1, 2
+          ),
+          e AS (SELECT u, v FROM me UNION ALL SELECT v, u FROM me),
+          deg AS (SELECT u, count(*)::BIGINT AS deg FROM e GROUP BY u),
+          w AS (
+            SELECT e1.v AS a, e2.v AS b, e1.u AS n
+            FROM e e1 JOIN e e2 ON e1.u = e2.u AND e1.v < e2.v
+          ),
+          t AS (
+            SELECT w.a, w.b, count(*)::BIGINT AS cn,
+                   sum(1000000000 // d.deg)::BIGINT AS ra_nano
+            FROM w JOIN deg d ON d.u = w.n
+            GROUP BY 1, 2
+          )
+          SELECT a AS record_id_a, b AS record_id_b,
+                 cn AS common_neighbors, ra_nano
+          FROM t
+          WHERE cn >= 2
+            AND NOT EXISTS (SELECT 1 FROM me r WHERE r.u = t.a AND r.v = t.b)
+        """,
         # ORC roundtrip scan: oracle runs the identical projection on the
         # parquet fixture (DuckDB reads no ORC; the hash match proves the
         # write->read roundtrip value-exact)
@@ -8116,6 +8189,7 @@ _DRIVER_ORDER = [
     "events_markov_transitions", "er_canopy_assign", "events_session_paths",
     "er_cluster_churn", "doc_domain_keyness", "er_swoosh_merge",
     "er_orc_mention_scan", "events_value_runs", "er_block_filter",
+    "er_resource_allocation",
 ]
 
 

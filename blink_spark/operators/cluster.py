@@ -729,6 +729,56 @@ def link_prediction(edges: DataFrame, min_common: int = 2) -> DataFrame:
     )
 
 
+def resource_allocation(edges: DataFrame, min_common: int = 2) -> DataFrame:
+    """Resource-Allocation link prediction (Zhou, Lü & Zhang, EPJ B 2009)
+    over the match graph: like ``link_prediction`` it surfaces non-adjacent
+    distance-2 pairs, but each common neighbor ``w`` contributes ``1/deg(w)``
+    instead of 1 — a shared RARE neighbor (a record matched to few others)
+    is far stronger evidence than a shared hub, which common-neighbor
+    counting cannot distinguish. RA is the strongest of the classic local
+    indices on most benchmarks and, unlike Adamic-Adar's ``1/log deg``, is
+    EXACT in integers: each term is ``1e9 div deg(w)`` (deg >= 2 whenever a
+    wedge exists through w), so the score is portable bit-for-bit across
+    engines — no libm ``log`` whose last ulp could flip a rank.
+
+    Scale notes (100 TB): identical shape to ``link_prediction`` — the
+    wedge self-join keyed on the shared neighbor (sum of C(deg, 2), bounded
+    by upstream cap-and-report blocking), except the neighbor's degree
+    joins BEFORE the pair aggregation (one extra equi-join on the wedge
+    apex, map-side combinable sum), then the canonical-key anti-join.
+    Nothing touches the driver.
+
+    edges: canonical undirected pairs (u, v), u != v, deduped.
+    Returns (record_id_a, record_id_b, common_neighbors, ra_nano) with
+    record_id_a < record_id_b, common_neighbors >= min_common.
+    """
+    both = _bidirectional(edges)
+    deg = both.groupBy("u").agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    wedges = (
+        both.select(F.col("u").alias("n"), F.col("v").alias("a"))
+        .join(both.select(F.col("u").alias("n"), F.col("v").alias("b")), "n")
+        .filter(F.col("a") < F.col("b"))
+        .join(deg.select(F.col("u").alias("n"), F.col("deg").alias("deg_n")), "n")
+        .groupBy("a", "b")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("common_neighbors"),
+            F.sum(F.expr("cast(1000000000 as bigint) div deg_n"))
+            .cast("long")
+            .alias("ra_nano"),
+        )
+        .filter(F.col("common_neighbors") >= min_common)
+    )
+    existing = both.filter(F.col("u") < F.col("v")).select(
+        F.col("u").alias("a"), F.col("v").alias("b")
+    )
+    return wedges.join(existing, ["a", "b"], "left_anti").select(
+        F.col("a").alias("record_id_a"),
+        F.col("b").alias("record_id_b"),
+        "common_neighbors",
+        "ra_nano",
+    )
+
+
 def local_clustering(edges: DataFrame) -> DataFrame:
     """Per-node local clustering coefficient of the match graph in exact
     ppm — the per-record companion to ``triangle_census``: the census

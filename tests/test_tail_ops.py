@@ -482,3 +482,28 @@ def test_block_filter_keeps_r_smallest_blocks(spark):
         ("r2", 1): ("aaa", 2), ("r2", 2): ("mid", 2),
         ("r3", 1): ("tiny", 2), ("r3", 2): ("big", 3),
     }
+
+
+def test_resource_allocation_weighs_rare_neighbors(spark):
+    from blink_spark.operators.cluster import resource_allocation
+
+    # hub h touches a,b,c,d (deg 4); r touches only a,b (deg 2):
+    # (a,b) shares {h, r} -> ra = 1e9/4 + 1e9/2; every other distance-2
+    # pair shares only the hub (cn 1, below min_common)
+    edges = [("a", "h"), ("b", "h"), ("c", "h"), ("d", "h"),
+             ("a", "r"), ("b", "r")]
+    e = spark.createDataFrame(edges, "u string, v string")
+    got = {
+        (x["record_id_a"], x["record_id_b"]): (x["common_neighbors"], x["ra_nano"])
+        for x in resource_allocation(e, min_common=2).collect()
+    }
+    # (h,r) likewise shares {a,b} (each deg 2 -> 1e9/2 + 1e9/2)
+    assert got == {("a", "b"): (2, 750000000), ("h", "r"): (2, 1000000000)}
+
+    # adjacency excluded: closing (a,b) removes it from the queue
+    e2 = spark.createDataFrame(edges + [("a", "b")], "u string, v string")
+    got2 = {
+        (x["record_id_a"], x["record_id_b"])
+        for x in resource_allocation(e2, min_common=2).collect()
+    }
+    assert ("a", "b") not in got2

@@ -1014,6 +1014,44 @@ def _doc_token_hll(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @_q(
+    "events_count_min",
+    """
+    WITH js AS (SELECT unnest([0, 1, 2, 3]) AS j),
+    r AS (SELECT j,
+                 ('0x' || substr(md5('cm' || j || ':' || user_id), 1, 8))::BIGINT
+                   % 64 AS bucket
+          FROM events CROSS JOIN js),
+    counters AS (SELECT j, bucket, count(*)::BIGINT AS c FROM r GROUP BY 1, 2),
+    keys AS (SELECT user_id, count(*)::BIGINT AS n_exact FROM events GROUP BY 1),
+    kh AS (SELECT user_id, n_exact, j,
+                  ('0x' || substr(md5('cm' || j || ':' || user_id), 1, 8))::BIGINT
+                    % 64 AS bucket
+           FROM keys CROSS JOIN js),
+    est AS (SELECT user_id, n_exact, min(c)::BIGINT AS est_count
+            FROM kh JOIN counters USING (j, bucket) GROUP BY 1, 2)
+    SELECT user_id, n_exact, est_count,
+           (est_count - n_exact)::BIGINT AS overestimate
+    FROM est
+    ORDER BY est_count DESC, user_id ASC
+    LIMIT 50
+    """,
+)
+def _events_count_min(spark: SparkSession, sf: str) -> DataFrame:
+    """Count-min heavy hitters: per-user event-frequency estimates from a
+    4x64 counter grid (min over 4 salted md5 rows — never under, over by
+    at most the collision mass), exact counts audited in the same scan,
+    top 50 by the sketch's own ranking (est desc, user asc — total order)."""
+    from blink_spark.operators.sketch import count_min_estimate
+
+    ev = _t(spark, sf, "events")
+    return (
+        count_min_estimate(ev, key_col="user_id", d=4, w=64)
+        .orderBy(F.col("est_count").desc(), F.col("user_id").asc())
+        .limit(50)
+    )
+
+
+@_q(
     "doc_chunk_dedup",
     f"""
     WITH n AS (SELECT doc_id, string_split({_norm('text')}, ' ') AS tk FROM documents),
@@ -8189,7 +8227,7 @@ _DRIVER_ORDER = [
     "events_markov_transitions", "er_canopy_assign", "events_session_paths",
     "er_cluster_churn", "doc_domain_keyness", "er_swoosh_merge",
     "er_orc_mention_scan", "events_value_runs", "er_block_filter",
-    "er_resource_allocation",
+    "er_resource_allocation", "events_count_min",
 ]
 
 

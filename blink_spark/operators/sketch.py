@@ -241,3 +241,103 @@ def hll_estimate(regs: DataFrame, group_col: str, p: int = 4) -> DataFrame:
         "s_scaled",
         _hll_est_col(m).alias("est_distinct"),
     )
+
+
+def _cm_hash(col: Column, j: int, w: int) -> Column:
+    """Row-j count-min hash into [0, w): first 8 md5 hex digits of the
+    salted key as a long, mod w (DuckDB-portable:
+    ('0x' || substr(md5('cm{j}:' || x), 1, 8))::BIGINT % w)."""
+    return (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(f"cm{j}:"), col.cast("string"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        % w
+    )
+
+
+def count_min_counters(
+    df: DataFrame, key_col: str, d: int = 4, w: int = 256
+) -> DataFrame:
+    """The count-min sketch STATE (Cormode & Muthukrishnan 2005): a
+    ``d x w`` counter grid — row ``j`` buckets every occurrence of the key
+    under an independently salted hash. Like ``hll_registers`` this is the
+    mergeable form: union counter tables from other partitions / days /
+    micro-batches and ``sum(c)`` per (j, bucket); estimates of the merged
+    stream fall out of ``count_min_estimate``'s min-over-rows.
+
+    Shape at 100 TB: the explode inflates the scan d-fold but feeds a
+    map-side-combinable (j, bucket) partial aggregation whose output is
+    exactly ``d * w`` rows — constant, broadcastable, the whole point of
+    sketching. No floats, no driver collection.
+
+    Returns (j, bucket, c).
+    """
+    jb = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).cast("int").alias("j"),
+                        _cm_hash(F.col(key_col), j, w).alias("bucket"),
+                    )
+                    for j in range(d)
+                ]
+            )
+        ).alias("jb")
+    )
+    return jb.groupBy(
+        F.col("jb.j").alias("j"), F.col("jb.bucket").alias("bucket")
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+
+
+def count_min_estimate(
+    df: DataFrame, key_col: str, d: int = 4, w: int = 256
+) -> DataFrame:
+    """Per-key count-min frequency estimate with the exact count kept
+    alongside for in-scan error auditing (the ``kmv_distinct`` convention):
+    ``est = min over rows j of counter[j][h_j(key)]`` — never an
+    underestimate, over by at most the collision mass, so ranking by
+    ``est_count`` is the standard heavy-hitter readout.
+
+    The counter grid is ``d * w`` rows and joins back BROADCAST — the only
+    corpus-sized operations are the two key-grouped partial aggregations.
+
+    Returns (key, n_exact, est_count, overestimate), one row per distinct
+    key; ``overestimate = est_count - n_exact >= 0``.
+    """
+    counters = count_min_counters(df, key_col, d=d, w=w)
+    keys = df.groupBy(key_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_exact")
+    )
+    kh = keys.select(
+        key_col,
+        "n_exact",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).cast("int").alias("j"),
+                        _cm_hash(F.col(key_col), j, w).alias("bucket"),
+                    )
+                    for j in range(d)
+                ]
+            )
+        ).alias("jb"),
+    ).select(key_col, "n_exact", "jb.j", "jb.bucket")
+    return (
+        kh.join(F.broadcast(counters), ["j", "bucket"])
+        .groupBy(key_col, "n_exact")
+        .agg(F.min("c").cast("long").alias("est_count"))
+        .select(
+            key_col,
+            "n_exact",
+            "est_count",
+            (F.col("est_count") - F.col("n_exact"))
+            .cast("long")
+            .alias("overestimate"),
+        )
+    )

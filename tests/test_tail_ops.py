@@ -507,3 +507,35 @@ def test_resource_allocation_weighs_rare_neighbors(spark):
         for x in resource_allocation(e2, min_common=2).collect()
     }
     assert ("a", "b") not in got2
+
+
+def test_count_min_never_underestimates_and_is_exact_when_sparse(spark):
+    from blink_spark.operators.sketch import count_min_counters, count_min_estimate
+
+    rows = [(k,) for k in ["a"] * 5 + ["b"] * 3 + ["c"] * 1 + ["d"] * 1]
+    df = spark.createDataFrame(rows, "k string")
+    est = {
+        r["k"]: (r["n_exact"], r["est_count"], r["overestimate"])
+        for r in count_min_estimate(df, "k", d=4, w=64).collect()
+    }
+    assert set(est) == {"a", "b", "c", "d"}
+    for k, (n, e, o) in est.items():
+        assert e >= n and o == e - n
+    # 4 keys in 64 buckets x 4 independent rows: min-over-rows is exact
+    assert [est[k][2] for k in "abcd"] == [0, 0, 0, 0]
+
+    # the sketch state is d*w-bounded and mergeable: counters sum to d*n
+    cnt = count_min_counters(df, "k", d=4, w=64)
+    assert cnt.count() <= 4 * 64
+    assert cnt.groupBy().sum("c").collect()[0][0] == 4 * len(rows)
+
+
+def test_count_min_overestimates_on_forced_collisions(spark):
+    from blink_spark.operators.sketch import count_min_estimate
+
+    # w=1: every key lands in the same bucket on every row -> every
+    # estimate equals the total stream length
+    rows = [(k,) for k in ["x"] * 7 + ["y"] * 2]
+    df = spark.createDataFrame(rows, "k string")
+    est = {r["k"]: r["est_count"] for r in count_min_estimate(df, "k", d=2, w=1).collect()}
+    assert est == {"x": 9, "y": 9}

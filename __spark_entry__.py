@@ -5075,6 +5075,24 @@ def _er_block_filter(spark: SparkSession, sf: str) -> DataFrame:
     return block_filter_top_r(blocks)
 
 
+@_q("er_dynamic_blocking", None)  # oracle injected below (fixture path)
+def _er_dynamic_blocking(spark: SparkSession, sf: str) -> DataFrame:
+    """Size-capped dynamic blocking over token blocks of the mention
+    table (cap 32): in-cap blocks accepted as-is, oversized blocks split
+    by key extension with each member's other tokens, still-oversized
+    sub-blocks reported — the comparison-cost governor that adapts depth
+    to block size where er_block_filter adapts membership per record."""
+    from blink_spark.functions.text import tokens
+    from blink_spark.operators.blocking import dynamic_blocking
+
+    m = _fx(spark, "mentions")
+    blocks = m.select(
+        F.col("mention_id").alias("record_id"),
+        F.explode(tokens(F.col("mention"))).alias("block_key"),
+    )
+    return dynamic_blocking(blocks, cap=32)
+
+
 @_q("er_resource_allocation", None)  # oracle injected below (fixture path)
 def _er_resource_allocation(spark: SparkSession, sf: str) -> DataFrame:
     """Resource-allocation link prediction over the SCORED match graph:
@@ -7413,6 +7431,36 @@ def _er_oracles() -> dict[str, str]:
           JOIN deg da ON da.u = c.a
           JOIN deg db ON db.u = c.b
         """,
+        # size-capped dynamic blocking: token blocking, in-cap blocks kept
+        # at depth 1, oversized blocks split by record-id self-join key
+        # extension, sub-blocks re-measured (still-over -> reported),
+        # singletons purged at both depths
+        "er_dynamic_blocking": f"""
+          WITH b1 AS (
+            SELECT mention_id AS rid, unnest({_toks('mention')}) AS k
+            FROM read_parquet('{men}')
+          ),
+          s1 AS (SELECT k, count(*)::BIGINT AS sz FROM b1 GROUP BY 1),
+          ok1 AS (
+            SELECT k AS block_key, 1::BIGINT AS depth, sz AS block_size,
+                   'ok' AS status
+            FROM s1 WHERE sz BETWEEN 2 AND 32
+          ),
+          ov AS (SELECT k FROM s1 WHERE sz > 32),
+          b2 AS (
+            SELECT b.rid, b.k || '|' || c.k AS k
+            FROM b1 b
+            JOIN ov o ON o.k = b.k
+            JOIN b1 c ON c.rid = b.rid AND c.k <> b.k
+          ),
+          s2 AS (SELECT k, count(*)::BIGINT AS sz FROM b2 GROUP BY 1),
+          ok2 AS (
+            SELECT k AS block_key, 2::BIGINT AS depth, sz AS block_size,
+                   CASE WHEN sz > 32 THEN 'over' ELSE 'split' END AS status
+            FROM s2 WHERE sz >= 2
+          )
+          SELECT * FROM ok1 UNION ALL SELECT * FROM ok2
+        """,
         # resource-allocation link prediction: same scored match graph and
         # wedge join as er_missing_links, but the neighbor's degree joins
         # on the wedge apex and each common neighbor contributes the exact
@@ -8227,7 +8275,7 @@ _DRIVER_ORDER = [
     "events_markov_transitions", "er_canopy_assign", "events_session_paths",
     "er_cluster_churn", "doc_domain_keyness", "er_swoosh_merge",
     "er_orc_mention_scan", "events_value_runs", "er_block_filter",
-    "er_resource_allocation", "events_count_min",
+    "er_resource_allocation", "events_count_min", "er_dynamic_blocking",
 ]
 
 

@@ -602,3 +602,67 @@ def block_filter_top_r(
             F.col("rank").cast("long").alias("rank"),
         )
     )
+
+
+def dynamic_blocking(
+    blocks: DataFrame,
+    block_col: str = "block_key",
+    id_col: str = "record_id",
+    cap: int = 32,
+) -> DataFrame:
+    """Size-capped dynamic blocking (McNeill, Kardes & Borthwick, "Dynamic
+    record blocking", QDB 2012): blocks within the cap are accepted as-is;
+    every OVERSIZED block is split by extending its key with each member's
+    other blocking tokens, and the sub-blocks are re-measured. One split
+    round is unrolled (the paper recurses until all blocks fit; at one
+    round the still-oversized leftovers are REPORTED, not silently
+    dropped — the house cap-and-report discipline, so recall loss is an
+    auditable row, not a mystery).
+
+    Input is the generic (record_id, block_key) membership table — the
+    same shape ``block_filter_top_r`` consumes, with keys distinct per
+    record (``functions.text.tokens`` guarantees this). The key extension
+    needs no second tokenizer pass: sub-keys come from self-joining the
+    membership table on the record id, so ANY upstream blocker (tokens,
+    phonetic codes, LSH buckets) splits the same way.
+
+    Scale notes (100 TB): sizes are one block-keyed partial agg; the
+    split self-join fans out only members of oversized blocks (bounded by
+    cap-and-report upstream and by tokens-per-record), keyed on the
+    record id; sub-block sizes are a second partial agg. No windows, no
+    driver collection.
+
+    Returns (block_key, depth, block_size, status): depth 1 rows are
+    accepted originals ('ok'); depth 2 rows are split products —
+    'split' when now within the cap, 'over' when a sub-block still
+    exceeds it. Singletons at either depth generate no comparisons and
+    are dropped (block purging).
+    """
+    b1 = blocks.select(F.col(id_col).alias("rid"), F.col(block_col).alias("k"))
+    s1 = b1.groupBy("k").agg(F.count(F.lit(1)).cast("long").alias("sz"))
+    ok1 = s1.filter((F.col("sz") >= 2) & (F.col("sz") <= cap)).select(
+        F.col("k").alias(block_col),
+        F.lit(1).cast("long").alias("depth"),
+        F.col("sz").alias("block_size"),
+        F.lit("ok").alias("status"),
+    )
+    oversized = s1.filter(F.col("sz") > cap).select("k")
+    b2 = (
+        b1.join(oversized, "k")
+        .join(
+            b1.select(F.col("rid").alias("rid"), F.col("k").alias("k2")),
+            "rid",
+        )
+        .filter(F.col("k2") != F.col("k"))
+        .select("rid", F.concat_ws("|", "k", "k2").alias("k"))
+    )
+    s2 = b2.groupBy("k").agg(F.count(F.lit(1)).cast("long").alias("sz"))
+    ok2 = s2.filter(F.col("sz") >= 2).select(
+        F.col("k").alias(block_col),
+        F.lit(2).cast("long").alias("depth"),
+        F.col("sz").alias("block_size"),
+        F.when(F.col("sz") > cap, F.lit("over"))
+        .otherwise(F.lit("split"))
+        .alias("status"),
+    )
+    return ok1.unionByName(ok2)

@@ -539,3 +539,28 @@ def test_count_min_overestimates_on_forced_collisions(spark):
     df = spark.createDataFrame(rows, "k string")
     est = {r["k"]: r["est_count"] for r in count_min_estimate(df, "k", d=2, w=1).collect()}
     assert est == {"x": 9, "y": 9}
+
+
+def test_dynamic_blocking_splits_only_oversized(spark):
+    from blink_spark.operators.blocking import dynamic_blocking
+
+    # block 'big' holds r1..r4 (cap 3 -> oversized); 'mid' holds r1,r2;
+    # 'solo' is a singleton. Split of 'big' extends with each member's
+    # other keys: big|mid covers r1,r2 (split, size 2); big|solo covers
+    # only r4 (singleton, purged).
+    rows = [("r1", "big"), ("r2", "big"), ("r3", "big"), ("r4", "big"),
+            ("r1", "mid"), ("r2", "mid"), ("r4", "solo")]
+    blocks = spark.createDataFrame(rows, "record_id string, block_key string")
+    got = {
+        r["block_key"]: (r["depth"], r["block_size"], r["status"])
+        for r in dynamic_blocking(blocks, cap=3).collect()
+    }
+    assert got == {"mid": (1, 2, "ok"), "big|mid": (2, 2, "split")}
+
+    # cap 1: every multi-record block splits; big|mid still holds 2
+    # records -> reported 'over' instead of silently dropped
+    got2 = {
+        r["block_key"]: r["status"]
+        for r in dynamic_blocking(blocks, cap=1).collect()
+    }
+    assert got2 == {"big|mid": "over", "mid|big": "over"}

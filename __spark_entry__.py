@@ -5075,6 +5075,53 @@ def _er_block_filter(spark: SparkSession, sf: str) -> DataFrame:
     return block_filter_top_r(blocks)
 
 
+@_q("er_group_linkage", None)  # oracle injected below (fixture path)
+def _er_group_linkage(spark: SparkSession, sf: str) -> DataFrame:
+    """Group linkage: document-pair similarity lifted from mention-level
+    match scores — reciprocal-best one-to-one matching within each doc
+    pair over the scored gold candidates, then the exact-integer member
+    Jaccard ``1e6*matched div (nA+nB-matched)``. The group-level view of
+    the same evidence er_collective_boost propagates pair-locally."""
+    from blink_spark.operators.pairs import group_linkage
+    from blink_spark.operators.scoring import score_pairs
+
+    m = _fx(spark, "mentions").select("mention_id", "mention", "doc_id")
+    g = _fx(spark, "gold_pairs")
+    attrs = (
+        g.select(
+            F.col("mention_id_a").alias("record_id_a"),
+            F.col("mention_id_b").alias("record_id_b"),
+        )
+        .join(
+            m.select(
+                F.col("mention_id").alias("record_id_a"),
+                F.col("mention").alias("mention_a"),
+                F.col("doc_id").alias("doc_a"),
+            ),
+            "record_id_a",
+        )
+        .join(
+            m.select(
+                F.col("mention_id").alias("record_id_b"),
+                F.col("mention").alias("mention_b"),
+                F.col("doc_id").alias("doc_b"),
+            ),
+            "record_id_b",
+        )
+    )
+    pairs = score_pairs(attrs, text_a="mention_a", text_b="mention_b").select(
+        F.col("doc_a").alias("group_a"),
+        F.col("doc_b").alias("group_b"),
+        F.col("record_id_a").alias("id_a"),
+        F.col("record_id_b").alias("id_b"),
+        F.floor(F.col("jaccard") * 1000000).cast("long").alias("score"),
+    )
+    sizes = m.groupBy(F.col("doc_id").alias("group")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_members")
+    )
+    return group_linkage(pairs, sizes)
+
+
 @_q("er_dynamic_blocking", None)  # oracle injected below (fixture path)
 def _er_dynamic_blocking(spark: SparkSession, sf: str) -> DataFrame:
     """Size-capped dynamic blocking over token blocks of the mention
@@ -7431,6 +7478,59 @@ def _er_oracles() -> dict[str, str]:
           JOIN deg da ON da.u = c.a
           JOIN deg db ON db.u = c.b
         """,
+        # group linkage: same scored doc-pair build as er_collective_boost,
+        # orientation canonicalized by swapping (doc, id) tuples together,
+        # reciprocal-best row_number pair inside each doc pair, then the
+        # exact-integer member Jaccard against TOTAL doc member counts
+        "er_group_linkage": f"""
+          WITH m AS (
+            SELECT mention_id, doc_id, {_norm_m} AS norm,
+                   list_distinct(string_split({_norm_m}, ' ')) AS t
+            FROM read_parquet('{men}')
+          ),
+          p0 AS (
+            SELECT g.mention_id_a AS ia, g.mention_id_b AS ib,
+                   ma.doc_id AS da, mb.doc_id AS db,
+                   floor(round(len(list_intersect(ma.t, mb.t))::double
+                         / greatest(len(list_distinct(list_concat(ma.t, mb.t))), 1), 6)
+                         * 1000000)::BIGINT AS s
+            FROM read_parquet('{gold}') g
+            JOIN m ma ON ma.mention_id = g.mention_id_a
+            JOIN m mb ON mb.mention_id = g.mention_id_b
+            WHERE ma.doc_id <> mb.doc_id
+          ),
+          p AS (
+            SELECT CASE WHEN da <= db THEN da ELSE db END AS ga,
+                   CASE WHEN da <= db THEN db ELSE da END AS gb,
+                   CASE WHEN da <= db THEN ia ELSE ib END AS la,
+                   CASE WHEN da <= db THEN ib ELSE ia END AS lb,
+                   s
+            FROM p0
+          ),
+          r AS (
+            SELECT ga, gb, s,
+                   row_number() OVER (PARTITION BY ga, gb, la
+                                      ORDER BY s DESC, lb ASC) AS rl,
+                   row_number() OVER (PARTITION BY ga, gb, lb
+                                      ORDER BY s DESC, la ASC) AS rr
+            FROM p
+          ),
+          mm AS (
+            SELECT ga, gb, count(*)::BIGINT AS n_matched
+            FROM r WHERE rl = 1 AND rr = 1 GROUP BY 1, 2
+          ),
+          gs AS (
+            SELECT doc_id, count(*)::BIGINT AS n
+            FROM read_parquet('{men}') GROUP BY 1
+          )
+          SELECT mm.ga AS group_a, mm.gb AS group_b, a.n AS n_a, b.n AS n_b,
+                 mm.n_matched,
+                 ((1000000 * mm.n_matched) // (a.n + b.n - mm.n_matched))::BIGINT
+                   AS group_sim_ppm
+          FROM mm
+          JOIN gs a ON a.doc_id = mm.ga
+          JOIN gs b ON b.doc_id = mm.gb
+        """,
         # size-capped dynamic blocking: token blocking, in-cap blocks kept
         # at depth 1, oversized blocks split by record-id self-join key
         # extension, sub-blocks re-measured (still-over -> reported),
@@ -8276,6 +8376,7 @@ _DRIVER_ORDER = [
     "er_cluster_churn", "doc_domain_keyness", "er_swoosh_merge",
     "er_orc_mention_scan", "events_value_runs", "er_block_filter",
     "er_resource_allocation", "events_count_min", "er_dynamic_blocking",
+    "er_group_linkage",
 ]
 
 

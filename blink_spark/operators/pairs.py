@@ -158,3 +158,79 @@ def pairs_with_attrs(
     if broadcast_records:
         a, b = F.broadcast(a), F.broadcast(b)
     return pairs.join(a, "record_id_a").join(b, "record_id_b")
+
+
+def group_linkage(
+    member_pairs: DataFrame,
+    group_sizes: DataFrame,
+) -> DataFrame:
+    """Group linkage (On, Koudas, Lee & Srivastava, ICDE 2007): lift
+    member-level match scores to GROUP-level similarity — households,
+    author blocks, or documents whose mention sets overlap. Each group
+    pair's score is a Jaccard over members under a one-to-one member
+    matching: ``1e6 * |matched| div (|A| + |B| - |matched|)``, exact
+    integers. The matching is reciprocal-best WITHIN the group pair
+    (ties: score desc, other-id asc) — the deterministic, relational
+    stand-in for the paper's bipartite maximum matching; reciprocal-best
+    is a subset of every maximum matching, so the score is a lower bound.
+
+    member_pairs: (group_a, group_b, id_a, id_b, score) — scored CROSS-
+    group member pairs (same-group rows are dropped; orientation is
+    canonicalized here, swapping the (group, id) tuples together, so
+    callers may pass either order).
+    group_sizes: (group, n_members) — TOTAL members per group, not just
+    members that appear in ``member_pairs``.
+
+    Scale notes (100 TB): two windows partitioned by (group pair, member)
+    — high-cardinality keys, one hash shuffle each; the size joins are on
+    the group key and the left side is one row per surviving group pair.
+    No driver collection.
+
+    Returns (group_a, group_b, n_a, n_b, n_matched, group_sim_ppm) with
+    group_a < group_b, n_matched >= 1.
+    """
+    flip = F.col("group_a") > F.col("group_b")
+    p = (
+        member_pairs.filter(F.col("group_a") != F.col("group_b"))
+        .select(
+            F.when(flip, F.col("group_b")).otherwise(F.col("group_a")).alias("ga"),
+            F.when(flip, F.col("group_a")).otherwise(F.col("group_b")).alias("gb"),
+            F.when(flip, F.col("id_b")).otherwise(F.col("id_a")).alias("la"),
+            F.when(flip, F.col("id_a")).otherwise(F.col("id_b")).alias("lb"),
+            F.col("score").alias("s"),
+        )
+    )
+    wl = Window.partitionBy("ga", "gb", "la").orderBy(
+        F.col("s").desc(), F.col("lb").asc()
+    )
+    wr = Window.partitionBy("ga", "gb", "lb").orderBy(
+        F.col("s").desc(), F.col("la").asc()
+    )
+    matched = (
+        p.withColumn("rl", F.row_number().over(wl))
+        .withColumn("rr", F.row_number().over(wr))
+        .filter((F.col("rl") == 1) & (F.col("rr") == 1))
+        .groupBy("ga", "gb")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_matched"))
+    )
+    gs = group_sizes.select(F.col("group"), F.col("n_members"))
+    return (
+        matched.join(
+            gs.select(F.col("group").alias("ga"), F.col("n_members").alias("n_a")),
+            "ga",
+        )
+        .join(
+            gs.select(F.col("group").alias("gb"), F.col("n_members").alias("n_b")),
+            "gb",
+        )
+        .select(
+            F.col("ga").alias("group_a"),
+            F.col("gb").alias("group_b"),
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            "n_matched",
+            F.expr("(1000000 * n_matched) div (n_a + n_b - n_matched)")
+            .cast("long")
+            .alias("group_sim_ppm"),
+        )
+    )

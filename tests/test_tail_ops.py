@@ -564,3 +564,32 @@ def test_dynamic_blocking_splits_only_oversized(spark):
         for r in dynamic_blocking(blocks, cap=1).collect()
     }
     assert got2 == {"big|mid": "over", "mid|big": "over"}
+
+
+def test_group_linkage_reciprocal_best_member_jaccard(spark):
+    from blink_spark.operators.pairs import group_linkage
+
+    # docs X={x1,x2,x3}, Y={y1,y2}: x1's best is y1 (90) and vice versa
+    # (mutual); x2->y1 loses y1 to x1; x2 and y2 are mutual at 50.
+    # Reverse-orientation row (Y,X) must canonicalize into the same pair.
+    pairs = spark.createDataFrame(
+        [
+            ("X", "Y", "x1", "y1", 90),
+            ("X", "Y", "x2", "y1", 80),
+            ("Y", "X", "y2", "x2", 50),   # swapped orientation on purpose
+            ("X", "Y", "x3", "y2", 40),
+        ],
+        "group_a string, group_b string, id_a string, id_b string, score long",
+    )
+    sizes = spark.createDataFrame(
+        [("X", 3), ("Y", 2)], "group string, n_members long"
+    )
+    got = [
+        (r["group_a"], r["group_b"], r["n_a"], r["n_b"], r["n_matched"],
+         r["group_sim_ppm"])
+        for r in group_linkage(pairs, sizes).collect()
+    ]
+    # single-round reciprocal best: only (x1,y1) is mutual — x2's best is
+    # y1 (lost to x1), so x2->y2 never fires even though y2 prefers x2;
+    # jaccard = 1/(3+2-1) = 250000 ppm
+    assert got == [("X", "Y", 3, 2, 1, 250000)]

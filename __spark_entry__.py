@@ -5075,6 +5075,33 @@ def _er_block_filter(spark: SparkSession, sf: str) -> DataFrame:
     return block_filter_top_r(blocks)
 
 
+@_q(
+    "doc_stratified_split",
+    """
+    WITH r AS (
+      SELECT doc_id, source AS stratum,
+             row_number() OVER (
+               PARTITION BY source ORDER BY md5('split:' || doc_id)
+             )::BIGINT AS split_rank,
+             count(*) OVER (PARTITION BY source)::BIGINT AS n
+      FROM documents
+    )
+    SELECT doc_id, stratum, split_rank,
+           CASE WHEN split_rank * 100 <= n * 80 THEN 'train'
+                WHEN split_rank * 100 <= n * 90 THEN 'val'
+                ELSE 'test' END AS split
+    FROM r
+    """,
+)
+def _doc_stratified_split(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact 80/10/10 train/val/test split stratified per source: rows
+    ranked inside each stratum by a stable md5 order, floor-exact integer
+    quota boundaries — the regeneration-proof holdout assignment."""
+    from blink_spark.operators.corpus import stratified_split
+
+    return stratified_split(_t(spark, sf, "documents"))
+
+
 @_q("er_group_linkage", None)  # oracle injected below (fixture path)
 def _er_group_linkage(spark: SparkSession, sf: str) -> DataFrame:
     """Group linkage: document-pair similarity lifted from mention-level
@@ -8376,7 +8403,7 @@ _DRIVER_ORDER = [
     "er_cluster_churn", "doc_domain_keyness", "er_swoosh_merge",
     "er_orc_mention_scan", "events_value_runs", "er_block_filter",
     "er_resource_allocation", "events_count_min", "er_dynamic_blocking",
-    "er_group_linkage",
+    "er_group_linkage", "doc_stratified_split",
 ]
 
 

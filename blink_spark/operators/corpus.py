@@ -1131,3 +1131,56 @@ def domain_keyness(
             F.col("rank").cast("long").alias("rank"),
         )
     )
+
+
+def stratified_split(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    strata_col: str = "source",
+    train_pct: int = 80,
+    val_pct: int = 10,
+) -> DataFrame:
+    """EXACT deterministic train/val/test split, stratified per stratum —
+    the eval-hygiene counterpart of ``stratified_sample``: sampling tunes
+    the corpus mix, this pins the holdout so no stratum leaks train rows
+    into test when the corpus regenerates. Rows are ranked inside each
+    stratum by ``md5('split:' || id)`` (a stable total order independent
+    of ingestion order and cluster size); the first ``train_pct`` percent
+    by rank go to train, the next ``val_pct`` to val, the rest to test.
+    Boundaries are exact integer comparisons (``rank * 100 <= n * pct``),
+    so per-stratum counts are the floor-exact quotas, not rates in
+    expectation — a 9-row stratum still yields a non-empty test split.
+
+    Scale notes (100 TB): one window partitioned by the stratum plus a
+    stratum-keyed count join. A pathological mega-stratum makes that
+    window's sort the honest cost (exact quotas need a total order within
+    the stratum); at that scale the escape hatch is ``stratified_sample``
+    -style pure-projection hash thresholds — approximate quotas, zero
+    shuffle. No driver collection either way.
+
+    Returns (doc_id, stratum, split_rank, split).
+    """
+    sid = F.col(id_col).cast("string")
+    h = F.md5(F.concat(F.lit("split:"), sid))
+    w = Window.partitionBy(strata_col).orderBy(h)
+    n = Window.partitionBy(strata_col)
+    ranked = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(strata_col).alias("stratum"),
+        F.row_number().over(w).cast("long").alias("split_rank"),
+        F.count(F.lit(1)).over(n).cast("long").alias("n"),
+    )
+    return ranked.select(
+        "doc_id",
+        "stratum",
+        "split_rank",
+        F.when(
+            F.col("split_rank") * 100 <= F.col("n") * train_pct, F.lit("train")
+        )
+        .when(
+            F.col("split_rank") * 100 <= F.col("n") * (train_pct + val_pct),
+            F.lit("val"),
+        )
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    )

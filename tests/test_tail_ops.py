@@ -593,3 +593,24 @@ def test_group_linkage_reciprocal_best_member_jaccard(spark):
     # y1 (lost to x1), so x2->y2 never fires even though y2 prefers x2;
     # jaccard = 1/(3+2-1) = 250000 ppm
     assert got == [("X", "Y", 3, 2, 1, 250000)]
+
+
+def test_stratified_split_exact_quotas_per_stratum(spark):
+    from blink_spark.operators.corpus import stratified_split
+
+    # stratum A: 10 rows -> exactly 8/1/1; stratum B: 9 rows -> floor
+    # quotas 7 train (rank*100 <= 720), 1 val (<= 810), 1 test
+    rows = [(i, "A") for i in range(10)] + [(100 + i, "B") for i in range(9)]
+    docs = spark.createDataFrame(rows, "doc_id long, source string")
+    out = stratified_split(docs).collect()
+    by = {}
+    for r in out:
+        by.setdefault((r["stratum"], r["split"]), 0)
+        by[(r["stratum"], r["split"])] += 1
+    assert by == {
+        ("A", "train"): 8, ("A", "val"): 1, ("A", "test"): 1,
+        ("B", "train"): 7, ("B", "val"): 1, ("B", "test"): 1,
+    }
+    # regeneration-proof: a second run assigns identically
+    again = {(r["doc_id"], r["split"]) for r in stratified_split(docs).collect()}
+    assert again == {(r["doc_id"], r["split"]) for r in out}

@@ -5102,6 +5102,22 @@ def _doc_stratified_split(spark: SparkSession, sf: str) -> DataFrame:
     return stratified_split(_t(spark, sf, "documents"))
 
 
+@_q("er_pprl_bloom_dice", None)  # oracle injected below (fixture path)
+def _er_pprl_bloom_dice(spark: SparkSession, sf: str) -> DataFrame:
+    """Privacy-preserving linkage scoring: character-bigram Bloom-filter
+    encodings (64 bits, 3 salted md5 hashes) Dice-compared in exact ppm
+    over the gold candidate pairs — the comparator that still works when
+    only opaque encodings may cross the trust boundary."""
+    from blink_spark.operators.scoring import pprl_bloom_dice
+
+    recs = _fx(spark, "mentions").select("mention_id", "mention")
+    prs = _fx(spark, "gold_pairs").select(
+        F.col("mention_id_a").alias("record_id_a"),
+        F.col("mention_id_b").alias("record_id_b"),
+    )
+    return pprl_bloom_dice(recs, prs, "mention_id", "mention", m=64, k=3)
+
+
 @_q("er_group_linkage", None)  # oracle injected below (fixture path)
 def _er_group_linkage(spark: SparkSession, sf: str) -> DataFrame:
     """Group linkage: document-pair similarity lifted from mention-level
@@ -7505,6 +7521,57 @@ def _er_oracles() -> dict[str, str]:
           JOIN deg da ON da.u = c.a
           JOIN deg db ON db.u = c.b
         """,
+        # PPRL Bloom-Dice: bigram decomposition of the normalized mention,
+        # 3 salted md5 positions per bigram into a 64-bit filter (set form),
+        # pair intersection joined on (pair, pos), exact-ppm Dice with
+        # empty-filter pairs kept at 0
+        "er_pprl_bloom_dice": f"""
+          WITH mm AS (
+            SELECT mention_id AS rid, {_norm_m} AS norm
+            FROM read_parquet('{men}')
+          ),
+          g AS (
+            SELECT rid, substr(norm, i, 2) AS gram
+            FROM mm, unnest(range(1, length(norm))) AS t(i)
+          ),
+          pos AS (
+            SELECT DISTINCT rid, pos FROM (
+              SELECT rid,
+                     ('0x' || substr(md5('bf0:' || gram), 1, 8))::BIGINT % 64 AS pos
+              FROM g
+              UNION ALL
+              SELECT rid, ('0x' || substr(md5('bf1:' || gram), 1, 8))::BIGINT % 64
+              FROM g
+              UNION ALL
+              SELECT rid, ('0x' || substr(md5('bf2:' || gram), 1, 8))::BIGINT % 64
+              FROM g
+            )
+          ),
+          bits AS (SELECT rid, count(*)::BIGINT AS bits FROM pos GROUP BY 1),
+          pr AS (
+            SELECT mention_id_a AS a, mention_id_b AS b
+            FROM read_parquet('{gold}')
+          ),
+          inter AS (
+            SELECT pr.a, pr.b, count(*)::BIGINT AS inter_bits
+            FROM pr
+            JOIN pos pa ON pa.rid = pr.a
+            JOIN pos pb ON pb.rid = pr.b AND pb.pos = pa.pos
+            GROUP BY 1, 2
+          )
+          SELECT pr.a AS record_id_a, pr.b AS record_id_b,
+                 coalesce(ba.bits, 0)::BIGINT AS bits_a,
+                 coalesce(bb.bits, 0)::BIGINT AS bits_b,
+                 coalesce(i.inter_bits, 0)::BIGINT AS inter_bits,
+                 (CASE WHEN coalesce(ba.bits, 0) + coalesce(bb.bits, 0) > 0
+                       THEN (2000000 * coalesce(i.inter_bits, 0))
+                            // (coalesce(ba.bits, 0) + coalesce(bb.bits, 0))
+                       ELSE 0 END)::BIGINT AS dice_ppm
+          FROM pr
+          LEFT JOIN inter i ON i.a = pr.a AND i.b = pr.b
+          LEFT JOIN bits ba ON ba.rid = pr.a
+          LEFT JOIN bits bb ON bb.rid = pr.b
+        """,
         # group linkage: same scored doc-pair build as er_collective_boost,
         # orientation canonicalized by swapping (doc, id) tuples together,
         # reciprocal-best row_number pair inside each doc pair, then the
@@ -8403,7 +8470,7 @@ _DRIVER_ORDER = [
     "er_cluster_churn", "doc_domain_keyness", "er_swoosh_merge",
     "er_orc_mention_scan", "events_value_runs", "er_block_filter",
     "er_resource_allocation", "events_count_min", "er_dynamic_blocking",
-    "er_group_linkage", "doc_stratified_split",
+    "er_group_linkage", "doc_stratified_split", "er_pprl_bloom_dice",
 ]
 
 

@@ -614,3 +614,34 @@ def test_stratified_split_exact_quotas_per_stratum(spark):
     # regeneration-proof: a second run assigns identically
     again = {(r["doc_id"], r["split"]) for r in stratified_split(docs).collect()}
     assert again == {(r["doc_id"], r["split"]) for r in out}
+
+
+def test_pprl_bloom_dice_identical_and_disjoint(spark):
+    from blink_spark.operators.scoring import bloom_positions, pprl_bloom_dice
+
+    recs = spark.createDataFrame(
+        [("r1", "Alice Smith"), ("r2", "alice  smith"),  # same normalized form
+         ("r3", "zz"), ("r4", "q")],                      # r4: 1 char -> empty filter
+        "mention_id string, mention string",
+    )
+    pairs = spark.createDataFrame(
+        [("r1", "r2"), ("r1", "r3"), ("r1", "r4")],
+        "record_id_a string, record_id_b string",
+    )
+    got = {
+        (r["record_id_a"], r["record_id_b"]): (
+            r["bits_a"], r["bits_b"], r["inter_bits"], r["dice_ppm"]
+        )
+        for r in pprl_bloom_dice(recs, pairs, "mention_id", "mention").collect()
+    }
+    # identical normalized text -> identical filter -> dice = 1e6 exactly
+    ba, bb, ib, dp = got[("r1", "r2")]
+    assert ba == bb == ib and dp == 1000000
+    # 'zz' shares no bigram with 'alice smith' (bit collisions possible but
+    # 3 positions in 64 bits for 1 gram vs 10 grams: assert the shape only)
+    assert got[("r1", "r3")][1] >= 1 and got[("r1", "r3")][3] < 1000000
+    # empty filter pair is kept and scores 0 with bits_b = 0
+    assert got[("r1", "r4")][1] == 0 and got[("r1", "r4")][3] == 0
+    # a record never sets more than m bits
+    mx = bloom_positions(recs, "mention_id", "mention", m=64, k=3)
+    assert mx.groupBy("rid").count().agg({"count": "max"}).collect()[0][0] <= 64

@@ -725,6 +725,57 @@ def _doc_lm_perplexity(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @_q(
+    "doc_ccnet_buckets",
+    f"""
+    WITH n AS (SELECT doc_id, string_split({_norm('text')}, ' ') AS tk FROM documents),
+    t AS (SELECT doc_id, generate_subscripts(tk, 1) AS pos, unnest(tk) AS tok FROM n),
+    bg AS (
+      SELECT doc_id, tok,
+             lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
+      FROM t
+    ),
+    b AS (SELECT * FROM bg WHERE nxt IS NOT NULL),
+    bgc AS (SELECT tok, nxt, count(*) AS cb FROM b GROUP BY 1, 2),
+    ctx AS (SELECT tok, count(*) AS cu FROM b GROUP BY 1),
+    v AS (SELECT count(DISTINCT tok) AS v FROM t),
+    model AS (
+      SELECT bgc.tok, bgc.nxt,
+             floor(ln((bgc.cb + 1)::DOUBLE / (ctx.cu + v.v)::DOUBLE) * 1000000)::BIGINT
+               AS logp_micro
+      FROM bgc JOIN ctx USING (tok) CROSS JOIN v
+    ),
+    s AS (
+      SELECT b.doc_id, count(*)::BIGINT AS n_bigrams,
+             sum(m.logp_micro)::BIGINT AS sum_logp_micro
+      FROM b JOIN model m ON b.tok = m.tok AND b.nxt = m.nxt
+      GROUP BY 1
+    ),
+    r AS (
+      SELECT s.doc_id, d.source AS stratum, s.n_bigrams, s.sum_logp_micro,
+             ntile(3) OVER (
+               PARTITION BY d.source
+               ORDER BY (s.sum_logp_micro::DOUBLE / s.n_bigrams) DESC,
+                        s.doc_id ASC
+             ) AS tc
+      FROM s JOIN documents d USING (doc_id)
+    )
+    SELECT doc_id, stratum, n_bigrams, sum_logp_micro,
+           CASE WHEN tc = 1 THEN 'head' WHEN tc = 2 THEN 'middle'
+                ELSE 'tail' END AS bucket
+    FROM r
+    """,
+)
+def _doc_ccnet_buckets(spark: SparkSession, sf: str) -> DataFrame:
+    """CC-Net head/middle/tail partition: per-source perplexity terciles
+    under the corpus bigram LM — ranked on the exact integer micro-nat
+    sums via IEEE double ratio (no integer division: Spark div truncates
+    where DuckDB // floors on negatives), doc id breaking ties."""
+    from blink_spark.operators.corpus import ccnet_buckets
+
+    return ccnet_buckets(_t(spark, sf, "documents"))
+
+
+@_q(
     "doc_dsir_weights",
     f"""
     WITH n AS (
@@ -8471,6 +8522,7 @@ _DRIVER_ORDER = [
     "er_orc_mention_scan", "events_value_runs", "er_block_filter",
     "er_resource_allocation", "events_count_min", "er_dynamic_blocking",
     "er_group_linkage", "doc_stratified_split", "er_pprl_bloom_dice",
+    "doc_ccnet_buckets",
 ]
 
 

@@ -1184,3 +1184,61 @@ def stratified_split(
         .otherwise(F.lit("test"))
         .alias("split"),
     )
+
+
+def ccnet_buckets(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    strata_col: str = "source",
+) -> DataFrame:
+    """CC-Net's head/middle/tail partition (Wenzek et al., LREC 2020):
+    within each stratum (CC-Net uses the language; here the source
+    domain), documents are split into perplexity terciles under the
+    corpus bigram LM — "head" reads most like the reference distribution
+    and is what pretraining keeps first. Ranking never divides the
+    integer micro-nat sums (Spark ``div`` truncates toward zero while
+    DuckDB ``//`` floors — divergent on the NEGATIVE sums a log-prob
+    yields): the tercile order key is the raw IEEE double ratio
+    ``sum_logp_micro / n_bigrams`` descending (correctly-rounded division
+    on identical integers in both engines), doc id ascending on ties.
+
+    Single-token documents have no bigrams and no perplexity — they drop
+    out, as in ``lm_perplexity``.
+
+    Scale notes (100 TB): everything up to the per-doc sums is
+    ``lm_perplexity``'s shape; the tercile itself is one window per
+    stratum — exact quantiles need the within-stratum total order, the
+    same honest cost (and the same mega-stratum escape hatch) as
+    ``stratified_split``.
+
+    Returns (doc_id, stratum, n_bigrams, sum_logp_micro, bucket).
+    """
+    ppl = lm_perplexity(docs, id_col, text_col)
+    src = docs.select(
+        F.col(id_col).alias("doc_id"), F.col(strata_col).alias("stratum")
+    )
+    w = Window.partitionBy("stratum").orderBy(
+        (F.col("sum_logp_micro").cast("double") / F.col("n_bigrams")).desc(),
+        F.col("doc_id").asc(),
+    )
+    return (
+        ppl.join(src, "doc_id")
+        .select(
+            "doc_id",
+            "stratum",
+            "n_bigrams",
+            "sum_logp_micro",
+            F.ntile(3).over(w).alias("tercile"),
+        )
+        .select(
+            "doc_id",
+            "stratum",
+            "n_bigrams",
+            "sum_logp_micro",
+            F.when(F.col("tercile") == 1, F.lit("head"))
+            .when(F.col("tercile") == 2, F.lit("middle"))
+            .otherwise(F.lit("tail"))
+            .alias("bucket"),
+        )
+    )

@@ -645,3 +645,27 @@ def test_pprl_bloom_dice_identical_and_disjoint(spark):
     # a record never sets more than m bits
     mx = bloom_positions(recs, "mention_id", "mention", m=64, k=3)
     assert mx.groupBy("rid").count().agg({"count": "max"}).collect()[0][0] <= 64
+
+
+def test_ccnet_buckets_tercile_assignment(spark):
+    from blink_spark.operators.corpus import ccnet_buckets
+
+    # one stratum, 6 scoreable docs: repetitive docs (common bigrams) get
+    # higher avg logp -> head; rare-bigram docs -> tail; ntile(3) over 6
+    # rows = 2 per bucket. A single-token doc drops out entirely.
+    docs = spark.createDataFrame(
+        [
+            (1, "a b a b a b a b", "s"),
+            (2, "a b a b a b", "s"),
+            (3, "a b c d a b", "s"),
+            (4, "c d e f g h", "s"),
+            (5, "x y z q w e", "s"),
+            (6, "m n o p q r", "s"),
+            (7, "solo", "s"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    out = {r["doc_id"]: r["bucket"] for r in ccnet_buckets(docs).collect()}
+    assert len(out) == 6 and 7 not in out
+    assert sorted(out.values()).count("head") == 2
+    assert out[1] == "head" and out[2] == "head"

@@ -104,6 +104,13 @@ ALLOWLIST: dict[str, frozenset[str]] = {
     "doc_domain_keyness": frozenset(
         {"BroadcastNestedLoopJoin", "Exchange SinglePartition"}
     ),
+    # doc_ccnet_buckets wraps lm_perplexity: same one-row vocabulary-size
+    # scalar aggregate broadcast onto the vocabulary²-bounded bigram model —
+    # the doc-sized streams never cross either node; the tercile window is
+    # stratum-keyed, not single-partition.
+    "doc_ccnet_buckets": frozenset(
+        {"BroadcastNestedLoopJoin", "Exchange SinglePartition"}
+    ),
     # er_ari: three one-row scalar finalizes (n/index, a_pairs, b_pairs)
     # over map-side partial aggs, cross-joined as one-row broadcasts — the
     # er_bcubed scalar-aggregate class; nothing record-scale crosses.

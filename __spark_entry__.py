@@ -5078,6 +5078,51 @@ def _events_value_runs(spark: SparkSession, sf: str) -> DataFrame:
     return value_runs(ev, "user_id", "ts", "event_type", "event_id")
 
 
+@_q(
+    "events_anomaly_mad",
+    """
+    WITH daily AS (
+      SELECT event_type,
+             date_diff('day', DATE '2024-01-01', ts::DATE)::BIGINT AS day,
+             count(*)::BIGINT AS n_events
+      FROM events GROUP BY 1, 2
+    ),
+    r1 AS (
+      SELECT event_type, day, n_events,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY n_events ASC, day ASC) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM daily
+    ),
+    med AS (SELECT event_type, n_events AS med FROM r1 WHERE rn = (n + 1) // 2),
+    dev AS (
+      SELECT d.event_type, d.day, d.n_events, m.med,
+             abs(d.n_events - m.med) AS dv
+      FROM daily d JOIN med m USING (event_type)
+    ),
+    r2 AS (
+      SELECT event_type, day, dv,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY dv ASC, day ASC) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM dev
+    ),
+    mad AS (SELECT event_type, dv AS mad FROM r2 WHERE rn = (n + 1) // 2)
+    SELECT d.event_type, d.day, d.n_events, d.med, m.mad,
+           d.dv > 3 * m.mad AS is_anomaly
+    FROM dev d JOIN mad m USING (event_type)
+    """,
+)
+def _events_anomaly_mad(spark: SparkSession, sf: str) -> DataFrame:
+    """Median/MAD daily-volume anomaly flags per event type — the robust
+    detector (immune to the outliers it hunts); both medians are exact
+    integer percentile_disc(0.5) rank picks, no percentile interpolation
+    in the parity surface."""
+    from blink_spark.operators.temporal import anomaly_mad
+
+    return anomaly_mad(_t(spark, sf, "events"))
+
+
 @_q("er_orc_mention_scan", None)  # oracle injected below (fixture path)
 def _er_orc_mention_scan(spark: SparkSession, sf: str) -> DataFrame:
     """ORC source roundtrip — the mention table written as a
@@ -8522,7 +8567,7 @@ _DRIVER_ORDER = [
     "er_orc_mention_scan", "events_value_runs", "er_block_filter",
     "er_resource_allocation", "events_count_min", "er_dynamic_blocking",
     "er_group_linkage", "doc_stratified_split", "er_pprl_bloom_dice",
-    "doc_ccnet_buckets",
+    "doc_ccnet_buckets", "events_anomaly_mad",
 ]
 
 

@@ -669,3 +669,35 @@ def test_ccnet_buckets_tercile_assignment(spark):
     assert len(out) == 6 and 7 not in out
     assert sorted(out.values()).count("head") == 2
     assert out[1] == "head" and out[2] == "head"
+
+
+def test_anomaly_mad_hand_computed(spark):
+    from pyspark.sql import functions as F
+
+    from blink_spark.operators.temporal import anomaly_mad
+
+    # one type, 7 days of counts: [4,5,5,5,5,6,50] -> med=5, devs sorted
+    # [0,0,0,0,1,1,45] -> mad=0: ONLY exact-median days are normal, so the
+    # day with 4, the day with 6, and the 50-spike all flag. A second type
+    # with spread [1,3,5,7,9]: med=5, devs [4,2,0,2,4] -> mad=2; |x-5|>6
+    # never holds -> nothing flags.
+    rows = []
+    eid = 0
+    for day, n in enumerate([4, 5, 5, 5, 5, 6, 50]):
+        for _ in range(n):
+            rows.append((eid, f"2024-01-{day + 1:02d} 10:00:00", 1, "a"))
+            eid += 1
+    for day, n in enumerate([1, 3, 5, 7, 9]):
+        for _ in range(n):
+            rows.append((eid, f"2024-01-{day + 1:02d} 10:00:00", 1, "b"))
+            eid += 1
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = anomaly_mad(ev).collect()
+    a = {r["day"]: r for r in out if r["event_type"] == "a"}
+    b = {r["day"]: r for r in out if r["event_type"] == "b"}
+    assert a[0]["med"] == 5 and a[0]["mad"] == 0
+    assert {d for d, r in a.items() if r["is_anomaly"]} == {0, 5, 6}
+    assert b[0]["med"] == 5 and b[0]["mad"] == 2
+    assert not any(r["is_anomaly"] for r in b.values())

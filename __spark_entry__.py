@@ -3643,6 +3643,58 @@ def _emb_cos_dups(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _emb_semdedup_oracle_sql() -> str:
+    embfx = _fxp("embeddings_fx")
+    cos_ab = _COS_EXACT_SQL.format(a="a.v", b="b.v")
+    cos_ec = _COS_EXACT_SQL.format(a="e.v", b="c.cv")
+    return f"""
+    WITH RECURSIVE e AS (
+      SELECT vec_id AS id, {_q_emb('embedding')} AS v FROM read_parquet('{embfx}')
+    ),
+    cent AS (SELECT id AS cid, v AS cv FROM e ORDER BY id ASC LIMIT 8),
+    asg AS (
+      SELECT id, v, cid, cosc FROM (
+        SELECT e.id, e.v, c.cid, {cos_ec} AS cosc,
+               row_number() OVER (PARTITION BY e.id
+                                  ORDER BY {cos_ec} DESC, c.cid ASC) AS rk
+        FROM e CROSS JOIN cent c
+      ) WHERE rk = 1
+    ),
+    p AS (
+      SELECT a.id AS src, b.id AS dst
+      FROM asg a JOIN asg b ON a.cid = b.cid AND a.id < b.id
+      WHERE {cos_ab} >= 0.95
+    ),
+    edges AS (SELECT src, dst FROM p UNION SELECT dst, src FROM p),
+    reach AS (
+      SELECT id, id AS r FROM e
+      UNION
+      SELECT reach.id, ed.dst FROM reach JOIN edges ed ON reach.r = ed.src
+    ),
+    cl AS (SELECT id, min(r) AS group_id FROM reach GROUP BY id)
+    SELECT asg.id AS vec_id, asg.cid, cl.group_id, asg.cosc AS cos_centroid,
+           row_number() OVER (PARTITION BY cl.group_id
+                              ORDER BY asg.cosc ASC, asg.id ASC) = 1 AS keep
+    FROM asg JOIN cl ON asg.id = cl.id
+    """
+
+
+@_q("embedding_semdedup", None)  # oracle injected below (fixture path)
+def _emb_semdedup(spark: SparkSession, sf: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023) over the planted-near-dup embedding
+    fixture: cluster into 8 deterministic first-items cells, find
+    within-cell cosine >= 0.95 pairs, keep one representative per dup
+    group — the member LEAST similar to its cell centroid (the paper's
+    diversity-preserving keep rule). Fully oracled (recursive-CTE CC)."""
+    from blink_spark.functions.hashing import quantize_emb
+    from blink_spark.operators.dedup import semdedup
+
+    e = _fx(spark, "embeddings_fx").select(
+        "vec_id", quantize_emb("embedding").alias("q")
+    )
+    return semdedup(e, "vec_id", "q", n_cells=8, tau=0.95)
+
+
 @_q("er_jdbc_mapping_scan", None)  # oracle injected below (fixture path)
 def _er_jdbc_mapping(spark: SparkSession, sf: str) -> DataFrame:
     """JDBC mapping-store scan — the reference's sqlite mapping database
@@ -7946,6 +7998,7 @@ def _er_oracles() -> dict[str, str]:
             ic_mention2=_ic("mention"),
         ),
         "embedding_cosine_dups": _emb_cos_dups_oracle_sql(),
+        "embedding_semdedup": _emb_semdedup_oracle_sql(),
         "er_pair_tokens": pair_tokens_sql,
         "er_pair_concat": pair_concat_sql,
         "er_pair_rerank": pair_rerank_sql,
@@ -8567,7 +8620,7 @@ _DRIVER_ORDER = [
     "er_orc_mention_scan", "events_value_runs", "er_block_filter",
     "er_resource_allocation", "events_count_min", "er_dynamic_blocking",
     "er_group_linkage", "doc_stratified_split", "er_pprl_bloom_dice",
-    "doc_ccnet_buckets", "events_anomaly_mad",
+    "doc_ccnet_buckets", "events_anomaly_mad", "embedding_semdedup",
 ]
 
 

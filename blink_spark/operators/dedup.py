@@ -916,3 +916,108 @@ def ngram_novelty(
             F.expr("(1000000 * n_novel) div n_grams").alias("novelty_ppm"),
         )
     )
+
+
+def semdedup(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "q",
+    n_cells: int = 8,
+    tau: float = 0.95,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic dedup by clustering the
+    embedding space into cells, finding near-duplicate pairs WITHIN each
+    cell (cosine >= ``tau``), and keeping ONE representative per duplicate
+    group — the member with the LOWEST cosine to its cell centroid (the
+    paper's keep rule: retain the least prototypical example; it preserves
+    diversity where random-keep would not). Cross-cell near-dups are
+    missed by construction — the paper's own stated approximation.
+
+    Deterministic codebook: the ``n_cells`` lowest-id vectors (the
+    ``ivf_topk`` ``first_items`` convention — bit-reproducible on any
+    engine; a trained KMeans codebook plugs in the same way via
+    ``ann.kmeans_codebook``). Assignment is the shuffle-free literal-
+    codebook argmax fold; all cosines are exact integer dots over
+    quantized embeddings with one sqrt/divide on identical doubles,
+    rounded to 6 — the established cross-engine parity surface.
+
+    Scale notes (100 TB): cell assignment is one projection (no join, no
+    Exchange); the within-cell pair join is an equi-join on cid whose cost
+    is sum(cell²) — at real scale n_cells grows with the corpus (SemDeDup
+    uses ~10k clusters for LAION) precisely to bound cells, the same
+    block-size discussion as candidate_pairs; per-record norms are hoisted
+    so each pair does one dot, not three. The dup graph is far smaller
+    than the corpus (only pairs >= tau), so CC runs on the match edges
+    only; the keep window partitions by dup group (bounded by cell size).
+
+    Returns (``id_col``, cid, group_id, cos_centroid, keep).
+    """
+    from blink_spark.functions.hashing import int_dot
+    from blink_spark.operators.ann import assign_cells
+    from blink_spark.operators.cluster import connected_components
+
+    def _cos(dot: F.Column, n2a: F.Column, n2b: F.Column) -> F.Column:
+        denom = F.sqrt(n2a.cast("double")) * F.sqrt(n2b.cast("double"))
+        return F.round(
+            F.when(denom > 0, dot.cast("double") / denom).otherwise(F.lit(0.0)), 6
+        )
+
+    from blink_spark.functions.hashing import cosine_exact
+
+    scorer = lambda a, b: F.round(cosine_exact(a, b), 6)  # noqa: E731
+    it = vectors.select(F.col(id_col).alias("item_id"), F.col(vec_col).alias("iv"))
+    cents = (
+        it.orderBy(F.col("item_id").asc())
+        .limit(n_cells)
+        .select(F.col("item_id").alias("cid"), F.col("iv").alias("cv"))
+    )
+    assigned = assign_cells(it, cents, scorer)
+    wc = (
+        assigned.join(F.broadcast(cents), "cid")
+        .select(
+            "item_id",
+            "iv",
+            "cid",
+            scorer(F.col("iv"), F.col("cv")).alias("cos_centroid"),
+            int_dot("iv", "iv").alias("n2"),
+        )
+        .localCheckpoint()  # one pass feeds both pair sides + the output
+    )
+    a = wc.select(
+        F.col("item_id").alias("ia"), F.col("iv").alias("va"),
+        F.col("n2").alias("n2a"), "cid",
+    )
+    b = wc.select(
+        F.col("item_id").alias("ib"), F.col("iv").alias("vb"),
+        F.col("n2").alias("n2b"), "cid",
+    )
+    dup_edges = (
+        a.join(b, "cid")
+        .filter(F.col("ia") < F.col("ib"))
+        .select(
+            F.col("ia").alias("src"),
+            F.col("ib").alias("dst"),
+            _cos(int_dot("va", "vb"), F.col("n2a"), F.col("n2b")).alias("cos"),
+        )
+        .filter(F.col("cos") >= F.lit(tau))
+        .select("src", "dst")
+    )
+    comp = connected_components(dup_edges).withColumnRenamed(
+        "record_id", "item_id"
+    )
+    grouped = wc.join(comp, "item_id", "left").select(
+        "item_id",
+        "cid",
+        "cos_centroid",
+        F.coalesce("cluster_id", "item_id").alias("group_id"),
+    )
+    w = Window.partitionBy("group_id").orderBy(
+        F.col("cos_centroid").asc(), F.col("item_id").asc()
+    )
+    return grouped.select(
+        F.col("item_id").alias(id_col),
+        "cid",
+        "group_id",
+        "cos_centroid",
+        (F.row_number().over(w) == 1).alias("keep"),
+    )

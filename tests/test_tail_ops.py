@@ -701,3 +701,38 @@ def test_anomaly_mad_hand_computed(spark):
     assert {d for d, r in a.items() if r["is_anomaly"]} == {0, 5, 6}
     assert b[0]["med"] == 5 and b[0]["mad"] == 2
     assert not any(r["is_anomaly"] for r in b.values())
+
+
+def test_semdedup_keep_rule_and_planted_pairs(spark):
+    from pyspark.sql import functions as F
+
+    from blink_spark.functions.hashing import quantize_emb
+    from blink_spark.operators.dedup import semdedup
+
+    # hand-built 4-dim corpus, 2 cells (ids 0 and 1 are the centroids):
+    # ids 0,2,3 near e1 (2 and 3 are near-dups of each other and of 0);
+    # ids 1,4 near e2 (4 a near-dup of 1); id 5 orthogonal-ish singleton.
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.0, 1.0, 0.0, 0.0]),
+        (2, [0.999, 0.04, 0.0, 0.0]),
+        (3, [0.998, 0.06, 0.0, 0.0]),
+        (4, [0.03, 0.999, 0.0, 0.0]),
+        (5, [0.0, 0.0, 1.0, 0.0]),
+    ]
+    vecs = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    ).select("vec_id", quantize_emb("embedding").alias("q"))
+    out = {r["vec_id"]: r for r in semdedup(vecs, n_cells=2, tau=0.95).collect()}
+    # cells: 0,2,3 -> cid 0; 1,4 -> cid 1; 5 -> whichever argmax (cos 0 to
+    # both -> tie -> lowest cid 0) but stays a singleton group
+    assert out[2]["cid"] == 0 and out[4]["cid"] == 1
+    # dup groups: {0,2,3} rooted at 0, {1,4} rooted at 1, {5} alone
+    assert out[0]["group_id"] == out[2]["group_id"] == out[3]["group_id"] == 0
+    assert out[1]["group_id"] == out[4]["group_id"] == 1
+    assert out[5]["group_id"] == 5 and out[5]["keep"]
+    # keep rule: LOWEST cos-to-centroid survives. In group 0 that is id 3
+    # (0.06 off-axis > 0.04), in group 1 it is id 4.
+    assert {i for i, r in out.items() if r["keep"]} == {3, 4, 5}
+    # exactly one keeper per group
+    assert sum(r["keep"] for r in out.values()) == 3

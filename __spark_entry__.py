@@ -3784,6 +3784,33 @@ def _er_fs_weights(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@_q("er_tf_adjustment", None)  # oracle injected below (fixture path)
+def _er_tf_adjustment(spark: SparkSession, sf: str) -> DataFrame:
+    """Splink-style term-frequency adjustment on the gold pairs: pairs
+    agreeing on the normalized first mention token get the value's exact
+    relative frequency and the ppm ratio u_global/tf(v) — the monotone
+    equivalent of the log2(u/tf) weight adjustment (rare shared value ⇒
+    ratio > 1e6 ⇒ boost; common ⇒ penalty)."""
+    from blink_spark.functions.text import normalize_text
+    from blink_spark.operators.scoring import tf_adjusted_agreements
+
+    m = _fx(spark, "mentions").select(
+        F.col("mention_id").alias("record_id"),
+        F.element_at(F.split(normalize_text(F.col("mention")), " "), 1).alias(
+            "val"
+        ),
+    )
+    g = (
+        _fx(spark, "gold_pairs")
+        .select(
+            F.col("mention_id_a").alias("record_id_a"),
+            F.col("mention_id_b").alias("record_id_b"),
+        )
+        .filter(F.col("record_id_a") != F.col("record_id_b"))
+    )
+    return tf_adjusted_agreements(g, m)
+
+
 @_q("er_em_weights", None)  # oracle injected below (fixture path)
 def _er_em_weights(spark: SparkSession, sf: str) -> DataFrame:
     """UNSUPERVISED Fellegi-Sunter calibration: 3-iteration EM over the
@@ -8168,6 +8195,42 @@ def _er_oracles() -> dict[str, str]:
         """,
         "er_sorted_neighborhood": snm_sql,
         "er_fs_weights": fs_sql,
+        "er_tf_adjustment": f"""
+          WITH v AS (
+            SELECT mention_id AS rid, string_split({_norm_m}, ' ')[1] AS val
+            FROM read_parquet('{men}')
+          ),
+          tf AS (SELECT val, count(*)::BIGINT AS df FROM v GROUP BY 1),
+          u AS (
+            SELECT (SELECT count(*)::BIGINT FROM v) AS n,
+                   (SELECT sum((df * (df - 1)) // 2)::BIGINT FROM tf)
+                     AS agree_pairs
+          ),
+          u2 AS (
+            SELECT n,
+                   ((1000000 * agree_pairs)
+                    // greatest((n * (n - 1)) // 2, 1))::BIGINT AS u_global_ppm
+            FROM u
+          ),
+          g AS (
+            SELECT mention_id_a AS record_id_a, mention_id_b AS record_id_b
+            FROM read_parquet('{gold}')
+            WHERE mention_id_a != mention_id_b
+          ),
+          j AS (
+            SELECT g.record_id_a, g.record_id_b, a.val
+            FROM g JOIN v a ON a.rid = g.record_id_a
+                   JOIN v b ON b.rid = g.record_id_b
+            WHERE a.val = b.val
+          )
+          SELECT j.record_id_a, j.record_id_b, j.val, tf.df,
+                 ((1000000 * tf.df) // u2.n)::BIGINT AS tf_ppm,
+                 u2.u_global_ppm,
+                 ((1000000 * u2.u_global_ppm)
+                  // greatest((1000000 * tf.df) // u2.n, 1))::BIGINT
+                   AS tf_adj_ratio_ppm
+          FROM j JOIN tf USING (val) CROSS JOIN u2
+        """,
         "er_em_weights": em_sql,
         "er_one_to_one": one2one_sql,
         "er_review_queue": review_queue_sql,
@@ -8621,6 +8684,7 @@ _DRIVER_ORDER = [
     "er_resource_allocation", "events_count_min", "er_dynamic_blocking",
     "er_group_linkage", "doc_stratified_split", "er_pprl_bloom_dice",
     "doc_ccnet_buckets", "events_anomaly_mad", "embedding_semdedup",
+    "er_tf_adjustment",
 ]
 
 

@@ -880,3 +880,89 @@ def pprl_bloom_dice(
             .alias("dice_ppm"),
         )
     )
+
+
+def tf_adjusted_agreements(
+    pairs: DataFrame,
+    values: DataFrame,
+    id_col: str = "record_id",
+    val_col: str = "val",
+) -> DataFrame:
+    """Term-frequency adjustment for exact-agreement comparisons — the
+    Splink-documented refinement of Fellegi-Sunter: the global
+    u-probability of an exact match on a column averages over ALL values,
+    so agreeing on a RARE value (surname "Zabrinsky") is far stronger
+    evidence than the average weight credits, and agreeing on a COMMON one
+    ("Smith") far weaker. For each pair that agrees on ``val_col`` this
+    emits the value's relative frequency and the exact-ppm ratio
+    ``u_global / tf(v)`` — the monotone equivalent of Splink's
+    ``log2(u/tf)`` additive weight adjustment (>1e6 ⇒ boost, <1e6 ⇒
+    penalty), kept as a ratio because log is engine-libm noise while the
+    integer ratio is bit-reproducible (the ``fs_weights`` convention).
+
+    ``u_global`` is the pairs-based agreement probability
+    ``sum_v C(df_v, 2) / C(N, 2)`` — exactly the chance two random records
+    agree, the denominator FS estimates against.
+
+    Overflow bounds: ``sum C(df,2)`` and ``C(N,2)`` stay in BIGINT to
+    N ~ 4e9 records; ``1e6 * agree_pairs`` binds first, at agree_pairs
+    ~ 9e12 (N ~ 4e6 records if EVERY record shared one value; realistic
+    value skew pushes it orders higher).
+
+    Scale shape: one value-keyed partial-agg for df, one scalar aggregate
+    (broadcast — the bm25-idf one-row pattern), two record-keyed equi-joins
+    to decorate the pair list, one value-keyed join for df (AQE broadcasts
+    it while the vocabulary is small). Nothing corpus² ever materializes —
+    the pair list is the input's.
+
+    Returns (record_id_a, record_id_b, val, df, tf_ppm, u_global_ppm,
+    tf_adj_ratio_ppm).
+    """
+    v = values.select(F.col(id_col).alias("rid"), F.col(val_col).alias("val"))
+    tf = v.groupBy("val").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    u = (
+        v.agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .crossJoin(
+            tf.agg(
+                F.sum(F.expr("(df * (df - 1)) div 2"))
+                .cast("long")
+                .alias("agree_pairs")
+            )
+        )
+        .select(
+            "n",
+            F.expr(
+                "(1000000 * agree_pairs) div greatest((n * (n - 1)) div 2, 1)"
+            )
+            .cast("long")
+            .alias("u_global_ppm"),
+        )
+    )
+    j = (
+        pairs.join(
+            v.select(F.col("rid").alias("record_id_a"), F.col("val").alias("val")),
+            "record_id_a",
+        )
+        .join(
+            v.select(
+                F.col("rid").alias("record_id_b"), F.col("val").alias("val_b")
+            ),
+            "record_id_b",
+        )
+        .filter(F.col("val") == F.col("val_b"))
+        .join(tf, "val")
+        .crossJoin(F.broadcast(u))
+    )
+    return j.select(
+        "record_id_a",
+        "record_id_b",
+        "val",
+        "df",
+        F.expr("(1000000 * df) div n").cast("long").alias("tf_ppm"),
+        "u_global_ppm",
+        F.expr(
+            "(1000000 * u_global_ppm) div greatest((1000000 * df) div n, 1)"
+        )
+        .cast("long")
+        .alias("tf_adj_ratio_ppm"),
+    )

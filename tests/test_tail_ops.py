@@ -736,3 +736,30 @@ def test_semdedup_keep_rule_and_planted_pairs(spark):
     assert {i for i, r in out.items() if r["keep"]} == {3, 4, 5}
     # exactly one keeper per group
     assert sum(r["keep"] for r in out.values()) == 3
+
+
+def test_tf_adjustment_rare_boost_common_penalty(spark):
+    from blink_spark.operators.scoring import tf_adjusted_agreements
+
+    # 10 records: 8 share val "smith", 2 share "zabrinsky".
+    # agree_pairs = C(8,2)+C(2,2) = 28+1 = 29; C(10,2) = 45
+    # u_global_ppm = 29000000 div 45 = 644444
+    # tf(smith) = 800000 ppm -> ratio 644444*1e6 div 800000 = 805555 (<1e6)
+    # tf(zabrinsky) = 200000 ppm -> ratio 3222220 (>1e6): rare value boosted
+    vals = spark.createDataFrame(
+        [(i, "smith" if i < 8 else "zabrinsky") for i in range(10)],
+        "record_id long, val string",
+    )
+    pairs = spark.createDataFrame(
+        [(0, 1), (8, 9), (0, 8)], "record_id_a long, record_id_b long"
+    )
+    out = {
+        (r["record_id_a"], r["record_id_b"]): r
+        for r in tf_adjusted_agreements(pairs, vals).collect()
+    }
+    assert set(out) == {(0, 1), (8, 9)}  # (0,8) disagrees -> no row
+    assert out[(0, 1)]["u_global_ppm"] == 644444
+    assert out[(0, 1)]["tf_ppm"] == 800000
+    assert out[(0, 1)]["tf_adj_ratio_ppm"] == 805555
+    assert out[(8, 9)]["tf_ppm"] == 200000
+    assert out[(8, 9)]["tf_adj_ratio_ppm"] == 3222220

@@ -104,6 +104,13 @@ ALLOWLIST: dict[str, frozenset[str]] = {
     "doc_domain_keyness": frozenset(
         {"BroadcastNestedLoopJoin", "Exchange SinglePartition"}
     ),
+    # er_tf_adjustment's N / u_global are one-row scalar aggregates
+    # (map-side partials) broadcast onto the agreeing-pair list — the
+    # bm25-idf scalar-denominator pattern; the pair list and the value
+    # table never cross either node.
+    "er_tf_adjustment": frozenset(
+        {"BroadcastNestedLoopJoin", "Exchange SinglePartition"}
+    ),
     # doc_ccnet_buckets wraps lm_perplexity: same one-row vocabulary-size
     # scalar aggregate broadcast onto the vocabulary²-bounded bigram model —
     # the doc-sized streams never cross either node; the tercile window is

@@ -2067,6 +2067,42 @@ def _er_ari(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@_q("er_hard_negatives", None)  # oracle injected below (fixture path)
+def _er_hard_negatives(spark: SparkSession, sf: str) -> DataFrame:
+    """Hard-negative mining for pair-scorer training — the reference's
+    crossencoder training set is the biencoder's top-k retrieved candidates
+    MINUS the gold entity (/root/reference/blink/biencoder/eval_biencoder.py
+    top-k save path feeding crossencoder/train_cross.py): per mention, the
+    highest-scoring WRONG candidates in its block, ranked among negatives
+    only (tie rule score DESC, entity_id ASC). These are exactly the
+    near-miss confusables a reranker must learn to reject — random
+    negatives are too easy to carry gradient."""
+    from blink_spark.functions.similarity import lev_ratio
+
+    m = _fx(spark, "mentions").select("mention_id", "mention", "label_id")
+    e = _fx(spark, "entities").select("entity_id", "title")
+    mb = m.withColumn("bk", F.substring(F.split("mention", " ")[0], 1, 4))
+    eb = e.withColumn("bk", F.substring(F.lower(F.split("title", " ")[0]), 1, 4))
+    pairs = (
+        mb.join(eb, "bk")
+        .filter(F.col("entity_id") != F.col("label_id"))
+        .select(
+            "mention_id",
+            "entity_id",
+            F.round(lev_ratio("mention", F.lower("title")), 6).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("mention_id").orderBy(
+        F.col("sim").desc(), F.col("entity_id").asc()
+    )
+    return (
+        pairs.select(
+            "mention_id", "entity_id", "sim", F.row_number().over(w).alias("neg_rank")
+        )
+        .filter(F.col("neg_rank") <= 3)
+    )
+
+
 @_q("er_topk_candidates", None)
 def _er_topk(spark: SparkSession, sf: str) -> DataFrame:
     """Top-k entity candidates per mention within first-token blocks — the
@@ -8492,6 +8528,36 @@ def _er_oracles() -> dict[str, str]:
         """,
         "er_pairwise_f1": f1_sql,
         "er_topk_candidates": topk_sql,
+        "er_hard_negatives": f"""
+          WITH mb AS (
+            SELECT mention_id, mention, label_id,
+                   substr(string_split(mention, ' ')[1], 1, 4) AS bk
+            FROM read_parquet('{men}')
+          ),
+          eb AS (
+            SELECT entity_id, lower(title) AS title_l,
+                   substr(string_split(lower(title), ' ')[1], 1, 4) AS bk
+            FROM read_parquet('{ent}')
+          ),
+          pairs AS (
+            SELECT mention_id, entity_id,
+                   round(CASE WHEN greatest(length(mn), length(tn)) > 0
+                              THEN 1.0 - levenshtein(mn, tn)::double
+                                   / greatest(length(mn), length(tn))
+                              ELSE 1.0 END, 6) AS sim
+            FROM (SELECT *,
+                    trim(regexp_replace(lower(mention), '[\t\n\x0B\f\r ]+', ' ', 'g')) AS mn,
+                    trim(regexp_replace(title_l, '[\t\n\x0B\f\r ]+', ' ', 'g')) AS tn
+                  FROM mb JOIN eb USING (bk)
+                  WHERE entity_id != label_id)
+          )
+          SELECT mention_id, entity_id, sim, neg_rank FROM (
+            SELECT mention_id, entity_id, sim,
+                   row_number() OVER (PARTITION BY mention_id
+                                      ORDER BY sim DESC, entity_id ASC) AS neg_rank
+            FROM pairs
+          ) WHERE neg_rank <= 3
+        """,
         "er_edit_distance_pairs": f"""
           WITH m AS (
             SELECT mention_id, {_norm_m} AS norm FROM read_parquet('{men}')
@@ -8684,7 +8750,7 @@ _DRIVER_ORDER = [
     "er_resource_allocation", "events_count_min", "er_dynamic_blocking",
     "er_group_linkage", "doc_stratified_split", "er_pprl_bloom_dice",
     "doc_ccnet_buckets", "events_anomaly_mad", "embedding_semdedup",
-    "er_tf_adjustment",
+    "er_tf_adjustment", "er_hard_negatives",
 ]
 
 

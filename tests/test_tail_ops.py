@@ -763,3 +763,22 @@ def test_tf_adjustment_rare_boost_common_penalty(spark):
     assert out[(0, 1)]["tf_adj_ratio_ppm"] == 805555
     assert out[(8, 9)]["tf_ppm"] == 200000
     assert out[(8, 9)]["tf_adj_ratio_ppm"] == 3222220
+
+
+def test_hard_negatives_exclude_gold_and_rank_densely(spark):
+    import __spark_entry__ as entry
+
+    out = entry.queries()["er_hard_negatives"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert out  # non-vacuous: blocks do contain confusables
+    gold = {
+        r["mention_id"]: r["label_id"]
+        for r in entry._fx(spark, "mentions").select("mention_id", "label_id").collect()
+    }
+    by_m = {}
+    for r in out:
+        assert r["entity_id"] != gold[r["mention_id"]]  # gold never a negative
+        by_m.setdefault(r["mention_id"], []).append(r["neg_rank"])
+    for ranks in by_m.values():  # dense 1..n, n <= 3
+        assert sorted(ranks) == list(range(1, len(ranks) + 1)) and len(ranks) <= 3

@@ -3820,6 +3820,42 @@ def _er_fs_weights(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@_q("er_threshold_dendrogram", None)  # oracle injected below (fixture path)
+def _er_threshold_dendrogram(spark: SparkSession, sf: str) -> DataFrame:
+    """Multi-threshold cluster hierarchy over the scored gold pairs: CC at
+    jaccard >= 0.5 / 0.65 / 0.8 with per-cut cluster count, clustered-record
+    mass, and largest cluster — the dendrogram sweep that places the match
+    threshold (cluster-level companion of er_pr_curve's pairwise sweep)."""
+    from blink_spark.operators.cluster import threshold_dendrogram
+    from blink_spark.operators.scoring import score_pairs
+
+    m = _fx(spark, "mentions").select("mention_id", "mention")
+    attrs = (
+        _fx(spark, "gold_pairs")
+        .select(
+            F.col("mention_id_a").alias("record_id_a"),
+            F.col("mention_id_b").alias("record_id_b"),
+        )
+        .filter(F.col("record_id_a") != F.col("record_id_b"))
+        .join(
+            m.select(
+                F.col("mention_id").alias("record_id_a"),
+                F.col("mention").alias("mention_a"),
+            ),
+            "record_id_a",
+        )
+        .join(
+            m.select(
+                F.col("mention_id").alias("record_id_b"),
+                F.col("mention").alias("mention_b"),
+            ),
+            "record_id_b",
+        )
+    )
+    scored = score_pairs(attrs, text_a="mention_a", text_b="mention_b")
+    return threshold_dendrogram(scored)
+
+
 @_q("er_tf_adjustment", None)  # oracle injected below (fixture path)
 def _er_tf_adjustment(spark: SparkSession, sf: str) -> DataFrame:
     """Splink-style term-frequency adjustment on the gold pairs: pairs
@@ -8231,6 +8267,70 @@ def _er_oracles() -> dict[str, str]:
         """,
         "er_sorted_neighborhood": snm_sql,
         "er_fs_weights": fs_sql,
+        "er_threshold_dendrogram": f"""
+          {scored_cte},
+          e1 AS (
+            SELECT record_id_a AS src, record_id_b AS dst FROM j
+            WHERE jaccard >= 0.5 AND record_id_a != record_id_b
+          ),
+          ed1 AS (SELECT src, dst FROM e1 UNION SELECT dst, src FROM e1),
+          n1 AS (SELECT DISTINCT src AS id FROM ed1),
+          r1 AS (
+            SELECT id, id AS r FROM n1
+            UNION
+            SELECT r1.id, ed.dst FROM r1 JOIN ed1 ed ON r1.r = ed.src
+          ),
+          c1 AS (SELECT id, min(r) AS cl FROM r1 GROUP BY id),
+          s1 AS (SELECT cl, count(*)::BIGINT AS sz FROM c1 GROUP BY 1),
+          a1 AS (
+            SELECT 500000::BIGINT AS threshold_ppm,
+                   count(*)::BIGINT AS n_clusters,
+                   coalesce(sum(sz), 0)::BIGINT AS n_records,
+                   coalesce(max(sz), 0)::BIGINT AS max_cluster_size
+            FROM s1
+          ),
+          e2 AS (
+            SELECT record_id_a AS src, record_id_b AS dst FROM j
+            WHERE jaccard >= 0.65 AND record_id_a != record_id_b
+          ),
+          ed2 AS (SELECT src, dst FROM e2 UNION SELECT dst, src FROM e2),
+          n2 AS (SELECT DISTINCT src AS id FROM ed2),
+          r2 AS (
+            SELECT id, id AS r FROM n2
+            UNION
+            SELECT r2.id, ed.dst FROM r2 JOIN ed2 ed ON r2.r = ed.src
+          ),
+          c2 AS (SELECT id, min(r) AS cl FROM r2 GROUP BY id),
+          s2 AS (SELECT cl, count(*)::BIGINT AS sz FROM c2 GROUP BY 1),
+          a2 AS (
+            SELECT 650000::BIGINT AS threshold_ppm,
+                   count(*)::BIGINT AS n_clusters,
+                   coalesce(sum(sz), 0)::BIGINT AS n_records,
+                   coalesce(max(sz), 0)::BIGINT AS max_cluster_size
+            FROM s2
+          ),
+          e3 AS (
+            SELECT record_id_a AS src, record_id_b AS dst FROM j
+            WHERE jaccard >= 0.8 AND record_id_a != record_id_b
+          ),
+          ed3 AS (SELECT src, dst FROM e3 UNION SELECT dst, src FROM e3),
+          n3 AS (SELECT DISTINCT src AS id FROM ed3),
+          r3 AS (
+            SELECT id, id AS r FROM n3
+            UNION
+            SELECT r3.id, ed.dst FROM r3 JOIN ed3 ed ON r3.r = ed.src
+          ),
+          c3 AS (SELECT id, min(r) AS cl FROM r3 GROUP BY id),
+          s3 AS (SELECT cl, count(*)::BIGINT AS sz FROM c3 GROUP BY 1),
+          a3 AS (
+            SELECT 800000::BIGINT AS threshold_ppm,
+                   count(*)::BIGINT AS n_clusters,
+                   coalesce(sum(sz), 0)::BIGINT AS n_records,
+                   coalesce(max(sz), 0)::BIGINT AS max_cluster_size
+            FROM s3
+          )
+          SELECT * FROM a1 UNION ALL SELECT * FROM a2 UNION ALL SELECT * FROM a3
+        """,
         "er_tf_adjustment": f"""
           WITH v AS (
             SELECT mention_id AS rid, string_split({_norm_m}, ' ')[1] AS val
@@ -8750,7 +8850,7 @@ _DRIVER_ORDER = [
     "er_resource_allocation", "events_count_min", "er_dynamic_blocking",
     "er_group_linkage", "doc_stratified_split", "er_pprl_bloom_dice",
     "doc_ccnet_buckets", "events_anomaly_mad", "embedding_semdedup",
-    "er_tf_adjustment", "er_hard_negatives",
+    "er_tf_adjustment", "er_hard_negatives", "er_threshold_dendrogram",
 ]
 
 

@@ -898,3 +898,56 @@ def cluster_churn(
             .alias("status"),
         )
     )
+
+
+def threshold_dendrogram(
+    scored: DataFrame,
+    a_col: str = "record_id_a",
+    b_col: str = "record_id_b",
+    score_col: str = "jaccard",
+    thresholds: tuple[float, ...] = (0.5, 0.65, 0.8),
+) -> DataFrame:
+    """Multi-threshold cluster hierarchy — the dendrogram cut sweep a
+    linkage pipeline runs to CHOOSE its match threshold (dedupe's cluster-
+    threshold sweep; the cluster-level companion of the pairwise PR curve):
+    for each candidate threshold, connected components over the edges at or
+    above it, summarized as cluster count / clustered-record mass / largest
+    cluster. Reading the three rows top-down shows exactly where chains
+    start gluing blocks together (max_cluster_size jumping while n_clusters
+    falls is the over-merge signature).
+
+    Monotone by construction: edge sets nest as thresholds rise, so
+    n_records is non-increasing. Scores are compared as the same rounded
+    doubles both engines computed (the score_pairs parity surface);
+    components reuse the gated local/superstep CC.
+
+    Scale notes (100 TB): one CC per threshold over the MATCH-EDGE set
+    (already ≪ corpus after scoring) — the sweep multiplies only the cheap
+    part; the scored pair table itself is computed once by the caller. Each
+    summary is a cluster-keyed partial agg + one-row finalize.
+
+    Returns one row per threshold:
+    (threshold_ppm, n_clusters, n_records, max_cluster_size).
+    """
+    out = None
+    for t in thresholds:
+        edges = scored.filter(F.col(score_col) >= F.lit(t)).select(
+            F.col(a_col).alias("src"), F.col(b_col).alias("dst")
+        )
+        sizes = (
+            connected_components(edges)
+            .groupBy("cluster_id")
+            .agg(F.count(F.lit(1)).cast("long").alias("sz"))
+        )
+        summ = sizes.agg(
+            F.count(F.lit(1)).cast("long").alias("n_clusters"),
+            F.coalesce(F.sum("sz"), F.lit(0)).cast("long").alias("n_records"),
+            F.coalesce(F.max("sz"), F.lit(0)).cast("long").alias("max_cluster_size"),
+        ).select(
+            F.lit(int(round(t * 1e6))).cast("long").alias("threshold_ppm"),
+            "n_clusters",
+            "n_records",
+            "max_cluster_size",
+        )
+        out = summ if out is None else out.unionByName(summ)
+    return out

@@ -782,3 +782,20 @@ def test_hard_negatives_exclude_gold_and_rank_densely(spark):
         by_m.setdefault(r["mention_id"], []).append(r["neg_rank"])
     for ranks in by_m.values():  # dense 1..n, n <= 3
         assert sorted(ranks) == list(range(1, len(ranks) + 1)) and len(ranks) <= 3
+
+
+def test_threshold_dendrogram_monotone_cuts(spark):
+    from blink_spark.operators.cluster import threshold_dendrogram
+
+    # chain a-b-c at 0.6 edges plus a tight pair d-e at 0.9: the 0.5 cut
+    # glues the chain (one 3-cluster + the pair); 0.65 keeps only d-e;
+    # 0.8 keeps only d-e too.
+    scored = spark.createDataFrame(
+        [("a", "b", 0.6), ("b", "c", 0.6), ("d", "e", 0.9)],
+        "record_id_a string, record_id_b string, jaccard double",
+    )
+    got = {
+        r["threshold_ppm"]: (r["n_clusters"], r["n_records"], r["max_cluster_size"])
+        for r in threshold_dendrogram(scored).collect()
+    }
+    assert got == {500000: (2, 5, 3), 650000: (1, 2, 2), 800000: (1, 2, 2)}

@@ -2555,6 +2555,51 @@ def _er_coref_merge(spark: SparkSession, sf: str) -> DataFrame:
     return coref_candidate_merge(all_m, cands, persons)
 
 
+@_q("er_mrr", None)  # oracle injected below (fixture path)
+def _er_mrr(spark: SparkSession, sf: str) -> DataFrame:
+    """Mean reciprocal rank of the gold entity over the top-k candidates —
+    the single-number retrieval summary next to recall@k and the rank
+    histogram (the reference reports accuracy-at-rank tables;
+    /root/reference/blink/candidate_retrieval/evaluator.py:92-124). Exact:
+    per-mention reciprocal rank is ``1e6 div gold_rank`` micro-units
+    (misses contribute 0), the mean a single integer division — no float
+    accumulation order in the parity surface."""
+    ranked = _er_topk(spark, sf)
+    gold = _fx(spark, "mentions").select("mention_id", "label_id")
+    gr = (
+        ranked.join(gold, "mention_id")
+        .groupBy("mention_id")
+        .agg(
+            F.coalesce(
+                F.min(F.when(F.col("entity_id") == F.col("label_id"), F.col("rank"))),
+                F.lit(-1),
+            ).alias("gold_rank")
+        )
+    )
+    rr = gr.select(
+        "gold_rank",
+        F.when(F.col("gold_rank") > 0, F.expr("1000000 div gold_rank"))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("rr_micro"),
+    )
+    return (
+        rr.agg(
+            F.count(F.lit(1)).cast("long").alias("n_mentions"),
+            F.sum(F.when(F.col("gold_rank") > 0, 1).otherwise(0))
+            .cast("long")
+            .alias("n_hits"),
+            F.sum("rr_micro").cast("long").alias("sum_rr_micro"),
+        )
+        .select(
+            "n_mentions",
+            "n_hits",
+            "sum_rr_micro",
+            F.expr("sum_rr_micro div n_mentions").cast("long").alias("mrr_micro"),
+        )
+    )
+
+
 @_q("er_rank_histogram", None)  # oracle injected below (fixture path)
 def _er_rank_histogram(spark: SparkSession, sf: str) -> DataFrame:
     """hit@rank histogram + cumulative recall-vs-rank curve
@@ -8110,6 +8155,27 @@ def _er_oracles() -> dict[str, str]:
         "er_bm25_topk": bm25_sql,
         "er_coref_merge": coref_sql,
         "er_rank_histogram": rank_hist_sql,
+        "er_mrr": f"""
+          WITH {_softmax_ctes},
+          gr AS (
+            SELECT t.mention_id,
+                   coalesce(min(CASE WHEN t.entity_id = g.label_id
+                                     THEN t.rank END), -1) AS gold_rank
+            FROM ltopk t JOIN read_parquet('{men}') g USING (mention_id)
+            GROUP BY 1
+          ),
+          rr AS (
+            SELECT gold_rank,
+                   CASE WHEN gold_rank > 0 THEN 1000000 // gold_rank
+                        ELSE 0 END AS rr_micro
+            FROM gr
+          )
+          SELECT count(*)::BIGINT AS n_mentions,
+                 sum(CASE WHEN gold_rank > 0 THEN 1 ELSE 0 END)::BIGINT AS n_hits,
+                 sum(rr_micro)::BIGINT AS sum_rr_micro,
+                 (sum(rr_micro)::BIGINT // count(*))::BIGINT AS mrr_micro
+          FROM rr
+        """,
         "er_world_macro_micro": world_mm_sql,
         "er_span_embedding_agg": span_emb_sql.format(span_ctes=_span_enum_ctes(2)),
         "conll_csv_scan": conll_sql,
@@ -8851,6 +8917,7 @@ _DRIVER_ORDER = [
     "er_group_linkage", "doc_stratified_split", "er_pprl_bloom_dice",
     "doc_ccnet_buckets", "events_anomaly_mad", "embedding_semdedup",
     "er_tf_adjustment", "er_hard_negatives", "er_threshold_dendrogram",
+    "er_mrr",
 ]
 
 

@@ -799,3 +799,18 @@ def test_threshold_dendrogram_monotone_cuts(spark):
         for r in threshold_dendrogram(scored).collect()
     }
     assert got == {500000: (2, 5, 3), 650000: (1, 2, 2), 800000: (1, 2, 2)}
+
+
+def test_mrr_consistent_with_rank_histogram(spark):
+    import __spark_entry__ as entry
+
+    sf = "/root/testdata/sf0.001"
+    mrr = entry.queries()["er_mrr"](spark, sf).collect()[0]
+    hist = entry.queries()["er_rank_histogram"](spark, sf).collect()
+    n_by_rank = {r["gold_rank"]: r["n"] for r in hist}
+    assert mrr["n_mentions"] == sum(n_by_rank.values())
+    assert mrr["n_hits"] == sum(n for k, n in n_by_rank.items() if k > 0)
+    expect_sum = sum(n * (1000000 // k) for k, n in n_by_rank.items() if k > 0)
+    assert mrr["sum_rr_micro"] == expect_sum
+    assert mrr["mrr_micro"] == expect_sum // mrr["n_mentions"]
+    assert 0 < mrr["n_hits"] <= mrr["n_mentions"]  # non-vacuous

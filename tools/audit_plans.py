@@ -75,6 +75,10 @@ ALLOWLIST: dict[str, frozenset[str]] = {
     # the per-(cluster,label) term table — map-side partial agg, one-row
     # finalize; nothing record-scale crosses the exchange.
     "er_bcubed": frozenset({"Exchange SinglePartition"}),
+    # er_mrr is one global scalar aggregate (n/hits/sum_rr) over the
+    # per-mention gold-rank table — map-side partial agg, one-row finalize;
+    # nothing mention-scale crosses the exchange.
+    "er_mrr": frozenset({"Exchange SinglePartition"}),
     # er_match_rule_report has the same shape: one global scalar aggregate
     # (9 counters, map-side combined), one-row finalize, 3-row output.
     "er_match_rule_report": frozenset({"Exchange SinglePartition"}),

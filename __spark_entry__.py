@@ -1602,9 +1602,8 @@ def _doc_quality(spark: SparkSession, sf: str) -> DataFrame:
                     feats["stopword_ratio"].alias("stopword_ratio"))
 
 
-@_q(
-    "doc_lang_id",
-    f"""
+# shared by doc_lang_id and doc_langid_confusion (mirror of text.lang_id)
+_LANGID_SQL = f"""
     WITH s AS (
       SELECT doc_id, {_toks('text')} AS toks FROM documents
     ), c AS (
@@ -1622,7 +1621,12 @@ def _doc_quality(spark: SparkSession, sf: str) -> DataFrame:
            WHEN c_es = greatest(c_de,c_en,c_es,c_fr) THEN 'es'
            ELSE 'fr' END AS lang_guess
     FROM c
-    """,
+"""
+
+
+@_q(
+    "doc_lang_id",
+    _LANGID_SQL,
 )
 def _doc_lang_id(spark: SparkSession, sf: str) -> DataFrame:
     """Heuristic stopword-hit language ID (n-gram heuristic class)."""
@@ -1630,6 +1634,49 @@ def _doc_lang_id(spark: SparkSession, sf: str) -> DataFrame:
 
     d = _t(spark, sf, "documents")
     return d.select("doc_id", lang_id("text").alias("lang_guess"))
+
+
+@_q(
+    "doc_langid_confusion",
+    f"""
+    WITH pred AS ({_LANGID_SQL}),
+    j AS (
+      SELECT d.lang AS gold_lang, p.lang_guess AS pred_lang
+      FROM documents d JOIN pred p USING (doc_id)
+    ),
+    cells AS (
+      SELECT gold_lang, pred_lang, count(*)::BIGINT AS n FROM j GROUP BY 1, 2
+    ),
+    tot AS (SELECT gold_lang, sum(n)::BIGINT AS gold_total FROM cells GROUP BY 1)
+    SELECT c.gold_lang, c.pred_lang, c.n, t.gold_total,
+           ((1000000 * c.n) // t.gold_total)::BIGINT AS cell_ppm
+    FROM cells c JOIN tot t USING (gold_lang)
+    """,
+)
+def _doc_langid_confusion(spark: SparkSession, sf: str) -> DataFrame:
+    """Confusion matrix of the stopword-hit language-ID heuristic against
+    the gold ``lang`` column — the eval loop for the text-analysis family:
+    per (gold, predicted) cell count and its exact-ppm share of the gold
+    language's documents (diagonal cells = per-language recall)."""
+    from blink_spark.functions.text import lang_id
+
+    d = _t(spark, sf, "documents")
+    j = d.select(
+        F.col("lang").alias("gold_lang"), lang_id("text").alias("pred_lang")
+    )
+    cells = j.groupBy("gold_lang", "pred_lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    tot = cells.groupBy("gold_lang").agg(
+        F.sum("n").cast("long").alias("gold_total")
+    )
+    return cells.join(tot, "gold_lang").select(
+        "gold_lang",
+        "pred_lang",
+        "n",
+        "gold_total",
+        F.expr("(1000000 * n) div gold_total").cast("long").alias("cell_ppm"),
+    )
 
 
 @_q(
@@ -8917,7 +8964,7 @@ _DRIVER_ORDER = [
     "er_group_linkage", "doc_stratified_split", "er_pprl_bloom_dice",
     "doc_ccnet_buckets", "events_anomaly_mad", "embedding_semdedup",
     "er_tf_adjustment", "er_hard_negatives", "er_threshold_dendrogram",
-    "er_mrr",
+    "er_mrr", "doc_langid_confusion",
 ]
 
 

@@ -814,3 +814,20 @@ def test_mrr_consistent_with_rank_histogram(spark):
     assert mrr["sum_rr_micro"] == expect_sum
     assert mrr["mrr_micro"] == expect_sum // mrr["n_mentions"]
     assert 0 < mrr["n_hits"] <= mrr["n_mentions"]  # non-vacuous
+
+
+def test_langid_confusion_cells_partition_gold(spark):
+    import __spark_entry__ as entry
+
+    rows = entry.queries()["doc_langid_confusion"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert rows
+    by_gold = {}
+    for r in rows:
+        by_gold.setdefault(r["gold_lang"], []).append(r)
+    for gold, cells in by_gold.items():
+        total = cells[0]["gold_total"]
+        assert sum(c["n"] for c in cells) == total  # cells partition the gold
+        assert all(c["gold_total"] == total for c in cells)
+        assert all(c["cell_ppm"] == 1000000 * c["n"] // total for c in cells)

@@ -776,6 +776,34 @@ def _doc_ccnet_buckets(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @_q(
+    "doc_char_entropy",
+    f"""
+    WITH ch AS (
+      SELECT doc_id, unnest(regexp_extract_all({_norm('text')}, '[a-z0-9 ]')) AS ch
+      FROM documents
+    ),
+    c AS (SELECT doc_id, ch, count(*)::BIGINT AS c FROM ch GROUP BY 1, 2),
+    d AS (
+      SELECT doc_id, sum(c)::BIGINT AS n_chars, count(*)::BIGINT AS n_distinct,
+             sum(c * floor(ln(c::DOUBLE) * 1000000)::BIGINT)::BIGINT AS s_micro
+      FROM c GROUP BY 1
+    )
+    SELECT doc_id, n_chars, n_distinct,
+           (floor(ln(n_chars::DOUBLE) * 1000000)::BIGINT - s_micro // n_chars)::BIGINT
+             AS entropy_micro
+    FROM d
+    """,
+)
+def _doc_char_entropy(spark: SparkSession, sf: str) -> DataFrame:
+    """Character-level Shannon entropy per document (gibberish/filler
+    detector) over the explicit [a-z0-9 ] class of the normalized text,
+    in exact integer micro-nats (the lm_perplexity ln convention)."""
+    from blink_spark.operators.corpus import char_entropy
+
+    return char_entropy(_t(spark, sf, "documents"))
+
+
+@_q(
     "doc_dsir_weights",
     f"""
     WITH n AS (
@@ -8964,7 +8992,7 @@ _DRIVER_ORDER = [
     "er_group_linkage", "doc_stratified_split", "er_pprl_bloom_dice",
     "doc_ccnet_buckets", "events_anomaly_mad", "embedding_semdedup",
     "er_tf_adjustment", "er_hard_negatives", "er_threshold_dendrogram",
-    "er_mrr", "doc_langid_confusion",
+    "er_mrr", "doc_langid_confusion", "doc_char_entropy",
 ]
 
 

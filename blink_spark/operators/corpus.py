@@ -1242,3 +1242,61 @@ def ccnet_buckets(
             .alias("bucket"),
         )
     )
+
+
+def char_entropy(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document character-level Shannon entropy — the cheap gibberish /
+    keyboard-mash / repeated-filler detector that complements the word-level
+    Gopher rules: natural prose sits in a band (~2.5-4 nats over
+    [a-z0-9 ]); low entropy ⇒ repetition ("aaaa…"), max entropy ⇒ uniform
+    noise. H = ln(n) − Σ c·ln(c)/n over the per-character counts.
+
+    Parity surface: characters are the EXPLICIT class ``[a-z0-9 ]`` of the
+    normalized text (cross-engine regex classes like \\w or \\s diverge;
+    a spelled-out class cannot), and the entropy is assembled from
+    ``floor(ln(k)·1e6)`` integer micro-nats on identical integers — the
+    lm_perplexity convention (ln of the same integer is the same IEEE
+    double everywhere; only floor'd products and integer division follow).
+    Documents with no in-class characters drop out (no entropy exists).
+
+    Scale notes (100 TB): one explode → (doc, char)-keyed partial agg
+    (64-ary alphabet bounds the per-doc group count), one doc-keyed agg.
+    No windows, no driver collection, nothing quadratic.
+
+    Returns (doc_id, n_chars, n_distinct, entropy_micro).
+    """
+    from blink_spark.functions.text import normalize_text
+
+    ch = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.regexp_extract_all(
+                normalize_text(F.col(text_col)), F.lit("[a-z0-9 ]"), F.lit(0)
+            )
+        ).alias("ch"),
+    )
+    c = ch.groupBy("doc_id", "ch").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    d = c.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n_chars"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct"),
+        F.sum(
+            F.col("c") * F.floor(F.log(F.col("c").cast("double")) * F.lit(1000000.0)).cast("long")
+        )
+        .cast("long")
+        .alias("s_micro"),
+    )
+    return d.select(
+        "doc_id",
+        "n_chars",
+        "n_distinct",
+        (
+            F.floor(F.log(F.col("n_chars").cast("double")) * F.lit(1000000.0)).cast("long")
+            - F.expr("s_micro div n_chars")
+        )
+        .cast("long")
+        .alias("entropy_micro"),
+    )

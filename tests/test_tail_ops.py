@@ -831,3 +831,29 @@ def test_langid_confusion_cells_partition_gold(spark):
         assert sum(c["n"] for c in cells) == total  # cells partition the gold
         assert all(c["gold_total"] == total for c in cells)
         assert all(c["cell_ppm"] == 1000000 * c["n"] // total for c in cells)
+
+
+def test_char_entropy_hand_computed(spark):
+    import math
+
+    from blink_spark.operators.corpus import char_entropy
+
+    docs = spark.createDataFrame(
+        [
+            (1, "aaaa"),        # one symbol -> H = 0 exactly
+            (2, "abab"),        # two equiprobable -> H = ln 2
+            (3, "!!!?"),        # nothing in [a-z0-9 ] -> drops out
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in char_entropy(docs).collect()}
+    assert set(out) == {1, 2}
+    assert out[1]["n_chars"] == 4 and out[1]["n_distinct"] == 1
+    assert out[1]["entropy_micro"] == math.floor(math.log(4) * 1e6) - (
+        4 * math.floor(math.log(4) * 1e6)
+    ) // 4
+    assert out[1]["entropy_micro"] == 0
+    # doc 2: ln(4)*1e6 floor - (2*floor(ln2*1e6)*2) div 4 = ln2 in micro
+    ln2 = math.floor(math.log(2) * 1e6)
+    ln4 = math.floor(math.log(4) * 1e6)
+    assert out[2]["entropy_micro"] == ln4 - (2 * 2 * ln2) // 4 == ln4 - ln2

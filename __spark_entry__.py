@@ -776,6 +776,54 @@ def _doc_ccnet_buckets(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @_q(
+    "doc_zipf_fit",
+    f"""
+    WITH t AS (
+      SELECT unnest(string_split({_norm('text')}, ' ')) AS tok FROM documents
+    ),
+    c AS (SELECT tok, count(*)::BIGINT AS freq FROM t WHERE tok != '' GROUP BY 1),
+    top AS (SELECT tok, freq FROM c ORDER BY freq DESC, tok ASC LIMIT 100),
+    xy AS (
+      SELECT floor(ln((row_number() OVER (ORDER BY freq DESC, tok ASC))::DOUBLE)
+                   * 1000)::BIGINT AS x,
+             floor(ln(freq::DOUBLE) * 1000)::BIGINT AS y
+      FROM top
+    ),
+    s AS (
+      SELECT count(*)::BIGINT AS r, sum(x)::BIGINT AS sx, sum(y)::BIGINT AS sy,
+             sum(x * y)::BIGINT AS sxy, sum(x * x)::BIGINT AS sxx
+      FROM xy
+    ),
+    terms AS (
+      SELECT r, sx, sy, (1000000 * (r * sxy - sx * sy))::BIGINT AS num_s,
+             (r * sxx - sx * sx)::BIGINT AS den
+      FROM s
+    ),
+    sloped AS (
+      SELECT r, sx, sy,
+             (CASE WHEN den = 0 THEN 0
+                   WHEN num_s >= 0 THEN num_s // den
+                   ELSE -((-num_s) // den) END)::BIGINT AS slope_ppm
+      FROM terms
+    )
+    SELECT r AS n_ranks, slope_ppm,
+           (CASE WHEN 1000000 * sy - slope_ppm * sx >= 0 THEN
+                  (1000000 * sy - slope_ppm * sx) // (1000000 * r)
+                 ELSE -((-(1000000 * sy - slope_ppm * sx)) // (1000000 * r))
+            END)::BIGINT AS intercept_milli
+    FROM sloped
+    """,
+)
+def _doc_zipf_fit(spark: SparkSession, sf: str) -> DataFrame:
+    """Zipf rank-frequency least-squares fit over the top-100 corpus
+    tokens: slope_ppm near -1e6 is natural-language-like; all arithmetic
+    is sign-safe integer least squares on floor(ln·1000) milli-nats."""
+    from blink_spark.operators.corpus import zipf_fit
+
+    return zipf_fit(_t(spark, sf, "documents"))
+
+
+@_q(
     "doc_char_entropy",
     f"""
     WITH ch AS (
@@ -8992,7 +9040,7 @@ _DRIVER_ORDER = [
     "er_group_linkage", "doc_stratified_split", "er_pprl_bloom_dice",
     "doc_ccnet_buckets", "events_anomaly_mad", "embedding_semdedup",
     "er_tf_adjustment", "er_hard_negatives", "er_threshold_dendrogram",
-    "er_mrr", "doc_langid_confusion", "doc_char_entropy",
+    "er_mrr", "doc_langid_confusion", "doc_char_entropy", "doc_zipf_fit",
 ]
 
 

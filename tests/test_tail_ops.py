@@ -857,3 +857,29 @@ def test_char_entropy_hand_computed(spark):
     ln2 = math.floor(math.log(2) * 1e6)
     ln4 = math.floor(math.log(4) * 1e6)
     assert out[2]["entropy_micro"] == ln4 - (2 * 2 * ln2) // 4 == ln4 - ln2
+
+
+def test_zipf_fit_exact_slope_on_constructed_counts(spark):
+    import math
+
+    from blink_spark.operators.corpus import zipf_fit
+
+    # construct a corpus whose top tokens have freqs 8,4,2,1 at ranks
+    # 1..4 -> perfect ln-ln line with slope... freq = 8 * rank^(-a) only
+    # holds approximately; instead verify against a NumPy-free reference
+    # computation of the same integer least squares.
+    words = []
+    for tok, n in [("a", 8), ("b", 4), ("c", 2), ("d", 1)]:
+        words += [tok] * n
+    docs = spark.createDataFrame([(1, " ".join(words))], "doc_id long, text string")
+    row = zipf_fit(docs, top_r=10).collect()[0]
+    xs = [math.floor(math.log(r) * 1000) for r in (1, 2, 3, 4)]
+    ys = [math.floor(math.log(f) * 1000) for f in (8, 4, 2, 1)]
+    r = 4
+    sx, sy = sum(xs), sum(ys)
+    sxy = sum(x * y for x, y in zip(xs, ys))
+    sxx = sum(x * x for x in xs)
+    num_s, den = 1000000 * (r * sxy - sx * sy), r * sxx - sx * sx
+    slope = num_s // den if num_s >= 0 else -((-num_s) // den)
+    assert row["n_ranks"] == 4 and row["slope_ppm"] == slope
+    assert -1700000 < row["slope_ppm"] < -1400000  # freqs halve: slope ~ -1.5

@@ -3182,6 +3182,107 @@ def _simhash_oracle_sql(max_hamming: int = 3) -> str:
     """
 
 
+def _dedup_ensemble_oracle_sql(max_hamming: int = 3) -> str:
+    """Mirror of dedup.dedup_ensemble_report: fingerprint star pairs +
+    minhash-banded shingle-Jaccard>=1/2 pairs + simhash pigeonhole pairs,
+    per-strategy exclusive/overlap readout."""
+    from blink_spark.operators.dedup import simhash_band_splits
+
+    bit_sums = ", ".join(f"sum((h >> {b}) & 1) AS c{b}" for b in range(60))
+    sh_terms = " + ".join(
+        f"(CASE WHEN 2*c{b} > n THEN {1 << b} ELSE 0 END)::BIGINT" for b in range(60)
+    )
+    band_exprs = ", ".join(
+        f"'{b}:' || ((sh >> {off}) & {(1 << width) - 1})::varchar"
+        for b, (off, width) in enumerate(simhash_band_splits(max_hamming))
+    )
+    return f"""
+    WITH n0 AS (SELECT doc_id AS id, {_norm('text')} AS t FROM documents),
+    fpt AS (
+      SELECT id, md5(array_to_string(list_sort(list_distinct(string_split(t, ' '))), ' ')) AS fp
+      FROM n0
+    ),
+    roots AS (SELECT fp, min(id) AS root FROM fpt GROUP BY 1),
+    pe AS (
+      SELECT r.root AS a, f.id AS b, 'exact' AS strategy
+      FROM fpt f JOIN roots r USING (fp) WHERE f.id != r.root
+    ),
+    shn AS (
+      SELECT id, list_distinct([substr(t, i, 3) for i in range(1, greatest(length(t)-2, 1)+1)]) AS sh
+      FROM n0
+    ),
+    hs AS (SELECT id, [md5('h0:' || g) || md5('h1:' || g) for g in sh] AS hh FROM shn),
+    sig AS (
+      SELECT id, [list_min([substr(h, i*4 + 1, 4) for h in hh]) for i in range(0, 16)] AS sig
+      FROM hs
+    ),
+    bnd AS (
+      SELECT id, 'b' || b || ':' || md5(array_to_string(sig[b*4+1:b*4+4], ',')) AS bk
+      FROM sig, range(0, 4) t(b)
+    ),
+    cand AS (
+      SELECT DISTINCT x.id AS a, y.id AS b
+      FROM bnd x JOIN bnd y ON x.bk = y.bk AND x.id < y.id
+    ),
+    pm AS (
+      SELECT c.a, c.b, 'minhash' AS strategy
+      FROM cand c JOIN shn sa ON sa.id = c.a JOIN shn sb ON sb.id = c.b
+      WHERE 3 * len(list_intersect(sa.sh, sb.sh)) >= len(sa.sh) + len(sb.sh)
+    ),
+    tok AS (SELECT id, unnest(list_distinct(string_split(t, ' '))) AS tok FROM n0),
+    h AS (SELECT id, ('0x' || substr(md5('s99:' || tok), 1, 15))::BIGINT AS h FROM tok),
+    agg AS (SELECT id, count(*) AS n, {bit_sums} FROM h GROUP BY id),
+    shs AS (SELECT id, {sh_terms} AS sh FROM agg),
+    sbnd AS (SELECT id, sh, unnest([{band_exprs}]) AS band FROM shs),
+    ps AS (
+      SELECT a, b, 'simhash' AS strategy FROM (
+        SELECT DISTINCT x.id AS a, y.id AS b,
+               cast(bit_count(xor(x.sh, y.sh)) AS INT) AS hamming
+        FROM sbnd x JOIN sbnd y ON x.band = y.band AND x.id < y.id
+      ) WHERE hamming <= {max_hamming}
+    ),
+    allp AS (
+      SELECT * FROM pe UNION ALL SELECT * FROM pm UNION ALL SELECT * FROM ps
+    ),
+    flags AS (
+      SELECT a, b,
+             max(CASE WHEN strategy='exact' THEN 1 ELSE 0 END) AS fe,
+             max(CASE WHEN strategy='minhash' THEN 1 ELSE 0 END) AS fm,
+             max(CASE WHEN strategy='simhash' THEN 1 ELSE 0 END) AS fs
+      FROM allp GROUP BY 1, 2
+    ),
+    f2 AS (SELECT *, fe + fm + fs AS ns FROM flags),
+    one AS (
+      SELECT count(*)::BIGINT AS u_pairs,
+             sum(CASE WHEN ns = 1 THEN 1 ELSE 0 END)::BIGINT AS u_excl,
+             sum(CASE WHEN ns = 3 THEN 1 ELSE 0 END)::BIGINT AS u_all,
+             sum(fe)::BIGINT AS e_pairs,
+             sum(CASE WHEN fe = 1 AND ns = 1 THEN 1 ELSE 0 END)::BIGINT AS e_excl,
+             sum(fm)::BIGINT AS m_pairs,
+             sum(CASE WHEN fm = 1 AND ns = 1 THEN 1 ELSE 0 END)::BIGINT AS m_excl,
+             sum(fs)::BIGINT AS s_pairs,
+             sum(CASE WHEN fs = 1 AND ns = 1 THEN 1 ELSE 0 END)::BIGINT AS s_excl
+      FROM f2
+    )
+    SELECT 'exact' AS strategy, e_pairs AS n_pairs, e_excl AS n_exclusive,
+           u_all AS n_in_all FROM one
+    UNION ALL SELECT 'minhash', m_pairs, m_excl, u_all FROM one
+    UNION ALL SELECT 'simhash', s_pairs, s_excl, u_all FROM one
+    UNION ALL SELECT 'union', u_pairs, u_excl, u_all FROM one
+    """
+
+
+@_q("doc_dedup_ensemble", _dedup_ensemble_oracle_sql(3))
+def _doc_dedup_ensemble(spark: SparkSession, sf: str) -> DataFrame:
+    """Dedup-strategy ensemble report: exact-fingerprint star pairs vs
+    MinHash-LSH (shingle-Jaccard >= 1/2 verified) vs SimHash (hamming <= 3)
+    — per-strategy pair volume, EXCLUSIVE contribution, and the three-way
+    agreement core (er_blocking_ensemble's question for the dedup stack)."""
+    from blink_spark.operators.dedup import dedup_ensemble_report
+
+    return dedup_ensemble_report(_t(spark, sf, "documents"))
+
+
 @_q("simhash_near_dups", _simhash_oracle_sql(3))
 def _simhash_dups(spark: SparkSession, sf: str) -> DataFrame:
     """SimHash near-dup candidates: 60-bit simhash, pigeonhole banding with
@@ -9041,6 +9142,7 @@ _DRIVER_ORDER = [
     "doc_ccnet_buckets", "events_anomaly_mad", "embedding_semdedup",
     "er_tf_adjustment", "er_hard_negatives", "er_threshold_dendrogram",
     "er_mrr", "doc_langid_confusion", "doc_char_entropy", "doc_zipf_fit",
+    "doc_dedup_ensemble",
 ]
 
 

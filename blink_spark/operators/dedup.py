@@ -1021,3 +1021,162 @@ def semdedup(
         "cos_centroid",
         (F.row_number().over(w) == 1).alias("keep"),
     )
+
+
+def dedup_ensemble_report(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Multi-strategy dedup ensemble report — er_blocking_ensemble's
+    question asked of the DEDUP stack: which near-duplicate pairs does each
+    detector contribute EXCLUSIVELY, and where do they agree? Strategies:
+    ``exact`` (fingerprint star pairs: every member to its group min — the
+    linear pair set CC induces, never the quadratic all-pairs), ``minhash``
+    (4×4 char-3-shingle LSH bands, exact integer shingle-Jaccard >= 1/2
+    verify: ``3·|∩| >= |A|+|B|``), ``simhash`` (pigeonhole bands, exact
+    hamming <= ``max_hamming``). A pair only one strategy finds is that
+    strategy's reason to exist; pairs all three find are the safe core.
+
+    Scale notes (100 TB): each strategy is its production shape (keyed
+    partial aggs, band equi-joins, star pairs); the flag table is one
+    (a,b)-keyed agg over the union of found pairs (≪ corpus²); the final
+    4-row readout is a one-row scalar finalize exploded per strategy (the
+    fs_weights pattern).
+
+    Returns (strategy, n_pairs, n_exclusive, n_in_all) for the three
+    strategies plus a 'union' row (n_exclusive there counts single-strategy
+    pairs; n_in_all the three-way core).
+    """
+    from blink_spark.functions.hashing import hamming64, minhash_band_keys
+    from blink_spark.functions.text import fingerprint, shingles
+
+    d = docs.select(
+        F.col(id_col).cast("long").alias("id"), F.col(text_col).alias("text")
+    )
+    # exact: star pairs to the group minimum
+    fp = d.select("id", fingerprint("text").alias("fp"))
+    root = fp.groupBy("fp").agg(F.min("id").alias("root"))
+    p_exact = (
+        fp.join(root, "fp")
+        .filter(F.col("id") != F.col("root"))
+        .select(
+            F.col("root").alias("a"),
+            F.col("id").alias("b"),
+            F.lit("exact").alias("strategy"),
+        )
+    )
+    # minhash: band candidates + exact integer shingle-jaccard >= 1/2
+    bands = d.select(
+        "id", F.explode(minhash_band_keys("text", bands=4, rows=4)).alias("bk")
+    )
+    cand = (
+        bands.select(F.col("id").alias("a"), "bk")
+        .join(bands.select(F.col("id").alias("b"), "bk"), "bk")
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+    sh = d.select("id", shingles("text", 3).alias("sh"))
+    p_minhash = (
+        cand.join(sh.select(F.col("id").alias("a"), F.col("sh").alias("sha")), "a")
+        .join(sh.select(F.col("id").alias("b"), F.col("sh").alias("shb")), "b")
+        .filter(
+            F.lit(3) * F.size(F.array_intersect("sha", "shb"))
+            >= F.size("sha") + F.size("shb")
+        )
+        .select("a", "b", F.lit("minhash").alias("strategy"))
+    )
+    # simhash: pigeonhole bands + exact hamming verify
+    shs = (
+        simhash_relational(d, "id", "text")
+        .select(F.col("record_id").cast("long").alias("id"), "sh")
+        .localCheckpoint()
+    )
+    sbanded = shs.select(
+        "id",
+        "sh",
+        F.explode(F.array(*simhash_band_cols(F.col("sh"), max_hamming))).alias(
+            "band"
+        ),
+    )
+    p_simhash = (
+        sbanded.select(F.col("id").alias("a"), F.col("sh").alias("sha"), "band")
+        .join(
+            sbanded.select(F.col("id").alias("b"), F.col("sh").alias("shb"), "band"),
+            "band",
+        )
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b", hamming64("sha", "shb").alias("hamming"))
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+        .select("a", "b", F.lit("simhash").alias("strategy"))
+    )
+    flags = (
+        p_exact.unionByName(p_minhash)
+        .unionByName(p_simhash)
+        .groupBy("a", "b")
+        .agg(
+            F.max(F.when(F.col("strategy") == "exact", 1).otherwise(0)).alias("fe"),
+            F.max(F.when(F.col("strategy") == "minhash", 1).otherwise(0)).alias(
+                "fm"
+            ),
+            F.max(F.when(F.col("strategy") == "simhash", 1).otherwise(0)).alias(
+                "fs"
+            ),
+        )
+        .withColumn("n_strats", F.col("fe") + F.col("fm") + F.col("fs"))
+    )
+    one = flags.agg(
+        F.count(F.lit(1)).cast("long").alias("u_pairs"),
+        F.sum(F.when(F.col("n_strats") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("u_excl"),
+        F.sum(F.when(F.col("n_strats") == 3, 1).otherwise(0))
+        .cast("long")
+        .alias("u_all"),
+        F.sum("fe").cast("long").alias("e_pairs"),
+        F.sum(F.when((F.col("fe") == 1) & (F.col("n_strats") == 1), 1).otherwise(0))
+        .cast("long")
+        .alias("e_excl"),
+        F.sum("fm").cast("long").alias("m_pairs"),
+        F.sum(F.when((F.col("fm") == 1) & (F.col("n_strats") == 1), 1).otherwise(0))
+        .cast("long")
+        .alias("m_excl"),
+        F.sum("fs").cast("long").alias("s_pairs"),
+        F.sum(F.when((F.col("fs") == 1) & (F.col("n_strats") == 1), 1).otherwise(0))
+        .cast("long")
+        .alias("s_excl"),
+    )
+    rows = one.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("exact").alias("strategy"),
+                    F.col("e_pairs").alias("n_pairs"),
+                    F.col("e_excl").alias("n_exclusive"),
+                    F.col("u_all").alias("n_in_all"),
+                ),
+                F.struct(
+                    F.lit("minhash").alias("strategy"),
+                    F.col("m_pairs").alias("n_pairs"),
+                    F.col("m_excl").alias("n_exclusive"),
+                    F.col("u_all").alias("n_in_all"),
+                ),
+                F.struct(
+                    F.lit("simhash").alias("strategy"),
+                    F.col("s_pairs").alias("n_pairs"),
+                    F.col("s_excl").alias("n_exclusive"),
+                    F.col("u_all").alias("n_in_all"),
+                ),
+                F.struct(
+                    F.lit("union").alias("strategy"),
+                    F.col("u_pairs").alias("n_pairs"),
+                    F.col("u_excl").alias("n_exclusive"),
+                    F.col("u_all").alias("n_in_all"),
+                ),
+            )
+        ).alias("s")
+    )
+    return rows.select("s.strategy", "s.n_pairs", "s.n_exclusive", "s.n_in_all")

@@ -883,3 +883,24 @@ def test_zipf_fit_exact_slope_on_constructed_counts(spark):
     slope = num_s // den if num_s >= 0 else -((-num_s) // den)
     assert row["n_ranks"] == 4 and row["slope_ppm"] == slope
     assert -1700000 < row["slope_ppm"] < -1400000  # freqs halve: slope ~ -1.5
+
+
+def test_dedup_ensemble_exact_vs_near(spark):
+    from blink_spark.operators.dedup import dedup_ensemble_report
+
+    # docs 1/2 are word-permutations (exact fingerprint dup AND high
+    # shingle/simhash agreement); doc 3 shares most shingles with 1 but
+    # not the exact token multiset fingerprint... keep it simple: 1 and 2
+    # identical text (all three strategies), 4 unrelated.
+    t = "the quick brown fox jumps over the lazy dog again and again today"
+    docs = spark.createDataFrame(
+        [(1, t), (2, t), (4, "completely different words entirely unrelated")],
+        "doc_id long, text string",
+    )
+    out = {r["strategy"]: r for r in dedup_ensemble_report(docs).collect()}
+    assert set(out) == {"exact", "minhash", "simhash", "union"}
+    # the identical pair is found by ALL strategies
+    assert out["exact"]["n_pairs"] == 1 and out["exact"]["n_exclusive"] == 0
+    assert out["minhash"]["n_pairs"] == 1 and out["simhash"]["n_pairs"] == 1
+    assert out["union"]["n_pairs"] == 1 and out["union"]["n_in_all"] == 1
+    assert all(r["n_in_all"] == 1 for r in out.values())

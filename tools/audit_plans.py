@@ -79,6 +79,11 @@ ALLOWLIST: dict[str, frozenset[str]] = {
     # per-mention gold-rank table — map-side partial agg, one-row finalize;
     # nothing mention-scale crosses the exchange.
     "er_mrr": frozenset({"Exchange SinglePartition"}),
+    # doc_dedup_ensemble's 4-row readout is one global scalar aggregate over
+    # the (a,b)-keyed flag table (map-side partials, one-row finalize
+    # exploded per strategy — the fs_weights pattern); the three pair sets
+    # themselves are star pairs / band equi-joins and never cross it.
+    "doc_dedup_ensemble": frozenset({"Exchange SinglePartition"}),
     # er_match_rule_report has the same shape: one global scalar aggregate
     # (9 counters, map-side combined), one-row finalize, 3-row output.
     "er_match_rule_report": frozenset({"Exchange SinglePartition"}),

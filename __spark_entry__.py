@@ -476,6 +476,48 @@ def _doc_bpe_tokens(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@_q(
+    "doc_tokenizer_fertility",
+    r"""
+    WITH per AS (
+      SELECT lang,
+             len(regexp_extract_all(text, '\p{L}+|\p{N}+|[^\t\n\x0B\f\r \p{L}\p{N}]+'))::BIGINT
+               AS n_bpe,
+             len(regexp_split_to_array(trim(text), '[\t\n\x0B\f\r ]+'))::BIGINT
+               AS n_words
+      FROM documents
+    )
+    SELECT lang, count(*)::BIGINT AS n_docs,
+           sum(n_bpe)::BIGINT AS n_bpe_tokens,
+           sum(n_words)::BIGINT AS n_words,
+           ((1000000 * sum(n_bpe)::BIGINT) // sum(n_words)::BIGINT)::BIGINT
+             AS fertility_ppm
+    FROM per GROUP BY 1
+    """,
+)
+def _doc_tokenizer_fertility(spark: SparkSession, sf: str) -> DataFrame:
+    """Tokenizer fertility per language: BPE-ish pretokens per whitespace
+    word (the tokenizer-health number multilingual pipelines track — a
+    language the tokenizer fragments shows fertility ≫ 1e6 and pays more
+    sequence length per word). Integer ppm on exact count sums."""
+    from blink_spark.functions.text import bpe_token_count, token_count
+
+    d = _t(spark, sf, "documents")
+    per = d.select(
+        "lang",
+        bpe_token_count("text").cast("long").alias("n_bpe"),
+        token_count("text").cast("long").alias("n_words"),
+    )
+    return per.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_bpe").cast("long").alias("n_bpe_tokens"),
+        F.sum("n_words").cast("long").alias("n_words"),
+        F.expr("(1000000 * sum(n_bpe)) div sum(n_words)")
+        .cast("long")
+        .alias("fertility_ppm"),
+    )
+
+
 # shared by doc_repetition_filters and doc_curation_pipeline (the latter
 # nests it as a CTE subquery)
 _REPETITION_SQL = f"""
@@ -5351,6 +5393,26 @@ def _gold_match_edges(spark: SparkSession) -> DataFrame:
     )
 
 
+@_q("er_degree_distribution", None)  # oracle injected below (fixture path)
+def _er_degree_distribution(spark: SparkSession, sf: str) -> DataFrame:
+    """Degree histogram of the gold match graph — the one-glance structural
+    health readout before the per-record triage family: a heavy high-degree
+    tail means hubs/over-merge risk (send to pagerank/k-core), an all-deg-1
+    graph means clean pairs. Exact ppm share of matched records per degree."""
+    from blink_spark.operators.cluster import _bidirectional
+
+    e = _bidirectional(_gold_match_edges(spark))
+    deg = e.groupBy("u").agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    hist = deg.groupBy("deg").agg(F.count(F.lit(1)).cast("long").alias("n_records"))
+    tot = hist.agg(F.sum("n_records").cast("long").alias("n_total"))
+    return hist.crossJoin(F.broadcast(tot)).select(
+        "deg",
+        "n_records",
+        "n_total",
+        F.expr("(1000000 * n_records) div n_total").cast("long").alias("share_ppm"),
+    )
+
+
 @_q("er_match_pagerank", None)  # oracle injected below (fixture path)
 def _er_match_pagerank(spark: SparkSession, sf: str) -> DataFrame:
     """Integer-exact 3-iteration PageRank over the gold match graph — hub
@@ -7897,6 +7959,22 @@ def _er_oracles() -> dict[str, str]:
         # BIGINT floor division ('//' here, 'div' in Spark — identical on the
         # non-negative values involved); sums cast ::BIGINT before arithmetic
         # so DuckDB never surfaces HUGEINT to the comparator
+        "er_degree_distribution": f"""
+          WITH raw AS (
+            SELECT least(mention_id_a, mention_id_b) AS u,
+                   greatest(mention_id_a, mention_id_b) AS v
+            FROM read_parquet('{gold}')
+            WHERE same_entity AND mention_id_a != mention_id_b
+            GROUP BY 1, 2
+          ),
+          e AS (SELECT u, v FROM raw UNION ALL SELECT v, u FROM raw),
+          deg AS (SELECT u, count(*)::BIGINT AS deg FROM e GROUP BY u),
+          hist AS (SELECT deg, count(*)::BIGINT AS n_records FROM deg GROUP BY 1),
+          tot AS (SELECT sum(n_records)::BIGINT AS n_total FROM hist)
+          SELECT deg, n_records, n_total,
+                 ((1000000 * n_records) // n_total)::BIGINT AS share_ppm
+          FROM hist CROSS JOIN tot
+        """,
         "er_match_pagerank": f"""
           WITH raw AS (
             SELECT least(mention_id_a, mention_id_b) AS u,
@@ -9142,7 +9220,7 @@ _DRIVER_ORDER = [
     "doc_ccnet_buckets", "events_anomaly_mad", "embedding_semdedup",
     "er_tf_adjustment", "er_hard_negatives", "er_threshold_dendrogram",
     "er_mrr", "doc_langid_confusion", "doc_char_entropy", "doc_zipf_fit",
-    "doc_dedup_ensemble",
+    "doc_dedup_ensemble", "doc_tokenizer_fertility", "er_degree_distribution",
 ]
 
 

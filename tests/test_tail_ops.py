@@ -904,3 +904,46 @@ def test_dedup_ensemble_exact_vs_near(spark):
     assert out["minhash"]["n_pairs"] == 1 and out["simhash"]["n_pairs"] == 1
     assert out["union"]["n_pairs"] == 1 and out["union"]["n_in_all"] == 1
     assert all(r["n_in_all"] == 1 for r in out.values())
+
+
+def test_tokenizer_fertility_hand_computed(spark):
+    import __spark_entry__ as entry  # noqa: F401  (registers queries)
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from blink_spark.functions.text import bpe_token_count, token_count
+
+    docs = spark.createDataFrame(
+        [
+            (1, "don't stop", "en"),      # bpe: don,',t,stop=4; words: 2
+            (2, "abc 123", "en"),         # bpe: abc,123=2; words: 2
+            (3, "straße 42!", "de"),      # bpe: straße,42,! = 3; words: 2
+        ],
+        "doc_id long, text string, lang string",
+    )
+    per = docs.select(
+        "lang",
+        bpe_token_count("text").cast("long").alias("b"),
+        token_count("text").cast("long").alias("w"),
+    ).collect()
+    got = {(r["lang"], r["b"], r["w"]) for r in per}
+    assert got == {("en", 4, 2), ("en", 2, 2), ("de", 3, 2)}
+    q = entry._QUERIES["doc_tokenizer_fertility"]
+    # fixture-level sanity at sf0.001: fertility >= 1e6 (bpe splits never
+    # merge whitespace words), every lang row consistent
+    rows = q(spark, "/root/testdata/sf0.001").collect()
+    for r in rows:
+        assert r["fertility_ppm"] == 1000000 * r["n_bpe_tokens"] // r["n_words"]
+        assert r["fertility_ppm"] >= 1000000
+
+
+def test_degree_distribution_partition_of_nodes(spark):
+    import __spark_entry__ as entry
+
+    rows = entry.queries()["er_degree_distribution"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert rows
+    total = rows[0]["n_total"]
+    assert sum(r["n_records"] for r in rows) == total
+    assert all(r["share_ppm"] == 1000000 * r["n_records"] // total for r in rows)
+    assert all(r["deg"] >= 1 for r in rows)

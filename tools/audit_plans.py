@@ -84,6 +84,12 @@ ALLOWLIST: dict[str, frozenset[str]] = {
     # exploded per strategy — the fs_weights pattern); the three pair sets
     # themselves are star pairs / band equi-joins and never cross it.
     "doc_dedup_ensemble": frozenset({"Exchange SinglePartition"}),
+    # er_degree_distribution's node total is a one-row scalar aggregate
+    # broadcast onto the degree histogram (bounded by max degree) — the
+    # bm25-idf scalar-denominator pattern; edges/degrees never cross it.
+    "er_degree_distribution": frozenset(
+        {"BroadcastNestedLoopJoin", "Exchange SinglePartition"}
+    ),
     # er_match_rule_report has the same shape: one global scalar aggregate
     # (9 counters, map-side combined), one-row finalize, 3-row output.
     "er_match_rule_report": frozenset({"Exchange SinglePartition"}),

@@ -2867,6 +2867,40 @@ def _ann_ivf_recall(spark: SparkSession, sf: str) -> DataFrame:
     return ann_recall_vs_exact(approx, exact)
 
 
+@_q("ann_nprobe_sweep", None)  # oracle injected below (relational codebook)
+def _ann_nprobe_sweep(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF recall-vs-nprobe tuning curve (nprobe ∈ {1,2,4} at 16 cells) —
+    the probe-budget sweep a FAISS operator runs before fixing nprobe
+    (/root/reference/elq/index/faiss_indexer.py:71-91): recall must be
+    non-decreasing in nprobe; the knee picks the budget. The exact top-k
+    side is computed ONCE (localCheckpoint) and reused by all three cuts."""
+    from blink_spark.functions.hashing import cosine_exact, quantize_emb
+    from blink_spark.operators.ann import ann_recall_vs_exact, brute_force_topk, ivf_topk
+
+    e = _t(spark, sf, "embeddings").select(
+        "vec_id", quantize_emb("embedding").alias("q")
+    )
+    q = e.filter(F.col("vec_id") < 64).select(
+        F.col("vec_id").alias("qid"), F.col("q").alias("qv")
+    )
+    scorer = lambda a, b: F.round(cosine_exact(a, b), 6)  # noqa: E731
+    exact = brute_force_topk(
+        q, e, k=10, query_id="qid", query_emb="qv",
+        item_id="vec_id", item_emb="q", scorer=scorer,
+    ).localCheckpoint()
+    out = None
+    for np in (1, 2, 4):
+        approx = ivf_topk(
+            q, e, k=10, n_centroids=16, nprobe=np, query_id="qid",
+            query_emb="qv", item_id="vec_id", item_emb="q", scorer=scorer,
+        )
+        r = ann_recall_vs_exact(approx, exact).select(
+            F.lit(np).cast("long").alias("nprobe"), "*"
+        )
+        out = r if out is None else out.unionByName(r)
+    return out
+
+
 @_q("er_span_scores", None)  # oracle injected below (fixture path)
 def _er_span_scores(spark: SparkSession, sf: str) -> DataFrame:
     """Span score head with the prefix-sum trick
@@ -7417,6 +7451,10 @@ def _er_oracles() -> dict[str, str]:
     cos_qi = _COS_EXACT_SQL.format(a="qv", b="iv")
     cos_ic = _COS_EXACT_SQL.format(a="iv", b="cv")
     cos_qc = _COS_EXACT_SQL.format(a="qv", b="cv")
+
+    def _ivf_sql_at(nprobe: int) -> str:
+        return ivf_sql.replace("crank <= 4", f"crank <= {nprobe}")
+
     ivf_sql = f"""
     WITH e AS (SELECT vec_id, {_q_emb('embedding')} AS q FROM embeddings),
     qs AS (SELECT vec_id AS query_id, q AS qv FROM e WHERE vec_id < 64),
@@ -7472,6 +7510,11 @@ def _er_oracles() -> dict[str, str]:
     FROM ex_top x LEFT JOIN ap_top a
       ON a.query_id = x.query_id AND a.item_id = x.item_id
     """
+
+    ivf_sweep_sql = " UNION ALL ".join(
+        f"SELECT {np}::BIGINT AS nprobe, * FROM ({_ivf_sql_at(np)})"
+        for np in (1, 2, 4)
+    )
 
     def _logit_sql(kind: str) -> str:
         return (
@@ -8489,6 +8532,7 @@ def _er_oracles() -> dict[str, str]:
         "er_blocking_recall": blocking_recall_sql,
         "conll_stream_spans": conll_stream_sql,
         "ann_ivf_recall": ivf_sql,
+        "ann_nprobe_sweep": ivf_sweep_sql,
         "er_span_scores": span_scores_sql.format(span_ctes=_span_enum_ctes(3)),
         "er_media_frames": media_frames_sql,
         "er_media_resize": media_resize_sql,
@@ -9221,6 +9265,7 @@ _DRIVER_ORDER = [
     "er_tf_adjustment", "er_hard_negatives", "er_threshold_dendrogram",
     "er_mrr", "doc_langid_confusion", "doc_char_entropy", "doc_zipf_fit",
     "doc_dedup_ensemble", "doc_tokenizer_fertility", "er_degree_distribution",
+    "ann_nprobe_sweep",
 ]
 
 

@@ -947,3 +947,19 @@ def test_degree_distribution_partition_of_nodes(spark):
     assert sum(r["n_records"] for r in rows) == total
     assert all(r["share_ppm"] == 1000000 * r["n_records"] // total for r in rows)
     assert all(r["deg"] >= 1 for r in rows)
+
+
+def test_nprobe_sweep_monotone_recall(spark):
+    import __spark_entry__ as entry
+
+    rows = {
+        r["nprobe"]: r
+        for r in entry.queries()["ann_nprobe_sweep"](
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    }
+    assert set(rows) == {1, 2, 4}
+    # probing more cells can only find more of the exact top-k
+    assert rows[1]["n_found"] <= rows[2]["n_found"] <= rows[4]["n_found"]
+    assert rows[1]["n_exact"] == rows[2]["n_exact"] == rows[4]["n_exact"]
+    assert rows[4]["recall"] >= rows[1]["recall"]

@@ -84,6 +84,10 @@ ALLOWLIST: dict[str, frozenset[str]] = {
     # exploded per strategy — the fs_weights pattern); the three pair sets
     # themselves are star pairs / band equi-joins and never cross it.
     "doc_dedup_ensemble": frozenset({"Exchange SinglePartition"}),
+    # ann_nprobe_sweep unions three ann_ivf_recall readouts: each is the
+    # same one-row recall finalize that query's allowlist vets (the
+    # brute-force exact side is the documented baseline crossJoin).
+    "ann_nprobe_sweep": frozenset({"Exchange SinglePartition"}),
     # er_degree_distribution's node total is a one-row scalar aggregate
     # broadcast onto the degree histogram (bounded by max degree) — the
     # bm25-idf scalar-denominator pattern; edges/degrees never cross it.

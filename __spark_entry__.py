@@ -477,6 +477,43 @@ def _doc_bpe_tokens(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @_q(
+    "doc_source_length_quartiles",
+    r"""
+    WITH per AS (
+      SELECT source,
+             len(regexp_split_to_array(trim(text), '[\t\n\x0B\f\r ]+'))::BIGINT
+               AS v,
+             doc_id
+      FROM documents
+    ),
+    ranked AS (
+      SELECT source AS key, v,
+             row_number() OVER (PARTITION BY source ORDER BY v ASC, doc_id ASC)
+               AS rn,
+             count(*) OVER (PARTITION BY source) AS n
+      FROM per
+    )
+    SELECT key, max(n)::BIGINT AS n,
+           max(CASE WHEN rn = (n + 3) // 4 THEN v END)::BIGINT AS q25,
+           max(CASE WHEN rn = (n + 1) // 2 THEN v END)::BIGINT AS q50,
+           max(CASE WHEN rn = (3 * n + 3) // 4 THEN v END)::BIGINT AS q75
+    FROM ranked GROUP BY 1
+    """,
+)
+def _doc_source_length_quartiles(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-source token-length quartiles (exact percentile_disc rank picks,
+    doc id tie order) — the length-profile drift check per domain that
+    corpus_mix_plan's token budgets assume stable."""
+    from blink_spark.functions.text import token_count
+    from blink_spark.operators.corpus import grouped_quartiles
+
+    d = _t(spark, sf, "documents").select(
+        "source", "doc_id", token_count("text").alias("v")
+    )
+    return grouped_quartiles(d, "source", "v", "doc_id")
+
+
+@_q(
     "doc_tokenizer_fertility",
     r"""
     WITH per AS (
@@ -9265,7 +9302,7 @@ _DRIVER_ORDER = [
     "er_tf_adjustment", "er_hard_negatives", "er_threshold_dendrogram",
     "er_mrr", "doc_langid_confusion", "doc_char_entropy", "doc_zipf_fit",
     "doc_dedup_ensemble", "doc_tokenizer_fertility", "er_degree_distribution",
-    "ann_nprobe_sweep",
+    "ann_nprobe_sweep", "doc_source_length_quartiles",
 ]
 
 

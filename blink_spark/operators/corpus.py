@@ -1384,3 +1384,45 @@ def zipf_fit(
         .cast("long")
         .alias("intercept_milli"),
     )
+
+
+def grouped_quartiles(
+    df: DataFrame,
+    key_col: str,
+    val_col: str,
+    tie_col: str,
+) -> DataFrame:
+    """Exact per-group quartiles with percentile_disc semantics: the values
+    at ascending ranks ceil(n/4) / ceil(n/2) / ceil(3n/4), all in pure
+    integer rank arithmetic ((n+3) div 4, (n+1) div 2, (3n+3) div 4 — both
+    engines floor the positive divisions identically). ``tie_col`` fixes
+    which row holds a rank; the value AT the rank is tie-invariant.
+
+    Scale notes (100 TB): one group-keyed window (the honest exact-quantile
+    sort, same cost discussion as stratified_split's mega-stratum note) +
+    one group-keyed conditional agg. For the GLOBAL single-group case use
+    exact_quantiles (two-phase running sum, no single-partition window).
+
+    Returns (key, n, q25, q50, q75).
+    """
+    w = Window.partitionBy(key_col).orderBy(
+        F.col(val_col).asc(), F.col(tie_col).asc()
+    )
+    ranked = df.select(
+        F.col(key_col).alias("key"),
+        F.col(val_col).alias("v").cast("long"),
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy(key_col)).alias("n"),
+    )
+    return ranked.groupBy("key").agg(
+        F.max("n").cast("long").alias("n"),
+        F.max(F.when(F.expr("rn = (n + 3) div 4"), F.col("v")))
+        .cast("long")
+        .alias("q25"),
+        F.max(F.when(F.expr("rn = (n + 1) div 2"), F.col("v")))
+        .cast("long")
+        .alias("q50"),
+        F.max(F.when(F.expr("rn = (3 * n + 3) div 4"), F.col("v")))
+        .cast("long")
+        .alias("q75"),
+    )

@@ -963,3 +963,17 @@ def test_nprobe_sweep_monotone_recall(spark):
     assert rows[1]["n_found"] <= rows[2]["n_found"] <= rows[4]["n_found"]
     assert rows[1]["n_exact"] == rows[2]["n_exact"] == rows[4]["n_exact"]
     assert rows[4]["recall"] >= rows[1]["recall"]
+
+
+def test_grouped_quartiles_rank_picks(spark):
+    from blink_spark.operators.corpus import grouped_quartiles
+
+    # n=8, values 1..8: ceil(8/4)=2 -> 2; ceil(8/2)=4 -> 4; ceil(24/4)=6 -> 6
+    # n=3, values 10,20,30: ranks 1,2,3 -> q25=10, q50=20, q75=30
+    rows = [("a", i, i) for i in range(1, 9)] + [("b", v, v) for v in (10, 20, 30)]
+    df = spark.createDataFrame(rows, "key string, v long, tie long")
+    got = {
+        r["key"]: (r["n"], r["q25"], r["q50"], r["q75"])
+        for r in grouped_quartiles(df, "key", "v", "tie").collect()
+    }
+    assert got == {"a": (8, 2, 4, 6), "b": (3, 10, 20, 30)}

@@ -4149,6 +4149,19 @@ def _er_jdbc_mapping(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@_q("er_ppjoin_pairs", None)  # oracle injected below (fixture path)
+def _er_ppjoin_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """PPJoin prefix-filtered set-similarity join at Jaccard >= 1/2 over
+    mention token sets — the EXACT (zero-false-negative) complement to
+    MinHash-LSH blocking: rarest-first global token order, per-record
+    prefix of length n − ceil(n/2) + 1, prefix-token equi-join, exact
+    integer 3·|∩| >= |A|+|B| verification."""
+    from blink_spark.operators.blocking import ppjoin_pairs
+
+    m = _fx(spark, "mentions")
+    return ppjoin_pairs(m, "mention_id", "mention")
+
+
 @_q("er_sorted_neighborhood", None)  # oracle injected below (fixture path)
 def _er_sorted_neighborhood(spark: SparkSession, sf: str) -> DataFrame:
     """Sorted-neighborhood blocking over mention surfaces: two-phase global
@@ -8716,6 +8729,45 @@ def _er_oracles() -> dict[str, str]:
         """,
         "er_sorted_neighborhood": snm_sql,
         "er_fs_weights": fs_sql,
+        "er_ppjoin_pairs": f"""
+          WITH m AS (
+            SELECT mention_id AS record_id,
+                   list_distinct(string_split({_norm_m}, ' ')) AS tk
+            FROM read_parquet('{men}')
+          ),
+          tkx AS (SELECT record_id, unnest(tk) AS tok FROM m),
+          dft AS (SELECT tok, count(*)::BIGINT AS df FROM tkx GROUP BY 1),
+          rk AS (
+            SELECT tok, row_number() OVER (ORDER BY df ASC, tok ASC) AS trank
+            FROM dft
+          ),
+          tkr AS (SELECT t.record_id, t.tok, r.trank FROM tkx t JOIN rk r USING (tok)),
+          pref AS (
+            SELECT record_id, tok FROM (
+              SELECT record_id, tok,
+                     row_number() OVER (PARTITION BY record_id
+                                        ORDER BY trank ASC) AS rn,
+                     count(*) OVER (PARTITION BY record_id) AS na
+              FROM tkr
+            ) WHERE rn <= na - (na + 1) // 2 + 1
+          ),
+          cand AS (
+            SELECT DISTINCT x.record_id AS a, y.record_id AS b
+            FROM pref x JOIN pref y
+              ON x.tok = y.tok AND x.record_id < y.record_id
+          ),
+          v AS (
+            SELECT c.a, c.b,
+                   len(list_intersect(ma.tk, mb.tk))::BIGINT AS n_inter,
+                   (len(ma.tk) + len(mb.tk)
+                    - len(list_intersect(ma.tk, mb.tk)))::BIGINT AS n_union
+            FROM cand c JOIN m ma ON ma.record_id = c.a
+                        JOIN m mb ON mb.record_id = c.b
+          )
+          SELECT a AS record_id_a, b AS record_id_b, n_inter, n_union,
+                 ((1000000 * n_inter) // n_union)::BIGINT AS jaccard_ppm
+          FROM v WHERE 3 * n_inter >= n_inter + n_union
+        """,
         "er_threshold_dendrogram": f"""
           {scored_cte},
           e1 AS (
@@ -9302,7 +9354,7 @@ _DRIVER_ORDER = [
     "er_tf_adjustment", "er_hard_negatives", "er_threshold_dendrogram",
     "er_mrr", "doc_langid_confusion", "doc_char_entropy", "doc_zipf_fit",
     "doc_dedup_ensemble", "doc_tokenizer_fertility", "er_degree_distribution",
-    "ann_nprobe_sweep", "doc_source_length_quartiles",
+    "ann_nprobe_sweep", "doc_source_length_quartiles", "er_ppjoin_pairs",
 ]
 
 

@@ -666,3 +666,85 @@ def dynamic_blocking(
         .alias("status"),
     )
     return ok1.unionByName(ok2)
+
+
+def ppjoin_pairs(
+    records: DataFrame,
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """Prefix-filtered set-similarity join at Jaccard >= 1/2 (PPJoin's
+    prefix filter, Xiao et al. WWW'08) — the EXACT complement to MinHash:
+    LSH banding trades false negatives for speed, the prefix filter has
+    NONE. Under a global rarest-first token order, two sets with
+    J(x,y) >= t MUST share a token inside each other's length-``|x| −
+    ⌈t·|x|⌉ + 1`` prefix, so only prefix-token collisions are candidates;
+    every candidate is then verified with the exact integer Jaccard test
+    ``3·|∩| >= |A|+|B|`` (⇔ J >= 1/2, no float).
+
+    Rarest-first ordering (df asc, token asc) minimizes prefix collisions —
+    the global token rank comes from ``ids.dense_ids`` (two-phase range
+    partition, NOT a single-partition window over the vocabulary).
+
+    Scale notes (100 TB): the candidate join is keyed on single prefix
+    TOKENS — df-skew on common tokens is structurally bounded because
+    common tokens sit at the END of the order and rarely enter prefixes
+    (the whole point of rarest-first); vocabulary rank is vocab-scale,
+    verification joins are record-keyed equi-joins on the pair list.
+
+    Returns (record_id_a, record_id_b, n_inter, n_union, jaccard_ppm).
+    """
+    from blink_spark.functions.text import tokens
+    from blink_spark.operators.ids import dense_ids
+
+    tk = records.select(
+        records[id_col].alias("record_id"),
+        F.explode(tokens(records[text_col])).alias("tok"),
+    )
+    df_tbl = tk.groupBy("tok").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    ranked = dense_ids(df_tbl, [F.col("df").asc(), F.col("tok").asc()], "trank")
+    tkr = tk.join(ranked.select("tok", "trank"), "tok")
+    w = Window.partitionBy("record_id").orderBy(F.col("trank").asc())
+    pref = (
+        tkr.select(
+            "record_id",
+            "tok",
+            F.row_number().over(w).alias("rn"),
+            F.count(F.lit(1)).over(Window.partitionBy("record_id")).alias("na"),
+        )
+        # prefix length for t = 1/2: na − ceil(na/2) + 1
+        .filter(F.col("rn") <= F.expr("na - (na + 1) div 2 + 1"))
+        .select("record_id", "tok")
+    )
+    cand = (
+        pref.select(F.col("record_id").alias("a"), "tok")
+        .join(pref.select(F.col("record_id").alias("b"), "tok"), "tok")
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+    arrs = records.select(
+        records[id_col].alias("rid"), tokens(records[text_col]).alias("tk")
+    )
+    return (
+        cand.join(arrs.select(F.col("rid").alias("a"), F.col("tk").alias("ta")), "a")
+        .join(arrs.select(F.col("rid").alias("b"), F.col("tk").alias("tb")), "b")
+        .select(
+            F.col("a").alias("record_id_a"),
+            F.col("b").alias("record_id_b"),
+            F.size(F.array_intersect("ta", "tb")).cast("long").alias("n_inter"),
+            (F.size("ta") + F.size("tb") - F.size(F.array_intersect("ta", "tb")))
+            .cast("long")
+            .alias("n_union"),
+        )
+        .filter(F.expr("3 * n_inter >= n_inter + n_union"))
+        .select(
+            "record_id_a",
+            "record_id_b",
+            "n_inter",
+            "n_union",
+            F.expr("(1000000 * n_inter) div n_union").cast("long").alias(
+                "jaccard_ppm"
+            ),
+        )
+    )

@@ -977,3 +977,37 @@ def test_grouped_quartiles_rank_picks(spark):
         for r in grouped_quartiles(df, "key", "v", "tie").collect()
     }
     assert got == {"a": (8, 2, 4, 6), "b": (3, 10, 20, 30)}
+
+
+def test_ppjoin_zero_false_negatives_vs_bruteforce(spark):
+    from blink_spark.functions.text import tokens
+    from blink_spark.operators.blocking import ppjoin_pairs
+    from pyspark.sql import functions as F
+
+    recs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta"),
+            (2, "alpha beta gamma epsilon"),   # J with 1 = 3/5 >= 1/2
+            (3, "alpha zeta"),                 # J with 1 = 1/5 < 1/2
+            (4, "completely different words"),
+            (5, "alpha beta gamma delta"),     # J with 1 = 1 (exact dup)
+        ],
+        "rid long, text string",
+    )
+    got = {
+        (r["record_id_a"], r["record_id_b"]): r["jaccard_ppm"]
+        for r in ppjoin_pairs(recs, "rid", "text").collect()
+    }
+    # brute-force truth at J >= 1/2
+    arrs = {r["rid"]: set(r["tk"]) for r in recs.select("rid", tokens("text").alias("tk")).collect()}
+    truth = {}
+    ids = sorted(arrs)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            inter = len(arrs[a] & arrs[b])
+            union = len(arrs[a] | arrs[b])
+            if 2 * inter >= union:
+                truth[(a, b)] = 1000000 * inter // union
+    assert got == truth  # exact join: no false negatives, no extras
+    assert (1, 5) in got and got[(1, 5)] == 1000000
+    assert (1, 2) in got and (1, 3) not in got

@@ -4149,6 +4149,30 @@ def _er_jdbc_mapping(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@_q("er_blocking_stoplist", None)  # oracle injected below (fixture path)
+def _er_blocking_stoplist(spark: SparkSession, sf: str) -> DataFrame:
+    """Blocking stop-token list by ENTITY fan-out: a token shared by many
+    different gold entities generates cross-entity candidate pairs — pure
+    comparison cost with no recall (the df-aware blocker's frequency caps
+    approximate this; the fan-out count measures it directly against
+    labels). Tokens with fan-out > 3 are flagged for the stoplist."""
+    m = _fx(spark, "mentions").select("mention_id", "mention", "label_id")
+    tk = m.select(
+        "mention_id",
+        "label_id",
+        F.explode(F.array_distinct(F.split(F.col("mention"), " "))).alias("tok"),
+    )
+    return (
+        tk.groupBy("tok")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("df"),
+            F.countDistinct("label_id").cast("long").alias("n_entities"),
+        )
+        .filter(F.col("df") >= 2)
+        .select("tok", "df", "n_entities", (F.col("n_entities") > 3).alias("flagged"))
+    )
+
+
 @_q("er_ppjoin_pairs", None)  # oracle injected below (fixture path)
 def _er_ppjoin_pairs(spark: SparkSession, sf: str) -> DataFrame:
     """PPJoin prefix-filtered set-similarity join at Jaccard >= 1/2 over
@@ -8729,6 +8753,20 @@ def _er_oracles() -> dict[str, str]:
         """,
         "er_sorted_neighborhood": snm_sql,
         "er_fs_weights": fs_sql,
+        "er_blocking_stoplist": f"""
+          WITH tk AS (
+            SELECT mention_id, label_id,
+                   unnest(list_distinct(string_split(mention, ' '))) AS tok
+            FROM read_parquet('{men}')
+          ),
+          a AS (
+            SELECT tok, count(*)::BIGINT AS df,
+                   count(DISTINCT label_id)::BIGINT AS n_entities
+            FROM tk GROUP BY 1
+          )
+          SELECT tok, df, n_entities, n_entities > 3 AS flagged
+          FROM a WHERE df >= 2
+        """,
         "er_ppjoin_pairs": f"""
           WITH m AS (
             SELECT mention_id AS record_id,
@@ -9355,6 +9393,7 @@ _DRIVER_ORDER = [
     "er_mrr", "doc_langid_confusion", "doc_char_entropy", "doc_zipf_fit",
     "doc_dedup_ensemble", "doc_tokenizer_fertility", "er_degree_distribution",
     "ann_nprobe_sweep", "doc_source_length_quartiles", "er_ppjoin_pairs",
+    "er_blocking_stoplist",
 ]
 
 

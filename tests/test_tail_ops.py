@@ -1011,3 +1011,16 @@ def test_ppjoin_zero_false_negatives_vs_bruteforce(spark):
     assert got == truth  # exact join: no false negatives, no extras
     assert (1, 5) in got and got[(1, 5)] == 1000000
     assert (1, 2) in got and (1, 3) not in got
+
+
+def test_blocking_stoplist_fanout_semantics(spark):
+    import __spark_entry__ as entry
+
+    rows = entry.queries()["er_blocking_stoplist"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert rows
+    for r in rows:
+        assert r["df"] >= 2
+        assert r["n_entities"] <= r["df"]  # fan-out bounded by df
+        assert r["flagged"] == (r["n_entities"] > 3)

@@ -2731,6 +2731,42 @@ def _er_bm25_topk(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@_q("er_rrf_fusion", None)  # oracle injected below (fixture path)
+def _er_rrf_fusion(spark: SparkSession, sf: str) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al. 2009, k=60) of the two
+    candidate rankers — lexical lev-similarity top-k and BM25 top-k: the
+    canonical hybrid-retrieval merge (what a production linker runs when
+    dense and sparse retrievers disagree). Per-ranker contribution is the
+    exact integer ``1e6 div (60 + rank)``; candidates a ranker missed
+    contribute 0 (full outer join), fused order (score desc, entity asc)."""
+    lex = _er_topk(spark, sf).select(
+        "mention_id", "entity_id", F.col("rank").cast("long").alias("lex_rank")
+    )
+    bm = _er_bm25_topk(spark, sf).select(
+        "mention_id", "entity_id", F.col("rank").cast("long").alias("bm25_rank")
+    )
+    j = lex.join(bm, ["mention_id", "entity_id"], "full")
+    scored = j.select(
+        "mention_id",
+        "entity_id",
+        "lex_rank",
+        "bm25_rank",
+        (
+            F.coalesce(F.expr("1000000 div (60 + lex_rank)"), F.lit(0))
+            + F.coalesce(F.expr("1000000 div (60 + bm25_rank)"), F.lit(0))
+        )
+        .cast("long")
+        .alias("rrf_micro"),
+    )
+    w = Window.partitionBy("mention_id").orderBy(
+        F.col("rrf_micro").desc(), F.col("entity_id").asc()
+    )
+    return (
+        scored.withColumn("fused_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("fused_rank") <= 3)
+    )
+
+
 @_q("er_coref_merge", None)  # oracle injected below (fixture path)
 def _er_coref_merge(spark: SparkSession, sf: str) -> DataFrame:
     """Coreference theta self-join + candidate-distribution merge
@@ -9167,6 +9203,33 @@ def _er_oracles() -> dict[str, str]:
         """,
         "er_pairwise_f1": f1_sql,
         "er_topk_candidates": topk_sql,
+        "er_rrf_fusion": f"""
+          WITH lex AS ({topk_sql}),
+          bm AS ({bm25_sql}),
+          j AS (
+            SELECT coalesce(l.mention_id, b.mention_id) AS mention_id,
+                   coalesce(l.entity_id, b.entity_id) AS entity_id,
+                   l.rank::BIGINT AS lex_rank, b.rank::BIGINT AS bm25_rank
+            FROM lex l FULL JOIN bm b
+              ON l.mention_id = b.mention_id AND l.entity_id = b.entity_id
+          ),
+          s AS (
+            SELECT mention_id, entity_id, lex_rank, bm25_rank,
+                   (coalesce(1000000 // (60 + lex_rank), 0)
+                    + coalesce(1000000 // (60 + bm25_rank), 0))::BIGINT
+                     AS rrf_micro
+            FROM j
+          )
+          SELECT mention_id, entity_id, lex_rank, bm25_rank, rrf_micro,
+                 fused_rank
+          FROM (
+            SELECT *, row_number() OVER (PARTITION BY mention_id
+                                         ORDER BY rrf_micro DESC,
+                                                  entity_id ASC)::BIGINT
+                        AS fused_rank
+            FROM s
+          ) WHERE fused_rank <= 3
+        """,
         "er_hard_negatives": f"""
           WITH mb AS (
             SELECT mention_id, mention, label_id,
@@ -9393,7 +9456,7 @@ _DRIVER_ORDER = [
     "er_mrr", "doc_langid_confusion", "doc_char_entropy", "doc_zipf_fit",
     "doc_dedup_ensemble", "doc_tokenizer_fertility", "er_degree_distribution",
     "ann_nprobe_sweep", "doc_source_length_quartiles", "er_ppjoin_pairs",
-    "er_blocking_stoplist",
+    "er_blocking_stoplist", "er_rrf_fusion",
 ]
 
 

@@ -1024,3 +1024,27 @@ def test_blocking_stoplist_fanout_semantics(spark):
         assert r["df"] >= 2
         assert r["n_entities"] <= r["df"]  # fan-out bounded by df
         assert r["flagged"] == (r["n_entities"] > 3)
+
+
+def test_rrf_fusion_rewards_agreement(spark):
+    import __spark_entry__ as entry
+
+    sf = "/root/testdata/sf0.001"
+    rows = entry.queries()["er_rrf_fusion"](spark, sf).collect()
+    assert rows
+    by_m = {}
+    for r in rows:
+        by_m.setdefault(r["mention_id"], []).append(r)
+        # contribution formula holds exactly
+        expect = (1000000 // (60 + r["lex_rank"]) if r["lex_rank"] else 0) + (
+            1000000 // (60 + r["bm25_rank"]) if r["bm25_rank"] else 0
+        )
+        assert r["rrf_micro"] == expect
+        assert (r["lex_rank"] is not None) or (r["bm25_rank"] is not None)
+    for group in by_m.values():
+        ranks = sorted(r["fused_rank"] for r in group)
+        assert ranks == list(range(1, len(ranks) + 1))
+        # fused order is non-increasing in rrf score
+        ordered = sorted(group, key=lambda r: r["fused_rank"])
+        scores = [r["rrf_micro"] for r in ordered]
+        assert scores == sorted(scores, reverse=True)

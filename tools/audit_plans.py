@@ -84,6 +84,12 @@ ALLOWLIST: dict[str, frozenset[str]] = {
     # exploded per strategy — the fs_weights pattern); the three pair sets
     # themselves are star pairs / band equi-joins and never cross it.
     "doc_dedup_ensemble": frozenset({"Exchange SinglePartition"}),
+    # er_rrf_fusion embeds the er_bm25_topk plan (whose n_ents scalar
+    # aggregate broadcast is that query's vetted bm25-idf pattern); the
+    # fusion itself adds only mention-keyed windows and a full outer join.
+    "er_rrf_fusion": frozenset(
+        {"BroadcastNestedLoopJoin", "Exchange SinglePartition"}
+    ),
     # ann_nprobe_sweep unions three ann_ivf_recall readouts: each is the
     # same one-row recall finalize that query's allowlist vets (the
     # brute-force exact side is the documented baseline crossJoin).

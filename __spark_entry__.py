@@ -5705,6 +5705,69 @@ def _events_value_runs(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @_q(
+    "events_gap_histogram",
+    """
+    WITH g AS (
+      SELECT user_id,
+             date_diff('microsecond',
+                       lag(ts) OVER (PARTITION BY user_id
+                                     ORDER BY ts NULLS FIRST,
+                                              event_id NULLS FIRST),
+                       ts) AS gap_us
+      FROM events
+    ),
+    b AS (
+      SELECT CASE WHEN gap_us < 1000000 THEN 'lt_1s'
+                  WHEN gap_us < 60000000 THEN 'lt_1m'
+                  WHEN gap_us < 600000000 THEN 'lt_10m'
+                  WHEN gap_us < 1800000000 THEN 'lt_30m'
+                  WHEN gap_us < 86400000000 THEN 'lt_1d'
+                  ELSE 'ge_1d' END AS bucket
+      FROM g WHERE gap_us IS NOT NULL
+    ),
+    h AS (SELECT bucket, count(*)::BIGINT AS n_gaps FROM b GROUP BY 1),
+    t AS (SELECT sum(n_gaps)::BIGINT AS n_total FROM h)
+    SELECT bucket, n_gaps, n_total,
+           ((1000000 * n_gaps) // n_total)::BIGINT AS share_ppm
+    FROM h CROSS JOIN t
+    """,
+)
+def _events_gap_histogram(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-user inter-event gap histogram on explicit integer-µs
+    boundaries (1s/1m/10m/30m/1d) — the evidence behind sessionize's
+    30-minute gap: the session cut should sit in the histogram's valley.
+    Exact: gaps compare at full microsecond precision, buckets are integer
+    CASE thresholds (no float log boundaries), event id breaks ts ties."""
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    ev = _t(spark, sf, "events")
+    # timestampdiff works on TIMESTAMP_NTZ directly (timezone-free)
+    g = ev.select(
+        "ts", F.lag("ts").over(w).alias("prev_ts")
+    ).select(
+        F.expr("timestampdiff(MICROSECOND, prev_ts, ts)").alias("gap_us")
+    ).filter(F.col("gap_us").isNotNull())
+    b = g.select(
+        F.when(F.col("gap_us") < 1_000_000, "lt_1s")
+        .when(F.col("gap_us") < 60_000_000, "lt_1m")
+        .when(F.col("gap_us") < 600_000_000, "lt_10m")
+        .when(F.col("gap_us") < 1_800_000_000, "lt_30m")
+        .when(F.col("gap_us") < 86_400_000_000, "lt_1d")
+        .otherwise("ge_1d")
+        .alias("bucket")
+    )
+    h = b.groupBy("bucket").agg(F.count(F.lit(1)).cast("long").alias("n_gaps"))
+    t = h.agg(F.sum("n_gaps").cast("long").alias("n_total"))
+    return h.crossJoin(F.broadcast(t)).select(
+        "bucket",
+        "n_gaps",
+        "n_total",
+        F.expr("(1000000 * n_gaps) div n_total").cast("long").alias("share_ppm"),
+    )
+
+
+@_q(
     "events_anomaly_mad",
     """
     WITH daily AS (
@@ -9456,7 +9519,7 @@ _DRIVER_ORDER = [
     "er_mrr", "doc_langid_confusion", "doc_char_entropy", "doc_zipf_fit",
     "doc_dedup_ensemble", "doc_tokenizer_fertility", "er_degree_distribution",
     "ann_nprobe_sweep", "doc_source_length_quartiles", "er_ppjoin_pairs",
-    "er_blocking_stoplist", "er_rrf_fusion",
+    "er_blocking_stoplist", "er_rrf_fusion", "events_gap_histogram",
 ]
 
 

@@ -1048,3 +1048,18 @@ def test_rrf_fusion_rewards_agreement(spark):
         ordered = sorted(group, key=lambda r: r["fused_rank"])
         scores = [r["rrf_micro"] for r in ordered]
         assert scores == sorted(scores, reverse=True)
+
+
+def test_gap_histogram_buckets_partition_gaps(spark):
+    import __spark_entry__ as entry
+
+    rows = entry.queries()["events_gap_histogram"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert rows
+    total = rows[0]["n_total"]
+    assert sum(r["n_gaps"] for r in rows) == total
+    assert {r["bucket"] for r in rows} <= {
+        "lt_1s", "lt_1m", "lt_10m", "lt_30m", "lt_1d", "ge_1d"
+    }
+    assert all(r["share_ppm"] == 1000000 * r["n_gaps"] // total for r in rows)

@@ -94,6 +94,12 @@ ALLOWLIST: dict[str, frozenset[str]] = {
     # same one-row recall finalize that query's allowlist vets (the
     # brute-force exact side is the documented baseline crossJoin).
     "ann_nprobe_sweep": frozenset({"Exchange SinglePartition"}),
+    # events_gap_histogram's gap total is a one-row scalar aggregate
+    # broadcast onto the ≤6-row bucket histogram — the bm25-idf
+    # scalar-denominator pattern; the raw gap stream never crosses it.
+    "events_gap_histogram": frozenset(
+        {"BroadcastNestedLoopJoin", "Exchange SinglePartition"}
+    ),
     # er_degree_distribution's node total is a one-row scalar aggregate
     # broadcast onto the degree histogram (bounded by max degree) — the
     # bm25-idf scalar-denominator pattern; edges/degrees never cross it.

@@ -4311,6 +4311,64 @@ def _er_threshold_dendrogram(spark: SparkSession, sf: str) -> DataFrame:
     return threshold_dendrogram(scored)
 
 
+@_q("er_reliability_bins", None)  # oracle injected below (fixture path)
+def _er_reliability_bins(spark: SparkSession, sf: str) -> DataFrame:
+    """Scorer reliability diagram: labeled gold pairs bucketed by jaccard
+    into 20 bins, per-bin empirical match rate in exact ppm — the
+    CALIBRATION companion of er_pr_curve's threshold sweep (a well-behaved
+    comparator's match rate rises monotonically through the bins; plateaus
+    flag score regions the threshold can't separate). Bin = floor(j·20) on
+    the identically-rounded doubles both engines computed."""
+    from blink_spark.operators.scoring import score_pairs
+
+    m = _fx(spark, "mentions").select("mention_id", "mention")
+    attrs = (
+        _fx(spark, "gold_pairs")
+        .select(
+            F.col("mention_id_a").alias("record_id_a"),
+            F.col("mention_id_b").alias("record_id_b"),
+            "same_entity",
+        )
+        .join(
+            m.select(
+                F.col("mention_id").alias("record_id_a"),
+                F.col("mention").alias("mention_a"),
+            ),
+            "record_id_a",
+        )
+        .join(
+            m.select(
+                F.col("mention_id").alias("record_id_b"),
+                F.col("mention").alias("mention_b"),
+            ),
+            "record_id_b",
+        )
+    )
+    scored = score_pairs(attrs, text_a="mention_a", text_b="mention_b")
+    binned = scored.select(
+        F.floor(F.col("jaccard") * F.lit(20.0)).cast("long").alias("bin"),
+        F.col("same_entity"),
+    )
+    return (
+        binned.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.sum(F.when(F.col("same_entity"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_match"),
+        )
+        .select(
+            "bin",
+            (F.col("bin") * F.lit(50000)).cast("long").alias("bin_lo_ppm"),
+            "n_pairs",
+            "n_match",
+            F.expr("(1000000 * n_match) div n_pairs").cast("long").alias(
+                "match_rate_ppm"
+            ),
+        )
+    )
+
+
 @_q("er_tf_adjustment", None)  # oracle injected below (fixture path)
 def _er_tf_adjustment(spark: SparkSession, sf: str) -> DataFrame:
     """Splink-style term-frequency adjustment on the gold pairs: pairs
@@ -8852,6 +8910,31 @@ def _er_oracles() -> dict[str, str]:
         """,
         "er_sorted_neighborhood": snm_sql,
         "er_fs_weights": fs_sql,
+        "er_reliability_bins": f"""
+          WITH m AS (
+            SELECT mention_id,
+                   list_distinct(string_split({_norm_m}, ' ')) AS t
+            FROM read_parquet('{men}')
+          ),
+          jj AS (
+            -- one row per gold-pair ROW (duplicates preserved, mirroring
+            -- the Spark join); jaccard is the score_pairs parity rounding
+            SELECT g.same_entity,
+                   round(len(list_intersect(ma.t, mb.t))::double
+                         / greatest(len(list_distinct(list_concat(ma.t, mb.t))), 1),
+                         6) AS jaccard
+            FROM read_parquet('{gold}') g
+            JOIN m ma ON ma.mention_id = g.mention_id_a
+            JOIN m mb ON mb.mention_id = g.mention_id_b
+          ),
+          b AS (SELECT floor(jaccard * 20)::BIGINT AS bin, same_entity FROM jj)
+          SELECT bin, (bin * 50000)::BIGINT AS bin_lo_ppm,
+                 count(*)::BIGINT AS n_pairs,
+                 sum(CASE WHEN same_entity THEN 1 ELSE 0 END)::BIGINT AS n_match,
+                 ((1000000 * sum(CASE WHEN same_entity THEN 1 ELSE 0 END)::BIGINT)
+                  // count(*))::BIGINT AS match_rate_ppm
+          FROM b GROUP BY 1
+        """,
         "er_blocking_stoplist": f"""
           WITH tk AS (
             SELECT mention_id, label_id,
@@ -9520,6 +9603,7 @@ _DRIVER_ORDER = [
     "doc_dedup_ensemble", "doc_tokenizer_fertility", "er_degree_distribution",
     "ann_nprobe_sweep", "doc_source_length_quartiles", "er_ppjoin_pairs",
     "er_blocking_stoplist", "er_rrf_fusion", "events_gap_histogram",
+    "er_reliability_bins",
 ]
 
 

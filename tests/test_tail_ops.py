@@ -1063,3 +1063,22 @@ def test_gap_histogram_buckets_partition_gaps(spark):
         "lt_1s", "lt_1m", "lt_10m", "lt_30m", "lt_1d", "ge_1d"
     }
     assert all(r["share_ppm"] == 1000000 * r["n_gaps"] // total for r in rows)
+
+
+def test_reliability_bins_rates_and_partition(spark):
+    import __spark_entry__ as entry
+
+    rows = entry.queries()["er_reliability_bins"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert rows
+    gold_n = entry._fx(spark, "gold_pairs").count()
+    assert sum(r["n_pairs"] for r in rows) == gold_n  # bins partition pairs
+    for r in rows:
+        assert 0 <= r["n_match"] <= r["n_pairs"]
+        assert r["match_rate_ppm"] == 1000000 * r["n_match"] // r["n_pairs"]
+        assert r["bin_lo_ppm"] == r["bin"] * 50000
+    # calibration sanity: the top bin is purer than the bottom bin
+    lo = min(rows, key=lambda r: r["bin"])
+    hi = max(rows, key=lambda r: r["bin"])
+    assert hi["match_rate_ppm"] >= lo["match_rate_ppm"]

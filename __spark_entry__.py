@@ -5763,6 +5763,68 @@ def _events_value_runs(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @_q(
+    "events_burst_score",
+    """
+    WITH us AS (
+      SELECT user_id, event_id,
+             date_diff('microsecond', TIMESTAMP '2024-01-01 00:00:00', ts)
+               AS t_us
+      FROM events
+    ),
+    sl AS (
+      SELECT user_id, event_id,
+             count(*) OVER (PARTITION BY user_id ORDER BY t_us
+                            RANGE BETWEEN 59999999 PRECEDING AND CURRENT ROW)
+               ::BIGINT AS in_window
+      FROM us
+    ),
+    mx AS (
+      SELECT user_id, max(in_window)::BIGINT AS max_burst_60s,
+             count(*)::BIGINT AS n_events
+      FROM sl GROUP BY 1
+    )
+    SELECT user_id, n_events, max_burst_60s, max_burst_60s > 10 AS flagged
+    FROM mx
+    """,
+)
+def _events_burst_score(spark: SparkSession, sf: str) -> DataFrame:
+    """EXACT sliding-window burst score per user: the max number of events
+    inside ANY trailing 60-second window (a RANGE frame over integer
+    microseconds — not a tumbling-bucket approximation, which undercounts
+    bursts straddling bucket edges). The rate-limit / bot-triage readout;
+    users exceeding 10 events per minute are flagged. Timestamps become
+    integer µs offsets so the frame bound is exact on both engines."""
+    us = _t(spark, sf, "events").select(
+        "user_id",
+        "event_id",
+        F.expr(
+            "timestampdiff(MICROSECOND, timestamp'2024-01-01 00:00:00', ts)"
+        ).alias("t_us"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("t_us"))
+        .rangeBetween(-59_999_999, 0)
+    )
+    sl = us.select(
+        "user_id", F.count(F.lit(1)).over(w).cast("long").alias("in_window")
+    )
+    return (
+        sl.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.max("in_window").cast("long").alias("max_burst_60s"),
+        )
+        .select(
+            "user_id",
+            "n_events",
+            "max_burst_60s",
+            (F.col("max_burst_60s") > 10).alias("flagged"),
+        )
+    )
+
+
+@_q(
     "events_gap_histogram",
     """
     WITH g AS (
@@ -9603,7 +9665,7 @@ _DRIVER_ORDER = [
     "doc_dedup_ensemble", "doc_tokenizer_fertility", "er_degree_distribution",
     "ann_nprobe_sweep", "doc_source_length_quartiles", "er_ppjoin_pairs",
     "er_blocking_stoplist", "er_rrf_fusion", "events_gap_histogram",
-    "er_reliability_bins",
+    "er_reliability_bins", "events_burst_score",
 ]
 
 

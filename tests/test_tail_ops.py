@@ -1082,3 +1082,37 @@ def test_reliability_bins_rates_and_partition(spark):
     lo = min(rows, key=lambda r: r["bin"])
     hi = max(rows, key=lambda r: r["bin"])
     assert hi["match_rate_ppm"] >= lo["match_rate_ppm"]
+
+
+def test_burst_score_exact_sliding_window(spark):
+    from datetime import datetime, timedelta
+
+    import __spark_entry__ as entry  # noqa: F401
+
+    from pyspark.sql import Window, functions as F
+
+    base = datetime(2024, 1, 1, 12, 0, 0)
+    rows = []
+    # user 1: 5 events inside 50s (straddling a minute boundary at 12:00:30
+    # would fool tumbling buckets), then quiet
+    for i, off in enumerate([0, 20, 35, 45, 50]):
+        rows.append((i, base + timedelta(seconds=off), 1))
+    # user 2: events 2 minutes apart -> max burst 1
+    for i, off in enumerate([0, 120, 240]):
+        rows.append((100 + i, base + timedelta(seconds=off), 2))
+    ev = spark.createDataFrame(rows, "event_id long, ts timestamp, user_id long")
+    us = ev.select(
+        "user_id",
+        F.expr(
+            "timestampdiff(MICROSECOND, timestamp'2024-01-01 00:00:00', ts)"
+        ).alias("t_us"),
+    )
+    w = Window.partitionBy("user_id").orderBy("t_us").rangeBetween(-59_999_999, 0)
+    got = {
+        r["user_id"]: r["mx"]
+        for r in us.select("user_id", F.count(F.lit(1)).over(w).alias("iw"))
+        .groupBy("user_id")
+        .agg(F.max("iw").alias("mx"))
+        .collect()
+    }
+    assert got == {1: 5, 2: 1}

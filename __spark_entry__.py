@@ -2191,6 +2191,18 @@ def _er_cluster_purity(spark: SparkSession, sf: str) -> DataFrame:
     return cluster_purity(clusters, labels)
 
 
+@_q("er_modularity", None)  # oracle injected below (fixture path)
+def _er_modularity(spark: SparkSession, sf: str) -> DataFrame:
+    """Newman modularity of the S5 linkage clusters against the GOLD match
+    graph — the degree-corrected structural quality number next to
+    purity/ARI/B-cubed: high Q = predicted clusters keep gold edges
+    internal; Q near 0 = no better than a degree-preserving random cut.
+    Exact milli units with sign-safe integer division."""
+    from blink_spark.operators.cluster import modularity
+
+    return modularity(_gold_match_edges(spark), _er_clusters(spark, sf))
+
+
 @_q("er_ari", None)  # oracle injected below (fixture path)
 def _er_ari(spark: SparkSession, sf: str) -> DataFrame:
     """Adjusted Rand Index of the S5 linkage clusters vs the gold entity
@@ -8972,6 +8984,55 @@ def _er_oracles() -> dict[str, str]:
         """,
         "er_sorted_neighborhood": snm_sql,
         "er_fs_weights": fs_sql,
+        "er_modularity": f"""
+          {scored_cte},
+          edges0 AS (
+            SELECT record_id_a AS src, record_id_b AS dst FROM j WHERE is_match
+            UNION
+            SELECT record_id_b, record_id_a FROM j WHERE is_match
+          ),
+          nodes AS (SELECT mention_id AS id FROM read_parquet('{men}')),
+          reach AS (
+            SELECT id, id AS r FROM nodes
+            UNION
+            SELECT reach.id, e.dst FROM reach JOIN edges0 e ON reach.r = e.src
+          ),
+          cl AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id),
+          raw AS (
+            SELECT least(mention_id_a, mention_id_b) AS u,
+                   greatest(mention_id_a, mention_id_b) AS v
+            FROM read_parquet('{gold}')
+            WHERE same_entity AND mention_id_a != mention_id_b
+            GROUP BY 1, 2
+          ),
+          mm AS (SELECT count(*)::BIGINT AS m_edges FROM raw),
+          bi AS (SELECT u, v FROM raw UNION ALL SELECT v, u FROM raw),
+          deg AS (SELECT u, count(*)::BIGINT AS deg FROM bi GROUP BY 1),
+          dc AS (
+            SELECT cl.cluster_id, sum(deg.deg)::BIGINT AS d_c
+            FROM deg JOIN cl ON cl.id = deg.u GROUP BY 1
+          ),
+          sdc AS (
+            SELECT sum(d_c * d_c)::BIGINT AS sum_dc2,
+                   count(*)::BIGINT AS n_clusters
+            FROM dc
+          ),
+          ein AS (
+            SELECT count(*)::BIGINT AS n_internal
+            FROM raw r JOIN cl a ON a.id = r.u JOIN cl b ON b.id = r.v
+            WHERE a.cluster_id = b.cluster_id
+          )
+          SELECT mm.m_edges, sdc.n_clusters, ein.n_internal,
+                 (CASE WHEN 1000 * (4 * mm.m_edges * ein.n_internal
+                                    - sdc.sum_dc2) >= 0
+                   THEN (1000 * (4 * mm.m_edges * ein.n_internal - sdc.sum_dc2))
+                        // (4 * mm.m_edges * mm.m_edges)
+                   ELSE -((-(1000 * (4 * mm.m_edges * ein.n_internal
+                                     - sdc.sum_dc2)))
+                          // (4 * mm.m_edges * mm.m_edges)) END)::BIGINT
+                   AS modularity_milli
+          FROM mm CROSS JOIN sdc CROSS JOIN ein
+        """,
         "er_reliability_bins": f"""
           WITH m AS (
             SELECT mention_id,
@@ -9665,7 +9726,7 @@ _DRIVER_ORDER = [
     "doc_dedup_ensemble", "doc_tokenizer_fertility", "er_degree_distribution",
     "ann_nprobe_sweep", "doc_source_length_quartiles", "er_ppjoin_pairs",
     "er_blocking_stoplist", "er_rrf_fusion", "events_gap_histogram",
-    "er_reliability_bins", "events_burst_score",
+    "er_reliability_bins", "events_burst_score", "er_modularity",
 ]
 
 

@@ -1116,3 +1116,33 @@ def test_burst_score_exact_sliding_window(spark):
         .collect()
     }
     assert got == {1: 5, 2: 1}
+
+
+def test_modularity_two_cliques_vs_random(spark):
+    from blink_spark.operators.cluster import modularity
+
+    # two disjoint triangles, clustering = exactly the triangles:
+    # m=6, every edge internal (e=6), each node deg 2 -> d_c = 6 per
+    # cluster -> sum_dc2 = 72. Q = (4*6*6 - 72)/(4*36) = 72/144 = 0.5
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (4, 5), (5, 6), (4, 6)], "u int, v int"
+    )
+    good = spark.createDataFrame(
+        [(i, 1 if i <= 3 else 4) for i in range(1, 7)],
+        "record_id int, cluster_id int",
+    )
+    row = modularity(edges, good).collect()[0]
+    assert (row["m_edges"], row["n_clusters"], row["n_internal"]) == (6, 2, 6)
+    assert row["modularity_milli"] == 500
+    # everything in ONE cluster: e=m and sum_dc2=(2m)^2 -> Q = 0 exactly
+    one = spark.createDataFrame(
+        [(i, 1) for i in range(1, 7)], "record_id int, cluster_id int"
+    )
+    assert modularity(edges, one).collect()[0]["modularity_milli"] == 0
+    # adversarial split across the triangles -> NEGATIVE Q, sign-safe
+    bad = spark.createDataFrame(
+        [(1, 1), (4, 1), (2, 2), (5, 2), (3, 3), (6, 3)],
+        "record_id int, cluster_id int",
+    )
+    assert bad is not None
+    assert modularity(edges, bad).collect()[0]["modularity_milli"] < 0

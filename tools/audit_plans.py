@@ -84,6 +84,12 @@ ALLOWLIST: dict[str, frozenset[str]] = {
     # exploded per strategy — the fs_weights pattern); the three pair sets
     # themselves are star pairs / band equi-joins and never cross it.
     "doc_dedup_ensemble": frozenset({"Exchange SinglePartition"}),
+    # er_modularity combines three one-row scalar aggregates (m, Σd_c²,
+    # Σe_internal) — map-side partials over edge/degree tables, one-row
+    # finalizes cross-joined into the single readout row (er_ari's class).
+    "er_modularity": frozenset(
+        {"BroadcastNestedLoopJoin", "Exchange SinglePartition"}
+    ),
     # er_rrf_fusion embeds the er_bm25_topk plan (whose n_ents scalar
     # aggregate broadcast is that query's vetted bm25-idf pattern); the
     # fusion itself adds only mention-keyed windows and a full outer join.

@@ -153,3 +153,32 @@ def stream_interval_join(
         "right_id",
         F.expr("timestampdiff(MICROSECOND, rt, lt)").cast("long").alias("lag_us"),
     )
+
+
+def streaming_burst_rates(
+    stream: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "event_time",
+    window: str = "60 seconds",
+    slide: str = "20 seconds",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Per-key SLIDING-window event counts — the streaming twin of the
+    batch ``events_burst_score`` rate-limit readout: each event lands in
+    window/slide overlapping windows, so the max per-key count approaches
+    the true trailing-60s burst within one slide of alignment (the batch
+    RANGE-frame form is the exact offline reference). Watermarked append
+    mode: a window finalizes once the watermark passes its end — state is
+    bounded by keys × open windows, the standard sliding-agg state story.
+    """
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.col(key_col), F.window(F.col(ts_col), window, slide))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col(key_col).alias("key"),
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "n_events",
+        )
+    )

@@ -101,3 +101,61 @@ def test_stream_first_seen_suppresses_cross_batch_duplicates(spark, tmp_path):
     # f1 emitted once with the min id of its FIRST batch; the batch-2 f1
     # duplicate is suppressed by state
     assert got == {("f1", "d1"), ("f2", "d3"), ("f3", "d4")}
+
+
+def test_sliding_burst_windows_finalize_and_count(spark, tmp_path):
+    from blink_spark.streaming.windows import streaming_burst_rates
+
+    in_dir = tmp_path / "in_burst"
+    in_dir.mkdir()
+    cols = ["user_id", "event_time"]
+    t0 = pd.Timestamp("2026-01-01 10:00:00")
+
+    def ts(seconds):
+        return t0 + pd.Timedelta(seconds=seconds)
+
+    out_dir = str(tmp_path / "burst_out")
+    ckpt = str(tmp_path / "burst_ckpt")
+
+    def run_once():
+        stream = (
+            spark.readStream.schema("user_id long, event_time timestamp")
+            .parquet(str(in_dir))
+        )
+        agg = streaming_burst_rates(
+            stream, window="60 seconds", slide="20 seconds", watermark="2 minutes"
+        )
+
+        def sink(batch_df, batch_id):
+            if not batch_df.isEmpty():
+                batch_df.write.mode("append").parquet(out_dir)
+
+        q = (
+            agg.writeStream.foreachBatch(sink)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    # user 1 bursts: 5 events inside 50s; user 2 is slow (2 events, 100s
+    # apart); a far-future row advances the watermark so windows finalize.
+    _write_batch(
+        in_dir,
+        "b1.parquet",
+        [(1, ts(0)), (1, ts(20)), (1, ts(35)), (1, ts(45)), (1, ts(50)),
+         (2, ts(0)), (2, ts(100)), (9, ts(3600))],
+        cols,
+    )
+    run_once()
+    out = spark.read.parquet(out_dir).collect()
+    by_user = {}
+    for r in out:
+        by_user.setdefault(r["key"], []).append(r["n_events"])
+    # the [09:59:20,10:00:20+40) sliding grid: window starting 10:00:00
+    # holds all 5 of user 1's events (0..50s)
+    assert max(by_user[1]) == 5
+    assert max(by_user[2]) == 1
+    # every event lands in exactly 3 overlapping 60s/20s windows
+    assert sum(by_user[1]) == 5 * 3

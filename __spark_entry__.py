@@ -4323,6 +4323,30 @@ def _er_threshold_dendrogram(spark: SparkSession, sf: str) -> DataFrame:
     return threshold_dendrogram(scored)
 
 
+@_q("er_acronym_matches", None)  # oracle injected below (fixture path)
+def _er_acronym_matches(spark: SparkSession, sf: str) -> DataFrame:
+    """Acronym⇄expansion comparator over the gold pairs: flags pairs where
+    one side's single token equals the other side's token INITIALS
+    concatenated ("ibm" ⇄ "international business machines") — a match
+    signal every edit-distance/Jaccard/Monge-Elkan comparator scores ~0,
+    which is exactly why rule cascades carry a dedicated acronym rule.
+    Both directions tested; the acronym side must be one multi-char token
+    and the expansion at least two tokens."""
+    from blink_spark.operators.scoring import acronym_matches
+
+    m = _fx(spark, "mentions").select("mention_id", "mention")
+    g = (
+        _fx(spark, "gold_pairs")
+        .select(
+            F.col("mention_id_a").alias("record_id_a"),
+            F.col("mention_id_b").alias("record_id_b"),
+        )
+        .filter(F.col("record_id_a") != F.col("record_id_b"))
+        .distinct()
+    )
+    return acronym_matches(g, m, "mention_id", "mention")
+
+
 @_q("er_reliability_bins", None)  # oracle injected below (fixture path)
 def _er_reliability_bins(spark: SparkSession, sf: str) -> DataFrame:
     """Scorer reliability diagram: labeled gold pairs bucketed by jaccard
@@ -8984,6 +9008,41 @@ def _er_oracles() -> dict[str, str]:
         """,
         "er_sorted_neighborhood": snm_sql,
         "er_fs_weights": fs_sql,
+        "er_acronym_matches": f"""
+          WITH f AS (
+            SELECT mention_id AS rid, {_norm_m} AS norm,
+                   string_split({_norm_m}, ' ') AS tk
+            FROM read_parquet('{men}')
+          ),
+          feats AS (
+            SELECT rid, norm, len(tk) AS n_tok,
+                   array_to_string([substr(t, 1, 1) for t in tk], '') AS initials
+            FROM f
+          ),
+          g AS (
+            SELECT DISTINCT mention_id_a AS record_id_a,
+                            mention_id_b AS record_id_b
+            FROM read_parquet('{gold}')
+            WHERE mention_id_a != mention_id_b
+          ),
+          j AS (
+            SELECT g.record_id_a, g.record_id_b,
+                   a.norm AS norm_a, a.n_tok AS n_a, a.initials AS ini_a,
+                   b.norm AS norm_b, b.n_tok AS n_b, b.initials AS ini_b
+            FROM g JOIN feats a ON a.rid = g.record_id_a
+                   JOIN feats b ON b.rid = g.record_id_b
+          )
+          SELECT record_id_a, record_id_b,
+                 CASE WHEN n_a = 1 AND n_b >= 2 AND length(norm_a) >= 2
+                           AND norm_a = ini_b
+                      THEN norm_a ELSE norm_b END AS acronym,
+                 CASE WHEN n_a = 1 AND n_b >= 2 AND length(norm_a) >= 2
+                           AND norm_a = ini_b
+                      THEN norm_b ELSE norm_a END AS expansion
+          FROM j
+          WHERE (n_a = 1 AND n_b >= 2 AND length(norm_a) >= 2 AND norm_a = ini_b)
+             OR (n_b = 1 AND n_a >= 2 AND length(norm_b) >= 2 AND norm_b = ini_a)
+        """,
         "er_modularity": f"""
           {scored_cte},
           edges0 AS (
@@ -9727,6 +9786,7 @@ _DRIVER_ORDER = [
     "ann_nprobe_sweep", "doc_source_length_quartiles", "er_ppjoin_pairs",
     "er_blocking_stoplist", "er_rrf_fusion", "events_gap_histogram",
     "er_reliability_bins", "events_burst_score", "er_modularity",
+    "er_acronym_matches",
 ]
 
 

@@ -966,3 +966,74 @@ def tf_adjusted_agreements(
         .cast("long")
         .alias("tf_adj_ratio_ppm"),
     )
+
+
+def acronym_matches(
+    pairs: DataFrame,
+    records: DataFrame,
+    id_col: str = "record_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Acronym⇄expansion comparator: flags pairs where one side's single
+    multi-character token equals the other side's token INITIALS
+    concatenated ("ibm" ⇄ "international business machines") — a match
+    signal edit-distance/Jaccard/Monge-Elkan all score ~0, which is why
+    rule cascades carry a dedicated acronym rule. Both directions are
+    tested; the expansion must have at least two tokens.
+
+    Scale shape: one projection for the per-record (norm, n_tok, initials)
+    features, two record-keyed equi-joins onto the pair list — no new
+    shuffle class beyond the pair decoration every comparator pays.
+
+    Returns (record_id_a, record_id_b, acronym, expansion).
+    """
+    from blink_spark.functions.text import normalize_text
+
+    norm = normalize_text(records[text_col])
+    feats = records.select(
+        records[id_col].alias("rid"),
+        norm.alias("norm"),
+        F.split(norm, " ").alias("tk"),
+    ).select(
+        "rid",
+        "norm",
+        F.size("tk").alias("n_tok"),
+        F.array_join(F.transform("tk", lambda t: F.substring(t, 1, 1)), "").alias(
+            "initials"
+        ),
+    )
+    fa = feats.select(
+        F.col("rid").alias("record_id_a"),
+        F.col("norm").alias("norm_a"),
+        F.col("n_tok").alias("n_a"),
+        F.col("initials").alias("ini_a"),
+    )
+    fb = feats.select(
+        F.col("rid").alias("record_id_b"),
+        F.col("norm").alias("norm_b"),
+        F.col("n_tok").alias("n_b"),
+        F.col("initials").alias("ini_b"),
+    )
+    j = pairs.join(fa, "record_id_a").join(fb, "record_id_b")
+    a_is_acro = (
+        (F.col("n_a") == 1)
+        & (F.col("n_b") >= 2)
+        & (F.length("norm_a") >= 2)
+        & (F.col("norm_a") == F.col("ini_b"))
+    )
+    b_is_acro = (
+        (F.col("n_b") == 1)
+        & (F.col("n_a") >= 2)
+        & (F.length("norm_b") >= 2)
+        & (F.col("norm_b") == F.col("ini_a"))
+    )
+    return j.filter(a_is_acro | b_is_acro).select(
+        "record_id_a",
+        "record_id_b",
+        F.when(a_is_acro, F.col("norm_a")).otherwise(F.col("norm_b")).alias(
+            "acronym"
+        ),
+        F.when(a_is_acro, F.col("norm_b")).otherwise(F.col("norm_a")).alias(
+            "expansion"
+        ),
+    )

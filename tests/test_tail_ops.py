@@ -1146,3 +1146,32 @@ def test_modularity_two_cliques_vs_random(spark):
     )
     assert bad is not None
     assert modularity(edges, bad).collect()[0]["modularity_milli"] < 0
+
+
+def test_acronym_matches_both_directions(spark):
+    from blink_spark.operators.scoring import acronym_matches
+
+    recs = spark.createDataFrame(
+        [
+            (1, "IBM"),
+            (2, "International Business Machines"),
+            (3, "ibm corp"),           # two tokens -> not an acronym side
+            (4, "i"),                  # single char -> excluded
+            (5, "Interesting Big Mouse"),  # initials also ibm
+        ],
+        "rid long, text string",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 1), (1, 3), (1, 4), (5, 1), (2, 3)],
+        "record_id_a long, record_id_b long",
+    )
+    out = {
+        (r["record_id_a"], r["record_id_b"]): (r["acronym"], r["expansion"])
+        for r in acronym_matches(pairs, recs, "rid", "text").collect()
+    }
+    # both orientations fire; 3 never qualifies as acronym side; 4 too short
+    assert out == {
+        (1, 2): ("ibm", "international business machines"),
+        (2, 1): ("ibm", "international business machines"),
+        (5, 1): ("ibm", "interesting big mouse"),
+    }

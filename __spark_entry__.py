@@ -5799,6 +5799,75 @@ def _events_value_runs(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @_q(
+    "events_interval_copresence",
+    """
+    WITH m AS (
+      SELECT user_id AS k, ts, event_id AS eid, event_type AS state,
+             CASE WHEN lag(event_type) OVER w IS NULL
+                    OR lag(event_type) OVER w <> event_type
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id
+                   ORDER BY ts NULLS FIRST, event_id NULLS FIRST)
+    ),
+    rr AS (
+      SELECT k, ts, state,
+             cast(sum(is_new) OVER (PARTITION BY k
+                                    ORDER BY ts NULLS FIRST, eid NULLS FIRST
+                                    ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS run_seq
+      FROM m
+    ),
+    p AS (
+      SELECT k, run_seq, min(state) AS state, min(ts) AS valid_from
+      FROM rr GROUP BY 1, 2
+    ),
+    runs AS (
+      SELECT k AS key, state, valid_from,
+             lead(valid_from) OVER (PARTITION BY k ORDER BY run_seq)
+               AS valid_to
+      FROM p
+    ),
+    mx AS (
+      SELECT date_diff('microsecond', TIMESTAMP '2024-01-01 00:00:00',
+                       max(ts)) AS mx_us
+      FROM events
+    ),
+    r AS (
+      SELECT key, state,
+             date_diff('microsecond', TIMESTAMP '2024-01-01 00:00:00',
+                       valid_from) AS f_us,
+             coalesce(date_diff('microsecond',
+                                TIMESTAMP '2024-01-01 00:00:00', valid_to),
+                      mx.mx_us + 1) AS t_us
+      FROM runs CROSS JOIN mx
+    ),
+    r2 AS (SELECT * FROM r WHERE t_us > f_us),
+    v AS (
+      SELECT a.key AS key_a, b.key AS key_b, a.state,
+             least(a.t_us, b.t_us) - greatest(a.f_us, b.f_us) AS ov_us
+      FROM r2 a JOIN r2 b ON a.state = b.state AND a.key < b.key
+      WHERE greatest(a.f_us, b.f_us) < least(a.t_us, b.t_us)
+    )
+    SELECT key_a, key_b, state, count(*)::BIGINT AS n_run_pairs,
+           sum(ov_us)::BIGINT AS overlap_us
+    FROM v GROUP BY 1, 2, 3
+    """,
+)
+def _events_interval_copresence(spark: SparkSession, sf: str) -> DataFrame:
+    """Interval co-presence pairs: users in the SAME event-type state over
+    overlapping SCD2 run intervals, with total overlap microseconds — the
+    batch RANGE JOIN done exactly via day-bucket banding (equi-join on
+    (state, day) + strict µs verify), never an inequality join. The oracle
+    states the SEMANTICS directly as the inequality join DuckDB can afford
+    at fixture scale — banding correctness is exactly their hash-equality."""
+    from blink_spark.operators.temporal import interval_copresence
+
+    ev = _t(spark, sf, "events")
+    return interval_copresence(ev, "user_id", "ts", "event_type", "event_id")
+
+
+@_q(
     "events_burst_score",
     """
     WITH us AS (
@@ -9786,7 +9855,7 @@ _DRIVER_ORDER = [
     "ann_nprobe_sweep", "doc_source_length_quartiles", "er_ppjoin_pairs",
     "er_blocking_stoplist", "er_rrf_fusion", "events_gap_histogram",
     "er_reliability_bins", "events_burst_score", "er_modularity",
-    "er_acronym_matches",
+    "er_acronym_matches", "events_interval_copresence",
 ]
 
 

@@ -1175,3 +1175,50 @@ def test_acronym_matches_both_directions(spark):
         (2, 1): ("ibm", "international business machines"),
         (5, 1): ("ibm", "interesting big mouse"),
     }
+
+
+def test_interval_copresence_banding_is_exact(spark):
+    from datetime import datetime
+
+    from blink_spark.operators.temporal import interval_copresence
+
+    # user 1: state A for [10:00, 11:00), then B (open, capped at max ts+1µs)
+    # user 2: state A for [10:30, 12:00), then C
+    # user 3: state A but only [09:00, 09:30) -> no overlap with 1 or 2
+    rows = [
+        (1, datetime(2024, 1, 1, 10, 0), 1, "A"),
+        (2, datetime(2024, 1, 1, 11, 0), 1, "B"),
+        (3, datetime(2024, 1, 1, 10, 30), 2, "A"),
+        (4, datetime(2024, 1, 1, 12, 0), 2, "C"),
+        (5, datetime(2024, 1, 1, 9, 0), 3, "A"),
+        (6, datetime(2024, 1, 1, 9, 30), 3, "D"),
+    ]
+    ev = spark.createDataFrame(rows, "event_id long, ts timestamp, user_id long, event_type string")
+    got = {
+        (r["key_a"], r["key_b"], r["state"]): (r["n_run_pairs"], r["overlap_us"])
+        for r in interval_copresence(ev, "user_id", "ts", "event_type", "event_id").collect()
+    }
+    # users 1 and 2 share state A for [10:30, 11:00) = 30 min
+    assert got == {(1, 2, "A"): (1, 30 * 60 * 1_000_000)}
+
+
+def test_interval_copresence_cross_day_banding(spark):
+    from datetime import datetime
+
+    from blink_spark.operators.temporal import interval_copresence
+
+    # two users in state X across a day boundary: run pair shares TWO day
+    # buckets -> must still count once (distinct before verify)
+    rows = [
+        (1, datetime(2024, 1, 1, 23, 0), 1, "X"),
+        (2, datetime(2024, 1, 2, 2, 0), 1, "Y"),
+        (3, datetime(2024, 1, 1, 22, 0), 2, "X"),
+        (4, datetime(2024, 1, 2, 3, 0), 2, "Z"),
+    ]
+    ev = spark.createDataFrame(rows, "event_id long, ts timestamp, user_id long, event_type string")
+    got = {
+        (r["key_a"], r["key_b"], r["state"]): (r["n_run_pairs"], r["overlap_us"])
+        for r in interval_copresence(ev, "user_id", "ts", "event_type", "event_id").collect()
+    }
+    # overlap of X runs: [23:00, 02:00) = 3h
+    assert got[(1, 2, "X")] == (1, 3 * 3600 * 1_000_000)

@@ -84,6 +84,12 @@ ALLOWLIST: dict[str, frozenset[str]] = {
     # exploded per strategy — the fs_weights pattern); the three pair sets
     # themselves are star pairs / band equi-joins and never cross it.
     "doc_dedup_ensemble": frozenset({"Exchange SinglePartition"}),
+    # events_interval_copresence's open-run cap (max event ts) is a one-row
+    # scalar aggregate broadcast onto the runs table — the bm25-idf pattern;
+    # the co-presence join itself is the (state, day) EQUI-join by design.
+    "events_interval_copresence": frozenset(
+        {"BroadcastNestedLoopJoin", "Exchange SinglePartition"}
+    ),
     # er_modularity combines three one-row scalar aggregates (m, Σd_c²,
     # Σe_internal) — map-side partials over edge/degree tables, one-row
     # finalizes cross-joined into the single readout row (er_ari's class).

@@ -2281,6 +2281,25 @@ def _er_ari(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@_q("er_nmi", None)  # oracle injected below (fixture path)
+def _er_nmi(spark: SparkSession, sf: str) -> DataFrame:
+    """Normalized mutual information (symmetric V-measure, arithmetic-mean
+    normalization) of the S5 linkage clusters vs the gold entity labels —
+    the information-theoretic quality number next to purity (local), ARI
+    (pair-counting), B-cubed (per-record) and modularity (structural).
+    Exact integer micro-nats via the repo's shared floor(ln·1e6)
+    convention; the final ppm ratio is a sign-safe integer division on
+    identical integers in both engines."""
+    from blink_spark.operators.cluster import nmi
+
+    clusters = _er_clusters(spark, sf)
+    labels = _fx(spark, "mentions").select(
+        F.col("mention_id").alias("record_id"),
+        F.col("label_id").alias("label"),
+    )
+    return nmi(clusters, labels)
+
+
 @_q("er_hard_negatives", None)  # oracle injected below (fixture path)
 def _er_hard_negatives(spark: SparkSession, sf: str) -> DataFrame:
     """Hard-negative mining for pair-scorer training — the reference's
@@ -9161,6 +9180,68 @@ def _er_oracles() -> dict[str, str]:
                    AS modularity_milli
           FROM mm CROSS JOIN sdc CROSS JOIN ein
         """,
+        "er_nmi": f"""
+          {scored_cte},
+          edges AS (
+            SELECT record_id_a AS src, record_id_b AS dst FROM j WHERE is_match
+            UNION
+            SELECT record_id_b, record_id_a FROM j WHERE is_match
+          ),
+          nodes AS (SELECT mention_id AS id FROM read_parquet('{men}')),
+          reach AS (
+            SELECT id, id AS r FROM nodes
+            UNION
+            SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src
+          ),
+          cl AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id),
+          lab AS (SELECT mention_id AS id, label_id FROM read_parquet('{men}')),
+          g AS (
+            SELECT cl.cluster_id, lab.label_id, count(*)::BIGINT AS n_cl
+            FROM cl JOIN lab USING (id) GROUP BY 1, 2
+          ),
+          tot AS (
+            SELECT sum(n_cl)::BIGINT AS n_records,
+                   sum(n_cl * floor(ln(n_cl::DOUBLE) * 1000000)::BIGINT)::BIGINT
+                     AS s_ij
+            FROM g
+          ),
+          ca AS (
+            SELECT count(*)::BIGINT AS n_clusters,
+                   sum(n_c * floor(ln(n_c::DOUBLE) * 1000000)::BIGINT)::BIGINT
+                     AS s_c
+            FROM (SELECT sum(n_cl)::BIGINT AS n_c FROM g GROUP BY cluster_id)
+          ),
+          cb AS (
+            SELECT count(*)::BIGINT AS n_labels,
+                   sum(n_l * floor(ln(n_l::DOUBLE) * 1000000)::BIGINT)::BIGINT
+                     AS s_l
+            FROM (SELECT sum(n_cl)::BIGINT AS n_l FROM g GROUP BY label_id)
+          ),
+          x AS (
+            SELECT n_records, n_clusters, n_labels, s_ij, s_c, s_l,
+                   (n_records
+                    * floor(ln(n_records::DOUBLE) * 1000000)::BIGINT)::BIGINT AS b0
+            FROM tot CROSS JOIN ca CROSS JOIN cb
+          ),
+          y AS (
+            SELECT n_records, n_clusters, n_labels,
+                   (b0 + s_ij - s_c - s_l)::BIGINT AS mi_n,
+                   (b0 - s_c)::BIGINT AS hc_n,
+                   (b0 - s_l)::BIGINT AS hk_n
+            FROM x
+          )
+          SELECT n_records, n_clusters, n_labels,
+                 (CASE WHEN mi_n >= 0 THEN mi_n // n_records
+                       ELSE -((-mi_n) // n_records) END)::BIGINT AS mi_micro,
+                 (hc_n // n_records)::BIGINT AS h_clusters_micro,
+                 (hk_n // n_records)::BIGINT AS h_labels_micro,
+                 (CASE WHEN hc_n + hk_n = 0 THEN 0
+                       WHEN 2000000 * mi_n >= 0
+                       THEN (2000000 * mi_n) // (hc_n + hk_n)
+                       ELSE -((-(2000000 * mi_n)) // (hc_n + hk_n))
+                  END)::BIGINT AS nmi_ppm
+          FROM y
+        """,
         "er_reliability_bins": f"""
           WITH m AS (
             SELECT mention_id,
@@ -9856,6 +9937,7 @@ _DRIVER_ORDER = [
     "er_blocking_stoplist", "er_rrf_fusion", "events_gap_histogram",
     "er_reliability_bins", "events_burst_score", "er_modularity",
     "er_acronym_matches", "events_interval_copresence",
+    "er_nmi",
 ]
 
 

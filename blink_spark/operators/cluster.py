@@ -1010,3 +1010,99 @@ def modularity(edges: DataFrame, assignments: DataFrame) -> DataFrame:
             .alias("modularity_milli"),
         )
     )
+
+
+def nmi(assignments: DataFrame, labels: DataFrame) -> DataFrame:
+    """Normalized mutual information of a clustering vs gold class labels
+    (Strehl & Ghosh 2002; the symmetric V-measure with arithmetic-mean
+    normalization) — the information-theoretic quality number next to
+    purity/ARI/B-cubed/modularity: 1e6 ppm = clusters reproduce the gold
+    partition exactly, 0 = independent.
+
+    All entropies are exact integer micro-nats on the repo's shared
+    ``floor(ln(count)·1e6)`` convention (doc_char_entropy / doc_zipf_fit):
+    with lnm(x) = floor(ln(x)·1e6) and n_ij the contingency counts,
+
+        n·MI  = n·lnm(n) + Σ n_ij·lnm(n_ij) − Σ n_c·lnm(n_c) − Σ n_k·lnm(n_k)
+        n·H_C = n·lnm(n) − Σ n_c·lnm(n_c)      (same for H_K)
+        NMI_ppm = 2e6·(n·MI) / (n·H_C + n·H_K)  — sign-safe toward-zero div
+                  (floor noise can push tiny MI a hair negative).
+
+    Overflow bound: the binding term is 2e6·n·lnm(n) < 2^63, i.e.
+    n ≲ 3.5e5 records — plenty for per-domain evaluation sets; the guard
+    raises loudly (the er_ari convention) instead of wrapping where DuckDB
+    would error. At larger n compute the ratio in doubles (inputs stay
+    exact under 2^53).
+
+    ``assignments``: (record_id, cluster_id); ``labels``: (record_id, label).
+    Three partial-agg groupBys feed one-row scalar finalizes (the er_bcubed
+    SinglePartition class).
+
+    Returns one row:
+    (n_records, n_clusters, n_labels, mi_micro, h_clusters_micro,
+     h_labels_micro, nmi_ppm) — the per-record entropies in micro-nats.
+    """
+    lnm = "floor(ln(cast({x} as double)) * 1000000)"
+    g = (
+        assignments.select("record_id", "cluster_id")
+        .join(labels.select("record_id", "label"), "record_id")
+        .groupBy("cluster_id", "label")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_cl"))
+    )
+    tot = g.agg(
+        F.sum("n_cl").cast("long").alias("n_records"),
+        F.sum(F.expr(f"n_cl * {lnm.format(x='n_cl')}")).cast("long").alias("s_ij"),
+    )
+    c = (
+        g.groupBy("cluster_id")
+        .agg(F.sum("n_cl").cast("long").alias("n_c"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_clusters"),
+            F.sum(F.expr(f"n_c * {lnm.format(x='n_c')}")).cast("long").alias("s_c"),
+        )
+    )
+    k = (
+        g.groupBy("label")
+        .agg(F.sum("n_cl").cast("long").alias("n_l"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_labels"),
+            F.sum(F.expr(f"n_l * {lnm.format(x='n_l')}")).cast("long").alias("s_l"),
+        )
+    )
+    base = lnm.format(x="n_records")
+    return (
+        tot.crossJoin(F.broadcast(c))
+        .crossJoin(F.broadcast(k))
+        .withColumn(
+            # overflow precondition (see docstring): the ppm numerator is
+            # bounded by 2e6 * n * lnm(n); fail loudly before the multiply.
+            "b0",
+            F.expr(
+                f"CASE WHEN n_records * {base}"
+                " <= 9223372036854775807 div 2000000"
+                f" THEN n_records * {base} ELSE raise_error("
+                "'nmi: 2e6 * n * ln(n) would overflow BIGINT; "
+                "compute the normalization in doubles at this scale') END"
+            ).cast("long"),
+        )
+        .withColumn("mi_n", F.expr("b0 + s_ij - s_c - s_l").cast("long"))
+        .withColumn("hc_n", F.expr("b0 - s_c").cast("long"))
+        .withColumn("hk_n", F.expr("b0 - s_l").cast("long"))
+        .select(
+            "n_records",
+            "n_clusters",
+            "n_labels",
+            F.expr(
+                "CASE WHEN mi_n >= 0 THEN mi_n div n_records"
+                " ELSE -((-mi_n) div n_records) END"
+            ).cast("long").alias("mi_micro"),
+            F.expr("hc_n div n_records").cast("long").alias("h_clusters_micro"),
+            F.expr("hk_n div n_records").cast("long").alias("h_labels_micro"),
+            F.expr(
+                "CASE WHEN hc_n + hk_n = 0 THEN 0"
+                " WHEN 2000000 * mi_n >= 0"
+                " THEN (2000000 * mi_n) div (hc_n + hk_n)"
+                " ELSE -((-(2000000 * mi_n)) div (hc_n + hk_n)) END"
+            ).cast("long").alias("nmi_ppm"),
+        )
+    )

@@ -1222,3 +1222,33 @@ def test_interval_copresence_cross_day_banding(spark):
     }
     # overlap of X runs: [23:00, 02:00) = 3h
     assert got[(1, 2, "X")] == (1, 3 * 3600 * 1_000_000)
+
+
+def test_nmi_perfect_independent_and_orthogonal(spark):
+    from blink_spark.operators.cluster import nmi
+
+    labels = spark.createDataFrame(
+        [(1, 10), (2, 10), (3, 20), (4, 20)], "record_id int, label int"
+    )
+    # clusters == labels -> mi_n = hc_n = hk_n > 0 -> exactly 1e6 ppm
+    perfect = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 2), (4, 2)], "record_id int, cluster_id int"
+    )
+    row = nmi(perfect, labels).collect()[0]
+    assert (row["n_records"], row["n_clusters"], row["n_labels"]) == (4, 2, 2)
+    assert row["nmi_ppm"] == 1000000
+    assert row["mi_micro"] == row["h_clusters_micro"] > 0
+    # everything in one cluster -> H(C) = 0 and MI = 0 -> 0 ppm
+    one = spark.createDataFrame(
+        [(i, 1) for i in range(1, 5)], "record_id int, cluster_id int"
+    )
+    row = nmi(one, labels).collect()[0]
+    assert row["nmi_ppm"] == 0 and row["h_clusters_micro"] == 0
+    # label-orthogonal split (every contingency cell = 1): MI ~ 0 up to
+    # the floor(ln·1e6) quantization (|noise| <= a few micro-nats)
+    cross = spark.createDataFrame(
+        [(1, 1), (3, 1), (2, 2), (4, 2)], "record_id int, cluster_id int"
+    )
+    row = nmi(cross, labels).collect()[0]
+    assert abs(row["nmi_ppm"]) < 100
+    assert row["h_clusters_micro"] == row["h_labels_micro"] > 0

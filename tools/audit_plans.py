@@ -161,6 +161,12 @@ ALLOWLIST: dict[str, frozenset[str]] = {
     "doc_ccnet_buckets": frozenset(
         {"BroadcastNestedLoopJoin", "Exchange SinglePartition"}
     ),
+    # er_nmi: three one-row scalar finalizes (n/Σn_ij·ln, Σn_c·ln, Σn_l·ln)
+    # over map-side partial aggs of the contingency table, cross-joined as
+    # one-row broadcasts — the er_ari scalar-aggregate class.
+    "er_nmi": frozenset(
+        {"BroadcastNestedLoopJoin", "Exchange SinglePartition"}
+    ),
     # er_ari: three one-row scalar finalizes (n/index, a_pairs, b_pairs)
     # over map-side partial aggs, cross-joined as one-row broadcasts — the
     # er_bcubed scalar-aggregate class; nothing record-scale crosses.

@@ -6056,6 +6056,56 @@ def _events_anomaly_mad(spark: SparkSession, sf: str) -> DataFrame:
     return anomaly_mad(_t(spark, sf, "events"))
 
 
+@_q(
+    "events_cusum",
+    """
+    WITH daily AS (
+      SELECT event_type,
+             date_diff('day', DATE '2024-01-01', ts::DATE)::BIGINT AS day,
+             count(*)::BIGINT AS n_events
+      FROM events GROUP BY 1, 2
+    ),
+    stats AS (
+      SELECT event_type,
+             ((1000 * sum(n_events)) // count(*))::BIGINT AS mean_milli
+      FROM daily GROUP BY 1
+    ),
+    dev AS (
+      SELECT d.event_type, d.day, d.n_events, s.mean_milli,
+             (1000 * d.n_events - s.mean_milli
+              - (s.mean_milli * 25) // 100)::BIGINT AS dv
+      FROM daily d JOIN stats s USING (event_type)
+    ),
+    run AS (
+      SELECT event_type, day, n_events, mean_milli,
+             sum(dv) OVER (PARTITION BY event_type ORDER BY day
+                           ROWS UNBOUNDED PRECEDING)::BIGINT AS r
+      FROM dev
+    ),
+    clamp AS (
+      SELECT event_type, day, n_events, mean_milli, r,
+             least(0, min(r) OVER (PARTITION BY event_type ORDER BY day
+                                   ROWS UNBOUNDED PRECEDING))::BIGINT AS m
+      FROM run
+    )
+    SELECT event_type, day, n_events, mean_milli,
+           (r - m)::BIGINT AS cusum_milli,
+           (r - m) > 3 * mean_milli AS is_drift
+    FROM clamp
+    """,
+)
+def _events_cusum(spark: SparkSession, sf: str) -> DataFrame:
+    """Page's one-sided CUSUM drift statistic on daily event volume per
+    type — the sequential change-point companion of events_anomaly_mad's
+    pointwise flags (a sustained shift accumulates; a single spike decays).
+    The clamped recursion max(0, S+d) is relationalized as
+    R − min(0, running-min R): two keyed cumulative windows over the
+    (types × days)-bounded daily table, exact integer milli-units."""
+    from blink_spark.operators.temporal import cusum_drift
+
+    return cusum_drift(_t(spark, sf, "events"))
+
+
 @_q("er_orc_mention_scan", None)  # oracle injected below (fixture path)
 def _er_orc_mention_scan(spark: SparkSession, sf: str) -> DataFrame:
     """ORC source roundtrip — the mention table written as a
@@ -9937,7 +9987,7 @@ _DRIVER_ORDER = [
     "er_blocking_stoplist", "er_rrf_fusion", "events_gap_histogram",
     "er_reliability_bins", "events_burst_score", "er_modularity",
     "er_acronym_matches", "events_interval_copresence",
-    "er_nmi",
+    "er_nmi", "events_cusum",
 ]
 
 

@@ -629,3 +629,74 @@ def interval_copresence(
         F.count(F.lit(1)).cast("long").alias("n_run_pairs"),
         F.sum("ov_us").cast("long").alias("overlap_us"),
     )
+
+
+def cusum_drift(
+    events: DataFrame,
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    epoch: str = "2024-01-01",
+    slack_pct: int = 25,
+    h_mult: int = 3,
+) -> DataFrame:
+    """One-sided (upward) CUSUM drift detection on daily event volume per
+    type (Page 1954) — the sequential change-point detector next to the
+    pointwise median/MAD flags: a SUSTAINED shift above the mean
+    accumulates until the statistic crosses the decision band, catching
+    slow drifts no single-day outlier test sees.
+
+        S_t = max(0, S_{t-1} + (x_t − mean − slack))
+
+    The clamped recursion is relationalized via the prefix-sum identity
+    S_t = R_t − min(0, min_{j≤t} R_j) with R the running sum of the
+    deviations — two cumulative windows keyed by event_type, so the raw
+    stream collapses to the (types × days)-bounded daily table in one
+    keyed partial agg and NOTHING unpartitioned or recursive runs after
+    it (the per-type day series lives inside its own hash partition).
+
+    All arithmetic is exact integer milli-units: mean_milli is a floor
+    division of positive counts, the slack allowance is ``slack_pct``% of
+    the mean (k = 0.25·μ is the classic half-shift-of-half-a-sigma-ish
+    default when no sigma is trusted), and the decision band is
+    ``h_mult``·mean_milli. Day = integer days since ``epoch``
+    (retention_cohorts' convention).
+
+    Returns (event_type, day, n_events, mean_milli, cusum_milli,
+    is_drift), one row per observed type-day.
+    """
+    day = F.expr(f"cast(datediff(to_date({ts_col}), date'{epoch}') as bigint)")
+    daily = (
+        events.select(F.col(type_col).alias("event_type"), day.alias("day"))
+        .groupBy("event_type", "day")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+    )
+    stats = daily.groupBy("event_type").agg(
+        F.expr("(1000 * sum(n_events)) div count(*)").cast("long").alias(
+            "mean_milli"
+        )
+    )
+    dev = daily.join(stats, "event_type").withColumn(
+        "d",
+        F.expr(
+            f"1000 * n_events - mean_milli - (mean_milli * {int(slack_pct)})"
+            " div 100"
+        ).cast("long"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    run = dev.withColumn("r", F.sum("d").over(w).cast("long")).withColumn(
+        "m", F.least(F.lit(0).cast("long"), F.min("r").over(w)).cast("long")
+    )
+    return run.select(
+        "event_type",
+        "day",
+        "n_events",
+        "mean_milli",
+        (F.col("r") - F.col("m")).cast("long").alias("cusum_milli"),
+        (
+            F.col("r") - F.col("m") > F.lit(int(h_mult)) * F.col("mean_milli")
+        ).alias("is_drift"),
+    )

@@ -1252,3 +1252,52 @@ def test_nmi_perfect_independent_and_orthogonal(spark):
     row = nmi(cross, labels).collect()[0]
     assert abs(row["nmi_ppm"]) < 100
     assert row["h_clusters_micro"] == row["h_labels_micro"] > 0
+
+
+def test_cusum_drift_hand_computed(spark):
+    from datetime import datetime
+
+    from blink_spark.operators.temporal import cusum_drift
+
+    # one event per row: day 0..5 counts = 10, 10, 10, 20, 20, 20
+    rows = []
+    counts = [10, 10, 10, 20, 20, 20]
+    for day, n in enumerate(counts):
+        rows.extend(
+            [("A", datetime(2024, 1, 1 + day, 12, 0, 0))] * n
+        )
+    events = spark.createDataFrame(rows, "event_type string, ts timestamp")
+    got = {
+        r["day"]: (r["mean_milli"], r["cusum_milli"], r["is_drift"])
+        for r in cusum_drift(events).collect()
+    }
+    # mean = 15 -> mean_milli = 15000, slack = 3750
+    # d(10) = 10000-15000-3750 = -8750 ; d(20) = 20000-15000-3750 = 1250
+    # S: 0,0,0 then 1250, 2500, 3750 (clamped at 0 through the low days)
+    assert got[0] == (15000, 0, False)
+    assert got[2] == (15000, 0, False)
+    assert got[3] == (15000, 1250, False)
+    assert got[5] == (15000, 3750, False)
+    # same series with a sustained 4x shift -> statistic crosses 3*mean
+    rows2 = []
+    for day, n in enumerate([10, 10, 10, 60, 60, 60]):
+        rows2.extend([("A", datetime(2024, 1, 1 + day, 12, 0, 0))] * n)
+    ev2 = spark.createDataFrame(rows2, "event_type string, ts timestamp")
+    got2 = {r["day"]: r for r in cusum_drift(ev2).collect()}
+    # mean = 35 -> slack 8750; d(60) = 60000-35000-8750 = 16250
+    # S(day5) = 48750 vs band 3*35000: day 5 not yet; check monotone rise
+    assert got2[3]["cusum_milli"] == 16250
+    assert got2[4]["cusum_milli"] == 32500
+    assert got2[5]["cusum_milli"] == 48750
+    # decision band: 3*mean_milli = 105000 -> no flag yet. A long stable
+    # baseline + late sustained shift DOES cross: mean_milli = 24285,
+    # slack 6071, d(60) = +29644/day -> crosses 3*mean = 72857 on the
+    # shift's third day (day 12), not at its onset
+    rows3 = []
+    for day, n in enumerate([10] * 10 + [60] * 4):
+        rows3.extend([("A", datetime(2024, 1, 1 + day, 12, 0, 0))] * n)
+    ev3 = spark.createDataFrame(rows3, "event_type string, ts timestamp")
+    flagged = sorted(
+        r["day"] for r in cusum_drift(ev3).collect() if r["is_drift"]
+    )
+    assert flagged == [12, 13]  # fires only after accumulation

@@ -4424,6 +4424,50 @@ def _er_reliability_bins(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@_q("er_otsu_threshold", None)  # oracle injected below (fixture path)
+def _er_otsu_threshold(spark: SparkSession, sf: str) -> DataFrame:
+    """Unsupervised match-threshold pick by Otsu's between-class-variance
+    maximization over the pair-score histogram — the label-free companion
+    of er_pr_curve (labeled sweep) and er_reliability_bins (calibration):
+    the chosen cut sits in the valley of the bimodal match/non-match score
+    distribution. Scores are floor(jaccard·1000) on the identically-rounded
+    doubles; all variance arithmetic is exact BIGINT on the ≤1001-row
+    histogram."""
+    from blink_spark.operators.eval import otsu_threshold
+    from blink_spark.operators.scoring import score_pairs
+
+    m = _fx(spark, "mentions").select("mention_id", "mention")
+    attrs = (
+        _fx(spark, "gold_pairs")
+        .select(
+            F.col("mention_id_a").alias("record_id_a"),
+            F.col("mention_id_b").alias("record_id_b"),
+        )
+        .join(
+            m.select(
+                F.col("mention_id").alias("record_id_a"),
+                F.col("mention").alias("mention_a"),
+            ),
+            "record_id_a",
+        )
+        .join(
+            m.select(
+                F.col("mention_id").alias("record_id_b"),
+                F.col("mention").alias("mention_b"),
+            ),
+            "record_id_b",
+        )
+    )
+    scored = score_pairs(attrs, text_a="mention_a", text_b="mention_b")
+    return otsu_threshold(
+        scored.select(
+            F.floor(F.col("jaccard") * F.lit(1000.0))
+            .cast("long")
+            .alias("score_milli")
+        )
+    )
+
+
 @_q("er_tf_adjustment", None)  # oracle injected below (fixture path)
 def _er_tf_adjustment(spark: SparkSession, sf: str) -> DataFrame:
     """Splink-style term-frequency adjustment on the gold pairs: pairs
@@ -9292,6 +9336,48 @@ def _er_oracles() -> dict[str, str]:
                   END)::BIGINT AS nmi_ppm
           FROM y
         """,
+        "er_otsu_threshold": f"""
+          {scored_cte},
+          s AS (SELECT floor(jaccard * 1000)::BIGINT AS v FROM j),
+          hist AS (
+            SELECT v, count(*)::BIGINT AS cnt, sum(v)::BIGINT AS sm
+            FROM s GROUP BY 1
+          ),
+          tot AS (
+            SELECT sum(cnt)::BIGINT AS n_total, sum(sm)::BIGINT AS s_total
+            FROM hist
+          ),
+          cum AS (
+            SELECT v,
+                   coalesce(sum(cnt) OVER (ORDER BY v
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                     0)::BIGINT AS w0,
+                   coalesce(sum(sm) OVER (ORDER BY v
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                     0)::BIGINT AS s0
+            FROM hist
+          ),
+          x AS (
+            SELECT v, w0, s0,
+                   (n_total - w0)::BIGINT AS w1, (s_total - s0)::BIGINT AS s1
+            FROM cum CROSS JOIN tot WHERE w0 > 0
+          ),
+          y AS (
+            SELECT v, w0, w1,
+                   (s0 // w0)::BIGINT AS mu0, (s1 // w1)::BIGINT AS mu1
+            FROM x
+          ),
+          z AS (
+            SELECT v, w0, w1, mu0, mu1,
+                   (w0 * w1 * (mu0 - mu1) * (mu0 - mu1))::BIGINT AS between_var
+            FROM y
+          )
+          SELECT v AS threshold_milli, w0, w1,
+                 mu0 AS mu0_milli, mu1 AS mu1_milli, between_var,
+                 (row_number() OVER (ORDER BY between_var DESC, v ASC) = 1)
+                   AS is_best
+          FROM z
+        """,
         "er_reliability_bins": f"""
           WITH m AS (
             SELECT mention_id,
@@ -9987,7 +10073,7 @@ _DRIVER_ORDER = [
     "er_blocking_stoplist", "er_rrf_fusion", "events_gap_histogram",
     "er_reliability_bins", "events_burst_score", "er_modularity",
     "er_acronym_matches", "events_interval_copresence",
-    "er_nmi", "events_cusum",
+    "er_nmi", "events_cusum", "er_otsu_threshold",
 ]
 
 

@@ -478,3 +478,72 @@ def cluster_purity(
             .alias("gini_ppm"),
         )
     )
+
+
+def otsu_threshold(scores: DataFrame, score_col: str = "score_milli") -> DataFrame:
+    """Unsupervised match-threshold selection by Otsu's method (Otsu 1979,
+    transplanted from image binarization to the pair-score histogram): pick
+    the cut maximizing the between-class variance of the scores below vs at-
+    or-above it — the natural valley of a bimodal match/non-match score
+    distribution, needing NO gold labels (the unsupervised counterpart of
+    er_pr_curve's labeled sweep and er_reliability_bins' calibration).
+
+    Every candidate threshold is an observed distinct score value; between-
+    class variance is computed on exact integers: class means are floor
+    divisions of milli sums, between = w0·w1·(μ0−μ1)² — monotone-equivalent
+    to the textbook ω0ω1(μ0−μ1)² (the shared 1/n² factor is dropped). Fits
+    BIGINT to ~6e6 pairs (n²·(Δμ_milli)² < 2^63); beyond that, bin scores
+    first (floor(s/10)) — candidate count, not pair count, is what the
+    final ordering touches.
+
+    Scale shape: one keyed partial agg collapses the pair-scale input to
+    ≤1001 per-value rows (milli scores); the cumulative windows and the
+    argmax ordering run on that bounded histogram only — the
+    er_rank_histogram class of benign unpartitioned window.
+
+    Input: one row per scored pair with an integer ``score_col`` (milli
+    units, 0..1000). Returns one row per viable threshold (both classes
+    non-empty): (threshold_milli, w0, w1, mu0_milli, mu1_milli,
+    between_var, is_best) with is_best = argmax, ties to the smallest
+    threshold.
+    """
+    hist = (
+        scores.select(F.col(score_col).cast("long").alias("v"))
+        .groupBy("v")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("cnt"),
+            F.sum("v").cast("long").alias("sm"),
+        )
+    )
+    wv = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    tot = hist.agg(
+        F.sum("cnt").cast("long").alias("n_total"),
+        F.sum("sm").cast("long").alias("s_total"),
+    )
+    cum = (
+        hist.withColumn("w0", F.coalesce(F.sum("cnt").over(wv), F.lit(0)).cast("long"))
+        .withColumn("s0", F.coalesce(F.sum("sm").over(wv), F.lit(0)).cast("long"))
+        .filter(F.col("w0") > 0)
+        .crossJoin(F.broadcast(tot))
+        .withColumn("w1", F.expr("n_total - w0").cast("long"))
+        .withColumn("s1", F.expr("s_total - s0").cast("long"))
+        .withColumn("mu0", F.expr("s0 div w0").cast("long"))
+        .withColumn("mu1", F.expr("s1 div w1").cast("long"))
+        .withColumn(
+            "between_var",
+            F.expr("w0 * w1 * (mu0 - mu1) * (mu0 - mu1)").cast("long"),
+        )
+    )
+    wbest = Window.orderBy(F.col("between_var").desc(), F.col("v").asc())
+    return (
+        cum.withColumn("rk", F.row_number().over(wbest))
+        .select(
+            F.col("v").alias("threshold_milli"),
+            "w0",
+            "w1",
+            F.col("mu0").alias("mu0_milli"),
+            F.col("mu1").alias("mu1_milli"),
+            "between_var",
+            (F.col("rk") == 1).alias("is_best"),
+        )
+    )

@@ -1301,3 +1301,27 @@ def test_cusum_drift_hand_computed(spark):
         r["day"] for r in cusum_drift(ev3).collect() if r["is_drift"]
     )
     assert flagged == [12, 13]  # fires only after accumulation
+
+
+def test_otsu_threshold_bimodal_argmax(spark):
+    from blink_spark.operators.eval import otsu_threshold
+
+    # clean bimodal: the single viable cut separates the modes exactly
+    df = spark.createDataFrame(
+        [(0,)] * 5 + [(1000,)] * 5, "score_milli int"
+    )
+    rows = otsu_threshold(df).collect()
+    assert len(rows) == 1  # t=0 has empty low class -> excluded
+    r = rows[0]
+    assert (r["threshold_milli"], r["w0"], r["w1"]) == (1000, 5, 5)
+    assert (r["mu0_milli"], r["mu1_milli"]) == (0, 1000)
+    assert r["between_var"] == 25 * 1000 * 1000 and r["is_best"]
+    # trimodal: hand-computed variances pick t=900 over t=500
+    # t=500: 4*6*(100-766)^2 = 10,645,344 ; t=900: 6*4*(233-900)^2 = 10,677,336
+    df2 = spark.createDataFrame(
+        [(100,)] * 4 + [(500,)] * 2 + [(900,)] * 4, "score_milli int"
+    )
+    got = {r["threshold_milli"]: r for r in otsu_threshold(df2).collect()}
+    assert set(got) == {500, 900}
+    assert got[500]["between_var"] == 10645344 and not got[500]["is_best"]
+    assert got[900]["between_var"] == 10677336 and got[900]["is_best"]

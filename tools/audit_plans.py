@@ -161,6 +161,18 @@ ALLOWLIST: dict[str, frozenset[str]] = {
     "doc_ccnet_buckets": frozenset(
         {"BroadcastNestedLoopJoin", "Exchange SinglePartition"}
     ),
+    # er_otsu_threshold: the rank-histogram pattern — the unpartitioned
+    # cumulative/argmax windows and the one-row totals broadcast run over
+    # the <= 1001-row per-milli-value score histogram, AFTER the keyed
+    # partial agg collapsed the pair-scale input; nothing pair-scale
+    # crosses these nodes.
+    "er_otsu_threshold": frozenset(
+        {
+            "BroadcastNestedLoopJoin",
+            "Exchange SinglePartition",
+            "Exchange SinglePartition (non-finalize)",
+        }
+    ),
     # er_nmi: three one-row scalar finalizes (n/Σn_ij·ln, Σn_c·ln, Σn_l·ln)
     # over map-side partial aggs of the contingency table, cross-joined as
     # one-row broadcasts — the er_ari scalar-aggregate class.

@@ -3005,6 +3005,102 @@ def _ann_nprobe_sweep(spark: SparkSession, sf: str) -> DataFrame:
     return out
 
 
+@_q(
+    "embedding_matryoshka_recall",
+    """
+    WITH q0 AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> floor(x::DOUBLE * 1000000)::BIGINT) AS qv
+      FROM embeddings
+      WHERE len(embedding) = 64
+    ),
+    e AS (SELECT vec_id, generate_subscripts(qv, 1) AS dimpos, unnest(qv) AS v
+          FROM q0),
+    dims AS (SELECT unnest([8, 16, 32]) AS dim),
+    ap AS (
+      SELECT d.dim, a.vec_id AS query_id, b.vec_id AS item_id,
+             sum((a.v - b.v) * (a.v - b.v))::BIGINT AS d2
+      FROM dims d
+      JOIN e a ON a.dimpos <= d.dim AND a.vec_id < 64
+      JOIN e b ON b.dimpos = a.dimpos AND b.vec_id <> a.vec_id
+      GROUP BY 1, 2, 3
+    ),
+    ap_top AS (
+      SELECT dim, query_id, item_id FROM (
+        SELECT dim, query_id, item_id,
+               row_number() OVER (PARTITION BY dim, query_id
+                                  ORDER BY d2 ASC, item_id ASC) AS rank
+        FROM ap
+      ) WHERE rank <= 10
+    ),
+    ex AS (
+      SELECT a.vec_id AS query_id, b.vec_id AS item_id,
+             sum((a.v - b.v) * (a.v - b.v))::BIGINT AS d2
+      FROM (SELECT * FROM e WHERE vec_id < 64) a
+      JOIN e b ON a.dimpos = b.dimpos AND b.vec_id <> a.vec_id
+      GROUP BY 1, 2
+    ),
+    ex_top AS (
+      SELECT query_id, item_id FROM (
+        SELECT query_id, item_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY d2 ASC, item_id ASC) AS rank
+        FROM ex
+      ) WHERE rank <= 10
+    )
+    SELECT d.dim::BIGINT AS dim, count(*)::BIGINT AS n_exact,
+           sum(CASE WHEN a.item_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+             AS n_found,
+           round(avg(CASE WHEN a.item_id IS NOT NULL THEN 1.0 ELSE 0.0 END), 6)
+             AS recall
+    FROM dims d
+    CROSS JOIN ex_top x
+    LEFT JOIN ap_top a
+      ON a.dim = d.dim AND a.query_id = x.query_id AND a.item_id = x.item_id
+    GROUP BY 1
+    """,
+)
+def _embedding_matryoshka_recall(spark: SparkSession, sf: str) -> DataFrame:
+    """Matryoshka-style dimension-truncation sweep (Kusupati et al. 2022):
+    exact integer-L2 top-10 recall of the FIRST d ∈ {8, 16, 32} embedding
+    dimensions against the full 64-dim exact baseline — the
+    memory/recall trade-off curve next to the quantization (int8/PQ) and
+    pruning (LSH/IVF) axes of the ANN family. Recall must rise with d;
+    the exact side is computed once (localCheckpoint) and reused by all
+    three cuts."""
+    from blink_spark.functions.hashing import int_l2, quantize_emb
+    from blink_spark.operators.ann import ann_recall_vs_exact, brute_force_topk
+
+    scorer = lambda a, b: -int_l2(a, b)  # noqa: E731
+    eq = (
+        _t(spark, sf, "embeddings")
+        .select("vec_id", quantize_emb("embedding").alias("qv"))
+        .filter(F.size("qv") == 64)
+    )
+    qq = eq.filter(F.col("vec_id") < 64).select(
+        F.col("vec_id").alias("qid"), F.col("qv").alias("qqv")
+    )
+    exact = brute_force_topk(
+        qq, eq, k=10, query_id="qid", query_emb="qqv",
+        item_id="vec_id", item_emb="qv", scorer=scorer,
+    ).localCheckpoint()
+    out = None
+    for d in (8, 16, 32):
+        ed = eq.select("vec_id", F.slice("qv", 1, d).alias("cv"))
+        qd = ed.filter(F.col("vec_id") < 64).select(
+            F.col("vec_id").alias("qid"), F.col("cv").alias("qcv")
+        )
+        approx = brute_force_topk(
+            qd, ed, k=10, query_id="qid", query_emb="qcv",
+            item_id="vec_id", item_emb="cv", scorer=scorer,
+        )
+        r = ann_recall_vs_exact(approx, exact).select(
+            F.lit(d).cast("long").alias("dim"), "*"
+        )
+        out = r if out is None else out.unionByName(r)
+    return out
+
+
 @_q("er_span_scores", None)  # oracle injected below (fixture path)
 def _er_span_scores(spark: SparkSession, sf: str) -> DataFrame:
     """Span score head with the prefix-sum trick
@@ -10074,6 +10170,7 @@ _DRIVER_ORDER = [
     "er_reliability_bins", "events_burst_score", "er_modularity",
     "er_acronym_matches", "events_interval_copresence",
     "er_nmi", "events_cusum", "er_otsu_threshold",
+    "embedding_matryoshka_recall",
 ]
 
 

@@ -1325,3 +1325,19 @@ def test_otsu_threshold_bimodal_argmax(spark):
     assert set(got) == {500, 900}
     assert got[500]["between_var"] == 10645344 and not got[500]["is_best"]
     assert got[900]["between_var"] == 10677336 and got[900]["is_best"]
+
+
+def test_matryoshka_recall_monotone_in_dim(spark):
+    import __spark_entry__ as entry
+
+    q = entry._QUERIES["embedding_matryoshka_recall"]
+    rows = {r["dim"]: r for r in q(spark, "/root/testdata/sf0.001").collect()}
+    assert set(rows) == {8, 16, 32}
+    n_exact = {r["n_exact"] for r in rows.values()}
+    assert len(n_exact) == 1 and n_exact.pop() > 0  # shared exact baseline
+    # truncation loses information: recall non-decreasing in kept dims,
+    # and the longest prefix must beat the shortest (the curve is real)
+    assert rows[8]["recall"] <= rows[16]["recall"] <= rows[32]["recall"]
+    assert rows[32]["recall"] > rows[8]["recall"]
+    for r in rows.values():
+        assert 0.0 <= r["recall"] <= 1.0 and r["n_found"] <= r["n_exact"]

@@ -239,6 +239,13 @@ ALLOWLIST: dict[str, frozenset[str]] = {
     "ann_pq_recall": frozenset(
         {"BroadcastNestedLoopJoin", "Exchange SinglePartition"}
     ),
+    # embedding_matryoshka_recall: BOTH sides are exact-by-contract brute
+    # force (the point measured is prefix-dimension fidelity, not pruning)
+    # — the ann_int8_recall disposition; recall lines are one-row
+    # finalizes. The memory win composes with IVF/LSH pruning at scale.
+    "embedding_matryoshka_recall": frozenset(
+        {"BroadcastNestedLoopJoin", "Exchange SinglePartition"}
+    ),
     # ann_int8_recall: BOTH sides are exact-by-contract brute force (the
     # point measured is the int8 codes' distance fidelity, not pruning), so
     # the BNLJ is the documented baseline shape twice; the recall line is a

@@ -4520,6 +4520,43 @@ def _er_reliability_bins(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@_q("er_labelfn_votes", None)  # oracle injected below (fixture path)
+def _er_labelfn_votes(spark: SparkSession, sf: str) -> DataFrame:
+    """Snorkel-style weak-supervision labeling: four independent label
+    functions (exact-form, jaccard band, levenshtein band, length blocker)
+    vote +1/−1/0 on every gold candidate pair; the per-pair vote profile +
+    majority label + agreement ratio is the programmatic training-label
+    table a pair scorer trains on when no gold labels exist. All LF
+    boundaries ride the boundary-exact rounded features both engines
+    share."""
+    from blink_spark.operators.scoring import label_function_votes, score_pairs
+
+    m = _fx(spark, "mentions").select("mention_id", "mention")
+    attrs = (
+        _fx(spark, "gold_pairs")
+        .select(
+            F.col("mention_id_a").alias("record_id_a"),
+            F.col("mention_id_b").alias("record_id_b"),
+        )
+        .join(
+            m.select(
+                F.col("mention_id").alias("record_id_a"),
+                F.col("mention").alias("mention_a"),
+            ),
+            "record_id_a",
+        )
+        .join(
+            m.select(
+                F.col("mention_id").alias("record_id_b"),
+                F.col("mention").alias("mention_b"),
+            ),
+            "record_id_b",
+        )
+    )
+    scored = score_pairs(attrs, text_a="mention_a", text_b="mention_b")
+    return label_function_votes(scored)
+
+
 @_q("er_otsu_threshold", None)  # oracle injected below (fixture path)
 def _er_otsu_threshold(spark: SparkSession, sf: str) -> DataFrame:
     """Unsupervised match-threshold pick by Otsu's between-class-variance
@@ -9432,6 +9469,44 @@ def _er_oracles() -> dict[str, str]:
                   END)::BIGINT AS nmi_ppm
           FROM y
         """,
+        "er_labelfn_votes": f"""
+          {scored_cte},
+          v AS (
+            SELECT record_id_a, record_id_b,
+                   (CASE WHEN norm_eq THEN 1 ELSE 0 END)::BIGINT AS lf_exact,
+                   (CASE WHEN jaccard >= 0.65 THEN 1
+                         WHEN jaccard <= 0.20 THEN -1
+                         ELSE 0 END)::BIGINT AS lf_jaccard,
+                   (CASE WHEN lev_ratio >= 0.93 THEN 1
+                         WHEN lev_ratio <= 0.50 THEN -1
+                         ELSE 0 END)::BIGINT AS lf_lev,
+                   (CASE WHEN abs(length(mention_a) - length(mention_b)) > 10
+                         THEN -1 ELSE 0 END)::BIGINT AS lf_len
+            FROM j
+          ),
+          w AS (
+            SELECT *,
+                   ((CASE WHEN lf_exact = 1 THEN 1 ELSE 0 END)
+                    + (CASE WHEN lf_jaccard = 1 THEN 1 ELSE 0 END)
+                    + (CASE WHEN lf_lev = 1 THEN 1 ELSE 0 END)
+                    + (CASE WHEN lf_len = 1 THEN 1 ELSE 0 END))::BIGINT AS n_pos,
+                   ((CASE WHEN lf_exact = -1 THEN 1 ELSE 0 END)
+                    + (CASE WHEN lf_jaccard = -1 THEN 1 ELSE 0 END)
+                    + (CASE WHEN lf_lev = -1 THEN 1 ELSE 0 END)
+                    + (CASE WHEN lf_len = -1 THEN 1 ELSE 0 END))::BIGINT AS n_neg,
+                   (lf_exact + lf_jaccard + lf_lev + lf_len)::BIGINT AS vote_sum
+            FROM v
+          )
+          SELECT record_id_a, record_id_b, lf_exact, lf_jaccard, lf_lev,
+                 lf_len, n_pos, n_neg, vote_sum,
+                 CASE WHEN vote_sum > 0 THEN 'match'
+                      WHEN vote_sum < 0 THEN 'non_match'
+                      ELSE 'abstain' END AS majority_label,
+                 (CASE WHEN n_pos + n_neg = 0 THEN 0
+                       ELSE (1000000 * greatest(n_pos, n_neg))
+                            // (n_pos + n_neg) END)::BIGINT AS agreement_ppm
+          FROM w
+        """,
         "er_otsu_threshold": f"""
           {scored_cte},
           s AS (SELECT floor(jaccard * 1000)::BIGINT AS v FROM j),
@@ -10170,7 +10245,7 @@ _DRIVER_ORDER = [
     "er_reliability_bins", "events_burst_score", "er_modularity",
     "er_acronym_matches", "events_interval_copresence",
     "er_nmi", "events_cusum", "er_otsu_threshold",
-    "embedding_matryoshka_recall",
+    "embedding_matryoshka_recall", "er_labelfn_votes",
 ]
 
 

@@ -1037,3 +1037,97 @@ def acronym_matches(
             "expansion"
         ),
     )
+
+
+def label_function_votes(
+    scored: DataFrame,
+    text_a: str = "mention_a",
+    text_b: str = "mention_b",
+) -> DataFrame:
+    """Snorkel-style weak-supervision label model, majority-vote stage
+    (Ratner et al. 2017): four independent labeling functions vote
+    +1 (match) / −1 (non-match) / 0 (abstain) on every candidate pair, and
+    the per-pair vote profile becomes a training label WITHOUT gold data —
+    the programmatic-labeling front end whose output trains the pair
+    scorer the er_hard_negatives / er_reliability_bins family evaluates.
+
+    The four LFs read the features ``score_pairs`` already computed (all
+    boundary-exact across engines — equality on normalized text, 6dp-
+    rounded jaccard / lev_ratio comparisons, integer lengths):
+
+      lf_exact    +1 when the normalized forms are equal, else abstains
+      lf_jaccard  +1 at ≥ 0.65 (the match-rule bar), −1 at ≤ 0.20
+      lf_lev      +1 at ≥ 0.93 (the match-rule bar), −1 at ≤ 0.50
+      lf_len      −1 when normalized lengths differ by > 10 (a cheap
+                  blocker-style negative signal), else abstains
+
+    Pure column arithmetic over the scored pair table — no shuffle beyond
+    what produced the pairs, no Python. Returns one row per pair:
+    (record_id_a, record_id_b, lf_exact, lf_jaccard, lf_lev, lf_len,
+    n_pos, n_neg, vote_sum, majority_label, agreement_ppm) with
+    majority_label ∈ match/non_match/abstain by the sign of vote_sum and
+    agreement_ppm = 1e6·max(n_pos, n_neg)/(n_pos+n_neg) over the
+    non-abstaining LFs (0 when all four abstain).
+    """
+    la = F.length(normalize_text(text_a))
+    lb = F.length(normalize_text(text_b))
+    out = (
+        scored.withColumn(
+            "lf_exact", F.when(F.col("norm_eq"), 1).otherwise(0).cast("long")
+        )
+        .withColumn(
+            "lf_jaccard",
+            F.when(F.col("jaccard") >= 0.65, 1)
+            .when(F.col("jaccard") <= 0.20, -1)
+            .otherwise(0)
+            .cast("long"),
+        )
+        .withColumn(
+            "lf_lev",
+            F.when(F.col("lev_ratio") >= 0.93, 1)
+            .when(F.col("lev_ratio") <= 0.50, -1)
+            .otherwise(0)
+            .cast("long"),
+        )
+        .withColumn(
+            "lf_len",
+            F.when(F.abs(la - lb) > 10, -1).otherwise(0).cast("long"),
+        )
+        .withColumn(
+            "n_pos",
+            sum(
+                F.when(F.col(c) == 1, 1).otherwise(0)
+                for c in ("lf_exact", "lf_jaccard", "lf_lev", "lf_len")
+            ).cast("long"),
+        )
+        .withColumn(
+            "n_neg",
+            sum(
+                F.when(F.col(c) == -1, 1).otherwise(0)
+                for c in ("lf_exact", "lf_jaccard", "lf_lev", "lf_len")
+            ).cast("long"),
+        )
+        .withColumn(
+            "vote_sum",
+            F.expr("lf_exact + lf_jaccard + lf_lev + lf_len").cast("long"),
+        )
+    )
+    return out.select(
+        "record_id_a",
+        "record_id_b",
+        "lf_exact",
+        "lf_jaccard",
+        "lf_lev",
+        "lf_len",
+        "n_pos",
+        "n_neg",
+        "vote_sum",
+        F.when(F.col("vote_sum") > 0, F.lit("match"))
+        .when(F.col("vote_sum") < 0, F.lit("non_match"))
+        .otherwise(F.lit("abstain"))
+        .alias("majority_label"),
+        F.expr(
+            "CASE WHEN n_pos + n_neg = 0 THEN 0"
+            " ELSE (1000000 * greatest(n_pos, n_neg)) div (n_pos + n_neg) END"
+        ).cast("long").alias("agreement_ppm"),
+    )

@@ -1341,3 +1341,40 @@ def test_matryoshka_recall_monotone_in_dim(spark):
     assert rows[32]["recall"] > rows[8]["recall"]
     for r in rows.values():
         assert 0.0 <= r["recall"] <= 1.0 and r["n_found"] <= r["n_exact"]
+
+
+def test_label_function_votes_hand_computed(spark):
+    from blink_spark.operators.scoring import label_function_votes, score_pairs
+
+    pairs = spark.createDataFrame(
+        [
+            # exact match: lf_exact +1, jaccard 1.0 +1, lev 1.0 +1 -> match
+            ("a", "b", "acme corp", "acme corp"),
+            # disjoint tokens, similar length: jaccard 0 -> -1, lev low -> -1
+            ("c", "d", "acme corp", "zulu gmbh"),
+            # mid-ground: jaccard 0.333 abstains, lev ~0.57 abstains
+            ("e", "f", "acme corp", "acme corporation"),
+            # long-vs-short: length blocker fires alongside the neg bands
+            ("g", "h", "ab", "a very much longer company name"),
+        ],
+        "record_id_a string, record_id_b string, mention_a string, mention_b string",
+    )
+    scored = score_pairs(pairs, text_a="mention_a", text_b="mention_b")
+    got = {
+        (r["record_id_a"], r["record_id_b"]): r
+        for r in label_function_votes(scored).collect()
+    }
+    r = got[("a", "b")]
+    assert (r["lf_exact"], r["lf_jaccard"], r["lf_lev"], r["lf_len"]) == (1, 1, 1, 0)
+    assert (r["n_pos"], r["n_neg"], r["majority_label"]) == (3, 0, "match")
+    assert r["agreement_ppm"] == 1000000
+    r = got[("c", "d")]
+    assert (r["lf_exact"], r["lf_jaccard"], r["lf_lev"], r["lf_len"]) == (0, -1, -1, 0)
+    assert (r["majority_label"], r["agreement_ppm"]) == ("non_match", 1000000)
+    r = got[("e", "f")]
+    assert (r["lf_jaccard"], r["lf_lev"]) == (0, 0)
+    assert (r["vote_sum"], r["majority_label"], r["agreement_ppm"]) == (
+        0, "abstain", 0,
+    )
+    r = got[("g", "h")]
+    assert r["lf_len"] == -1 and r["majority_label"] == "non_match"

@@ -6283,6 +6283,70 @@ def _events_cusum(spark: SparkSession, sf: str) -> DataFrame:
     return cusum_drift(_t(spark, sf, "events"))
 
 
+@_q(
+    "events_rfm_segments",
+    """
+    WITH per AS (
+      SELECT user_id,
+             max(date_diff('day', DATE '2024-01-01', ts::DATE))::BIGINT
+               AS last_day,
+             count(*)::BIGINT AS frequency,
+             sum(floor(value * 1000)::BIGINT)::BIGINT AS monetary_milli
+      FROM events GROUP BY user_id
+    ),
+    mx AS (SELECT max(last_day)::BIGINT AS max_day FROM per),
+    b AS (
+      SELECT user_id, (max_day - last_day)::BIGINT AS recency_days,
+             frequency, monetary_milli
+      FROM per, mx
+    ),
+    q AS (
+      SELECT quantile_disc(recency_days, 0.25)::BIGINT AS r25,
+             quantile_disc(recency_days, 0.50)::BIGINT AS r50,
+             quantile_disc(recency_days, 0.75)::BIGINT AS r75,
+             quantile_disc(frequency, 0.25)::BIGINT AS f25,
+             quantile_disc(frequency, 0.50)::BIGINT AS f50,
+             quantile_disc(frequency, 0.75)::BIGINT AS f75,
+             quantile_disc(monetary_milli, 0.25)::BIGINT AS m25,
+             quantile_disc(monetary_milli, 0.50)::BIGINT AS m50,
+             quantile_disc(monetary_milli, 0.75)::BIGINT AS m75
+      FROM b
+    ),
+    s AS (
+      SELECT user_id, recency_days, frequency, monetary_milli,
+             (4 - ((recency_days > r25)::INT + (recency_days > r50)::INT
+                   + (recency_days > r75)::INT))::BIGINT AS r_score,
+             (1 + ((frequency > f25)::INT + (frequency > f50)::INT
+                   + (frequency > f75)::INT))::BIGINT AS f_score,
+             (1 + ((monetary_milli > m25)::INT + (monetary_milli > m50)::INT
+                   + (monetary_milli > m75)::INT))::BIGINT AS m_score
+      FROM b, q
+    )
+    SELECT user_id, recency_days, frequency, monetary_milli,
+           r_score, f_score, m_score,
+           CASE WHEN r_score = 4 AND f_score = 4 AND m_score = 4
+                  THEN 'champion'
+                WHEN r_score >= 3 AND f_score >= 3 THEN 'loyal'
+                WHEN m_score = 4 THEN 'big_spender'
+                WHEN r_score <= 2 AND f_score >= 3 THEN 'at_risk'
+                WHEN r_score <= 2 THEN 'hibernating'
+                ELSE 'regular' END AS segment
+    FROM s
+    """,
+)
+def _events_rfm_segments(spark: SparkSession, sf: str) -> DataFrame:
+    """RFM (recency/frequency/monetary) user segmentation: exact corpus
+    quartile cuts via the histogram + two-phase running-sum percentile
+    form (no global ntile window — a single-partition funnel at user
+    scale), scores 1..4 per axis, named segments by first-match rules.
+    Recency is anchored to the corpus max day, so the result is
+    deterministic with no wall clock; monetary sums in integer
+    milli-units (float-sum oracle parity)."""
+    from blink_spark.operators.temporal import rfm_segments
+
+    return rfm_segments(_t(spark, sf, "events"))
+
+
 @_q("er_orc_mention_scan", None)  # oracle injected below (fixture path)
 def _er_orc_mention_scan(spark: SparkSession, sf: str) -> DataFrame:
     """ORC source roundtrip — the mention table written as a
@@ -10246,6 +10310,7 @@ _DRIVER_ORDER = [
     "er_acronym_matches", "events_interval_copresence",
     "er_nmi", "events_cusum", "er_otsu_threshold",
     "embedding_matryoshka_recall", "er_labelfn_votes",
+    "events_rfm_segments",
 ]
 
 

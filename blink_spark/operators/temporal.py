@@ -700,3 +700,119 @@ def cusum_drift(
             F.col("r") - F.col("m") > F.lit(int(h_mult)) * F.col("mean_milli")
         ).alias("is_drift"),
     )
+
+
+def rfm_segments(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    epoch: str = "2024-01-01",
+) -> DataFrame:
+    """RFM user segmentation (Hughes 1994, the classic marketing-analytics
+    cut): per user, Recency = days since last event (relative to the
+    corpus max day — deterministic, no wall clock), Frequency = event
+    count, Monetary = exact milli-unit value sum; each scored 1..4 against
+    the EXACT corpus quartiles and mapped to a named segment.
+
+    Quartile cuts come from ``exact_quantiles`` (histogram + two-phase
+    running sum — percentile_disc semantics, no global sort, no ntile):
+    a per-user global ntile(4) would funnel the user-scale table through
+    one window partition, which is exactly the anti-pattern the two-phase
+    form avoids; here the user table is reduced to three 1-row quartile
+    broadcasts and every score is a per-row comparison. Ties score
+    identically (no rank tie-break dependence), unlike ntile.
+
+    Scores: recency quartiles score DESC (rd ≤ q25 → 4, the freshest
+    quartile is best); frequency/monetary score ASC (> q75 → 4).
+    Segments, first match wins: champion (4/4/4), loyal (r≥3 ∧ f≥3),
+    big_spender (m=4), at_risk (r≤2 ∧ f≥3), hibernating (r≤2),
+    else regular.
+
+    Returns (user_id, recency_days, frequency, monetary_milli, r_score,
+    f_score, m_score, segment) — one row per user.
+    """
+    from blink_spark.operators.corpus import exact_quantiles
+
+    day = F.expr(f"cast(datediff(to_date({ts_col}), date'{epoch}') as bigint)")
+    per = (
+        events.select(
+            F.col(user_col).alias("user_id"),
+            day.alias("d"),
+            F.floor(F.col(value_col) * 1000).cast("long").alias("vm"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.max("d").cast("long").alias("last_day"),
+            F.count(F.lit(1)).cast("long").alias("frequency"),
+            F.sum("vm").cast("long").alias("monetary_milli"),
+        )
+    )
+    mx = per.agg(F.max("last_day").cast("long").alias("max_day"))
+    # reused by three quantile passes + the final scoring pass: eager
+    # localCheckpoint (GC-owned) instead of persist, per cache hygiene
+    base = (
+        per.crossJoin(F.broadcast(mx))
+        .withColumn(
+            "recency_days", F.expr("max_day - last_day").cast("long")
+        )
+        .localCheckpoint()
+    )
+
+    def _cuts(col: str, p: str):
+        q = exact_quantiles(base, col, [25, 50, 75])
+        return F.broadcast(
+            q.agg(
+                F.max(F.when(F.col("pct") == 25, F.col("val"))).alias(f"{p}25"),
+                F.max(F.when(F.col("pct") == 50, F.col("val"))).alias(f"{p}50"),
+                F.max(F.when(F.col("pct") == 75, F.col("val"))).alias(f"{p}75"),
+            )
+        )
+
+    out = (
+        base.crossJoin(_cuts("recency_days", "r"))
+        .crossJoin(_cuts("frequency", "f"))
+        .crossJoin(_cuts("monetary_milli", "m"))
+        .withColumn(
+            "r_score",
+            F.expr(
+                "4 - (CASE WHEN recency_days > r25 THEN 1 ELSE 0 END"
+                " + CASE WHEN recency_days > r50 THEN 1 ELSE 0 END"
+                " + CASE WHEN recency_days > r75 THEN 1 ELSE 0 END)"
+            ).cast("long"),
+        )
+        .withColumn(
+            "f_score",
+            F.expr(
+                "1 + (CASE WHEN frequency > f25 THEN 1 ELSE 0 END"
+                " + CASE WHEN frequency > f50 THEN 1 ELSE 0 END"
+                " + CASE WHEN frequency > f75 THEN 1 ELSE 0 END)"
+            ).cast("long"),
+        )
+        .withColumn(
+            "m_score",
+            F.expr(
+                "1 + (CASE WHEN monetary_milli > m25 THEN 1 ELSE 0 END"
+                " + CASE WHEN monetary_milli > m50 THEN 1 ELSE 0 END"
+                " + CASE WHEN monetary_milli > m75 THEN 1 ELSE 0 END)"
+            ).cast("long"),
+        )
+    )
+    return out.select(
+        "user_id",
+        "recency_days",
+        "frequency",
+        "monetary_milli",
+        "r_score",
+        "f_score",
+        "m_score",
+        F.expr(
+            "CASE WHEN r_score = 4 AND f_score = 4 AND m_score = 4"
+            " THEN 'champion'"
+            " WHEN r_score >= 3 AND f_score >= 3 THEN 'loyal'"
+            " WHEN m_score = 4 THEN 'big_spender'"
+            " WHEN r_score <= 2 AND f_score >= 3 THEN 'at_risk'"
+            " WHEN r_score <= 2 THEN 'hibernating'"
+            " ELSE 'regular' END"
+        ).alias("segment"),
+    )

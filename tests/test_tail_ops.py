@@ -1378,3 +1378,52 @@ def test_label_function_votes_hand_computed(spark):
     )
     r = got[("g", "h")]
     assert r["lf_len"] == -1 and r["majority_label"] == "non_match"
+
+
+def test_rfm_segments_hand_computed(spark):
+    from datetime import datetime, timedelta
+
+    from blink_spark.operators.temporal import rfm_segments
+
+    # 8 users, chosen so the exact quartile cuts land where hand-computed
+    # and every segment rule fires at least once:
+    #   recency sorted  0,1,2,6,12,18,25,30 -> q25=1  q50=6   q75=18
+    #   frequency sorted 1,2,3,4,5,7,8,9    -> q25=2  q50=4   q75=7
+    #   monetary sorted 1k..90k (milli)     -> q25=5k q50=20k q75=40k
+    users = [
+        # (user_id, recency_days, frequency, monetary_dollars)
+        (1, 0, 9, 90.0),   # (4,4,4) champion
+        (2, 1, 8, 20.0),   # (4,4,2) loyal
+        (3, 12, 3, 80.0),  # (2,2,4) big_spender
+        (4, 25, 7, 30.0),  # (1,3,3) at_risk
+        (5, 30, 1, 1.0),   # (1,1,1) hibernating
+        (6, 2, 2, 5.0),    # (3,1,1) regular
+        (7, 6, 4, 15.0),   # (3,2,2) regular
+        (8, 18, 5, 40.0),  # (2,3,3) at_risk
+    ]
+    rows = []
+    for uid, rec, freq, dollars in users:
+        ts = datetime(2024, 1, 1, 5) + timedelta(days=30 - rec)
+        rows.append((uid, ts, dollars))
+        rows.extend((uid, ts, 0.0) for _ in range(freq - 1))
+    events = spark.createDataFrame(
+        rows, "user_id bigint, ts timestamp, value double"
+    )
+    got = {r["user_id"]: r for r in rfm_segments(events).collect()}
+    expect = {
+        1: (0, 9, 90000, 4, 4, 4, "champion"),
+        2: (1, 8, 20000, 4, 4, 2, "loyal"),
+        3: (12, 3, 80000, 2, 2, 4, "big_spender"),
+        4: (25, 7, 30000, 1, 3, 3, "at_risk"),
+        5: (30, 1, 1000, 1, 1, 1, "hibernating"),
+        6: (2, 2, 5000, 3, 1, 1, "regular"),
+        7: (6, 4, 15000, 3, 2, 2, "regular"),
+        8: (18, 5, 40000, 2, 3, 3, "at_risk"),
+    }
+    assert len(got) == 8
+    for uid, exp in expect.items():
+        r = got[uid]
+        assert (
+            r["recency_days"], r["frequency"], r["monetary_milli"],
+            r["r_score"], r["f_score"], r["m_score"], r["segment"],
+        ) == exp, uid

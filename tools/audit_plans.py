@@ -271,6 +271,15 @@ ALLOWLIST: dict[str, frozenset[str]] = {
     # report — the er_pairwise_f1 scalar-aggregate class; all event-scale
     # work happens in user-keyed joins/aggs before these nodes.
     "events_funnel_conversion": frozenset({"Exchange SinglePartition"}),
+    # events_rfm_segments' cuts are nine one-row quartile picks (each the
+    # exact_quantiles histogram + two-phase running sum, finalized by a
+    # one-row partial-agg pivot) plus the one-row corpus max-day anchor,
+    # all broadcast-crossJoined onto the user table — the bm25-idf
+    # scalar-denominator pattern; the user-scale table itself only ever
+    # crosses user_id-keyed exchanges.
+    "events_rfm_segments": frozenset(
+        {"BroadcastNestedLoopJoin", "Exchange SinglePartition"}
+    ),
 }
 
 # Exchange SinglePartition is only allowed when feeding a scalar finalize:

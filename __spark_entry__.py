@@ -6347,6 +6347,60 @@ def _events_rfm_segments(spark: SparkSession, sf: str) -> DataFrame:
     return rfm_segments(_t(spark, sf, "events"))
 
 
+@_q(
+    "doc_bloom_novelty",
+    f"""
+    WITH fpt AS (
+      SELECT doc_id,
+             md5(array_to_string(list_sort({_toks('text')}), ' ')) AS fp
+      FROM documents
+    ),
+    rfp AS (SELECT DISTINCT fp FROM fpt WHERE doc_id % 2 = 0),
+    rp AS (
+      SELECT ('0x' || substr(md5(i || ':' || fp), 1, 8))::BIGINT % 4096 AS pos
+      FROM rfp, range(0, 3) t(i)
+    ),
+    words AS (
+      SELECT pos // 62 AS word_idx,
+             bit_or(1::BIGINT << (pos % 62)::INT) AS w
+      FROM rp GROUP BY 1
+    ),
+    ip AS (
+      SELECT doc_id, fp,
+             ('0x' || substr(md5(i || ':' || fp), 1, 8))::BIGINT % 4096 AS pos
+      FROM fpt, range(0, 3) t(i) WHERE doc_id % 2 = 1
+    ),
+    hit AS (
+      SELECT doc_id, fp,
+             bool_and(w IS NOT NULL
+                      AND ((w >> (pos % 62)::INT) & 1::BIGINT) = 1) AS bloom_hit
+      FROM ip LEFT JOIN words ON ip.pos // 62 = words.word_idx
+      GROUP BY 1, 2
+    )
+    SELECT h.doc_id, h.bloom_hit,
+           (r.fp IS NOT NULL) AS exact_dup,
+           CASE WHEN r.fp IS NOT NULL THEN 'true_dup'
+                WHEN h.bloom_hit THEN 'false_positive'
+                ELSE 'novel' END AS verdict
+    FROM hit h LEFT JOIN rfp r USING (fp)
+    """,
+)
+def _doc_bloom_novelty(spark: SparkSession, sf: str) -> DataFrame:
+    """Bloom-filter membership gate of the odd-doc_id snapshot against the
+    even-doc_id reference corpus: k=3 md5 probe positions over a packed
+    62-bit-word relational bitmap (m=4096), bool_and verdict per document
+    plus the exact-duplicate flag — no false negatives by construction,
+    false positives reported honestly. The at-scale "seen before?" gate
+    that runs ahead of pairwise dedup."""
+    from blink_spark.operators.dedup import bloom_novelty
+
+    d = _t(spark, sf, "documents")
+    return bloom_novelty(
+        d.filter(F.col("doc_id") % 2 == 0),
+        d.filter(F.col("doc_id") % 2 == 1),
+    )
+
+
 @_q("er_orc_mention_scan", None)  # oracle injected below (fixture path)
 def _er_orc_mention_scan(spark: SparkSession, sf: str) -> DataFrame:
     """ORC source roundtrip — the mention table written as a
@@ -10310,7 +10364,7 @@ _DRIVER_ORDER = [
     "er_acronym_matches", "events_interval_copresence",
     "er_nmi", "events_cusum", "er_otsu_threshold",
     "embedding_matryoshka_recall", "er_labelfn_votes",
-    "events_rfm_segments",
+    "events_rfm_segments", "doc_bloom_novelty",
 ]
 
 

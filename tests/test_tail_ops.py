@@ -1427,3 +1427,51 @@ def test_rfm_segments_hand_computed(spark):
             r["recency_days"], r["frequency"], r["monetary_milli"],
             r["r_score"], r["f_score"], r["m_score"], r["segment"],
         ) == exp, uid
+
+
+def test_bloom_novelty_hand_computed(spark):
+    from blink_spark.operators.dedup import bloom_novelty
+
+    ref = spark.createDataFrame(
+        [(0, "alpha beta"), (2, "gamma delta")], "doc_id bigint, text string"
+    )
+    inc = spark.createDataFrame(
+        [
+            (1, "beta  ALPHA"),      # exact dup (order/case/space-insensitive fp)
+            (3, "zeta eta theta"),   # novel
+        ],
+        "doc_id bigint, text string",
+    )
+    got = {r["doc_id"]: r for r in bloom_novelty(ref, inc).collect()}
+    assert got[1]["exact_dup"] and got[1]["bloom_hit"]
+    assert got[1]["verdict"] == "true_dup"
+    # no false negatives by construction; at m=4096 the novel doc's 3
+    # probes (positions of md5('i:fp') mod 4096) miss the 6 reference bits
+    assert not got[3]["exact_dup"]
+    # replicate the probe math independently to prove the verdict
+    import hashlib
+
+    def fp(text):
+        toks = sorted(set(" ".join(text.lower().split()).split(" ")))
+        return hashlib.md5(" ".join(toks).encode()).hexdigest()
+
+    def positions(f, m):
+        return {
+            int(hashlib.md5(f"{i}:{f}".encode()).hexdigest()[:8], 16) % m
+            for i in range(3)
+        }
+
+    ref_bits = positions(fp("alpha beta"), 4096) | positions(fp("gamma delta"), 4096)
+    novel_hit = positions(fp("zeta eta theta"), 4096) <= ref_bits
+    assert got[3]["bloom_hit"] == novel_hit
+    assert got[3]["verdict"] == ("false_positive" if novel_hit else "novel")
+    # m_bits=1 saturates the filter: every probe lands on bit 0, so the
+    # novel doc becomes a deterministic false positive (and the dup stays
+    # a true dup — exact flag wins the verdict cascade)
+    got1 = {
+        r["doc_id"]: r
+        for r in bloom_novelty(ref, inc, m_bits=1).collect()
+    }
+    assert got1[3]["bloom_hit"] and not got1[3]["exact_dup"]
+    assert got1[3]["verdict"] == "false_positive"
+    assert got1[1]["verdict"] == "true_dup"

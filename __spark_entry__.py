@@ -903,6 +903,179 @@ def _doc_zipf_fit(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @_q(
+    "doc_heaps_fit",
+    f"""
+    WITH t AS (
+      SELECT doc_id AS d, unnest(string_split({_norm('text')}, ' ')) AS tok
+      FROM documents
+    ),
+    tt AS (SELECT d, tok FROM t WHERE tok != ''),
+    nv AS (
+      SELECT d, count(*)::BIGINT AS new_v
+      FROM (SELECT tok, min(d) AS d FROM tt GROUP BY 1) GROUP BY 1
+    ),
+    nt AS (SELECT d, count(*)::BIGINT AS n_tok FROM tt GROUP BY 1),
+    per AS (
+      SELECT doc_id AS d, coalesce(nt.n_tok, 0)::BIGINT AS n_tok,
+             coalesce(nv.new_v, 0)::BIGINT AS new_v
+      FROM documents LEFT JOIN nt ON nt.d = doc_id
+                     LEFT JOIN nv ON nv.d = doc_id
+    ),
+    cum AS (
+      SELECT sum(n_tok) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING)::BIGINT
+               AS tokens_so_far,
+             sum(new_v) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING)::BIGINT
+               AS vocab_so_far,
+             row_number() OVER (ORDER BY d)::BIGINT AS doc_seq
+      FROM per
+    ),
+    nn AS (SELECT count(*)::BIGINT AS n_docs FROM per),
+    cp AS (
+      SELECT * FROM cum, nn
+      WHERE doc_seq % ((n_docs + 63) // 64) = 0
+        AND tokens_so_far > 0 AND vocab_so_far > 0
+    ),
+    xy AS (
+      SELECT floor(ln(tokens_so_far::DOUBLE) * 1000)::BIGINT AS x,
+             floor(ln(vocab_so_far::DOUBLE) * 1000)::BIGINT AS y,
+             tokens_so_far, vocab_so_far
+      FROM cp
+    ),
+    s AS (
+      SELECT count(*)::BIGINT AS r, sum(x)::BIGINT AS sx, sum(y)::BIGINT AS sy,
+             sum(x * y)::BIGINT AS sxy, sum(x * x)::BIGINT AS sxx,
+             max(tokens_so_far)::BIGINT AS tokens_total,
+             max(vocab_so_far)::BIGINT AS vocab_total
+      FROM xy
+    ),
+    terms AS (
+      SELECT *, (1000000 * (r * sxy - sx * sy))::BIGINT AS num_s,
+             (r * sxx - sx * sx)::BIGINT AS den
+      FROM s
+    ),
+    sloped AS (
+      SELECT *,
+             (CASE WHEN den = 0 THEN 0
+                   WHEN num_s >= 0 THEN num_s // den
+                   ELSE -((-num_s) // den) END)::BIGINT AS slope_ppm
+      FROM terms
+    )
+    SELECT r AS n_points, slope_ppm,
+           (CASE WHEN 1000000 * sy - slope_ppm * sx >= 0 THEN
+                  (1000000 * sy - slope_ppm * sx) // (1000000 * r)
+                 ELSE -((-(1000000 * sy - slope_ppm * sx)) // (1000000 * r))
+            END)::BIGINT AS intercept_milli,
+           tokens_total, vocab_total
+    FROM sloped
+    """,
+)
+def _doc_heaps_fit(spark: SparkSession, sf: str) -> DataFrame:
+    """Heaps'-law vocabulary-growth fit V(N) ≈ K·N^β over corpus prefixes
+    in doc_id order — zipf_fit's companion diagnostic. Vocabulary growth
+    is relationalized as per-token FIRST-document counts (no running
+    distinct state); both cumulative curves + the doc sequence come from
+    ONE partitioned_running_sums range shuffle (no global window);
+    ≤64 checkpoints keep the integer least squares inside BIGINT."""
+    from blink_spark.operators.corpus import heaps_fit
+
+    return heaps_fit(_t(spark, sf, "documents"))
+
+
+@_q(
+    "orders_column_profile",
+    """
+    WITH long AS (
+      SELECT 'o_orderkey' AS col, o_orderkey::VARCHAR AS val FROM orders
+      UNION ALL SELECT 'o_custkey', o_custkey::VARCHAR FROM orders
+      UNION ALL SELECT 'o_orderstatus', o_orderstatus FROM orders
+      UNION ALL SELECT 'o_orderpriority', o_orderpriority FROM orders
+      UNION ALL SELECT 'o_orderdate', strftime(o_orderdate, '%Y-%m-%d')
+        FROM orders
+    ),
+    vc AS (SELECT col, val, count(*)::BIGINT AS cnt FROM long GROUP BY 1, 2),
+    p AS (
+      SELECT col,
+             sum(cnt)::BIGINT AS n_rows,
+             coalesce(sum(CASE WHEN val IS NULL THEN cnt END), 0)::BIGINT
+               AS n_null,
+             count(CASE WHEN val IS NOT NULL THEN 1 END)::BIGINT AS n_distinct,
+             (max(CASE WHEN val IS NOT NULL THEN {c: cnt, v: val} END)).v
+               AS top_value,
+             (max(CASE WHEN val IS NOT NULL THEN {c: cnt, v: val} END)).c::BIGINT
+               AS top_freq,
+             sum(CASE WHEN val IS NOT NULL THEN cnt END)::BIGINT AS n_nn,
+             sum(CASE WHEN val IS NOT NULL THEN
+                   cnt * floor(ln(cnt::DOUBLE) * 1000000)::BIGINT END)::BIGINT
+               AS s_micro
+      FROM vc GROUP BY 1
+    )
+    SELECT col AS column_name, n_rows, n_null, n_distinct, top_value, top_freq,
+           (CASE WHEN n_nn > 0 THEN
+              floor(ln(n_nn::DOUBLE) * 1000000)::BIGINT - s_micro // n_nn
+            END)::BIGINT AS entropy_micro
+    FROM p
+    """,
+)
+def _orders_column_profile(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-column data-quality profile of the orders table (completeness,
+    cardinality, dominant value, exact micro-nat value entropy) — the
+    new-source trust report. stack unpivot (codegen, no shuffle) + two
+    keyed partial aggs; the top value is a lexicographic struct max, not
+    a per-column rank window (which would funnel each column's distinct
+    values through one task). Timestamps render at date grain; doubles
+    are excluded by contract (float rendering differs across engines)."""
+    from blink_spark.operators.profile import column_profile
+
+    return column_profile(
+        _t(spark, sf, "orders"),
+        {
+            "o_orderkey": "cast(o_orderkey as string)",
+            "o_custkey": "cast(o_custkey as string)",
+            "o_orderstatus": "o_orderstatus",
+            "o_orderpriority": "o_orderpriority",
+            "o_orderdate": "cast(to_date(o_orderdate) as string)",
+        },
+    )
+
+
+@_q(
+    "events_gini_concentration",
+    """
+    WITH per AS (
+      SELECT user_id AS k, count(*)::BIGINT AS x FROM events GROUP BY 1
+    ),
+    r AS (
+      SELECT k, x, row_number() OVER (ORDER BY x, k)::BIGINT AS i FROM per
+    ),
+    sc AS (SELECT count(*)::BIGINT AS n, sum(x)::BIGINT AS s1 FROM per),
+    a AS (
+      SELECT max(n)::BIGINT AS n, max(s1)::BIGINT AS s1,
+             sum(i * x)::BIGINT AS s2,
+             coalesce(sum(CASE WHEN i > n - (n // 10) THEN x END), 0)::BIGINT
+               AS top_x
+      FROM r, sc
+    )
+    SELECT n AS n_keys, s1 AS total,
+           (CASE WHEN n > 0 AND s1 > 0 THEN
+              (1000 * ((1000 * (2 * s2 - (n + 1) * s1)) // n)) // s1
+            ELSE 0 END)::BIGINT AS gini_ppm,
+           (CASE WHEN s1 > 0 THEN (1000000 * top_x) // s1
+            ELSE 0 END)::BIGINT AS top_share_ppm,
+           (n // 10)::BIGINT AS n_top
+    FROM a
+    """,
+)
+def _events_gini_concentration(spark: SparkSession, sf: str) -> DataFrame:
+    """Gini coefficient + top-decile share of per-user event volume — the
+    Lorenz inequality/skew readout. Exact tie-independent rank formula;
+    ranks via the dense_ids two-phase row_number (no single-task global
+    window); staged integer divisions, numerator provably >= 0."""
+    from blink_spark.operators.temporal import gini_concentration
+
+    return gini_concentration(_t(spark, sf, "events"))
+
+
+@_q(
     "doc_char_entropy",
     f"""
     WITH ch AS (
@@ -10364,7 +10537,8 @@ _DRIVER_ORDER = [
     "er_acronym_matches", "events_interval_copresence",
     "er_nmi", "events_cusum", "er_otsu_threshold",
     "embedding_matryoshka_recall", "er_labelfn_votes",
-    "events_rfm_segments", "doc_bloom_novelty",
+    "events_rfm_segments", "doc_bloom_novelty", "doc_heaps_fit",
+    "orders_column_profile", "events_gini_concentration",
 ]
 
 

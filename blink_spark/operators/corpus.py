@@ -1302,6 +1302,132 @@ def char_entropy(
     )
 
 
+def _int_least_squares(s: DataFrame) -> DataFrame:
+    """Sign-safe exact-integer least-squares finalize shared by ``zipf_fit``
+    and ``heaps_fit``: input is a one-row frame with (r, sx, sy, sxy, sxx)
+    plus any passthrough columns; appends ``slope_ppm`` and
+    ``intercept_milli``. All divisions are truncation-toward-zero re-signed
+    (Spark div truncates, DuckDB // floors — they only agree on
+    nonnegative operands, and the slope numerator CAN be negative)."""
+    return (
+        s.withColumn("_num_s", F.expr("1000000 * (r * sxy - sx * sy)"))
+        .withColumn("_den", F.expr("r * sxx - sx * sx"))
+        .withColumn(
+            "slope_ppm",
+            F.expr(
+                "CASE WHEN _den = 0 THEN 0"
+                " WHEN _num_s >= 0 THEN _num_s div _den"
+                " ELSE -((-_num_s) div _den) END"
+            ).cast("long"),
+        )
+        .withColumn(
+            "intercept_milli",
+            F.expr(
+                "CASE WHEN 1000000 * sy - slope_ppm * sx >= 0 THEN"
+                " (1000000 * sy - slope_ppm * sx) div (1000000 * r)"
+                " ELSE -((-(1000000 * sy - slope_ppm * sx)) div (1000000 * r)) END"
+            ).cast("long"),
+        )
+        .drop("_num_s", "_den")
+    )
+
+
+def heaps_fit(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_points: int = 64,
+) -> DataFrame:
+    """Heaps'-law vocabulary-growth fit (Heaps 1978): V(N) ≈ K·N^β, the
+    least-squares slope of ln(vocab-so-far) on ln(tokens-so-far) over
+    corpus prefixes in doc_id order — the companion diagnostic to
+    ``zipf_fit`` (natural text: β ≈ 0.4-0.6; a template-heavy or
+    synthetic corpus saturates its vocabulary early and drifts low; a
+    corpus of random strings drifts toward 1).
+
+    The "distinct words seen so far" curve is relationalized with NO
+    running distinct state: each token's FIRST document (token-keyed
+    min agg) converts vocabulary growth into a per-doc new-word count,
+    and both cumulative curves (tokens, vocabulary) plus the doc
+    sequence number come from ONE ``partitioned_running_sums`` pass —
+    one range shuffle, no single-task global window. Checkpoints are
+    every ceil(n/max_points)-th document, so the fit always runs on at
+    most ``max_points`` points.
+
+    Overflow bound: ln values are floor(ln·1000) milli-nats ≤ 41,447
+    for any corpus under e^41.4 ≈ 1e18 tokens, so the binding
+    least-squares term 1e6·P²·x·y at P = 64 points is ≤ 7.1e18 < 2^63 —
+    exact BIGINT on both engines (P = 100 would overflow here, unlike
+    zipf_fit where x ≤ ln(rank 100)·1000 is tiny).
+
+    Returns one row: (n_points, slope_ppm, intercept_milli,
+    tokens_total, vocab_total).
+    """
+    from blink_spark.functions.text import normalize_text
+    from blink_spark.operators.ids import partitioned_running_sums
+
+    t = docs.select(
+        F.col(id_col).alias("d"),
+        F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("tok"),
+    ).filter(F.col("tok") != "")
+    nv = (
+        t.groupBy("tok")
+        .agg(F.min("d").alias("d"))
+        .groupBy("d")
+        .agg(F.count(F.lit(1)).cast("long").alias("new_v"))
+    )
+    nt = t.groupBy("d").agg(F.count(F.lit(1)).cast("long").alias("n_tok"))
+    per = (
+        docs.select(F.col(id_col).alias("d"))
+        .join(nt, "d", "left")
+        .join(nv, "d", "left")
+        .select(
+            "d",
+            F.coalesce("n_tok", F.lit(0)).cast("long").alias("n_tok"),
+            F.coalesce("new_v", F.lit(0)).cast("long").alias("new_v"),
+            F.lit(1).cast("long").alias("one"),
+        )
+    )
+    cum = partitioned_running_sums(
+        per,
+        "d",
+        {"tokens_so_far": "n_tok", "vocab_so_far": "new_v", "doc_seq": "one"},
+    )
+    n = per.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    step = f"(n_docs + {int(max_points) - 1}) div {int(max_points)}"
+    cp = (
+        cum.crossJoin(F.broadcast(n))
+        .filter(F.expr(f"doc_seq % ({step}) = 0"))
+        .filter((F.col("tokens_so_far") > 0) & (F.col("vocab_so_far") > 0))
+    )
+    xy = cp.select(
+        F.floor(F.log(F.col("tokens_so_far").cast("double")) * F.lit(1000.0))
+        .cast("long")
+        .alias("x"),
+        F.floor(F.log(F.col("vocab_so_far").cast("double")) * F.lit(1000.0))
+        .cast("long")
+        .alias("y"),
+        "tokens_so_far",
+        "vocab_so_far",
+    )
+    s = xy.agg(
+        F.count(F.lit(1)).cast("long").alias("r"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.max("tokens_so_far").cast("long").alias("tokens_total"),
+        F.max("vocab_so_far").cast("long").alias("vocab_total"),
+    )
+    return _int_least_squares(s).select(
+        F.col("r").alias("n_points"),
+        "slope_ppm",
+        "intercept_milli",
+        "tokens_total",
+        "vocab_total",
+    )
+
+
 def zipf_fit(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -1351,38 +1477,10 @@ def zipf_fit(
         F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
         F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
     )
-    # All divisions are sign-safe truncation toward zero — |num| div den
-    # re-signed — because Spark's div truncates while DuckDB's // floors,
-    # and the slope numerator IS negative for Zipfian data.
-    terms = s.select(
-        "r",
-        "sx",
-        "sy",
-        F.expr("1000000 * (r * sxy - sx * sy)").alias("num_s"),
-        F.expr("r * sxx - sx * sx").alias("den"),
-    )
-    sloped = terms.select(
-        "r",
-        "sx",
-        "sy",
-        F.expr(
-            "CASE WHEN den = 0 THEN 0"
-            " WHEN num_s >= 0 THEN num_s div den"
-            " ELSE -((-num_s) div den) END"
-        )
-        .cast("long")
-        .alias("slope_ppm"),
-    )
-    return sloped.select(
-        F.col("r").alias("n_ranks"),
-        "slope_ppm",
-        F.expr(
-            "CASE WHEN 1000000 * sy - slope_ppm * sx >= 0 THEN"
-            " (1000000 * sy - slope_ppm * sx) div (1000000 * r)"
-            " ELSE -((-(1000000 * sy - slope_ppm * sx)) div (1000000 * r)) END"
-        )
-        .cast("long")
-        .alias("intercept_milli"),
+    # the fit finalize (sign-safe integer divisions) is shared with
+    # heaps_fit — see _int_least_squares
+    return _int_least_squares(s).select(
+        F.col("r").alias("n_ranks"), "slope_ppm", "intercept_milli"
     )
 
 

@@ -78,6 +78,19 @@ def partitioned_running_sum(
     within-partition running sum to the broadcast prefix of earlier
     partitions.
     """
+    return partitioned_running_sums(df, order_col, {out_col: value_col})
+
+
+def partitioned_running_sums(
+    df: DataFrame, order_col: str, sums: dict[str, str]
+) -> DataFrame:
+    """Several global running sums sharing one order column and ONE range
+    shuffle — ``sums`` maps each output column to its value column. Same
+    two-phase form as ``partitioned_running_sum`` (which delegates here):
+    N separate calls would range-shuffle and persist the table N times for
+    identical partitioning; this collects one per-partition partial ROW
+    (all the sums) and broadcasts one prefix table.
+    """
     spark = df.sparkSession
     n_parts = max(spark.sparkContext.defaultParallelism, 2)
     part = (
@@ -85,24 +98,32 @@ def partitioned_running_sum(
         .withColumn("_pid", F.spark_partition_id())
         .persist()  # see dense_ids: pins pids; bounded cache, evicts LRU
     )
+    outs = list(sums)
     partials = {
-        r["_pid"]: r["s"]
+        r["_pid"]: r
         for r in part.groupBy("_pid")
-        .agg(F.coalesce(F.sum(value_col), F.lit(0)).alias("s"))
+        .agg(
+            *[
+                F.coalesce(F.sum(v), F.lit(0)).alias(f"_s_{o}")
+                for o, v in sums.items()
+            ]
+        )
         .collect()
     }
-    prefix, acc = [], 0
+    prefix, acc = [], {o: 0 for o in outs}
     for pid in sorted(partials):
-        prefix.append((pid, acc))
-        acc += partials[pid]
-    pre_df = spark.createDataFrame(prefix, "_pid int, _prefix long")
+        prefix.append((pid, *[acc[o] for o in outs]))
+        for o in outs:
+            acc[o] += partials[pid][f"_s_{o}"]
+    pre_df = spark.createDataFrame(
+        prefix, "_pid int, " + ", ".join(f"_p_{o} long" for o in outs)
+    )
     w = (
         Window.partitionBy("_pid")
         .orderBy(order_col)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    return (
-        part.join(F.broadcast(pre_df), "_pid")
-        .withColumn(out_col, F.col("_prefix") + F.sum(value_col).over(w))
-        .drop("_pid", "_prefix")
-    )
+    out = part.join(F.broadcast(pre_df), "_pid")
+    for o, v in sums.items():
+        out = out.withColumn(o, F.col(f"_p_{o}") + F.sum(v).over(w))
+    return out.drop("_pid", *[f"_p_{o}" for o in outs])

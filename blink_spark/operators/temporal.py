@@ -816,3 +816,73 @@ def rfm_segments(
             " ELSE 'regular' END"
         ).alias("segment"),
     )
+
+
+def gini_concentration(
+    events: DataFrame,
+    key_col: str = "user_id",
+    top_divisor: int = 10,
+) -> DataFrame:
+    """Gini coefficient + top-decile share of activity concentration — the
+    Lorenz-curve inequality readout (how concentrated is event volume over
+    users / traffic over sources), the skew diagnostic that decides whether
+    a pipeline needs salting before it needs more executors.
+
+    Exact rank formula G = (2·Σ i·x_i − (n+1)·Σx) / (n·Σx) with ranks
+    ascending by (count, key): tie blocks contribute the same rank sum
+    under any permutation, so the result is tie-independent as well as
+    deterministic. Ranks come from ``dense_ids`` (range-partition
+    two-phase row_number — NO global single-task window over the key
+    table). Staged integer division ``(1000·d div n)·1000 div s1`` keeps
+    every intermediate ≤ 1000·n·Σx (exact to n·Σx ≈ 9.2e15; beyond, each
+    stage truncates ≤ 1 milli-unit — identically on both engines, and
+    the total staging error is under (1 + 1000/Σx) ppm). The numerator
+    2·Σi·x − (n+1)·Σx is provably ≥ 0 (equality = perfectly uniform), so
+    floor and truncation division agree.
+
+    Returns one row: (n_keys, total, gini_ppm, top_share_ppm, n_top) —
+    top_share_ppm = fraction of all events produced by the top
+    n div ``top_divisor`` keys.
+    """
+    from blink_spark.operators.ids import dense_ids
+
+    d = int(top_divisor)
+    per = events.groupBy(F.col(key_col).alias("k")).agg(
+        F.count(F.lit(1)).cast("long").alias("x")
+    )
+    ranked = dense_ids(per, ["x", "k"], "i0").withColumn(
+        "i", (F.col("i0") + 1).cast("long")
+    )
+    sc = per.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("s1"),
+    )
+    agg = (
+        ranked.crossJoin(F.broadcast(sc))
+        .agg(
+            F.max("n").alias("n"),
+            F.max("s1").alias("s1"),
+            F.sum(F.expr("i * x")).cast("long").alias("s2"),
+            F.coalesce(
+                F.sum(F.expr(f"CASE WHEN i > n - (n div {d}) THEN x END")),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("top_x"),
+        )
+    )
+    return agg.select(
+        F.col("n").alias("n_keys"),
+        F.col("s1").alias("total"),
+        F.expr(
+            "CASE WHEN n > 0 AND s1 > 0 THEN"
+            " (1000 * ((1000 * (2 * s2 - (n + 1) * s1)) div n)) div s1"
+            " ELSE 0 END"
+        )
+        .cast("long")
+        .alias("gini_ppm"),
+        F.expr("CASE WHEN s1 > 0 THEN (1000000 * top_x) div s1 ELSE 0 END")
+        .cast("long")
+        .alias("top_share_ppm"),
+        F.expr(f"n div {d}").cast("long").alias("n_top"),
+    )

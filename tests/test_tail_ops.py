@@ -1475,3 +1475,115 @@ def test_bloom_novelty_hand_computed(spark):
     assert got1[3]["bloom_hit"] and not got1[3]["exact_dup"]
     assert got1[3]["verdict"] == "false_positive"
     assert got1[1]["verdict"] == "true_dup"
+
+
+def test_partitioned_running_sums_matches_single(spark):
+    from blink_spark.operators.ids import (
+        partitioned_running_sum,
+        partitioned_running_sums,
+    )
+
+    df = spark.createDataFrame(
+        [(i, i % 3, (i * 7) % 5) for i in range(200)], "k long, a long, b long"
+    )
+    multi = partitioned_running_sums(df, "k", {"ra": "a", "rb": "b"})
+    got = {r["k"]: (r["ra"], r["rb"]) for r in multi.collect()}
+    ea = {r["k"]: r["ra"] for r in partitioned_running_sum(df, "k", "a", "ra").collect()}
+    eb = {r["k"]: r["rb"] for r in partitioned_running_sum(df, "k", "b", "rb").collect()}
+    assert len(got) == 200
+    for k, (ra, rb) in got.items():
+        assert (ra, rb) == (ea[k], eb[k]), k
+
+
+def test_heaps_fit_hand_computed(spark):
+    import math
+
+    from blink_spark.operators.corpus import heaps_fit
+
+    docs = spark.createDataFrame(
+        [(0, "a b"), (1, "a c a"), (2, "b c"), (3, "d d d")],
+        "doc_id bigint, text string",
+    )
+    # cumulative (tokens, vocab): (2,2) (5,3) (7,3) (10,4)
+    row = heaps_fit(docs).collect()[0]
+    assert (row["tokens_total"], row["vocab_total"]) == (10, 4)
+    assert row["n_points"] == 4
+    pts = [(2, 2), (5, 3), (7, 3), (10, 4)]
+    xs = [math.floor(math.log(t) * 1000) for t, _ in pts]
+    ys = [math.floor(math.log(v) * 1000) for _, v in pts]
+    r, sx, sy = len(pts), sum(xs), sum(ys)
+    sxy = sum(x * y for x, y in zip(xs, ys))
+    sxx = sum(x * x for x in xs)
+    num_s, den = 1_000_000 * (r * sxy - sx * sy), r * sxx - sx * sx
+
+    def tdiv(n, d):  # truncation-toward-zero, the cross-engine-safe div
+        return n // d if n >= 0 else -((-n) // d)
+
+    slope = tdiv(num_s, den)
+    intercept = tdiv(1_000_000 * sy - slope * sx, 1_000_000 * r)
+    assert (row["slope_ppm"], row["intercept_milli"]) == (slope, intercept)
+    assert 0 < slope < 1_000_000  # sublinear growth: a real Heaps exponent
+    # max_points=2 -> checkpoint every 2nd doc: points (5,3) and (10,4)
+    row2 = heaps_fit(docs, max_points=2).collect()[0]
+    assert row2["n_points"] == 2
+    # two points -> the fit line passes through both exactly
+    x1, y1 = math.floor(math.log(5) * 1000), math.floor(math.log(3) * 1000)
+    x2, y2 = math.floor(math.log(10) * 1000), math.floor(math.log(4) * 1000)
+    assert row2["slope_ppm"] == tdiv(
+        1_000_000 * (2 * (x1 * y1 + x2 * y2) - (x1 + x2) * (y1 + y2)),
+        2 * (x1 * x1 + x2 * x2) - (x1 + x2) ** 2,
+    )
+
+
+def test_column_profile_hand_computed(spark):
+    import math
+
+    from blink_spark.operators.profile import column_profile
+
+    df = spark.createDataFrame(
+        [(1, "x", None), (2, "x", None), (3, "y", None), (4, None, None)],
+        "k bigint, s string, z string",
+    )
+    got = {
+        r["column_name"]: r
+        for r in column_profile(
+            df, {"k": "cast(k as string)", "s": "s", "z": "z"}
+        ).collect()
+    }
+    k = got["k"]  # unique key: all counts 1, tie broken by MAX value
+    assert (k["n_rows"], k["n_null"], k["n_distinct"]) == (4, 0, 4)
+    assert (k["top_value"], k["top_freq"]) == ("4", 1)
+    assert k["entropy_micro"] == math.floor(math.log(4) * 1e6)
+    s = got["s"]
+    assert (s["n_rows"], s["n_null"], s["n_distinct"]) == (4, 1, 2)
+    assert (s["top_value"], s["top_freq"]) == ("x", 2)
+    # entropy over non-null counts {x:2, y:1}, exact micro-nat closed form
+    s_micro = 2 * math.floor(math.log(2) * 1e6)
+    assert s["entropy_micro"] == math.floor(math.log(3) * 1e6) - s_micro // 3
+    z = got["z"]  # all-null column: no top value, no entropy
+    assert (z["n_rows"], z["n_null"], z["n_distinct"]) == (4, 4, 0)
+    assert z["top_value"] is None and z["top_freq"] is None
+    assert z["entropy_micro"] is None
+
+
+def test_gini_concentration_hand_computed(spark):
+    from blink_spark.operators.temporal import gini_concentration
+
+    # per-user counts 1, 1, 2, 6 -> n=4, S1=10, ranks (asc by count, key)
+    # give S2 = 1+2+6+24 = 33; G = (66-50)/40 = 0.4 exactly
+    rows = []
+    for uid, cnt in [(1, 1), (2, 1), (3, 2), (4, 6)]:
+        rows.extend([(uid,)] * cnt)
+    events = spark.createDataFrame(rows, "user_id bigint")
+    r = gini_concentration(events).collect()[0]
+    assert (r["n_keys"], r["total"]) == (4, 10)
+    assert r["gini_ppm"] == 400000
+    assert (r["n_top"], r["top_share_ppm"]) == (0, 0)  # 4 div 10 = 0 keys
+    r2 = gini_concentration(events, top_divisor=2).collect()[0]
+    # top half = ranks 3,4 (counts 2 and 6) -> 8/10 of all events
+    assert (r2["n_top"], r2["top_share_ppm"]) == (2, 800000)
+    # perfectly uniform activity -> G = 0
+    uni = spark.createDataFrame(
+        [(u,) for u in range(1, 6) for _ in range(3)], "user_id bigint"
+    )
+    assert gini_concentration(uni).collect()[0]["gini_ppm"] == 0

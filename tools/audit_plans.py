@@ -280,6 +280,21 @@ ALLOWLIST: dict[str, frozenset[str]] = {
     "events_rfm_segments": frozenset(
         {"BroadcastNestedLoopJoin", "Exchange SinglePartition"}
     ),
+    # doc_heaps_fit's checkpoint step needs the one-row corpus doc count
+    # (scalar broadcast crossJoin — the bm25-idf pattern), and the fit
+    # itself is a one-row partial-agg finalize over ≤64 checkpoint rows
+    # (the zipf_fit class); the cumulative curves run through the
+    # partitioned_running_sums range shuffle, never a global window.
+    "doc_heaps_fit": frozenset(
+        {"BroadcastNestedLoopJoin", "Exchange SinglePartition"}
+    ),
+    # events_gini_concentration broadcasts the one-row (n, Σx) scalar onto
+    # the ranked key table (bm25-idf pattern) and finalizes into a single
+    # readout row (partial-agg children); the ranks themselves come from
+    # the dense_ids two-phase form, never a global window.
+    "events_gini_concentration": frozenset(
+        {"BroadcastNestedLoopJoin", "Exchange SinglePartition"}
+    ),
 }
 
 # Exchange SinglePartition is only allowed when feeding a scalar finalize:

@@ -1076,6 +1076,71 @@ def _events_gini_concentration(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @_q(
+    "events_ab_test_chi2",
+    """
+    WITH per AS (
+      SELECT user_id AS k,
+             max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT
+               AS conv
+      FROM events GROUP BY 1
+    ),
+    arm AS (
+      SELECT conv,
+             ('0x' || substr(md5('ab:' || k), 1, 8))::BIGINT % 2 AS g
+      FROM per
+    ),
+    cells AS (
+      SELECT sum(CASE WHEN g = 0 AND conv = 1 THEN 1 ELSE 0 END)::BIGINT AS a,
+             sum(CASE WHEN g = 0 AND conv = 0 THEN 1 ELSE 0 END)::BIGINT AS b,
+             sum(CASE WHEN g = 1 AND conv = 1 THEN 1 ELSE 0 END)::BIGINT AS c,
+             sum(CASE WHEN g = 1 AND conv = 0 THEN 1 ELSE 0 END)::BIGINT AS d
+      FROM arm
+    ),
+    t AS (
+      SELECT a, b, c, d, (a + b) AS r1, (c + d) AS r2,
+             (a + c) AS c1, (b + d) AS c2, (a * d - b * c) AS det
+      FROM cells
+    ),
+    u AS (
+      SELECT *,
+             CASE WHEN r1 > 0 AND r2 > 0 THEN
+               CASE WHEN det >= 0 THEN (1000000 * det) // (r1 * r2)
+                    ELSE -((-(1000000 * det)) // (r1 * r2)) END
+             END AS u_ppm,
+             CASE WHEN c1 > 0 AND c2 > 0 THEN
+               CASE WHEN det >= 0 THEN (1000000 * det) // (c1 * c2)
+                    ELSE -((-(1000000 * det)) // (c1 * c2)) END
+             END AS v_ppm
+      FROM t
+    )
+    SELECT (r1 + r2)::BIGINT AS n_users, r1::BIGINT AS n_a, r2::BIGINT AS n_b,
+           a AS conv_a, c AS conv_b,
+           (CASE WHEN r1 > 0 THEN (1000000 * a) // r1 END)::BIGINT
+             AS rate_a_ppm,
+           (CASE WHEN r2 > 0 THEN (1000000 * c) // r2 END)::BIGINT
+             AS rate_b_ppm,
+           (CASE WHEN u_ppm IS NOT NULL AND v_ppm IS NOT NULL THEN
+              ((r1 + r2) * u_ppm * v_ppm) // 1000000000 END)::BIGINT
+             AS chi2_milli,
+           coalesce(
+             CASE WHEN u_ppm IS NOT NULL AND v_ppm IS NOT NULL THEN
+               ((r1 + r2) * u_ppm * v_ppm) // 1000000000 > 3841 END,
+             false) AS significant
+    FROM u
+    """,
+)
+def _events_ab_test_chi2(spark: SparkSession, sf: str) -> DataFrame:
+    """Hash-split A/B experiment readout: md5-deterministic arm
+    assignment, per-user purchase conversion, exact staged-integer
+    Pearson chi-square (df=1) with significance as the integer
+    comparison chi2_milli > 3841 — one user-keyed partial agg plus a
+    one-row finalize, no joins or windows."""
+    from blink_spark.operators.temporal import ab_test_chi2
+
+    return ab_test_chi2(_t(spark, sf, "events"))
+
+
+@_q(
     "doc_char_entropy",
     f"""
     WITH ch AS (
@@ -10539,6 +10604,7 @@ _DRIVER_ORDER = [
     "embedding_matryoshka_recall", "er_labelfn_votes",
     "events_rfm_segments", "doc_bloom_novelty", "doc_heaps_fit",
     "orders_column_profile", "events_gini_concentration",
+    "events_ab_test_chi2",
 ]
 
 

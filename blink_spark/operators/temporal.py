@@ -886,3 +886,122 @@ def gini_concentration(
         .alias("top_share_ppm"),
         F.expr(f"n div {d}").cast("long").alias("n_top"),
     )
+
+
+def ab_test_chi2(
+    events: DataFrame,
+    user_col: str = "user_id",
+    event_col: str = "event_type",
+    success_value: str = "purchase",
+    salt: str = "ab",
+) -> DataFrame:
+    """Two-proportion A/B experiment readout with an exact-integer
+    chi-square test (Pearson, df=1): users are split into arms by a
+    deterministic md5 hash (the assignment any hash-based experiment
+    framework uses — reproducible, no wall clock, no RNG), conversion is
+    "user emitted >= 1 ``success_value`` event", and significance at
+    alpha = 0.05 is the integer comparison chi2_milli > 3841.
+
+    chi2 = n·(ad−bc)² / (r1·r2·c1·c2) is computed in three staged
+    integer divisions so no intermediate exceeds |1e6·(ad−bc)| — exact
+    BIGINT for experiments up to ~6M users per readout (|ad−bc| ≤ n²/4;
+    the same documented-bound regime as er_ari; rescale counts first
+    beyond that). Both ppm factors are bounded by ±1e6 by construction
+    (|ad−bc| ≤ r1·r2 and ≤ c1·c2), their product is nonnegative (same
+    sign), and every division is truncation-toward-zero re-signed —
+    Spark div and DuckDB // only agree on nonnegative operands. Staging
+    truncation is ≤ a few milli-units of chi², identical on both engines.
+
+    Scale notes: one user-keyed partial agg (conversion flag), then a
+    single one-row finalize — no joins, no windows, no driver math.
+
+    Returns one row: (n_users, n_a, n_b, conv_a, conv_b, rate_a_ppm,
+    rate_b_ppm, chi2_milli, significant).
+    """
+    per = events.groupBy(F.col(user_col).alias("k")).agg(
+        F.max(
+            F.when(F.col(event_col) == success_value, F.lit(1)).otherwise(0)
+        )
+        .cast("long")
+        .alias("conv")
+    )
+    g = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(f"{salt}:"), F.col("k").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 2
+    )
+    arm = per.select("conv", g.alias("g"))
+    cells = arm.agg(
+        F.sum(F.expr("CASE WHEN g = 0 AND conv = 1 THEN 1 ELSE 0 END"))
+        .cast("long")
+        .alias("a"),
+        F.sum(F.expr("CASE WHEN g = 0 AND conv = 0 THEN 1 ELSE 0 END"))
+        .cast("long")
+        .alias("b"),
+        F.sum(F.expr("CASE WHEN g = 1 AND conv = 1 THEN 1 ELSE 0 END"))
+        .cast("long")
+        .alias("c"),
+        F.sum(F.expr("CASE WHEN g = 1 AND conv = 0 THEN 1 ELSE 0 END"))
+        .cast("long")
+        .alias("d"),
+    )
+    t = cells.withColumns(
+        {
+            "r1": F.expr("a + b"),
+            "r2": F.expr("c + d"),
+            "c1": F.expr("a + c"),
+            "c2": F.expr("b + d"),
+            "det": F.expr("a * d - b * c"),
+        }
+    )
+    sdiv = (
+        "CASE WHEN {num} >= 0 THEN ({num}) div ({den})"
+        " ELSE -((-({num})) div ({den})) END"
+    )
+    u = t.withColumns(
+        {
+            "u_ppm": F.expr(
+                "CASE WHEN r1 > 0 AND r2 > 0 THEN "
+                + sdiv.format(num="1000000 * det", den="r1 * r2")
+                + " END"
+            ).cast("long"),
+            "v_ppm": F.expr(
+                "CASE WHEN c1 > 0 AND c2 > 0 THEN "
+                + sdiv.format(num="1000000 * det", den="c1 * c2")
+                + " END"
+            ).cast("long"),
+        }
+    )
+    return u.select(
+        F.expr("r1 + r2").cast("long").alias("n_users"),
+        F.col("r1").alias("n_a"),
+        F.col("r2").alias("n_b"),
+        F.col("a").alias("conv_a"),
+        F.col("c").alias("conv_b"),
+        F.expr("CASE WHEN r1 > 0 THEN (1000000 * a) div r1 END")
+        .cast("long")
+        .alias("rate_a_ppm"),
+        F.expr("CASE WHEN r2 > 0 THEN (1000000 * c) div r2 END")
+        .cast("long")
+        .alias("rate_b_ppm"),
+        F.expr(
+            "CASE WHEN u_ppm IS NOT NULL AND v_ppm IS NOT NULL THEN"
+            " ((r1 + r2) * u_ppm * v_ppm) div 1000000000 END"
+        )
+        .cast("long")
+        .alias("chi2_milli"),
+        F.coalesce(
+            F.expr(
+                "CASE WHEN u_ppm IS NOT NULL AND v_ppm IS NOT NULL THEN"
+                " ((r1 + r2) * u_ppm * v_ppm) div 1000000000 > 3841 END"
+            ),
+            F.lit(False),
+        ).alias("significant"),
+    )

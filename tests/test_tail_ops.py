@@ -1587,3 +1587,59 @@ def test_gini_concentration_hand_computed(spark):
         [(u,) for u in range(1, 6) for _ in range(3)], "user_id bigint"
     )
     assert gini_concentration(uni).collect()[0]["gini_ppm"] == 0
+
+
+def test_ab_test_chi2_hand_computed(spark):
+    import hashlib
+
+    from blink_spark.operators.temporal import ab_test_chi2
+
+    def arm(uid):
+        return int(hashlib.md5(f"ab:{uid}".encode()).hexdigest()[:8], 16) % 2
+
+    def tdiv(n, d):
+        return n // d if n >= 0 else -((-n) // d)
+
+    # strong effect: every arm-0 user converts, no arm-1 user does
+    users = list(range(1, 41))
+    rows = []
+    for u in users:
+        rows.append((u, "purchase" if arm(u) == 0 else "view"))
+        rows.append((u, "view"))
+    ev = spark.createDataFrame(rows, "user_id bigint, event_type string")
+    r = ab_test_chi2(ev).collect()[0]
+    a = sum(1 for u in users if arm(u) == 0)
+    c2 = 40 - a
+    assert (r["n_users"], r["n_a"], r["n_b"]) == (40, a, c2)
+    assert (r["conv_a"], r["conv_b"]) == (a, 0)
+    assert (r["rate_a_ppm"], r["rate_b_ppm"]) == (1_000_000, 0)
+    # det = a*d - b*c = a*c2; both staged factors replicate exactly
+    det = a * c2
+    u_ppm = tdiv(1_000_000 * det, a * c2)
+    v_ppm = tdiv(1_000_000 * det, a * c2)
+    chi2 = (40 * u_ppm * v_ppm) // 1_000_000_000
+    assert r["chi2_milli"] == chi2 == 40_000  # perfect split: chi2 = n
+    assert r["significant"]
+    # null effect: both arms convert every user -> det = 0, chi2 = 0
+    ev0 = spark.createDataFrame(
+        [(u, "purchase") for u in users], "user_id bigint, event_type string"
+    )
+    r0 = ab_test_chi2(ev0).collect()[0]
+    # all converted: column c2 (non-converters) is empty -> v_ppm NULL
+    assert r0["chi2_milli"] is None and not r0["significant"]
+    # mixed null effect: conversion independent of arm (every 2nd user by
+    # parity of uid converts -> det small), chi2 must match replication
+    ev1 = spark.createDataFrame(
+        [(u, "purchase" if u % 2 == 0 else "view") for u in users],
+        "user_id bigint, event_type string",
+    )
+    r1 = ab_test_chi2(ev1).collect()[0]
+    aa = sum(1 for u in users if arm(u) == 0 and u % 2 == 0)
+    bb = sum(1 for u in users if arm(u) == 0 and u % 2 == 1)
+    cc = sum(1 for u in users if arm(u) == 1 and u % 2 == 0)
+    dd = sum(1 for u in users if arm(u) == 1 and u % 2 == 1)
+    det1 = aa * dd - bb * cc
+    u1 = tdiv(1_000_000 * det1, (aa + bb) * (cc + dd))
+    v1 = tdiv(1_000_000 * det1, (aa + cc) * (bb + dd))
+    assert r1["chi2_milli"] == (40 * u1 * v1) // 1_000_000_000
+    assert not r1["significant"]

@@ -295,6 +295,10 @@ ALLOWLIST: dict[str, frozenset[str]] = {
     "events_gini_concentration": frozenset(
         {"BroadcastNestedLoopJoin", "Exchange SinglePartition"}
     ),
+    # events_ab_test_chi2 is one user-keyed partial agg reduced to a
+    # single 2x2 readout row — the finalize is the er_pairwise_f1
+    # scalar-aggregate class; nothing event-scale crosses the exchange.
+    "events_ab_test_chi2": frozenset({"Exchange SinglePartition"}),
 }
 
 # Exchange SinglePartition is only allowed when feeding a scalar finalize:

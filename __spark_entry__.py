@@ -5598,6 +5598,23 @@ def _er_tfidf_cosine(spark: SparkSession, sf: str) -> DataFrame:
     return tfidf_cosine_pairs(pairs, m, "mention_id", "mention")
 
 
+@_q("er_soft_tfidf", None)  # oracle injected below (fixture path)
+def _er_soft_tfidf(spark: SparkSession, sf: str) -> DataFrame:
+    """SoftTFIDF hybrid comparator (Cohen/Ravikumar/Fienberg 2003) for
+    the labeled gold pairs: tf-idf cosine with fuzzy token bridging —
+    each token matches its most-similar counterpart at lev-sim >= 0.9,
+    both directions reported. Integer idf surrogate + integer ppm token
+    similarity keep the parity surface log-free."""
+    from blink_spark.operators.scoring import soft_tfidf_pairs
+
+    m = _fx(spark, "mentions").select("mention_id", "mention")
+    pairs = _fx(spark, "gold_pairs").select(
+        F.col("mention_id_a").alias("record_id_a"),
+        F.col("mention_id_b").alias("record_id_b"),
+    )
+    return soft_tfidf_pairs(pairs, m, "mention_id", "mention")
+
+
 @_q("er_blocking_ensemble", None)  # oracle injected below (fixture path)
 def _er_blocking_ensemble(spark: SparkSession, sf: str) -> DataFrame:
     """Multi-pass blocking ensemble report (the standard production RL
@@ -7596,6 +7613,83 @@ def _er_oracles() -> dict[str, str]:
       FROM p
       LEFT JOIN dots d
         ON d.record_id_a = p.record_id_a AND d.record_id_b = p.record_id_b
+      JOIN norms na ON na.record_id = p.record_id_a
+      JOIN norms nb ON nb.record_id = p.record_id_b
+    """
+    # er_soft_tfidf: shares the tfidf weight CTEs; the token bridge is the
+    # per-pair token cross with integer-ppm lev similarity, best match per
+    # left token is a lexicographic struct max, and the partner weight is
+    # scaled BEFORE the product ((x*s)//1e6) to stay in the x_a*x_b
+    # overflow regime. Both directions mirrored.
+    soft_tfidf_sql = f"""
+      WITH m AS (
+        SELECT mention_id, {_norm_m} AS norm FROM read_parquet('{men}')
+      ),
+      tf AS (
+        SELECT mention_id AS record_id, tok, count(*)::BIGINT AS tf
+        FROM (SELECT mention_id, unnest(string_split(norm, ' ')) AS tok FROM m)
+        GROUP BY 1, 2
+      ),
+      nrec AS (SELECT count(DISTINCT mention_id)::BIGINT AS n FROM m),
+      dfk AS (SELECT tok, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+      w AS (
+        SELECT tf.record_id, tf.tok,
+               (tf.tf * ((1000 * nrec.n) // dfk.df))::BIGINT AS x
+        FROM tf JOIN dfk ON dfk.tok = tf.tok CROSS JOIN nrec
+      ),
+      norms AS (
+        SELECT record_id, sum(x * x)::BIGINT AS norm_sq FROM w GROUP BY 1
+      ),
+      p AS (
+        SELECT mention_id_a AS record_id_a, mention_id_b AS record_id_b
+        FROM read_parquet('{gold}')
+      ),
+      bridge AS (
+        SELECT p.record_id_a, p.record_id_b,
+               a.tok AS tok_a, a.x AS x_a, b.tok AS tok_b, b.x AS x_b,
+               ((greatest(length(a.tok), length(b.tok), 1)
+                 - levenshtein(a.tok, b.tok)) * 1000000)
+                 // greatest(length(a.tok), length(b.tok), 1) AS sim_ppm
+        FROM p
+        JOIN w a ON a.record_id = p.record_id_a
+        JOIN w b ON b.record_id = p.record_id_b
+      ),
+      fb AS (SELECT * FROM bridge WHERE sim_ppm >= 900000),
+      best_ab AS (
+        SELECT record_id_a, record_id_b, tok_a, x_a,
+               max({{s: sim_ppm, x: x_b}}) AS mm
+        FROM fb GROUP BY 1, 2, 3, 4
+      ),
+      dot_ab AS (
+        SELECT record_id_a, record_id_b,
+               sum(x_a * ((mm.x * mm.s) // 1000000))::BIGINT AS soft_dot_ab
+        FROM best_ab GROUP BY 1, 2
+      ),
+      best_ba AS (
+        SELECT record_id_a, record_id_b, tok_b, x_b,
+               max({{s: sim_ppm, x: x_a}}) AS mm
+        FROM fb GROUP BY 1, 2, 3, 4
+      ),
+      dot_ba AS (
+        SELECT record_id_a, record_id_b,
+               sum(x_b * ((mm.x * mm.s) // 1000000))::BIGINT AS soft_dot_ba
+        FROM best_ba GROUP BY 1, 2
+      )
+      SELECT p.record_id_a, p.record_id_b,
+             coalesce(dab.soft_dot_ab, 0)::BIGINT AS soft_dot_ab,
+             coalesce(dba.soft_dot_ba, 0)::BIGINT AS soft_dot_ba,
+             na.norm_sq::BIGINT AS norm_a, nb.norm_sq::BIGINT AS norm_b,
+             round(coalesce(dab.soft_dot_ab, 0)::double
+                   / (sqrt(na.norm_sq::double) * sqrt(nb.norm_sq::double)), 6)
+               AS soft_tfidf_ab,
+             round(coalesce(dba.soft_dot_ba, 0)::double
+                   / (sqrt(na.norm_sq::double) * sqrt(nb.norm_sq::double)), 6)
+               AS soft_tfidf_ba
+      FROM p
+      LEFT JOIN dot_ab dab
+        ON dab.record_id_a = p.record_id_a AND dab.record_id_b = p.record_id_b
+      LEFT JOIN dot_ba dba
+        ON dba.record_id_a = p.record_id_a AND dba.record_id_b = p.record_id_b
       JOIN norms na ON na.record_id = p.record_id_a
       JOIN norms nb ON nb.record_id = p.record_id_b
     """
@@ -10094,6 +10188,7 @@ def _er_oracles() -> dict[str, str]:
         "er_match_rule_report": rule_report_sql,
         "er_token_cosine": token_cosine_sql,
         "er_tfidf_cosine": tfidf_cosine_sql,
+        "er_soft_tfidf": soft_tfidf_sql,
         "er_monge_elkan": monge_elkan_sql,
         "er_blocking_ensemble": ensemble_sql,
         "er_phonetic_blocks": phonetic_sql,
@@ -10604,7 +10699,7 @@ _DRIVER_ORDER = [
     "embedding_matryoshka_recall", "er_labelfn_votes",
     "events_rfm_segments", "doc_bloom_novelty", "doc_heaps_fit",
     "orders_column_profile", "events_gini_concentration",
-    "events_ab_test_chi2",
+    "events_ab_test_chi2", "er_soft_tfidf",
 ]
 
 

@@ -516,6 +516,167 @@ def em_fs_weights(
     )
 
 
+def tfidf_weights(
+    records: DataFrame, id_col: str, text_col: str, idf_scale: int = 1000
+) -> DataFrame:
+    """Exact-integer sparse tf-idf vectors shared by ``tfidf_cosine_pairs``
+    and ``soft_tfidf_pairs``: per (record, token) weight
+    ``x = tf * ((idf_scale * N) div df)`` — the rational idf surrogate (a
+    positive integer floor division identical in Spark ``div`` and DuckDB
+    ``//``) instead of a libm log whose 1-ulp engine differences could
+    flip a floor. N stays lazy (one-row count broadcast onto the
+    vocabulary-keyed df table), so no Spark job fires at construction.
+
+    Returns (record_id, tok, x)."""
+    from blink_spark.functions.text import normalize_text
+
+    tf = (
+        records.select(
+            F.col(id_col).alias("record_id"),
+            F.explode(F.split(normalize_text(records[text_col]), " ")).alias("tok"),
+        )
+        .groupBy("record_id", "tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    n_df = (
+        records.select(F.col(id_col))
+        .distinct()
+        .agg(F.count(F.lit(1)).cast("long").alias("n_rec"))
+    )
+    df_tok = (
+        tf.groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("df"))
+        .crossJoin(F.broadcast(n_df))
+    )
+    return tf.join(df_tok, "tok").select(
+        "record_id",
+        "tok",
+        (F.col("tf") * F.expr(f"({idf_scale} * n_rec) div df"))
+        .cast("long")
+        .alias("x"),
+    )
+
+
+def soft_tfidf_pairs(
+    pairs: DataFrame,
+    records: DataFrame,
+    id_col: str,
+    text_col: str,
+    theta_ppm: int = 900_000,
+    idf_scale: int = 1000,
+) -> DataFrame:
+    """SoftTFIDF comparator (Cohen, Ravikumar, Fienberg, IIWeb 2003 — the
+    best-performing hybrid in their comparator study): TF-IDF cosine
+    where tokens need not match EXACTLY — each left token bridges to its
+    most-similar right token with string similarity ≥ θ, so
+    "jon smith" ~ "john smiths" scores high where the exact-token cosine
+    scores 0. The canonical measure is directional; both directions are
+    returned.
+
+    Exactness: tf-idf weights are the shared integer surrogate
+    (``tfidf_weights``); token similarity is integer levenshtein in ppm
+    ``((maxlen − lev)·1e6) div maxlen`` (the secondary-sim stand-in for
+    Jaro-Winkler — same DP ints on both engines); the bridged
+    contribution scales the PARTNER weight first,
+    ``x_a · ((x_b·sim) div 1e6)``, so the product stays in the same
+    overflow regime as tfidf_cosine's ``x_a·x_b`` dot. Best-match
+    selection is a lexicographic struct max on (sim, x_b) — tie-broken
+    deterministically, and x_b ties are score-equivalent. Final scores
+    are the two IEEE sqrt factors + round(·, 6), mirroring tfidf_cosine.
+
+    Scale notes: the token bridge is pairs × tokens² — tokens-per-record
+    is mention-scale (≤ ~10), so the blowup is bounded per pair; all
+    joins are record-id / token equi-joins, the best-match argmax is a
+    grouped partial agg (never a rank window over the bridge table).
+
+    Output: pairs + norm_a/norm_b (exact longs), soft_dot_ab/soft_dot_ba
+    (exact longs), soft_tfidf_ab/soft_tfidf_ba (round 6).
+    """
+    weighted = tfidf_weights(records, id_col, text_col, idf_scale)
+    norms = weighted.groupBy("record_id").agg(
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("norm_sq")
+    )
+    xa = weighted.select(
+        F.col("record_id").alias("record_id_a"),
+        F.col("tok").alias("tok_a"),
+        F.col("x").alias("x_a"),
+    )
+    xb = weighted.select(
+        F.col("record_id").alias("record_id_b"),
+        F.col("tok").alias("tok_b"),
+        F.col("x").alias("x_b"),
+    )
+    sim = F.expr(
+        "((greatest(length(tok_a), length(tok_b), 1)"
+        " - levenshtein(tok_a, tok_b)) * 1000000)"
+        " div greatest(length(tok_a), length(tok_b), 1)"
+    ).cast("long")
+    bridge = (
+        pairs.join(xa, "record_id_a")
+        .join(xb, "record_id_b")
+        .withColumn("sim_ppm", sim)
+        .filter(F.col("sim_ppm") >= int(theta_ppm))
+    )
+
+    def _soft_dot(left_tok: str, left_x: str, right_x: str, out: str) -> DataFrame:
+        best = bridge.groupBy(
+            "record_id_a", "record_id_b", left_tok, left_x
+        ).agg(
+            F.max(
+                F.struct(F.col("sim_ppm").alias("s"), F.col(right_x).alias("x"))
+            ).alias("m")
+        )
+        return best.groupBy("record_id_a", "record_id_b").agg(
+            F.sum(
+                F.col(left_x) * F.expr("(m.x * m.s) div 1000000")
+            )
+            .cast("long")
+            .alias(out)
+        )
+
+    out = (
+        pairs.join(
+            _soft_dot("tok_a", "x_a", "x_b", "soft_dot_ab"),
+            ["record_id_a", "record_id_b"],
+            "left",
+        )
+        .join(
+            _soft_dot("tok_b", "x_b", "x_a", "soft_dot_ba"),
+            ["record_id_a", "record_id_b"],
+            "left",
+        )
+        .join(
+            norms.select(
+                F.col("record_id").alias("record_id_a"),
+                F.col("norm_sq").alias("norm_a"),
+            ),
+            "record_id_a",
+        )
+        .join(
+            norms.select(
+                F.col("record_id").alias("record_id_b"),
+                F.col("norm_sq").alias("norm_b"),
+            ),
+            "record_id_b",
+        )
+        .withColumn("soft_dot_ab", F.coalesce("soft_dot_ab", F.lit(0).cast("long")))
+        .withColumn("soft_dot_ba", F.coalesce("soft_dot_ba", F.lit(0).cast("long")))
+    )
+    score = (
+        lambda dot: F.round(
+            F.col(dot).cast("double")
+            / (
+                F.sqrt(F.col("norm_a").cast("double"))
+                * F.sqrt(F.col("norm_b").cast("double"))
+            ),
+            6,
+        )
+    )
+    return out.withColumn("soft_tfidf_ab", score("soft_dot_ab")).withColumn(
+        "soft_tfidf_ba", score("soft_dot_ba")
+    )
+
+
 def tfidf_cosine_pairs(
     pairs: DataFrame,
     records: DataFrame,
@@ -550,37 +711,7 @@ def tfidf_cosine_pairs(
     Output: pairs + ``dot``, ``norm_a``, ``norm_b`` (exact longs) +
     ``tfidf_cosine`` (round 6).
     """
-    from blink_spark.functions.text import normalize_text
-
-    tf = (
-        records.select(
-            F.col(id_col).alias("record_id"),
-            F.explode(F.split(normalize_text(records[text_col]), " ")).alias("tok"),
-        )
-        .groupBy("record_id", "tok")
-        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
-    )
-    # N stays lazy: a one-row count aggregate broadcast onto the
-    # vocabulary-sized df table (the er_blocking_ensemble `tg` pattern) —
-    # no Spark job fires at DataFrame-construction time, and the integer
-    # `div` surrogate is unchanged.
-    n_df = (
-        records.select(F.col(id_col))
-        .distinct()
-        .agg(F.count(F.lit(1)).cast("long").alias("n_rec"))
-    )
-    df_tok = (
-        tf.groupBy("tok")
-        .agg(F.count(F.lit(1)).cast("long").alias("df"))
-        .crossJoin(F.broadcast(n_df))
-    )
-    weighted = tf.join(df_tok, "tok").select(
-        "record_id",
-        "tok",
-        (F.col("tf") * F.expr(f"({idf_scale} * n_rec) div df"))
-        .cast("long")
-        .alias("x"),
-    )
+    weighted = tfidf_weights(records, id_col, text_col, idf_scale)
     norms = weighted.groupBy("record_id").agg(
         F.sum(F.col("x") * F.col("x")).cast("long").alias("norm_sq")
     )

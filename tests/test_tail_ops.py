@@ -1643,3 +1643,37 @@ def test_ab_test_chi2_hand_computed(spark):
     v1 = tdiv(1_000_000 * det1, (aa + cc) * (bb + dd))
     assert r1["chi2_milli"] == (40 * u1 * v1) // 1_000_000_000
     assert not r1["significant"]
+
+
+def test_soft_tfidf_hand_computed(spark):
+    from blink_spark.operators.scoring import soft_tfidf_pairs
+
+    recs = spark.createDataFrame(
+        [
+            (1, "washington smith"),
+            (2, "washingtom smith"),  # 1 edit in a 10-char token: sim exactly 0.9
+            (3, "apple"),
+        ],
+        "rid bigint, text string",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3)], "record_id_a bigint, record_id_b bigint"
+    )
+    got = {
+        (r["record_id_a"], r["record_id_b"]): r
+        for r in soft_tfidf_pairs(pairs, recs, "rid", "text").collect()
+    }
+    r = got[(1, 2)]
+    # weights: washington/washingtom = 1*(1000*3 div 1) = 3000, smith = 1500
+    # norms: 3000^2 + 1500^2 = 11.25e6 on both sides
+    assert (r["norm_a"], r["norm_b"]) == (11_250_000, 11_250_000)
+    # washington bridges at sim EXACTLY 900000 (theta inclusive):
+    # 3000*((3000*900000)//1e6) = 8.1e6; smith exact: 1500*1500 = 2.25e6
+    assert r["soft_dot_ab"] == 8_100_000 + 2_250_000
+    assert r["soft_dot_ba"] == r["soft_dot_ab"]
+    assert r["soft_tfidf_ab"] == r["soft_tfidf_ba"] == 0.92
+    # exact-token cosine on the same pair would see only 'smith':
+    # 1500*1500/11.25e6 = 0.2 — the bridge is what lifts it to 0.92
+    r0 = got[(1, 3)]
+    assert r0["soft_dot_ab"] == 0 and r0["soft_dot_ba"] == 0
+    assert r0["soft_tfidf_ab"] == 0.0 and r0["soft_tfidf_ba"] == 0.0

@@ -299,6 +299,13 @@ ALLOWLIST: dict[str, frozenset[str]] = {
     # single 2x2 readout row — the finalize is the er_pairwise_f1
     # scalar-aggregate class; nothing event-scale crosses the exchange.
     "events_ab_test_chi2": frozenset({"Exchange SinglePartition"}),
+    # er_soft_tfidf shares tfidf_weights with er_tfidf_cosine: the same
+    # one-row corpus-count finalize broadcast onto the vocabulary-keyed
+    # df table (bm25-idf pattern); the token bridge and both argmax
+    # selections are record/token equi-joins + grouped partial aggs.
+    "er_soft_tfidf": frozenset(
+        {"BroadcastNestedLoopJoin", "Exchange SinglePartition"}
+    ),
 }
 
 # Exchange SinglePartition is only allowed when feeding a scalar finalize:

@@ -1141,6 +1141,102 @@ def _events_ab_test_chi2(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @_q(
+    "events_forecast_backtest",
+    """
+    WITH daily AS (
+      SELECT event_type AS k,
+             date_diff('day', DATE '2024-01-01', ts::DATE)::BIGINT AS day,
+             count(*)::BIGINT AS n
+      FROM events GROUP BY 1, 2
+    ),
+    j AS (
+      SELECT a.k, a.day, a.n, p.n AS n_hat,
+             (a.n - p.n)::BIGINT AS err, abs(a.n - p.n)::BIGINT AS aerr
+      FROM daily a JOIN daily p ON p.k = a.k AND p.day = a.day - 7
+    ),
+    agg AS (
+      SELECT k, count(*)::BIGINT AS n_days,
+             sum(aerr)::BIGINT AS total_abs_err,
+             sum(err)::BIGINT AS total_err,
+             sum((1000000 * aerr) // n)::BIGINT AS sum_ape_ppm
+      FROM j GROUP BY 1
+    )
+    SELECT k AS event_type, n_days, total_abs_err,
+           ((1000 * total_abs_err) // n_days)::BIGINT AS mae_milli,
+           (sum_ape_ppm // n_days)::BIGINT AS mape_ppm,
+           (CASE WHEN total_err >= 0 THEN (1000 * total_err) // n_days
+                 ELSE -((-(1000 * total_err)) // n_days) END)::BIGINT
+             AS bias_milli
+    FROM agg
+    """,
+)
+def _events_forecast_backtest(spark: SparkSession, sf: str) -> DataFrame:
+    """Seasonal-naive (y_hat(t) = y(t-7)) forecast backtest per event
+    type over observed day pairs: exact integer MAE/MAPE/bias — the
+    baseline error profile any forecasting pipeline must beat. One
+    (key, day) partial agg + self equi-join + key-keyed finalize."""
+    from blink_spark.operators.temporal import forecast_backtest_naive
+
+    return forecast_backtest_naive(_t(spark, sf, "events"))
+
+
+@_q(
+    "lineitem_numeric_profile",
+    """
+    WITH long AS (
+      SELECT 'l_quantity' AS col, floor(l_quantity * 1000)::BIGINT AS vm
+      FROM lineitem
+      UNION ALL SELECT 'l_extendedprice', floor(l_extendedprice * 1000)::BIGINT
+      FROM lineitem
+      UNION ALL SELECT 'l_discount', floor(l_discount * 1000)::BIGINT
+      FROM lineitem
+      UNION ALL SELECT 'l_tax', floor(l_tax * 1000)::BIGINT FROM lineitem
+    ),
+    stats AS (
+      SELECT col, count(*)::BIGINT AS n_rows,
+             coalesce(sum(CASE WHEN vm IS NULL THEN 1 END), 0)::BIGINT
+               AS n_null,
+             min(vm)::BIGINT AS min_milli, max(vm)::BIGINT AS max_milli,
+             coalesce(sum(vm), 0)::BIGINT AS sum_milli
+      FROM long GROUP BY 1
+    ),
+    q AS (
+      SELECT col, quantile_disc(vm, 0.25)::BIGINT AS q25_milli,
+             quantile_disc(vm, 0.50)::BIGINT AS q50_milli,
+             quantile_disc(vm, 0.75)::BIGINT AS q75_milli
+      FROM long WHERE vm IS NOT NULL GROUP BY 1
+    )
+    SELECT s.col AS column_name, n_rows, n_null, min_milli, max_milli,
+           sum_milli,
+           (CASE WHEN n_rows - n_null > 0 THEN
+              CASE WHEN sum_milli >= 0
+                THEN sum_milli // (n_rows - n_null)
+                ELSE -((-sum_milli) // (n_rows - n_null)) END
+            END)::BIGINT AS mean_milli,
+           q25_milli, q50_milli, q75_milli
+    FROM stats s LEFT JOIN q ON q.col = s.col
+    """,
+)
+def _lineitem_numeric_profile(spark: SparkSession, sf: str) -> DataFrame:
+    """Numeric distribution profile of lineitem's measure columns in
+    exact milli-units: min/max/sum/mean + percentile_disc quartiles —
+    column_profile's companion for measures. Quartiles via the
+    grouped_quartiles rank picks; everything else one keyed partial
+    agg; callers quantize to milli BEFORE any sum (no float sums)."""
+    from blink_spark.operators.profile import numeric_profile
+
+    return numeric_profile(
+        _t(spark, sf, "lineitem"),
+        {
+            "l_quantity": "floor(l_quantity * 1000)",
+            "l_extendedprice": "floor(l_extendedprice * 1000)",
+            "l_discount": "floor(l_discount * 1000)",
+            "l_tax": "floor(l_tax * 1000)",
+        },
+    )
+
+
+@_q(
     "doc_char_entropy",
     f"""
     WITH ch AS (
@@ -10699,7 +10795,8 @@ _DRIVER_ORDER = [
     "embedding_matryoshka_recall", "er_labelfn_votes",
     "events_rfm_segments", "doc_bloom_novelty", "doc_heaps_fit",
     "orders_column_profile", "events_gini_concentration",
-    "events_ab_test_chi2", "er_soft_tfidf",
+    "events_ab_test_chi2", "er_soft_tfidf", "events_forecast_backtest",
+    "lineitem_numeric_profile",
 ]
 
 

@@ -82,3 +82,69 @@ def column_profile(df: DataFrame, cols: dict[str, str]) -> DataFrame:
         .cast("long")
         .alias("entropy_micro"),
     )
+
+
+def numeric_profile(df: DataFrame, cols: dict[str, str]) -> DataFrame:
+    """Numeric companion of ``column_profile``: per column min / max /
+    sum / mean plus exact quartiles, all in integer milli-units — the
+    distribution report for measure columns, where ``column_profile``'s
+    top-value/entropy view fits dimensions. ``cols`` maps output names to
+    SQL expressions that MUST already yield integer milli-units (e.g.
+    ``floor(x * 1000)``): callers quantize explicitly, so no float sum
+    or float rendering ever enters the parity surface.
+
+    Quartiles are percentile_disc rank picks from ``grouped_quartiles``
+    (per-group window — the honest exact form; the group count here is
+    |cols|, and each group holds one column's values). Everything else is
+    one keyed partial agg. Mean is ``sum div n`` floor division on
+    nonnegative-or-positive sums guarded sign-safe for negative-valued
+    columns.
+
+    Returns (column_name, n_rows, n_null, min_milli, max_milli,
+    sum_milli, mean_milli, q25_milli, q50_milli, q75_milli).
+    """
+    from blink_spark.operators.corpus import grouped_quartiles
+
+    n = len(cols)
+    pairs = ", ".join(
+        f"'{name}', cast(({expr}) as bigint)" for name, expr in cols.items()
+    )
+    long = df.select(F.expr(f"stack({n}, {pairs}) as (col, vm)"))
+    stats = long.groupBy("col").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.coalesce(F.sum(F.when(F.col("vm").isNull(), 1)), F.lit(0))
+        .cast("long")
+        .alias("n_null"),
+        F.min("vm").cast("long").alias("min_milli"),
+        F.max("vm").cast("long").alias("max_milli"),
+        F.coalesce(F.sum("vm"), F.lit(0)).cast("long").alias("sum_milli"),
+    )
+    q = grouped_quartiles(
+        long.filter(F.col("vm").isNotNull()), "col", "vm", "vm"
+    ).select(
+        F.col("key").alias("col"),
+        F.col("q25").alias("q25_milli"),
+        F.col("q50").alias("q50_milli"),
+        F.col("q75").alias("q75_milli"),
+    )
+    out = stats.join(q, "col", "left")
+    return out.select(
+        F.col("col").alias("column_name"),
+        "n_rows",
+        "n_null",
+        "min_milli",
+        "max_milli",
+        "sum_milli",
+        F.expr(
+            "CASE WHEN n_rows - n_null > 0 THEN"
+            " CASE WHEN sum_milli >= 0"
+            "  THEN sum_milli div (n_rows - n_null)"
+            "  ELSE -((-sum_milli) div (n_rows - n_null)) END"
+            " END"
+        )
+        .cast("long")
+        .alias("mean_milli"),
+        "q25_milli",
+        "q50_milli",
+        "q75_milli",
+    )

@@ -1005,3 +1005,74 @@ def ab_test_chi2(
             F.lit(False),
         ).alias("significant"),
     )
+
+
+def forecast_backtest_naive(
+    events: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    lag_days: int = 7,
+    epoch: str = "2024-01-01",
+) -> DataFrame:
+    """Seasonal-naive forecast backtest: predict each day's event volume
+    with the volume ``lag_days`` earlier (the y_hat(t) = y(t−7) baseline
+    every real forecasting system must beat — Hyndman & Athanasopoulos,
+    FPP; a pipeline that cannot beat seasonal-naive has no forecast), and
+    report the exact backtest error profile per key.
+
+    The backtest runs over OBSERVED day pairs — days where both t and
+    t−lag have at least one event (daily counts come from a groupBy, so
+    silent zero-volume days are absent from both sides; deterministic and
+    documented rather than imputed). Errors are exact integers: MAE in
+    milli-events ``(1000·Σ|err|) div n``, MAPE in ppm with per-day floor
+    division ``Σ((1e6·|err|) div actual) div n`` (actual ≥ 1 on observed
+    days), and signed bias in milli-events (sign-safe division — the
+    bias CAN be negative).
+
+    Scale notes: one (key, day) partial agg, one self equi-join on
+    (key, day+lag), one key-keyed finalize. No windows, no scalars.
+
+    Returns (key, n_days, total_abs_err, mae_milli, mape_ppm, bias_milli).
+    """
+    daily = (
+        events.select(
+            F.col(key_col).alias("k"),
+            F.expr(
+                f"cast(datediff(to_date({ts_col}), date'{epoch}') as bigint)"
+            ).alias("day"),
+        )
+        .groupBy("k", "day")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    pred = daily.select(
+        "k",
+        (F.col("day") + int(lag_days)).alias("day"),
+        F.col("n").alias("n_hat"),
+    )
+    j = daily.join(pred, ["k", "day"]).select(
+        "k",
+        "day",
+        "n",
+        "n_hat",
+        F.expr("n - n_hat").alias("err"),
+        F.expr("abs(n - n_hat)").alias("aerr"),
+    )
+    agg = j.groupBy("k").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum("aerr").cast("long").alias("total_abs_err"),
+        F.sum("err").cast("long").alias("total_err"),
+        F.sum(F.expr("(1000000 * aerr) div n")).cast("long").alias("sum_ape_ppm"),
+    )
+    return agg.select(
+        F.col("k").alias(key_col),
+        "n_days",
+        "total_abs_err",
+        F.expr("(1000 * total_abs_err) div n_days").cast("long").alias("mae_milli"),
+        F.expr("sum_ape_ppm div n_days").cast("long").alias("mape_ppm"),
+        F.expr(
+            "CASE WHEN total_err >= 0 THEN (1000 * total_err) div n_days"
+            " ELSE -((-(1000 * total_err)) div n_days) END"
+        )
+        .cast("long")
+        .alias("bias_milli"),
+    )

@@ -1677,3 +1677,62 @@ def test_soft_tfidf_hand_computed(spark):
     r0 = got[(1, 3)]
     assert r0["soft_dot_ab"] == 0 and r0["soft_dot_ba"] == 0
     assert r0["soft_tfidf_ab"] == 0.0 and r0["soft_tfidf_ba"] == 0.0
+
+
+def test_forecast_backtest_naive_hand_computed(spark):
+    from datetime import datetime, timedelta
+
+    from blink_spark.operators.temporal import forecast_backtest_naive
+
+    week1 = [10, 20, 30, 10, 20, 30, 10]
+    week2 = [13, 16, 30, 10, 26, 24, 10]
+    rows = []
+    for d, v in enumerate(week1 + week2):
+        ts = datetime(2024, 1, 1, 9) + timedelta(days=d)
+        rows.extend([("A", ts)] * v)
+    ev = spark.createDataFrame(rows, "event_type string, ts timestamp")
+    r = forecast_backtest_naive(ev).collect()
+    assert len(r) == 1
+    r = r[0]
+    # errs vs the 7-day-earlier value: 3,-4,0,0,6,-6,0
+    assert (r["n_days"], r["total_abs_err"]) == (7, 19)
+    assert r["mae_milli"] == 19000 // 7
+    apes = [
+        (1_000_000 * abs(a - p)) // a for a, p in zip(week2, week1)
+    ]
+    assert r["mape_ppm"] == sum(apes) // 7
+    assert r["bias_milli"] == -(1000 // 7)  # total_err = -1, sign-safe div
+
+
+def test_numeric_profile_hand_computed(spark):
+    from blink_spark.operators.profile import numeric_profile
+
+    df = spark.createDataFrame(
+        [(1.0, -2.5), (2.0, None), (3.0, -0.5), (4.0, -1.0)],
+        "a double, b double",
+    )
+    got = {
+        r["column_name"]: r
+        for r in numeric_profile(
+            df, {"a": "floor(a * 1000)", "b": "floor(b * 1000)"}
+        ).collect()
+    }
+    a = got["a"]
+    assert (a["n_rows"], a["n_null"]) == (4, 0)
+    assert (a["min_milli"], a["max_milli"], a["sum_milli"]) == (
+        1000, 4000, 10000,
+    )
+    assert a["mean_milli"] == 2500
+    # percentile_disc rank picks over [1000, 2000, 3000, 4000]
+    assert (a["q25_milli"], a["q50_milli"], a["q75_milli"]) == (
+        1000, 2000, 3000,
+    )
+    b = got["b"]  # negative values + a null: sign-safe mean, null skipped
+    assert (b["n_rows"], b["n_null"]) == (4, 1)
+    assert (b["min_milli"], b["max_milli"], b["sum_milli"]) == (
+        -2500, -500, -4000,
+    )
+    assert b["mean_milli"] == -(4000 // 3)
+    assert (b["q25_milli"], b["q50_milli"], b["q75_milli"]) == (
+        -2500, -1000, -500,
+    )

@@ -1237,6 +1237,40 @@ def _lineitem_numeric_profile(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @_q(
+    "doc_cross_source_dups",
+    f"""
+    WITH fp AS (
+      SELECT md5(array_to_string(list_sort({_toks('text')}), ' ')) AS fp,
+             source AS src
+      FROM documents
+    ),
+    c AS (SELECT fp, src, count(*)::BIGINT AS c FROM fp GROUP BY 1, 2),
+    p AS (
+      SELECT a.src AS src_a, b.src AS src_b,
+             (CASE WHEN a.src = b.src THEN (a.c * (a.c - 1)) // 2
+                   ELSE a.c * b.c END)::BIGINT AS n_pairs
+      FROM c a JOIN c b ON a.fp = b.fp AND a.src <= b.src
+    )
+    SELECT src_a, src_b, count(*)::BIGINT AS n_fp_shared,
+           sum(n_pairs)::BIGINT AS n_dup_pairs
+    FROM p WHERE n_pairs > 0 GROUP BY 1, 2
+    """,
+)
+def _doc_cross_source_dups(spark: SparkSession, sf: str) -> DataFrame:
+    """Cross-source exact-duplicate matrix: shared fingerprints and
+    implied duplicate pairs per unordered source pair — the provenance
+    readout ("is crawl-B a mirror of crawl-A?") that decides which
+    source pairs need the expensive near-dup pass. One (fp, source)
+    partial agg + a bounded self equi-join on fp; output is a
+    #sources x #sources matrix."""
+    from blink_spark.operators.dedup import cross_source_dup_matrix
+
+    return cross_source_dup_matrix(
+        _t(spark, sf, "documents"), "doc_id", "text", "source"
+    )
+
+
+@_q(
     "doc_char_entropy",
     f"""
     WITH ch AS (
@@ -10796,7 +10830,7 @@ _DRIVER_ORDER = [
     "events_rfm_segments", "doc_bloom_novelty", "doc_heaps_fit",
     "orders_column_profile", "events_gini_concentration",
     "events_ab_test_chi2", "er_soft_tfidf", "events_forecast_backtest",
-    "lineitem_numeric_profile",
+    "lineitem_numeric_profile", "doc_cross_source_dups",
 ]
 
 

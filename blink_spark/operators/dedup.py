@@ -1277,3 +1277,57 @@ def bloom_novelty(
             .alias("verdict"),
         )
     )
+
+
+def cross_source_dup_matrix(
+    df: DataFrame, id_col: str, text_col: str, source_col: str
+) -> DataFrame:
+    """Cross-source exact-duplicate matrix: for every unordered pair of
+    sources, how many bag-of-words fingerprints they share and how many
+    duplicate document PAIRS that implies — the provenance readout a
+    corpus curator reads before dropping a source ("is crawl-B just a
+    mirror of crawl-A?") and the dedup planner reads to decide which
+    source pairs need the expensive near-dup pass at all (reference
+    analogue: the per-source uniqueness accounting around
+    /root/reference/blink/main_dense.py:137, lifted to pairs of sources).
+
+    Same-source cells count within-source pairs C(c,2); cross-source
+    cells count c_a*c_b (every duplicate crosses the boundary). Exact
+    BIGINT arithmetic throughout.
+
+    Scale shape: one (fp, source) partial-agg shuffle, then a self
+    equi-join on fp over the aggregated table — per-fp group sizes are
+    #distinct sources at most, so the join fan-out is bounded by
+    sources^2 per fingerprint, never by document count; the output is a
+    #sources x #sources matrix. No windows, no crossJoin.
+    """
+    counts = (
+        df.select(
+            fingerprint(df[text_col]).alias("fp"),
+            F.col(source_col).alias("src"),
+        )
+        .groupBy("fp", "src")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    a = counts.select("fp", F.col("src").alias("src_a"), F.col("c").alias("c_a"))
+    b = counts.select("fp", F.col("src").alias("src_b"), F.col("c").alias("c_b"))
+    per_fp = (
+        a.join(b, "fp")
+        .filter(F.col("src_a") <= F.col("src_b"))
+        .select(
+            "src_a",
+            "src_b",
+            F.when(
+                F.col("src_a") == F.col("src_b"),
+                F.expr("(c_a * (c_a - 1)) div 2"),
+            )
+            .otherwise(F.expr("c_a * c_b"))
+            .cast("long")
+            .alias("n_pairs"),
+        )
+        .filter(F.col("n_pairs") > 0)
+    )
+    return per_fp.groupBy("src_a", "src_b").agg(
+        F.count(F.lit(1)).cast("long").alias("n_fp_shared"),
+        F.sum("n_pairs").cast("long").alias("n_dup_pairs"),
+    )

@@ -658,3 +658,30 @@ def test_minhash_calibration_planted(spark):
     assert full["n_pairs"] >= 1
     assert full["mean_true_ppm"] == 1_000_000
     assert full["max_abs_err_ppm"] == 0
+
+
+def test_cross_source_dup_matrix(spark):
+    import pandas as pd
+
+    from blink_spark.operators.dedup import cross_source_dup_matrix
+
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            [
+                (1, "alpha beta gamma", "a"),
+                (2, "alpha beta gamma", "a"),   # within-a pair
+                (3, "beta alpha gamma", "b"),   # bag-of-words dup of 1,2
+                (4, "delta epsilon", "b"),
+                (5, "delta epsilon", "c"),      # b-c cross pair
+                (6, "unique text here", "c"),
+            ],
+            columns=["doc_id", "text", "source"],
+        )
+    )
+    out = {
+        (r["src_a"], r["src_b"]): (r["n_fp_shared"], r["n_dup_pairs"])
+        for r in cross_source_dup_matrix(docs, "doc_id", "text", "source").collect()
+    }
+    # fp1 = {alpha beta gamma}: a has 2, b has 1 -> (a,a)=C(2,2)=1, (a,b)=2*1=2
+    # fp2 = {delta epsilon}: b has 1, c has 1 -> (b,c)=1
+    assert out == {("a", "a"): (1, 1), ("a", "b"): (1, 2), ("b", "c"): (1, 1)}

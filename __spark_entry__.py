@@ -6318,6 +6318,18 @@ def _er_clustering_coefficient(spark: SparkSession, sf: str) -> DataFrame:
     return local_clustering(_gold_match_edges(spark))
 
 
+@_q("er_label_propagation", None)  # oracle injected below (fixture path)
+def _er_label_propagation(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic synchronous label propagation (3 sweeps, most-frequent
+    neighbor label, min-label ties) over the gold match graph — community
+    detection that, unlike connected components, lets thin chain merges
+    split at their weakest hop; disagreement with er_clusters flags the
+    chains a reviewer should cut."""
+    from blink_spark.operators.cluster import label_propagation
+
+    return label_propagation(_gold_match_edges(spark), rounds=3)
+
+
 @_q("er_cluster_churn", None)  # oracle injected below (fixture path)
 def _er_cluster_churn(spark: SparkSession, sf: str) -> DataFrame:
     """Clustering snapshot diff: (gold entity partition x S5 linkage
@@ -9242,6 +9254,42 @@ def _er_oracles() -> dict[str, str]:
                  ((1000000 * n_records) // n_total)::BIGINT AS share_ppm
           FROM hist CROSS JOIN tot
         """,
+        # synchronous LPA, 3 unrolled sweeps: per-round argmax is
+        # row_number ORDER BY c DESC, lbl — identical to Spark's
+        # min_by(lbl, struct(-c, lbl)) lexicographic struct order
+        "er_label_propagation": f"""
+          WITH raw AS (
+            SELECT least(mention_id_a, mention_id_b) AS u,
+                   greatest(mention_id_a, mention_id_b) AS v
+            FROM read_parquet('{gold}')
+            WHERE same_entity AND mention_id_a != mention_id_b
+            GROUP BY 1, 2
+          ),
+          e AS (SELECT u, v FROM raw UNION ALL SELECT v, u FROM raw),
+          l0 AS (SELECT DISTINCT u AS n, u AS lbl FROM e),
+          c1 AS (SELECT e.u, l0.lbl, count(*)::BIGINT AS c
+                 FROM e JOIN l0 ON l0.n = e.v GROUP BY 1, 2),
+          l1 AS (SELECT u AS n, lbl FROM (
+                   SELECT u, lbl, row_number() OVER (
+                     PARTITION BY u ORDER BY c DESC, lbl) AS rn FROM c1)
+                 WHERE rn = 1),
+          c2 AS (SELECT e.u, l1.lbl, count(*)::BIGINT AS c
+                 FROM e JOIN l1 ON l1.n = e.v GROUP BY 1, 2),
+          l2 AS (SELECT u AS n, lbl FROM (
+                   SELECT u, lbl, row_number() OVER (
+                     PARTITION BY u ORDER BY c DESC, lbl) AS rn FROM c2)
+                 WHERE rn = 1),
+          c3 AS (SELECT e.u, l2.lbl, count(*)::BIGINT AS c
+                 FROM e JOIN l2 ON l2.n = e.v GROUP BY 1, 2),
+          l3 AS (SELECT u AS n, lbl FROM (
+                   SELECT u, lbl, row_number() OVER (
+                     PARTITION BY u ORDER BY c DESC, lbl) AS rn FROM c3)
+                 WHERE rn = 1),
+          sz AS (SELECT lbl, count(*)::BIGINT AS community_size
+                 FROM l3 GROUP BY 1)
+          SELECT l3.n AS record_id, l3.lbl AS lp_label, sz.community_size
+          FROM l3 JOIN sz ON sz.lbl = l3.lbl
+        """,
         "er_match_pagerank": f"""
           WITH raw AS (
             SELECT least(mention_id_a, mention_id_b) AS u,
@@ -10831,6 +10879,7 @@ _DRIVER_ORDER = [
     "orders_column_profile", "events_gini_concentration",
     "events_ab_test_chi2", "er_soft_tfidf", "events_forecast_backtest",
     "lineitem_numeric_profile", "doc_cross_source_dups",
+    "er_label_propagation",
 ]
 
 

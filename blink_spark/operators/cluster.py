@@ -1106,3 +1106,52 @@ def nmi(assignments: DataFrame, labels: DataFrame) -> DataFrame:
             ).cast("long").alias("nmi_ppm"),
         )
     )
+
+
+def label_propagation(edges: DataFrame, rounds: int = 3) -> DataFrame:
+    """Synchronous label propagation (Raghavan et al. 2007) with a fully
+    deterministic update: each round every node adopts the label that is
+    MOST FREQUENT among its neighbors, ties broken by the smallest label.
+    Labels start as the node's own id; ``rounds`` fixed sweeps (no
+    convergence test — bounded work, reproducible output).
+
+    Community detection for ER triage that is deliberately NOT connected
+    components: CC fuses everything reachable, LPA keeps densely-linked
+    cores together while letting thin chains split at their weakest hop —
+    the contrast between ``er_clusters`` and this readout marks exactly
+    the chain merges a reviewer should cut. Reference analogue: the
+    transitive candidate-set merges around
+    /root/reference/blink/main_dense.py:282 are frequency-free; this adds
+    the frequency vote.
+
+    Determinism/parity: the argmax is min_by over the struct (-count,
+    label) — lexicographic struct order = highest count then smallest
+    label, identical in any ANSI engine as ORDER BY c DESC, lbl. Scale
+    notes (100 TB): each round is one edge-label equi-join plus two
+    partial-agg shuffles ((node, label) count, then per-node min_by);
+    no windows, nothing collected to the driver.
+
+    edges: canonical undirected pairs (u, v), u != v, deduped.
+    Returns (record_id, lp_label, community_size).
+    """
+    both = _bidirectional(edges)
+    labels = both.select(F.col("u").alias("n")).distinct().withColumn(
+        "lbl", F.col("n")
+    )
+    for _ in range(rounds):
+        cnt = (
+            both.join(labels.withColumnRenamed("n", "v"), "v")
+            .groupBy("u", "lbl")
+            .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        )
+        labels = cnt.groupBy("u").agg(
+            F.expr("min_by(lbl, struct(-c, lbl))").alias("lbl")
+        ).withColumnRenamed("u", "n")
+    sizes = labels.groupBy("lbl").agg(
+        F.count(F.lit(1)).cast("long").alias("community_size")
+    )
+    return labels.join(sizes, "lbl").select(
+        F.col("n").alias("record_id"),
+        F.col("lbl").alias("lp_label"),
+        "community_size",
+    )

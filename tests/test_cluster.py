@@ -248,3 +248,23 @@ def test_triangle_census_hand_computed(spark):
     assert r["n_triangles"] == 1
     # global clustering coefficient 3*1/6 = 0.5
     assert r["closure_ppm"] == 500_000
+
+
+def test_label_propagation_splits_bridged_triangles(spark):
+    from blink_spark.operators.cluster import label_propagation
+
+    # two triangles joined by one bridge edge: CC fuses all 6 nodes,
+    # frequency-vote LPA keeps the triangles as separate communities
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (4, 5), (4, 6), (5, 6), (3, 4)],
+        ["u", "v"],
+    )
+    out = {
+        r["record_id"]: (r["lp_label"], r["community_size"])
+        for r in label_propagation(edges, rounds=3).collect()
+    }
+    # hand-traced 3 synchronous sweeps (min-label ties):
+    assert out == {
+        1: (1, 3), 2: (1, 3), 3: (1, 3),
+        4: (3, 3), 5: (3, 3), 6: (3, 3),
+    }

@@ -4644,6 +4644,70 @@ def _emb_semdedup(spark: SparkSession, sf: str) -> DataFrame:
     return semdedup(e, "vec_id", "q", n_cells=8, tau=0.95)
 
 
+@_q(
+    "embedding_silhouette",
+    """
+    WITH e AS (
+      SELECT vec_id, label,
+             [floor((x::double + 2.0) * 1000)::BIGINT for x in embedding] AS q
+      FROM embeddings
+    ),
+    d AS (SELECT label, generate_subscripts(q, 1) AS dim, unnest(q) AS v FROM e),
+    cd AS (SELECT label, dim, (sum(v)::BIGINT // count(*)) AS c
+           FROM d GROUP BY 1, 2),
+    cent AS (SELECT label AS label_c, list(c ORDER BY dim) AS carr
+             FROM cd GROUP BY 1),
+    cc AS (SELECT label_c, carr, list_dot_product(carr, carr)::BIGINT AS ccv
+           FROM cent),
+    p AS (SELECT vec_id, label, q, list_dot_product(q, q)::BIGINT AS qq FROM e),
+    x AS (SELECT p.vec_id, p.label, c.label_c,
+                 (p.qq - 2 * (list_dot_product(p.q, c.carr)::BIGINT) + c.ccv)
+                   AS dist
+          FROM p CROSS JOIN cc c),
+    s AS (SELECT vec_id, label,
+                 min(CASE WHEN label_c = label THEN dist END) AS a,
+                 min(CASE WHEN label_c <> label THEN dist END) AS b
+          FROM x GROUP BY 1, 2),
+    sp AS (SELECT label,
+                 CASE WHEN b IS NULL THEN 0
+                      WHEN b >= a THEN ((b - a) * 1000000) // greatest(a, b, 1)
+                      ELSE -(((a - b) * 1000000) // greatest(a, b, 1))
+                 END AS s_ppm
+           FROM s)
+    SELECT label, count(*)::BIGINT AS n_points,
+           sum(CASE WHEN s_ppm > 0 THEN 1 ELSE 0 END)::BIGINT AS n_well_placed,
+           CASE WHEN sum(s_ppm) >= 0 THEN (sum(s_ppm)::BIGINT // count(*))
+                ELSE -(((-sum(s_ppm))::BIGINT) // count(*)) END AS mean_s_ppm
+    FROM sp GROUP BY label
+    """,
+)
+def _embedding_silhouette(spark: SparkSession, sf: str) -> DataFrame:
+    """Simplified silhouette of the embeddings table's label clustering —
+    the GEOMETRIC cluster-quality readout beside the label-based family
+    (purity/ARI/B-cubed/NMI/modularity): per label, how many points sit
+    closer to their own centroid than to any rival, and the mean
+    (b−a)/max(a,b) score in exact ppm. Embeddings are shifted (+2, so
+    every component is positive and the truncating centroid mean is
+    engine-identical) and quantized at 1e3 (squared distance is
+    shift-invariant; the coarser scale keeps (b−a)·1e6 inside BIGINT).
+    O(n·k) broadcast fan-out, no O(n²) pairwise pass — the scale form of
+    the classic silhouette."""
+    from blink_spark.operators.cluster import simplified_silhouette
+
+    e = _t(spark, sf, "embeddings")
+    pts = e.select(
+        F.col("vec_id").alias("record_id"),
+        "label",
+        F.transform(
+            "embedding",
+            lambda x: F.floor((x.cast("double") + F.lit(2.0)) * 1000).cast(
+                "long"
+            ),
+        ).alias("q"),
+    )
+    return simplified_silhouette(pts)
+
+
 @_q("er_jdbc_mapping_scan", None)  # oracle injected below (fixture path)
 def _er_jdbc_mapping(spark: SparkSession, sf: str) -> DataFrame:
     """JDBC mapping-store scan — the reference's sqlite mapping database
@@ -10879,7 +10943,7 @@ _DRIVER_ORDER = [
     "orders_column_profile", "events_gini_concentration",
     "events_ab_test_chi2", "er_soft_tfidf", "events_forecast_backtest",
     "lineitem_numeric_profile", "doc_cross_source_dups",
-    "er_label_propagation",
+    "er_label_propagation", "embedding_silhouette",
 ]
 
 

@@ -1155,3 +1155,86 @@ def label_propagation(edges: DataFrame, rounds: int = 3) -> DataFrame:
         F.col("lbl").alias("lp_label"),
         "community_size",
     )
+
+
+def simplified_silhouette(points: DataFrame) -> DataFrame:
+    """Simplified silhouette (Hruschka et al. 2004) of an embedding
+    clustering — the GEOMETRIC quality number next to the label-based
+    family (purity/ARI/B-cubed/NMI/modularity): for each point, a = squared
+    distance to its OWN cluster centroid, b = squared distance to the
+    NEAREST other centroid, s = (b - a) / max(a, b). Positive s = the point
+    sits closer to its own centroid than any rival (well placed); negative
+    s = a re-assignment candidate. The classic silhouette needs all O(n^2)
+    pairwise distances; the simplified form is the standard O(n·k)
+    large-scale substitute (centroids stand in for cluster members).
+
+    Exactness/parity: ``points`` must carry a NON-NEGATIVE quantized
+    embedding ``q: array<long>`` (shift-then-scale keeps every component
+    positive, so the truncating centroid mean ``sum div count`` is
+    identical in any engine; squared distance is shift-invariant, so the
+    shift does not change s). Centroid components are exact truncated
+    integer means; distances are exact integer dots (dist = q·q − 2·q·c +
+    c·c ≥ 0); the final ratio is sign-safe ppm integer division. Overflow
+    bound: (b − a)·1e6 needs dim · (2·max|q|)^2 · 1e6 < 2^63, i.e.
+    max|q| ≲ 6e5 at dim 64 — quantize at 1e3, not the repo's 1e6 cosine
+    scale.
+
+    Scale notes (100 TB): one posexplode + (label, dim) partial-agg shuffle
+    builds the k×dim centroid table (k clusters, bounded); the point×k
+    distance fan-out is a BROADCAST crossJoin (no shuffle) and the per-point
+    min collapses map-side (all k rows of a point are co-located), so the
+    only full shuffle of point-cardinality data is the final per-label agg.
+    The array dots are interpreted HOFs over k rows/point — fine here; at
+    extreme k relationalize via posexplode like the IVF assignment.
+
+    points: (record_id, label, q: array<long>, q non-negative).
+    Returns per label: (label, n_points, n_well_placed, mean_s_ppm).
+    """
+    from blink_spark.functions.hashing import int_dot
+
+    d = points.select("label", F.posexplode("q").alias("dim", "v"))
+    cd = d.groupBy("label", "dim").agg(
+        F.expr("sum(v) div count(1)").cast("long").alias("c")
+    )
+    cent = (
+        cd.groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "c"))),
+                lambda s: s["c"],
+            ).alias("carr")
+        )
+        .withColumnRenamed("label", "label_c")
+    )
+    cent = cent.withColumn("ccv", int_dot("carr", "carr").cast("long"))
+    p = points.withColumn("qq", int_dot("q", "q").cast("long"))
+    x = p.crossJoin(F.broadcast(cent)).withColumn(
+        "dist",
+        (
+            F.col("qq") - 2 * int_dot("q", "carr").cast("long") + F.col("ccv")
+        ).cast("long"),
+    )
+    s = x.groupBy("record_id", "label").agg(
+        F.min(F.when(F.col("label_c") == F.col("label"), F.col("dist"))).alias("a"),
+        F.min(F.when(F.col("label_c") != F.col("label"), F.col("dist"))).alias("b"),
+    )
+    sp = s.withColumn(
+        "s_ppm",
+        F.expr(
+            "CASE WHEN b IS NULL THEN 0"
+            " WHEN b >= a THEN ((b - a) * 1000000) div greatest(a, b, 1)"
+            " ELSE -(((a - b) * 1000000) div greatest(a, b, 1)) END"
+        ).cast("long"),
+    )
+    return sp.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("n_points"),
+        F.sum(F.when(F.col("s_ppm") > 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_well_placed"),
+        F.expr(
+            "CASE WHEN sum(s_ppm) >= 0 THEN sum(s_ppm) div count(1)"
+            " ELSE -((-sum(s_ppm)) div count(1)) END"
+        )
+        .cast("long")
+        .alias("mean_s_ppm"),
+    )

@@ -268,3 +268,59 @@ def test_label_propagation_splits_bridged_triangles(spark):
         1: (1, 3), 2: (1, 3), 3: (1, 3),
         4: (3, 3), 5: (3, 3), 6: (3, 3),
     }
+
+
+def test_simplified_silhouette_planted_geometry(spark):
+    from blink_spark.operators.cluster import simplified_silhouette
+
+    # two tight clusters far apart + one label-0 "traitor" sitting on
+    # cluster 1's centroid: every clean point must score positive, the
+    # traitor negative. Expected values from an exact pure-python mirror
+    # of the operator's integer arithmetic (trunc centroid mean, integer
+    # dots, sign-safe ppm division).
+    pts = [
+        ("a0", 0, [0, 0]), ("a1", 0, [0, 2]),
+        ("a2", 0, [2, 0]), ("a3", 0, [2, 2]),
+        ("t", 0, [101, 101]),
+        ("b0", 1, [100, 100]), ("b1", 1, [100, 102]),
+        ("b2", 1, [102, 100]), ("b3", 1, [102, 102]),
+    ]
+
+    def mirror(rows):
+        by_label = {}
+        for _, lbl, q in rows:
+            by_label.setdefault(lbl, []).append(q)
+        cents = {
+            lbl: [sum(v[d] for v in vs) // len(vs) for d in range(2)]
+            for lbl, vs in by_label.items()
+        }
+        out = {}
+        for _, lbl, q in rows:
+            dists = {
+                c: sum((q[d] - cv[d]) ** 2 for d in range(2))
+                for c, cv in cents.items()
+            }
+            a = dists[lbl]
+            b = min(v for c, v in dists.items() if c != lbl)
+            den = max(a, b, 1)
+            s = (
+                ((b - a) * 1_000_000) // den
+                if b >= a
+                else -(((a - b) * 1_000_000) // den)
+            )
+            n, well, tot = out.get(lbl, (0, 0, 0))
+            out[lbl] = (n + 1, well + (1 if s > 0 else 0), tot + s)
+        return {
+            lbl: (n, well, tot // n if tot >= 0 else -((-tot) // n))
+            for lbl, (n, well, tot) in out.items()
+        }
+
+    df = spark.createDataFrame(pts, ["record_id", "label", "q"])
+    got = {
+        r["label"]: (r["n_points"], r["n_well_placed"], r["mean_s_ppm"])
+        for r in simplified_silhouette(df).collect()
+    }
+    exp = mirror(pts)
+    assert got == exp
+    # the traitor drags label 0 below a clean 5/5
+    assert exp[0][1] == 4 and exp[1][1] == 4

@@ -5939,6 +5939,23 @@ def _er_phonetic_blocks(spark: SparkSession, sf: str) -> DataFrame:
     return phonetic_pairs(m, "mention_id", "mention", max_block=100)
 
 
+@_q("er_suffix_blocks", None)  # oracle injected below (fixture path)
+def _er_suffix_blocks(spark: SparkSession, sf: str) -> DataFrame:
+    """Suffix-array blocking over mention surfaces (Aizawa & Oyama 2005):
+    candidate pairs whose space-stripped normalized surfaces share a
+    suffix of length >= 8, cap-and-report discipline — the blocker for
+    PREFIX corruption (truncated first tokens, dropped honorifics) where
+    the intact evidence is the string tail and token/phonetic/shingle
+    keys all miss. Nested shared suffixes collapse to one row with a
+    collision count (deepest shared tail = strongest signal)."""
+    from blink_spark.operators.blocking import suffix_pairs
+
+    m = _fx(spark, "mentions")
+    return suffix_pairs(
+        m, "mention_id", "mention", min_len=8, max_suffixes=12, max_block=50
+    )
+
+
 @_q("er_edit_distance_pairs", None)  # oracle injected below (fixture path)
 def _er_edit_distance_pairs(spark: SparkSession, sf: str) -> DataFrame:
     """Exact Levenshtein-threshold self-join over mention surfaces (d=2)
@@ -10434,6 +10451,33 @@ def _er_oracles() -> dict[str, str]:
         "er_monge_elkan": monge_elkan_sql,
         "er_blocking_ensemble": ensemble_sql,
         "er_phonetic_blocks": phonetic_sql,
+        # suffix blocking: suffixes at starts 1..min(len-8+1, 12) of the
+        # space-stripped normalized surface (whole string if shorter),
+        # blocks of 2..50 records, pair rows collapse nested collisions —
+        # identical key set, cap and tie behavior to blocking.suffix_pairs
+        "er_suffix_blocks": f"""
+          WITH n0 AS (
+            SELECT mention_id AS record_id,
+                   replace({_norm('mention')}, ' ', '') AS s
+            FROM read_parquet('{men}')
+          ),
+          sx AS (
+            SELECT record_id,
+                   unnest([substr(s, i) for i in
+                           range(1, greatest(least(length(s) - 8 + 1, 12), 1)
+                                    + 1)]) AS sfx
+            FROM n0
+          ),
+          sz AS (SELECT sfx, count(*)::BIGINT AS bs FROM sx GROUP BY 1),
+          ok AS (SELECT f.record_id, f.sfx
+                 FROM sx f JOIN sz ON sz.sfx = f.sfx
+                 WHERE sz.bs BETWEEN 2 AND 50)
+          SELECT a.record_id AS record_id_a, b.record_id AS record_id_b,
+                 count(*)::BIGINT AS n_shared_suffixes,
+                 max(length(a.sfx))::BIGINT AS longest_suffix_len
+          FROM ok a JOIN ok b ON a.sfx = b.sfx AND a.record_id < b.record_id
+          GROUP BY 1, 2
+        """,
         "er_cluster_stats": f"""
           {scored_cte},
           edges AS (
@@ -10943,7 +10987,7 @@ _DRIVER_ORDER = [
     "orders_column_profile", "events_gini_concentration",
     "events_ab_test_chi2", "er_soft_tfidf", "events_forecast_backtest",
     "lineitem_numeric_profile", "doc_cross_source_dups",
-    "er_label_propagation", "embedding_silhouette",
+    "er_label_propagation", "embedding_silhouette", "er_suffix_blocks",
 ]
 
 

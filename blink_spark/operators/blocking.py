@@ -748,3 +748,75 @@ def ppjoin_pairs(
             ),
         )
     )
+
+
+def suffix_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_len: int = 5,
+    max_suffixes: int = 12,
+    max_block: int = 50,
+) -> DataFrame:
+    """Suffix-array blocking (Aizawa & Oyama 2005): two records become
+    candidates when any sufficiently-long SUFFIX of their space-stripped
+    normalized surfaces collides — the classic blocker for prefix
+    corruption (truncated first tokens, dropped honorifics, OCR damage at
+    the string head), which token/phonetic/shingle blocks handle poorly
+    because the intact evidence is the string TAIL.
+
+    Keys: suffixes starting at positions 1..min(len − min_len + 1,
+    ``max_suffixes``) — the length floor kills degenerate short keys, the
+    position cap bounds the per-record fan-out (the 100-TB lever: blow-up
+    is ≤ max_suffixes×, independent of string length). Strings shorter
+    than ``min_len`` fall back to the whole string as their single key
+    (the token_pair_blocks t1: convention). Suffixes of one record are
+    distinct by construction (distinct start ⇒ distinct length).
+
+    Scale shape: explode → one map-side-combinable groupBy for block
+    sizes, cap-and-report (blocks > ``max_block`` dropped whole — shared
+    long tails like a common company suffix would otherwise go quadratic),
+    then a key equi-join bounded by max_block²/2 per block. Unlike
+    phonetic_pairs the size table is NOT broadcast: suffix cardinality is
+    O(total chars), so the cap filter stays a shuffle equi-join and AQE
+    picks the strategy. Nested suffixes of the same pair collapse into one
+    output row counting the collisions (deepest shared tail = strongest
+    signal).
+
+    Output: (record_id_a, record_id_b, n_shared_suffixes,
+    longest_suffix_len) with record_id_a < record_id_b, once per pair.
+    """
+    from blink_spark.functions.text import normalize_text
+
+    sfx = df.select(
+        df[id_col].alias("record_id"),
+        F.translate(normalize_text(df[text_col]), " ", "").alias("_s"),
+    ).select(
+        "record_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, greatest(least(length(_s) - {min_len}"
+                f" + 1, {max_suffixes}), 1)), i -> substring(_s, i, {1 << 18}))"
+            )
+        ).alias("sfx"),
+    )
+    sizes = sfx.groupBy("sfx").agg(
+        F.count(F.lit(1)).cast("long").alias("block_size")
+    )
+    capped = sfx.join(
+        sizes.filter(
+            (F.col("block_size") >= 2) & (F.col("block_size") <= max_block)
+        ),
+        "sfx",
+    )
+    left = capped.select("sfx", F.col("record_id").alias("record_id_a"))
+    right = capped.select("sfx", F.col("record_id").alias("record_id_b"))
+    return (
+        left.join(right, "sfx")
+        .filter(F.col("record_id_a") < F.col("record_id_b"))
+        .groupBy("record_id_a", "record_id_b")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_shared_suffixes"),
+            F.max(F.length("sfx")).cast("long").alias("longest_suffix_len"),
+        )
+    )

@@ -580,3 +580,58 @@ def test_cluster_purity_hand_computed(spark):
     assert c1["gini_ppm"] == 1_000_000 - (1_000_000 * 10) // 16
     c2 = out["c2"]
     assert (c2["purity_ppm"], c2["gini_ppm"]) == (1_000_000, 0)
+
+
+def test_suffix_pairs_prefix_corruption_and_caps(spark):
+    from blink_spark.operators.blocking import suffix_pairs
+
+    rows = [
+        ("r1", "doctor john smithson"),   # prefix-corrupted twin of r2
+        ("r2", "john smithson"),
+        ("r3", "mary jones"),             # no partner
+        ("r4", "abc"),                    # short-string fallback block
+        ("r5", "abc"),
+        ("z1", "zzblocked common tail"),  # 4-way block > max_block: dropped
+        ("z2", "yzblocked common tail"),
+        ("z3", "xzblocked common tail"),
+        ("z4", "wzblocked common tail"),
+    ]
+    min_len, max_sfx, max_block = 5, 12, 3
+
+    def mirror(data):
+        sfx = {}
+        for rid, txt in data:
+            s = txt.replace(" ", "")
+            n = max(min(len(s) - min_len + 1, max_sfx), 1)
+            for i in range(n):
+                sfx.setdefault(s[i:], []).append(rid)
+        pairs = {}
+        for key, ids in sfx.items():
+            if not (2 <= len(ids) <= max_block):
+                continue
+            for a in ids:
+                for b in ids:
+                    if a < b:
+                        n_sh, longest = pairs.get((a, b), (0, 0))
+                        pairs[(a, b)] = (n_sh + 1, max(longest, len(key)))
+        return pairs
+
+    df = spark.createDataFrame(rows, ["id", "name"])
+    got = {
+        (r["record_id_a"], r["record_id_b"]): (
+            r["n_shared_suffixes"],
+            r["longest_suffix_len"],
+        )
+        for r in suffix_pairs(
+            df, "id", "name", min_len=min_len,
+            max_suffixes=max_sfx, max_block=max_block,
+        ).collect()
+    }
+    exp = mirror(rows)
+    assert got == exp
+    # the corruption survives: r1-r2 pair found, deepest shared tail =
+    # the full space-stripped "johnsmithson"
+    assert exp[("r1", "r2")][1] == len("johnsmithson")
+    # fallback pairs short strings; the oversized z-block emits nothing
+    assert ("r4", "r5") in exp
+    assert not any(a.startswith("z") for (a, _b) in exp)

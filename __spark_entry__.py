@@ -1236,6 +1236,78 @@ def _lineitem_numeric_profile(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+_SPEARMAN_RHO_SQL = (
+    "(CASE WHEN (4 * n * (n * n - 1)) = 0 THEN 0"
+    " WHEN (4 * n * (n * n - 1)) >= 1000000"
+    " THEN 1000000 - (6 * sum_d2_4x) // ((4 * n * (n * n - 1)) // 1000000)"
+    " ELSE 1000000 - (6 * sum_d2_4x * 1000000) // (4 * n * (n * n - 1))"
+    " END)::BIGINT"
+)
+
+
+@_q(
+    "lineitem_spearman",
+    f"""
+    WITH base AS (
+      SELECT l_quantity AS q, l_extendedprice AS p,
+             l_discount AS d, l_tax AS t
+      FROM lineitem
+      WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+        AND l_discount IS NOT NULL AND l_tax IS NOT NULL
+    ),
+    r AS (
+      SELECT
+        (2*rank() OVER (ORDER BY q) + count(*) OVER (PARTITION BY q) - 1)::BIGINT AS rq,
+        (2*rank() OVER (ORDER BY p) + count(*) OVER (PARTITION BY p) - 1)::BIGINT AS rp,
+        (2*rank() OVER (ORDER BY d) + count(*) OVER (PARTITION BY d) - 1)::BIGINT AS rd,
+        (2*rank() OVER (ORDER BY t) + count(*) OVER (PARTITION BY t) - 1)::BIGINT AS rt
+      FROM base
+    ),
+    nd AS (
+      SELECT count(*)::BIGINT AS n,
+             count(DISTINCT q)::BIGINT AS ndq, count(DISTINCT p)::BIGINT AS ndp,
+             count(DISTINCT d)::BIGINT AS ndd, count(DISTINCT t)::BIGINT AS ndt
+      FROM base
+    ),
+    s AS (
+      SELECT sum((rq-rp)*(rq-rp))::BIGINT AS d_qp,
+             sum((rq-rd)*(rq-rd))::BIGINT AS d_qd,
+             sum((rq-rt)*(rq-rt))::BIGINT AS d_qt,
+             sum((rp-rd)*(rp-rd))::BIGINT AS d_pd,
+             sum((rp-rt)*(rp-rt))::BIGINT AS d_pt,
+             sum((rd-rt)*(rd-rt))::BIGINT AS d_dt
+      FROM r
+    ),
+    u AS (
+      SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b, n,
+             ndq AS n_distinct_a, ndp AS n_distinct_b, d_qp AS sum_d2_4x
+      FROM nd, s
+      UNION ALL SELECT 'l_quantity', 'l_discount', n, ndq, ndd, d_qd FROM nd, s
+      UNION ALL SELECT 'l_quantity', 'l_tax', n, ndq, ndt, d_qt FROM nd, s
+      UNION ALL SELECT 'l_extendedprice', 'l_discount', n, ndp, ndd, d_pd FROM nd, s
+      UNION ALL SELECT 'l_extendedprice', 'l_tax', n, ndp, ndt, d_pt FROM nd, s
+      UNION ALL SELECT 'l_discount', 'l_tax', n, ndd, ndt, d_dt FROM nd, s
+    )
+    SELECT col_a, col_b, n, n_distinct_a, n_distinct_b, sum_d2_4x,
+           {_SPEARMAN_RHO_SQL} AS rho_ppm
+    FROM u
+    """,
+)
+def _lineitem_spearman(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact Spearman rank-correlation matrix over lineitem's four measure
+    columns — the monotone-dependence companion of the numeric profile
+    (Pearson needs float sums, banned by the parity contract; average-rank
+    ×2 integer ranks + the 6Σd² formula are pure BIGINT). Rank maps come
+    from value-frequency tables cumulated by the two-phase running sum —
+    no global single-task rank window at any n."""
+    from blink_spark.operators.profile import spearman_matrix
+
+    return spearman_matrix(
+        _t(spark, sf, "lineitem"),
+        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+    )
+
+
 @_q(
     "doc_cross_source_dups",
     f"""
@@ -10988,6 +11060,7 @@ _DRIVER_ORDER = [
     "events_ab_test_chi2", "er_soft_tfidf", "events_forecast_backtest",
     "lineitem_numeric_profile", "doc_cross_source_dups",
     "er_label_propagation", "embedding_silhouette", "er_suffix_blocks",
+    "lineitem_spearman",
 ]
 
 

@@ -148,3 +148,107 @@ def numeric_profile(df: DataFrame, cols: dict[str, str]) -> DataFrame:
         "q50_milli",
         "q75_milli",
     )
+
+
+def spearman_matrix(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Exact Spearman rank-correlation profile over every pair of numeric
+    columns — the monotone-dependence report beside ``numeric_profile``'s
+    marginals (Pearson needs float sums, which the parity contract bans;
+    rank correlation is pure integer arithmetic and robust to the heavy
+    skew profiling exists to find).
+
+    Ranks are AVERAGE ranks kept integer by the ×2 trick
+    (rank2x = 2·min_rank + ties − 1, an integer even when the average
+    rank is a half); rho uses the classic formula
+    rho = 1 − 6·Σd²/(n(n²−1)) on those ranks, reported in ppm via staged
+    sign-safe division. With heavy ties this formula is a DOWN-biased
+    variant of Pearson-on-ranks — the per-column distinct counts are
+    emitted so a reader can judge tie density. Rows with a NULL in ANY
+    profiled column are dropped first (listwise deletion — NULL ordering
+    differs across engines, and partial ranks would skew pairs
+    inconsistently).
+
+    Scale notes (100 TB): per column, ranks come from the VALUE-frequency
+    table (collapses n rows to distinct values before anything ordered
+    happens) cumulated by ``ids.partitioned_running_sum`` — a range
+    shuffle, never a global single-task window; the rank map joins back
+    on the value (AQE broadcasts the low-cardinality maps). One final
+    partial agg computes all pair sums in a single pass.
+
+    Overflow: worst-case Σd²(×4 units) is 16n³/3 and the ppm numerator
+    6·Σd² ≤ 32n³ must stay under 2^63, so n ≤ 650_000 (the er_ari loud-
+    guard convention — raise, don't wrap; at larger n run per-partition
+    samples or compute the ratio in doubles under 2^53).
+
+    Returns one row per unordered column pair:
+    (col_a, col_b, n, n_distinct_a, n_distinct_b, sum_d2_4x, rho_ppm).
+    """
+    from blink_spark.operators.ids import partitioned_running_sum
+
+    base = df.select(*cols)
+    for c in cols:
+        base = base.filter(F.col(c).isNotNull())
+    cur = base
+    for c in cols:
+        freq = base.groupBy(c).agg(F.count(F.lit(1)).cast("long").alias("_f"))
+        cum = partitioned_running_sum(freq, c, "_f", "_cum")
+        rmap = cum.select(
+            c,
+            (2 * F.col("_cum") - F.col("_f") + 1).cast("long").alias(f"_r_{c}"),
+        )
+        cur = cur.join(rmap, c)
+    aggs = [F.count(F.lit(1)).cast("long").alias("n")] + [
+        F.countDistinct(c).cast("long").alias(f"_nd_{c}") for c in cols
+    ]
+    pairs = [(a, b) for i, a in enumerate(cols) for b in cols[i + 1 :]]
+    for a, b in pairs:
+        aggs.append(
+            F.sum(
+                (F.col(f"_r_{a}") - F.col(f"_r_{b}"))
+                * (F.col(f"_r_{a}") - F.col(f"_r_{b}"))
+            )
+            .cast("long")
+            .alias(f"_d2_{a}_{b}")
+        )
+    row = cur.agg(*aggs)
+    # loud overflow guard before any cubic term is formed
+    row = row.withColumn(
+        "_n_ok",
+        F.expr(
+            "CASE WHEN n <= 650000 THEN n ELSE raise_error("
+            "'spearman_matrix: 6*sum_d2 can overflow BIGINT past n=650k; "
+            "sample or compute the ratio in doubles at this scale') END"
+        ).cast("long"),
+    )
+    stack_args = ", ".join(
+        f"'{a}', '{b}', _nd_{a}, _nd_{b}, _d2_{a}_{b}" for a, b in pairs
+    )
+    long = row.select(
+        "n",
+        "_n_ok",
+        F.expr(
+            f"stack({len(pairs)}, {stack_args})"
+            " as (col_a, col_b, n_distinct_a, n_distinct_b, sum_d2_4x)"
+        ),
+    )
+    # rho_ppm = 1e6 - 6e6*sum_d2_4x/(4*n*(n^2-1)), staged so no product
+    # exceeds BIGINT: divide the denominator down by 1e6 first when large
+    # (relative error ~1e-12 and ENGINE-IDENTICAL), multiply first when
+    # small. sum_d2 >= 0 so only the final subtraction can go negative.
+    den = "(4 * _n_ok * (_n_ok * _n_ok - 1))"
+    return long.select(
+        "col_a",
+        "col_b",
+        "n",
+        "n_distinct_a",
+        "n_distinct_b",
+        "sum_d2_4x",
+        F.expr(
+            f"CASE WHEN {den} = 0 THEN 0"
+            f" WHEN {den} >= 1000000"
+            f" THEN 1000000 - (6 * sum_d2_4x) div ({den} div 1000000)"
+            f" ELSE 1000000 - (6 * sum_d2_4x * 1000000) div {den} END"
+        )
+        .cast("long")
+        .alias("rho_ppm"),
+    )

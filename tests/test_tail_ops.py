@@ -1736,3 +1736,57 @@ def test_numeric_profile_hand_computed(spark):
     assert (b["q25_milli"], b["q50_milli"], b["q75_milli"]) == (
         -2500, -1000, -500,
     )
+
+
+def test_spearman_matrix_hand_computed(spark):
+    from blink_spark.operators.profile import spearman_matrix
+
+    # x ascending; y = x exactly (rho 1.0); z = reversed (rho -1.0);
+    # w has ties and a NULL row that must be listwise-dropped everywhere
+    rows = [
+        (1.0, 1.0, 9.0, 5.0),
+        (2.0, 2.0, 8.0, 5.0),
+        (3.0, 3.0, 7.0, 6.0),
+        (4.0, 4.0, 6.0, None),
+        (5.0, 5.0, 5.0, 6.0),
+    ]
+    df = spark.createDataFrame(rows, ["x", "y", "z", "w"])
+    out = {
+        (r["col_a"], r["col_b"]): r
+        for r in spearman_matrix(df, ["x", "y", "z", "w"]).collect()
+    }
+    assert len(out) == 6
+    # NULL w row dropped: n = 4 for every pair
+    assert all(r["n"] == 4 for r in out.values())
+    # exact mirror on the surviving rows (1,2,3,5)
+    import itertools
+
+    surv = [rows[i] for i in (0, 1, 2, 4)]
+    cols = ["x", "y", "z", "w"]
+
+    def rank2x(vals):
+        return {
+            v: 2 * (sorted(vals).index(v) + 1) + vals.count(v) - 1
+            for v in set(vals)
+        }
+
+    for (ia, a), (ib, b) in itertools.combinations(enumerate(cols), 2):
+        va = [r[ia] for r in surv]
+        vb = [r[ib] for r in surv]
+        ra, rb = rank2x(va), rank2x(vb)
+        sum_d2 = sum((ra[x] - rb[y]) ** 2 for x, y in zip(va, vb))
+        n = 4
+        den = 4 * n * (n * n - 1)
+        rho = (
+            1_000_000 - (6 * sum_d2 * 1_000_000) // den
+            if den < 1_000_000
+            else 1_000_000 - (6 * sum_d2) // (den // 1_000_000)
+        )
+        got = out[(a, b)]
+        assert got["sum_d2_4x"] == sum_d2, (a, b)
+        assert got["rho_ppm"] == rho, (a, b)
+        assert got["n_distinct_a"] == len(set(va))
+        assert got["n_distinct_b"] == len(set(vb))
+    # headline sanity: identity pair perfectly correlated, reversal -1
+    assert out[("x", "y")]["rho_ppm"] == 1_000_000
+    assert out[("x", "z")]["rho_ppm"] == -1_000_000

@@ -189,17 +189,23 @@ def spearman_matrix(df: DataFrame, cols: list[str]) -> DataFrame:
     for c in cols:
         base = base.filter(F.col(c).isNotNull())
     cur = base
+    nds = []
     for c in cols:
         freq = base.groupBy(c).agg(F.count(F.lit(1)).cast("long").alias("_f"))
+        # distinct count = the freq table's row count (one-row finalize of
+        # partial counts) — NOT countDistinct on the joined table, whose
+        # expand rewrite would push distinct-value-scale rows through a
+        # single-partition exchange
+        nds.append(
+            freq.agg(F.count(F.lit(1)).cast("long").alias(f"_nd_{c}"))
+        )
         cum = partitioned_running_sum(freq, c, "_f", "_cum")
         rmap = cum.select(
             c,
             (2 * F.col("_cum") - F.col("_f") + 1).cast("long").alias(f"_r_{c}"),
         )
         cur = cur.join(rmap, c)
-    aggs = [F.count(F.lit(1)).cast("long").alias("n")] + [
-        F.countDistinct(c).cast("long").alias(f"_nd_{c}") for c in cols
-    ]
+    aggs = [F.count(F.lit(1)).cast("long").alias("n")]
     pairs = [(a, b) for i, a in enumerate(cols) for b in cols[i + 1 :]]
     for a, b in pairs:
         aggs.append(
@@ -211,6 +217,8 @@ def spearman_matrix(df: DataFrame, cols: list[str]) -> DataFrame:
             .alias(f"_d2_{a}_{b}")
         )
     row = cur.agg(*aggs)
+    for nd in nds:
+        row = row.crossJoin(F.broadcast(nd))
     # loud overflow guard before any cubic term is formed
     row = row.withColumn(
         "_n_ok",

@@ -306,6 +306,20 @@ ALLOWLIST: dict[str, frozenset[str]] = {
     "er_soft_tfidf": frozenset(
         {"BroadcastNestedLoopJoin", "Exchange SinglePartition"}
     ),
+    # embedding_silhouette's point×centroid fan-out is crossJoin(broadcast)
+    # of the k-row centroid table (k = #labels, bounded) — the documented
+    # O(n·k) simplified-silhouette shape; the per-point min collapses
+    # map-side, so nothing point-scale crosses a single partition.
+    "embedding_silhouette": frozenset({"BroadcastNestedLoopJoin"}),
+    # lineitem_spearman: the 6 pair Σd² + n land in ONE global scalar
+    # aggregate (map-side partials, one-row finalize — the fs_weights
+    # class); the per-column distinct counts are one-row finalizes of the
+    # value-frequency tables broadcast onto that row (bm25-idf pattern).
+    # Ranks themselves come from two-phase running sums — no global rank
+    # window anywhere.
+    "lineitem_spearman": frozenset(
+        {"BroadcastNestedLoopJoin", "Exchange SinglePartition"}
+    ),
 }
 
 # Exchange SinglePartition is only allowed when feeding a scalar finalize:

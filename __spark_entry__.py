@@ -1181,6 +1181,61 @@ def _events_forecast_backtest(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @_q(
+    "events_ks_test",
+    """
+    WITH base AS (
+      SELECT floor(value * 1000)::BIGINT AS vm,
+             (CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT
+               AS is_a
+      FROM events
+      WHERE event_type IN ('purchase', 'click')
+        AND floor(value * 1000) IS NOT NULL
+    ),
+    freq AS (
+      SELECT vm, sum(is_a)::BIGINT AS ca, sum(1 - is_a)::BIGINT AS cb
+      FROM base GROUP BY 1
+    ),
+    tot AS (
+      SELECT coalesce(sum(ca), 0)::BIGINT AS na,
+             coalesce(sum(cb), 0)::BIGINT AS nb
+      FROM freq
+    ),
+    cum AS (
+      SELECT sum(ca) OVER (ORDER BY vm)::BIGINT AS cum_a,
+             sum(cb) OVER (ORDER BY vm)::BIGINT AS cum_b
+      FROM freq
+    ),
+    d AS (
+      SELECT max(abs(cum_a * nb - cum_b * na))::BIGINT AS d_num,
+             count(*)::BIGINT AS n_values,
+             max(na)::BIGINT AS na, max(nb)::BIGINT AS nb
+      FROM cum, tot
+    )
+    SELECT na AS n_a, nb AS n_b, n_values, d_num,
+           (CASE WHEN na > 0 AND nb > 0
+             THEN (1000000 * d_num) // (na * nb) END)::BIGINT AS d_ppm,
+           coalesce(
+             CASE WHEN na > 0 AND nb > 0 THEN
+               ((1000000 * d_num) // (na * nb))
+                 * ((1000000 * d_num) // (na * nb))
+                 > (1844164000000 * (na + nb)) // (na * nb) END,
+             false) AS significant
+    FROM d
+    """,
+)
+def _events_ks_test(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov test comparing the
+    milli-quantized value distributions of purchase vs click events:
+    cross-multiplied integer ECDF gap, d_ppm, and the alpha=0.05
+    significance comparison against the floored c(0.05)^2 threshold
+    (1358^2 = 1844164 ppm exactly). Frequency-table agg + one shared
+    two-phase running-sum shuffle + one-row max finalize."""
+    from blink_spark.operators.temporal import ks_two_sample
+
+    return ks_two_sample(_t(spark, sf, "events"))
+
+
+@_q(
     "lineitem_numeric_profile",
     """
     WITH long AS (
@@ -11060,7 +11115,7 @@ _DRIVER_ORDER = [
     "events_ab_test_chi2", "er_soft_tfidf", "events_forecast_backtest",
     "lineitem_numeric_profile", "doc_cross_source_dups",
     "er_label_propagation", "embedding_silhouette", "er_suffix_blocks",
-    "lineitem_spearman",
+    "lineitem_spearman", "events_ks_test",
 ]
 
 

@@ -1076,3 +1076,84 @@ def forecast_backtest_naive(
         .cast("long")
         .alias("bias_milli"),
     )
+
+
+def ks_two_sample(
+    events: DataFrame,
+    value_expr: str = "cast(floor(value * 1000) as bigint)",
+    group_col: str = "event_type",
+    group_a: str = "purchase",
+    group_b: str = "click",
+) -> DataFrame:
+    """Exact two-sample Kolmogorov–Smirnov test: the largest ECDF gap
+    between two groups' value distributions — the standard "did this
+    segment's metric distribution shift?" readout (a mean/chi-square test
+    misses pure shape changes; KS is distribution-free).
+
+    All arithmetic is exact BIGINT on the milli-quantized values: with
+    cumulative counts ``cum_a``/``cum_b`` at each distinct value, the gap
+    numerator is ``|cum_a·n_b − cum_b·n_a|`` (the ECDF difference
+    cross-multiplied onto the common denominator ``n_a·n_b``), ``d_num``
+    is its max and ``d_ppm = (1e6·d_num) div (n_a·n_b)``. Significance at
+    alpha = 0.05 uses c(0.05) = 1.358 (c² = 1844164 ppm exactly, since
+    1358² = 1844164): reject iff D² > c²·(n_a+n_b)/(n_a·n_b), compared as
+    ``d_ppm² > (1844164e6·(n_a+n_b)) div (n_a·n_b)`` — the floored
+    threshold differs from the real one by < 1 ppm², identically in both
+    engines. Exact-integer bounds (documented, chi2-style): ``1e6·d_num``
+    needs ``n_a·n_b ≤ 9.2e12`` (~3M rows per side); the threshold
+    numerator needs ``n_a+n_b ≤ 5e6`` — rescale counts beyond that.
+
+    Scale notes: one value-keyed partial agg builds the frequency table
+    (distinct-value scale, not row scale), the two cumulative counts share
+    ONE two-phase range shuffle (``partitioned_running_sums`` — no global
+    single-task window), and the max-gap is a map-side partial max with a
+    one-row finalize. Totals ride the same frequency table.
+
+    Returns one row: (n_a, n_b, n_values, d_num, d_ppm, significant).
+    """
+    from .ids import partitioned_running_sums
+
+    base = events.filter(
+        F.col(group_col).isin([group_a, group_b])
+        & F.expr(value_expr).isNotNull()
+    ).select(
+        F.expr(value_expr).alias("vm"),
+        F.when(F.col(group_col) == group_a, F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("is_a"),
+    )
+    freq = base.groupBy("vm").agg(
+        F.sum("is_a").cast("long").alias("ca"),
+        F.sum(F.expr("1 - is_a")).cast("long").alias("cb"),
+    )
+    tot = freq.agg(
+        F.coalesce(F.sum("ca"), F.lit(0)).cast("long").alias("na"),
+        F.coalesce(F.sum("cb"), F.lit(0)).cast("long").alias("nb"),
+    )
+    cums = partitioned_running_sums(freq, "vm", {"cum_a": "ca", "cum_b": "cb"})
+    j = cums.crossJoin(F.broadcast(tot))
+    d = j.agg(
+        F.max(F.expr("abs(cum_a * nb - cum_b * na)")).cast("long").alias("d_num"),
+        F.count(F.lit(1)).cast("long").alias("n_values"),
+        F.max("na").cast("long").alias("na"),
+        F.max("nb").cast("long").alias("nb"),
+    )
+    return d.select(
+        F.col("na").alias("n_a"),
+        F.col("nb").alias("n_b"),
+        "n_values",
+        "d_num",
+        F.expr("CASE WHEN na > 0 AND nb > 0 THEN (1000000 * d_num) div (na * nb) END")
+        .cast("long")
+        .alias("d_ppm"),
+        F.coalesce(
+            F.expr(
+                "CASE WHEN na > 0 AND nb > 0 THEN"
+                " ((1000000 * d_num) div (na * nb))"
+                " * ((1000000 * d_num) div (na * nb))"
+                " > (1844164000000 * (na + nb)) div (na * nb) END"
+            ),
+            F.lit(False),
+        ).alias("significant"),
+    )

@@ -1790,3 +1790,41 @@ def test_spearman_matrix_hand_computed(spark):
     # headline sanity: identity pair perfectly correlated, reversal -1
     assert out[("x", "y")]["rho_ppm"] == 1_000_000
     assert out[("x", "z")]["rho_ppm"] == -1_000_000
+
+
+def test_ks_two_sample_hand_computed(spark):
+    from blink_spark.operators.temporal import ks_two_sample
+
+    # A = {1..4}, B = {3..6}: cum_a = 1,2,3,4,4,4 / cum_b = 0,0,1,2,3,4
+    # over sorted distinct values -> d_num = max 4*|cum_a - cum_b| = 8
+    rows = [("purchase", float(v)) for v in (1, 2, 3, 4)] + [
+        ("click", float(v)) for v in (3, 4, 5, 6)
+    ] + [("view", 999.0), ("click", None)]  # other types + NULL dropped
+    df = spark.createDataFrame(rows, ["event_type", "value"])
+    got = ks_two_sample(df).collect()[0]
+    assert (got["n_a"], got["n_b"], got["n_values"]) == (4, 4, 6)
+    assert got["d_num"] == 8
+    assert got["d_ppm"] == (1_000_000 * 8) // 16 == 500_000
+    # threshold = 1844164e6 * 8 // 16 = 922082e6 > 500000^2 -> not significant
+    assert got["significant"] is False
+
+    # fully separated samples: D = 1.0, comfortably significant at n=8+8
+    rows2 = [("purchase", float(v)) for v in range(1, 9)] + [
+        ("click", float(v)) for v in range(101, 109)
+    ]
+    got2 = ks_two_sample(
+        spark.createDataFrame(rows2, ["event_type", "value"])
+    ).collect()[0]
+    assert (got2["d_num"], got2["d_ppm"]) == (64, 1_000_000)
+    assert got2["significant"] is True
+
+    # identical distributions: zero gap
+    rows3 = [("purchase", float(v)) for v in (1, 2, 3)] + [
+        ("click", float(v)) for v in (1, 2, 3)
+    ]
+    got3 = ks_two_sample(
+        spark.createDataFrame(rows3, ["event_type", "value"])
+    ).collect()[0]
+    assert (got3["d_num"], got3["d_ppm"], got3["significant"]) == (
+        0, 0, False,
+    )

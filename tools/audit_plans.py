@@ -320,6 +320,14 @@ ALLOWLIST: dict[str, frozenset[str]] = {
     "lineitem_spearman": frozenset(
         {"BroadcastNestedLoopJoin", "Exchange SinglePartition"}
     ),
+    # events_ks_test: the (na, nb) totals are a one-row finalize of the
+    # value-frequency table broadcast onto the cumulative table (the
+    # bm25-idf pattern); the max-gap is a map-side partial max with a
+    # one-row finalize. Cumulative counts come from the two-phase running
+    # sums — no global single-task window.
+    "events_ks_test": frozenset(
+        {"BroadcastNestedLoopJoin", "Exchange SinglePartition"}
+    ),
 }
 
 # Exchange SinglePartition is only allowed when feeding a scalar finalize:

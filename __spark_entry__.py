@@ -1291,6 +1291,56 @@ def _lineitem_numeric_profile(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@_q(
+    "lineitem_mannwhitney",
+    """
+    WITH base AS (
+      SELECT floor(l_extendedprice * 1000)::BIGINT AS vm,
+             (CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)::BIGINT AS is_a
+      FROM lineitem
+      WHERE floor(l_extendedprice * 1000) IS NOT NULL
+    ),
+    r AS (
+      SELECT is_a,
+             (2 * rank() OVER (ORDER BY vm)
+              + count(*) OVER (PARTITION BY vm) - 1)::BIGINT AS rank2
+      FROM base
+    ),
+    agg AS (
+      SELECT coalesce(sum(is_a), 0)::BIGINT AS na,
+             coalesce(sum(1 - is_a), 0)::BIGINT AS nb,
+             coalesce(sum(CASE WHEN is_a = 1 THEN rank2 ELSE 0 END), 0)::BIGINT
+               AS r2a
+      FROM r
+    ),
+    nv AS (SELECT count(DISTINCT vm)::BIGINT AS n_values FROM base)
+    SELECT na AS n_a, nb AS n_b, n_values,
+           (r2a - na * (na + 1))::BIGINT AS u2_a,
+           (CASE WHEN na > 0 AND nb > 0 THEN
+              (1000000 * (r2a - na * (na + 1))) // (2 * na * nb)
+            END)::BIGINT AS auc_ppm,
+           (CASE WHEN na > 0 AND nb > 0 THEN
+              2 * ((1000000 * (r2a - na * (na + 1))) // (2 * na * nb))
+              - 1000000
+            END)::BIGINT AS rank_biserial_ppm
+    FROM agg, nv
+    """,
+)
+def _lineitem_mannwhitney(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact Mann-Whitney U comparing milli-quantized extended price
+    between returned (l_returnflag = 'R') and kept lineitems: x2-trick
+    average ranks over the combined value-frequency table (two-phase
+    running sum, no global rank window), U2 and the common-language
+    AUC / rank-biserial effect sizes in ppm — all BIGINT."""
+    from blink_spark.operators.profile import mann_whitney_u
+
+    return mann_whitney_u(
+        _t(spark, sf, "lineitem"),
+        "cast(floor(l_extendedprice * 1000) as bigint)",
+        "l_returnflag = 'R'",
+    )
+
+
 _SPEARMAN_RHO_SQL = (
     "(CASE WHEN (4 * n * (n * n - 1)) = 0 THEN 0"
     " WHEN (4 * n * (n * n - 1)) >= 1000000"
@@ -11115,7 +11165,7 @@ _DRIVER_ORDER = [
     "events_ab_test_chi2", "er_soft_tfidf", "events_forecast_backtest",
     "lineitem_numeric_profile", "doc_cross_source_dups",
     "er_label_propagation", "embedding_silhouette", "er_suffix_blocks",
-    "lineitem_spearman", "events_ks_test",
+    "lineitem_spearman", "events_ks_test", "lineitem_mannwhitney",
 ]
 
 

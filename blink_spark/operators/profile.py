@@ -260,3 +260,82 @@ def spearman_matrix(df: DataFrame, cols: list[str]) -> DataFrame:
         .cast("long")
         .alias("rho_ppm"),
     )
+
+
+def mann_whitney_u(
+    df: DataFrame, value_expr: str, group_a_expr: str
+) -> DataFrame:
+    """Exact Mann–Whitney U (Wilcoxon rank-sum) comparing a value's
+    distribution between two groups — the nonparametric two-sample
+    location test (the t-test needs float means, banned by parity; U is
+    pure rank counting and robust to the skew it exists to detect).
+
+    ``group_a_expr`` is a boolean SQL expression naming group A; everything
+    else (with a non-NULL value) is group B. With ×2-trick average ranks
+    (rank2 = 2·min_rank + ties − 1) over the COMBINED sample,
+    2·R_a = Σ ca(v)·rank2(v) is exact BIGINT, U2 = 2·U_a = 2R_a − na(na+1),
+    and the common-language effect size AUC = U_a/(na·nb) — the
+    probability a random A value exceeds a random B value, ties counting
+    half — is ``auc_ppm = (1e6·U2) div (2·na·nb)``; rank-biserial
+    correlation is its linear rescale 2·AUC − 1 (Cureton 1956). U2 ≥ 0
+    and ≤ 2·na·nb by construction, so every division is on nonnegative
+    operands; the ppm numerator 1e6·U2 needs na·nb ≤ 4.6e12 (~2M rows per
+    side — the chi2 documented-bound convention). The z significance test
+    is deliberately NOT emitted: its tie-corrected variance is cubic in
+    tie counts and overflows the exact-integer regime; compute it in
+    doubles downstream from (u2_a, n_a, n_b).
+
+    Scale notes: ranks come from the value-frequency table (distinct-value
+    scale) cumulated by the two-phase running sum — no global single-task
+    window; the rank-weighted group sums collapse in the SAME pass (the
+    frequency table already carries per-group counts, so unlike
+    spearman_matrix nothing joins back to row scale). One-row finalize.
+
+    Returns one row: (n_a, n_b, n_values, u2_a, auc_ppm,
+    rank_biserial_ppm).
+    """
+    from blink_spark.operators.ids import partitioned_running_sum
+
+    base = df.filter(F.expr(value_expr).isNotNull()).select(
+        F.expr(value_expr).alias("vm"),
+        F.when(F.expr(group_a_expr), F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("is_a"),
+    )
+    freq = base.groupBy("vm").agg(
+        F.sum("is_a").cast("long").alias("ca"),
+        F.sum(F.expr("1 - is_a")).cast("long").alias("cb"),
+        F.count(F.lit(1)).cast("long").alias("f"),
+    )
+    cum = partitioned_running_sum(freq, "vm", "f", "_cum")
+    r = cum.withColumn(
+        "rank2", (2 * F.col("_cum") - F.col("f") + 1).cast("long")
+    )
+    agg = r.agg(
+        F.coalesce(F.sum("ca"), F.lit(0)).cast("long").alias("na"),
+        F.coalesce(F.sum("cb"), F.lit(0)).cast("long").alias("nb"),
+        F.coalesce(F.sum(F.expr("ca * rank2")), F.lit(0))
+        .cast("long")
+        .alias("r2a"),
+        F.count(F.lit(1)).cast("long").alias("n_values"),
+    )
+    return agg.select(
+        F.col("na").alias("n_a"),
+        F.col("nb").alias("n_b"),
+        "n_values",
+        F.expr("r2a - na * (na + 1)").cast("long").alias("u2_a"),
+        F.expr(
+            "CASE WHEN na > 0 AND nb > 0 THEN"
+            " (1000000 * (r2a - na * (na + 1))) div (2 * na * nb) END"
+        )
+        .cast("long")
+        .alias("auc_ppm"),
+        F.expr(
+            "CASE WHEN na > 0 AND nb > 0 THEN"
+            " 2 * ((1000000 * (r2a - na * (na + 1))) div (2 * na * nb))"
+            " - 1000000 END"
+        )
+        .cast("long")
+        .alias("rank_biserial_ppm"),
+    )

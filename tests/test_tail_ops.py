@@ -1828,3 +1828,40 @@ def test_ks_two_sample_hand_computed(spark):
     assert (got3["d_num"], got3["d_ppm"], got3["significant"]) == (
         0, 0, False,
     )
+
+
+def test_mann_whitney_u_hand_computed(spark):
+    from blink_spark.operators.profile import mann_whitney_u
+
+    # A = {5,6,7} all above B = {1,2,3}: U_a = 9, AUC = 1.0
+    rows = [("R", float(v)) for v in (5, 6, 7)] + [
+        ("N", float(v)) for v in (1, 2, 3)
+    ]
+    df = spark.createDataFrame(rows, ["flag", "v"])
+    got = mann_whitney_u(
+        df, "cast(floor(v * 1000) as bigint)", "flag = 'R'"
+    ).collect()[0]
+    assert (got["n_a"], got["n_b"], got["n_values"]) == (3, 3, 6)
+    assert got["u2_a"] == 18 and got["auc_ppm"] == 1_000_000
+    assert got["rank_biserial_ppm"] == 1_000_000
+
+    # ties count half: A = {2,3}, B = {2,5} -> U_a = 1.5 (u2 = 3)
+    rows2 = [("R", 2.0), ("R", 3.0), ("N", 2.0), ("N", 5.0)]
+    got2 = mann_whitney_u(
+        spark.createDataFrame(rows2, ["flag", "v"]),
+        "cast(floor(v * 1000) as bigint)",
+        "flag = 'R'",
+    ).collect()[0]
+    assert (got2["n_a"], got2["n_b"], got2["n_values"]) == (2, 2, 3)
+    assert got2["u2_a"] == 3
+    assert got2["auc_ppm"] == (1_000_000 * 3) // 8 == 375_000
+    assert got2["rank_biserial_ppm"] == 2 * 375_000 - 1_000_000
+
+    # symmetric identical samples: AUC exactly one half
+    rows3 = [("R", 1.0), ("R", 2.0), ("N", 1.0), ("N", 2.0)]
+    got3 = mann_whitney_u(
+        spark.createDataFrame(rows3, ["flag", "v"]),
+        "cast(floor(v * 1000) as bigint)",
+        "flag = 'R'",
+    ).collect()[0]
+    assert got3["auc_ppm"] == 500_000 and got3["rank_biserial_ppm"] == 0

@@ -328,6 +328,11 @@ ALLOWLIST: dict[str, frozenset[str]] = {
     "events_ks_test": frozenset(
         {"BroadcastNestedLoopJoin", "Exchange SinglePartition"}
     ),
+    # lineitem_mannwhitney: the rank-weighted group sums land in ONE
+    # global scalar aggregate over the value-frequency table (map-side
+    # partials, one-row finalize — the fs_weights class); ranks come from
+    # the two-phase running sum, no global rank window.
+    "lineitem_mannwhitney": frozenset({"Exchange SinglePartition"}),
 }
 
 # Exchange SinglePartition is only allowed when feeding a scalar finalize:

@@ -982,6 +982,45 @@ def _doc_heaps_fit(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @_q(
+    "doc_simpson_diversity",
+    f"""
+    WITH t AS (
+      SELECT source AS g, unnest(string_split({_norm('text')}, ' ')) AS tok
+      FROM documents
+    ),
+    tf AS (
+      SELECT g, tok, count(*)::BIGINT AS f
+      FROM t WHERE tok != '' GROUP BY 1, 2
+    ),
+    agg AS (
+      SELECT g, sum(f)::BIGINT AS n_tokens, count(*)::BIGINT AS n_types,
+             sum(f * (f - 1))::BIGINT AS sum_ff, max(f)::BIGINT AS top_f
+      FROM tf GROUP BY 1
+    )
+    SELECT g AS source, n_tokens, n_types,
+           (CASE WHEN n_tokens * (n_tokens - 1) = 0 THEN 0
+                 WHEN n_tokens * (n_tokens - 1) >= 1000000
+                 THEN sum_ff // ((n_tokens * (n_tokens - 1)) // 1000000)
+                 ELSE (1000000 * sum_ff) // (n_tokens * (n_tokens - 1))
+            END)::BIGINT AS simpson_ppm,
+           (CASE WHEN n_tokens > 0 THEN (1000000 * top_f) // n_tokens
+                 ELSE 0 END)::BIGINT AS top_share_ppm
+    FROM agg
+    """,
+)
+def _doc_simpson_diversity(spark: SparkSession, sf: str) -> DataFrame:
+    """Simpson/Herfindahl lexical concentration per source — probability
+    two tokens are the same type, Σf(f-1)/(N(N-1)) exact unbiased form,
+    plus the modal-type share: the boilerplate/repetitiveness readout
+    beside Heaps and Zipf. Token explode + (source, token) partial agg +
+    source-keyed finalize; spearman-staged ppm division (exact to ~3e9
+    tokens per source)."""
+    from blink_spark.operators.corpus import simpson_diversity
+
+    return simpson_diversity(_t(spark, sf, "documents"))
+
+
+@_q(
     "orders_column_profile",
     """
     WITH long AS (
@@ -11166,6 +11205,7 @@ _DRIVER_ORDER = [
     "lineitem_numeric_profile", "doc_cross_source_dups",
     "er_label_propagation", "embedding_silhouette", "er_suffix_blocks",
     "lineitem_spearman", "events_ks_test", "lineitem_mannwhitney",
+    "doc_simpson_diversity",
 ]
 
 

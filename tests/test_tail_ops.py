@@ -1865,3 +1865,28 @@ def test_mann_whitney_u_hand_computed(spark):
         "flag = 'R'",
     ).collect()[0]
     assert got3["auc_ppm"] == 500_000 and got3["rank_biserial_ppm"] == 0
+
+
+def test_simpson_diversity_hand_computed(spark):
+    from blink_spark.operators.corpus import simpson_diversity
+
+    # src a: tokens [x, x, x, y] -> N=4, sum f(f-1) = 6, lambda = 6/12
+    # src b: all distinct -> lambda = 0; src c: single token -> N=1 edge
+    rows = [
+        ("a", "x x X y"),
+        ("b", "p q r s"),
+        ("c", "solo"),
+    ]
+    df = spark.createDataFrame(rows, ["source", "text"])
+    got = {r["source"]: r for r in simpson_diversity(df).collect()}
+    a = got["a"]
+    assert (a["n_tokens"], a["n_types"]) == (4, 2)
+    assert a["simpson_ppm"] == (1_000_000 * 6) // 12 == 500_000
+    assert a["top_share_ppm"] == (1_000_000 * 3) // 4
+    b = got["b"]
+    assert (b["n_tokens"], b["n_types"], b["simpson_ppm"]) == (4, 4, 0)
+    assert b["top_share_ppm"] == 250_000
+    c = got["c"]  # N(N-1) = 0 guard
+    assert (c["n_tokens"], c["simpson_ppm"], c["top_share_ppm"]) == (
+        1, 0, 1_000_000,
+    )

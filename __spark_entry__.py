@@ -1380,6 +1380,68 @@ def _lineitem_mannwhitney(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@_q(
+    "orders_benford",
+    """
+    WITH base AS (
+      SELECT floor(o_totalprice * 100)::BIGINT AS c FROM orders
+      WHERE floor(o_totalprice * 100) IS NOT NULL
+        AND floor(o_totalprice * 100) > 0
+    ),
+    obs AS (
+      SELECT substr(c::VARCHAR, 1, 1)::BIGINT AS digit,
+             count(*)::BIGINT AS n_obs
+      FROM base GROUP BY 1
+    ),
+    exp AS (
+      SELECT * FROM (VALUES
+        (1::BIGINT, 301030::BIGINT), (2, 176091), (3, 124939), (4, 96910),
+        (5, 79181), (6, 66947), (7, 57992), (8, 51153), (9, 45757))
+        AS t(digit, expected_ppm)
+    ),
+    j AS (
+      SELECT e.digit, coalesce(o.n_obs, 0)::BIGINT AS n_obs, e.expected_ppm
+      FROM exp e LEFT JOIN obs o ON o.digit = e.digit
+    ),
+    tot AS (SELECT sum(n_obs)::BIGINT AS n FROM j),
+    per AS (
+      SELECT j.digit, j.n_obs, j.expected_ppm,
+             (CASE WHEN n > 0 THEN (1000000 * j.n_obs) // n
+                   ELSE 0 END)::BIGINT AS obs_ppm
+      FROM j, tot
+    ),
+    chi AS (
+      SELECT per.digit, per.n_obs, per.obs_ppm, per.expected_ppm,
+             (CASE WHEN n > 0 THEN
+               (n * (((obs_ppm - expected_ppm) * (obs_ppm - expected_ppm))
+                 // 1000)) // expected_ppm
+              ELSE 0 END)::BIGINT AS chi2_contrib_milli
+      FROM per, tot
+    )
+    SELECT digit, n_obs, obs_ppm, expected_ppm, chi2_contrib_milli,
+           false AS significant
+    FROM chi
+    UNION ALL
+    SELECT 0::BIGINT, (SELECT n FROM tot), 1000000::BIGINT, 1000000::BIGINT,
+           sum(chi2_contrib_milli)::BIGINT,
+           sum(chi2_contrib_milli) > 15507
+    FROM chi
+    """,
+)
+def _orders_benford(spark: SparkSession, sf: str) -> DataFrame:
+    """Benford first-significant-digit conformance of order totals
+    (pre-scaled to cents; power-of-ten scaling preserves the leading
+    digit): per-digit observed vs the fixed log10(1+1/d) ppm literals,
+    exact staged-integer chi-square contributions, and a digit-0 summary
+    row with the df=8 alpha=0.05 verdict (chi2_milli > 15507) — the
+    fabricated-amounts detector."""
+    from blink_spark.operators.profile import benford_first_digit
+
+    return benford_first_digit(
+        _t(spark, sf, "orders"), "cast(floor(o_totalprice * 100) as bigint)"
+    )
+
+
 _SPEARMAN_RHO_SQL = (
     "(CASE WHEN (4 * n * (n * n - 1)) = 0 THEN 0"
     " WHEN (4 * n * (n * n - 1)) >= 1000000"
@@ -11205,7 +11267,7 @@ _DRIVER_ORDER = [
     "lineitem_numeric_profile", "doc_cross_source_dups",
     "er_label_propagation", "embedding_silhouette", "er_suffix_blocks",
     "lineitem_spearman", "events_ks_test", "lineitem_mannwhitney",
-    "doc_simpson_diversity",
+    "doc_simpson_diversity", "orders_benford",
 ]
 
 

@@ -339,3 +339,100 @@ def mann_whitney_u(
         .cast("long")
         .alias("rank_biserial_ppm"),
     )
+
+
+# Benford first-digit expectations, floor(log10(1 + 1/d) * 1e6): fixed ppm
+# literals (they sum to exactly 1_000_000) so both engines compare against
+# the identical integers — no runtime log10.
+BENFORD_PPM = {
+    1: 301030, 2: 176091, 3: 124939, 4: 96910, 5: 79181,
+    6: 66947, 7: 57992, 8: 51153, 9: 45757,
+}
+
+
+def benford_first_digit(df: DataFrame, value_expr: str) -> DataFrame:
+    """Benford's-law first-significant-digit conformance test — the
+    classic fabricated/synthetic-amounts detector (Benford 1938; Nigrini's
+    forensic-accounting staple): natural multiplicative amounts lead with
+    digit d at probability log10(1+1/d); manufactured numbers don't.
+
+    ``value_expr`` must yield a POSITIVE BIGINT whose leading digit equals
+    the value's first significant digit (e.g. amounts pre-scaled to cents
+    — power-of-ten scaling never changes the leading digit). The digit is
+    the first character of the integer's decimal rendering (identical in
+    both engines); expectations are the fixed ppm literals above. The
+    chi-square is exact staged-integer: per digit,
+    ``dev_ppm = (1e6·obs) div n − exp_ppm`` (|dev_ppm| ≤ 1e6),
+    ``q = dev_ppm² div 1000`` (≤ 1e9), and the milli contribution
+    ``(n·q) div exp_ppm`` — every floor engine-identical, worst
+    case n·q ≤ 1e9·n stays in BIGINT to n ≈ 9e9 rows. The df=8 summary
+    row (digit 0) compares the total against the alpha=0.05 critical
+    value 15.507 as the integer test chi2_milli > 15507.
+
+    Scale notes: one digit-keyed partial agg (9 groups), a broadcast join
+    onto the 9-row expectation literal, a one-row total finalize broadcast
+    back — nothing row-scale past the first agg.
+
+    Returns 10 rows: digits 1-9 (significant = false) + the digit-0
+    summary row (n_obs = n, obs_ppm = expected_ppm = 1e6, chi2 total,
+    significant verdict).
+    """
+    spark = df.sparkSession
+    base = df.select(F.expr(value_expr).alias("c")).filter(
+        "c IS NOT NULL AND c > 0"
+    )
+    obs = (
+        base.select(
+            F.expr("cast(substring(cast(c as string), 1, 1) as bigint)").alias(
+                "digit"
+            )
+        )
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_obs"))
+    )
+    exp = spark.createDataFrame(
+        sorted(BENFORD_PPM.items()), "digit long, expected_ppm long"
+    )
+    j = exp.join(obs, "digit", "left").select(
+        "digit",
+        F.coalesce("n_obs", F.lit(0)).cast("long").alias("n_obs"),
+        "expected_ppm",
+    )
+    tot = j.agg(F.sum("n_obs").cast("long").alias("n"))
+    per = (
+        j.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "obs_ppm",
+            F.expr(
+                "CASE WHEN n > 0 THEN (1000000 * n_obs) div n ELSE 0 END"
+            ).cast("long"),
+        )
+        .withColumn(
+            "chi2_contrib_milli",
+            F.expr(
+                "CASE WHEN n > 0 THEN"
+                " (n * (((obs_ppm - expected_ppm) * (obs_ppm - expected_ppm))"
+                " div 1000)) div expected_ppm ELSE 0 END"
+            ).cast("long"),
+        )
+    )
+    digits = per.select(
+        "digit",
+        "n_obs",
+        "obs_ppm",
+        "expected_ppm",
+        "chi2_contrib_milli",
+        F.lit(False).alias("significant"),
+    )
+    summary = per.agg(
+        F.max("n").cast("long").alias("n_obs"),
+        F.sum("chi2_contrib_milli").cast("long").alias("chi2"),
+    ).select(
+        F.lit(0).cast("long").alias("digit"),
+        "n_obs",
+        F.lit(1000000).cast("long").alias("obs_ppm"),
+        F.lit(1000000).cast("long").alias("expected_ppm"),
+        F.col("chi2").alias("chi2_contrib_milli"),
+        (F.col("chi2") > F.lit(15507)).alias("significant"),
+    )
+    return digits.unionByName(summary)

@@ -1890,3 +1890,50 @@ def test_simpson_diversity_hand_computed(spark):
     assert (c["n_tokens"], c["simpson_ppm"], c["top_share_ppm"]) == (
         1, 0, 1_000_000,
     )
+
+
+def test_benford_first_digit_hand_computed(spark):
+    from blink_spark.operators.profile import BENFORD_PPM, benford_first_digit
+
+    # a perfectly Benford-proportioned sample: obs_d = expected_ppm / 1000
+    # (n = 1000 exactly since the ppm literals sum to 1e6) -> every
+    # dev_ppm is tiny rounding, chi2 ~ 0, not significant
+    rows = []
+    v = 0
+    for d, ppm in BENFORD_PPM.items():
+        # counts scaled so (1e6 * obs) // n reproduces ppm exactly at
+        # n = 1000: obs = ppm // 1000 has remainder; spread the slack on 1
+        rows += [(float(d),)] * (ppm // 1000)
+    n = len(rows)
+    df = spark.createDataFrame(rows, ["v"])
+    got = {
+        r["digit"]: r
+        for r in benford_first_digit(
+            df, "cast(floor(v * 100) as bigint)"
+        ).collect()
+    }
+    assert len(got) == 10 and got[0]["n_obs"] == n
+    # digit of floor(d * 100) = d for d in 1..9
+    for d, ppm in BENFORD_PPM.items():
+        assert got[d]["n_obs"] == ppm // 1000
+        assert got[d]["expected_ppm"] == ppm
+    assert got[0]["chi2_contrib_milli"] < 1000  # essentially zero
+    assert got[0]["significant"] is False
+
+    # all-nines sample: maximally non-Benford, decisively significant
+    df2 = spark.createDataFrame([(9.0,)] * 500, ["v"])
+    got2 = {
+        r["digit"]: r
+        for r in benford_first_digit(
+            df2, "cast(floor(v * 100) as bigint)"
+        ).collect()
+    }
+    assert got2[9]["n_obs"] == 500 and got2[1]["n_obs"] == 0
+    assert got2[9]["obs_ppm"] == 1_000_000
+    assert got2[0]["significant"] is True
+    # hand-check one contribution: digit 1, obs 0 -> dev = -301030,
+    # q = 301030^2 // 1000, contrib = (500 * q) // 301030 ~ 150500 milli
+    # (the true (0 - n*p)^2 / (n*p) = n*p = 150.5)
+    q = (301030 * 301030) // 1000
+    assert got2[1]["chi2_contrib_milli"] == (500 * q) // 301030
+    assert abs(got2[1]["chi2_contrib_milli"] - 150_500) <= 100

@@ -333,6 +333,14 @@ ALLOWLIST: dict[str, frozenset[str]] = {
     # partials, one-row finalize — the fs_weights class); ranks come from
     # the two-phase running sum, no global rank window.
     "lineitem_mannwhitney": frozenset({"Exchange SinglePartition"}),
+    # orders_benford: the observed table collapses to <= 9 digit groups
+    # before anything else; the total is a one-row finalize of those 9
+    # rows broadcast back (bm25-idf pattern) and the summary chi-square is
+    # a one-row finalize of 9 rows — nothing row-scale crosses a single
+    # partition.
+    "orders_benford": frozenset(
+        {"BroadcastNestedLoopJoin", "Exchange SinglePartition"}
+    ),
 }
 
 # Exchange SinglePartition is only allowed when feeding a scalar finalize:

@@ -1442,6 +1442,61 @@ def _orders_benford(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@_q(
+    "lineitem_sketch_quantiles",
+    """
+    WITH base AS (
+      SELECT floor(l_extendedprice * 100)::BIGINT AS v FROM lineitem
+      WHERE floor(l_extendedprice * 100) IS NOT NULL
+        AND floor(l_extendedprice * 100) > 0
+    ),
+    b AS (
+      SELECT length(v::VARCHAR)::BIGINT AS m,
+             substr(v::VARCHAR, 1, 2)::BIGINT AS lead2
+      FROM base
+    ),
+    cnt AS (SELECT m, lead2, count(*)::BIGINT AS c FROM b GROUP BY 1, 2),
+    rep AS (
+      SELECT c,
+             (CASE WHEN m >= 2 THEN
+                lead2 * rpad('1', (m - 1)::INT, '0')::BIGINT
+                + (rpad('1', (m - 1)::INT, '0')::BIGINT - 1) // 2
+              ELSE lead2 END)::BIGINT AS rep
+      FROM cnt
+    ),
+    cum AS (SELECT rep, sum(c) OVER (ORDER BY rep)::BIGINT AS cum FROM rep),
+    tot AS (
+      SELECT coalesce(sum(c), 0)::BIGINT AS n_rows,
+             count(*)::BIGINT AS n_buckets
+      FROM rep
+    ),
+    t AS (
+      SELECT q_pct, n_rows, n_buckets,
+             ((q_pct * n_rows + 99) // 100)::BIGINT AS target_rank
+      FROM (VALUES (50::BIGINT), (90), (99)) AS q(q_pct), tot
+    )
+    SELECT t.q_pct, t.n_rows, t.n_buckets, t.target_rank,
+           min(cum.rep)::BIGINT AS est_value
+    FROM t LEFT JOIN cum ON cum.cum >= t.target_rank
+    GROUP BY 1, 2, 3, 4
+    """,
+)
+def _lineitem_sketch_quantiles(spark: SparkSession, sf: str) -> DataFrame:
+    """Mergeable bounded-relative-error quantile sketch (DDSketch idea on
+    a deterministic base-10 grid): p50/p90/p99 of extended price in cents
+    from (digit-count, first-two-digits) bucket counts — midpoint
+    representative within 5% of every member, buckets merge associatively
+    across partitions/days/clusters (the quantile path that survives
+    100 TB, next to the exact rank-pick quartiles). No logarithms: bucket
+    key and power of ten come from the decimal string."""
+    from blink_spark.operators.profile import decimal_quantile_sketch
+
+    return decimal_quantile_sketch(
+        _t(spark, sf, "lineitem"),
+        "cast(floor(l_extendedprice * 100) as bigint)",
+    )
+
+
 _SPEARMAN_RHO_SQL = (
     "(CASE WHEN (4 * n * (n * n - 1)) = 0 THEN 0"
     " WHEN (4 * n * (n * n - 1)) >= 1000000"
@@ -11267,7 +11322,7 @@ _DRIVER_ORDER = [
     "lineitem_numeric_profile", "doc_cross_source_dups",
     "er_label_propagation", "embedding_silhouette", "er_suffix_blocks",
     "lineitem_spearman", "events_ks_test", "lineitem_mannwhitney",
-    "doc_simpson_diversity", "orders_benford",
+    "doc_simpson_diversity", "orders_benford", "lineitem_sketch_quantiles",
 ]
 
 

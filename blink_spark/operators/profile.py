@@ -436,3 +436,83 @@ def benford_first_digit(df: DataFrame, value_expr: str) -> DataFrame:
         (F.col("chi2") > F.lit(15507)).alias("significant"),
     )
     return digits.unionByName(summary)
+
+
+def decimal_quantile_sketch(
+    df: DataFrame,
+    value_expr: str,
+    quantile_pcts: tuple[int, ...] = (50, 90, 99),
+) -> DataFrame:
+    """Mergeable bounded-relative-error quantile sketch — the DDSketch
+    idea (Masson/Rim/Lee VLDB 2019) on a DETERMINISTIC base-10 grid: a
+    positive BIGINT value lands in the bucket (digit-count m, first two
+    digits lead2) of its decimal rendering, whose midpoint representative
+    is within 1/(2·lead2) ≤ 5% relative error of every member. Unlike the
+    exact rank-pick quartiles (`numeric_profile`), bucket counts are a
+    tiny partial agg that merges associatively across partitions, days,
+    or clusters — the quantile path that survives 100 TB and streaming
+    compaction. No logarithms anywhere: the bucket key and the power of
+    ten come from the integer's decimal STRING (rpad('1', m−1, '0') is
+    exactly 10^(m−2)) so both engines bucket identically — no float pow,
+    no ulp risk.
+
+    Quantile estimate = representative of the first bucket (in value
+    order — (m, lead2) is monotone) whose cumulative count reaches
+    ceil(q·n) = (q_pct·n + 99) div 100. Exact BIGINT throughout.
+
+    Scale notes: one bucket-keyed partial agg collapses row scale to
+    ≤ ~90·digits buckets; the cumulative counts use the two-phase running
+    sum over that bucket-scale table; the three rank picks are a
+    broadcast 3-row target join + bucket-keyed min agg. Nothing row-scale
+    past the first agg.
+
+    Returns one row per requested quantile: (q_pct, n_rows, n_buckets,
+    target_rank, est_value).
+    """
+    from blink_spark.operators.ids import partitioned_running_sum
+
+    spark = df.sparkSession
+    base = df.select(F.expr(value_expr).alias("v")).filter(
+        "v IS NOT NULL AND v > 0"
+    )
+    b = base.select(
+        F.expr("length(cast(v as string))").cast("long").alias("m"),
+        F.expr("cast(substring(cast(v as string), 1, 2) as bigint)").alias(
+            "lead2"
+        ),
+    )
+    cnt = b.groupBy("m", "lead2").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    # order key monotone in value; p = 10^(m-2) built from the string form
+    buck = cnt.withColumn(
+        "p",
+        F.expr(
+            "CASE WHEN m >= 2 THEN cast(rpad('1', cast(m as int) - 1, '0')"
+            " as bigint) ELSE 1 END"
+        ),
+    ).withColumn(
+        "rep",
+        F.expr(
+            "CASE WHEN m >= 2 THEN lead2 * p + (p - 1) div 2 ELSE lead2 END"
+        ).cast("long"),
+    )
+    cum = partitioned_running_sum(buck, "rep", "c", "cum")
+    tot = buck.agg(
+        F.coalesce(F.sum("c"), F.lit(0)).cast("long").alias("n_rows"),
+        F.count(F.lit(1)).cast("long").alias("n_buckets"),
+    )
+    targets = spark.createDataFrame(
+        [(int(q),) for q in quantile_pcts], "q_pct long"
+    )
+    t = targets.crossJoin(F.broadcast(tot)).withColumn(
+        "target_rank", F.expr("(q_pct * n_rows + 99) div 100").cast("long")
+    )
+    picked = (
+        t.join(cum, F.col("cum") >= F.col("target_rank"), "left")
+        .groupBy("q_pct", "n_rows", "n_buckets", "target_rank")
+        .agg(F.min("rep").cast("long").alias("est_value"))
+    )
+    return picked.select(
+        "q_pct", "n_rows", "n_buckets", "target_rank", "est_value"
+    )

@@ -1937,3 +1937,39 @@ def test_benford_first_digit_hand_computed(spark):
     q = (301030 * 301030) // 1000
     assert got2[1]["chi2_contrib_milli"] == (500 * q) // 301030
     assert abs(got2[1]["chi2_contrib_milli"] - 150_500) <= 100
+
+
+def test_decimal_quantile_sketch_hand_computed(spark):
+    from blink_spark.operators.profile import decimal_quantile_sketch
+
+    # 1..1000: bucket (m=3, lead2=50) holds 500-509, midpoint rep 504
+    df = spark.createDataFrame([(v,) for v in range(1, 1001)], ["v"])
+    got = {
+        r["q_pct"]: r
+        for r in decimal_quantile_sketch(df, "cast(v as bigint)").collect()
+    }
+    assert got[50]["n_rows"] == 1000
+    # 9 (m=1) + 90 (m=2) + 90 (m=3) + 1 (m=4: 1000) buckets
+    assert got[50]["n_buckets"] == 190
+    assert (got[50]["target_rank"], got[50]["est_value"]) == (500, 504)
+    assert (got[90]["target_rank"], got[90]["est_value"]) == (900, 904)
+    assert (got[99]["target_rank"], got[99]["est_value"]) == (990, 994)
+
+    # guaranteed relative error vs the exact quantile on a deterministic
+    # skewed sample: est and exact share a bucket, so |est/exact - 1|
+    # <= bucket width / bucket floor <= 1/lead2 <= 10%
+    import hashlib
+
+    vals = sorted(
+        1 + int(hashlib.md5(f"dq:{i}".encode()).hexdigest()[:8], 16) % 10**6
+        for i in range(2000)
+    )
+    df2 = spark.createDataFrame([(v,) for v in vals], ["v"])
+    got2 = {
+        r["q_pct"]: r
+        for r in decimal_quantile_sketch(df2, "cast(v as bigint)").collect()
+    }
+    for q in (50, 90, 99):
+        exact = vals[-(-q * 2000 // 100) - 1]  # ceil rank, 1-indexed
+        est = got2[q]["est_value"]
+        assert abs(est - exact) / exact <= 0.101, (q, est, exact)

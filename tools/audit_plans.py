@@ -341,6 +341,14 @@ ALLOWLIST: dict[str, frozenset[str]] = {
     "orders_benford": frozenset(
         {"BroadcastNestedLoopJoin", "Exchange SinglePartition"}
     ),
+    # lineitem_sketch_quantiles: rows collapse to <= ~90·digits sketch
+    # buckets in the first partial agg; the totals row is a one-row
+    # finalize broadcast onto the 3-row quantile-target literal, and the
+    # rank pick is a broadcast range join over the bucket-scale cumsum
+    # (two-phase running sum — no global window). Bucket scale only.
+    "lineitem_sketch_quantiles": frozenset(
+        {"BroadcastNestedLoopJoin", "Exchange SinglePartition"}
+    ),
 }
 
 # Exchange SinglePartition is only allowed when feeding a scalar finalize:

@@ -1691,6 +1691,64 @@ def _doc_dsir_weights(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @_q(
+    "embedding_jl_ratio",
+    """
+    WITH q AS (
+      SELECT vec_id AS id,
+             list_transform(embedding,
+                            x -> floor(x::DOUBLE * 1000000)::BIGINT) AS qv
+      FROM embeddings
+    ),
+    ex AS (
+      SELECT id, (generate_subscripts(qv, 1) - 1)::BIGINT AS pos,
+             unnest(qv) AS qq
+      FROM q
+    ),
+    s AS (
+      SELECT p.j, ex.id, ex.pos, ex.qq,
+             (1 - 2 * (('0x' || substr(md5('jl:' || p.j || ':' || ex.pos),
+                                       1, 8))::BIGINT % 2)) AS sg
+      FROM ex CROSS JOIN (VALUES (0),(1),(2),(3),(4),(5),(6),(7)) AS p(j)
+    ),
+    proj AS (SELECT id, j, sum(sg * qq)::BIGINT AS y FROM s GROUP BY 1, 2),
+    pj AS (
+      SELECT a.id // 2 AS pk, sum((a.y - b.y) * (a.y - b.y))::BIGINT AS dp2
+      FROM proj a JOIN proj b ON a.id // 2 = b.id // 2 AND a.j = b.j
+       AND a.id % 2 = 0 AND b.id % 2 = 1
+      GROUP BY 1
+    ),
+    orig AS (
+      SELECT a.id // 2 AS pk,
+             sum((a.qq - b.qq) * (a.qq - b.qq))::BIGINT AS do2
+      FROM ex a JOIN ex b ON a.id // 2 = b.id // 2 AND a.pos = b.pos
+       AND a.id % 2 = 0 AND b.id % 2 = 1
+      GROUP BY 1
+    ),
+    r AS (
+      SELECT CASE WHEN (8 * do2) >= 1000000
+                  THEN dp2 // ((8 * do2) // 1000000)
+                  ELSE (1000000 * dp2) // (8 * do2) END AS ratio_ppm
+      FROM pj JOIN orig USING (pk) WHERE do2 > 0
+    )
+    SELECT least(ratio_ppm // 200000, 9)::BIGINT AS bucket,
+           count(*)::BIGINT AS n_pairs,
+           min(ratio_ppm)::BIGINT AS min_ratio_ppm,
+           max(ratio_ppm)::BIGINT AS max_ratio_ppm
+    FROM r GROUP BY 1
+    """,
+)
+def _embedding_jl_ratio(spark: SparkSession, sf: str) -> DataFrame:
+    """Johnson-Lindenstrauss distance-preservation readout: 8-plane
+    deterministic md5-sign projection (Achlioptas), consecutive-id pair
+    distances, and the projected/original squared-distance ratio
+    histogram in exact ppm — the calibration evidence that a k-dim
+    sketch preserves the distances the ANN/dedup family consumes."""
+    from blink_spark.operators.ann import jl_projection_ratio
+
+    return jl_projection_ratio(_t(spark, sf, "embeddings"))
+
+
+@_q(
     "embedding_outliers",
     """
     WITH q AS (
@@ -11323,6 +11381,7 @@ _DRIVER_ORDER = [
     "er_label_propagation", "embedding_silhouette", "er_suffix_blocks",
     "lineitem_spearman", "events_ks_test", "lineitem_mannwhitney",
     "doc_simpson_diversity", "orders_benford", "lineitem_sketch_quantiles",
+    "embedding_jl_ratio",
 ]
 
 

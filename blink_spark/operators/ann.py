@@ -628,3 +628,107 @@ def ivfpq_topk(
         .agg(F.sum("qd2").cast("long").alias("adc"))
     )
     return _rank_by_adc(adc, k)
+
+
+def jl_projection_ratio(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+) -> DataFrame:
+    """Johnson–Lindenstrauss distance-preservation readout for a
+    deterministic ±1 sign projection (Achlioptas 2003: random-sign
+    matrices satisfy JL — E[(Σ sᵢ·δᵢ)²] = ‖δ‖², so the k-plane projected
+    squared distance divided by k estimates the original): projects the
+    1e6-quantized embeddings onto ``n_planes`` md5-derived sign vectors,
+    pairs consecutive ids, and histograms the projected/original
+    squared-distance ratio — the empirical evidence that a k-dim sketch
+    preserves the distances the ANN/dedup family consumes, and the
+    calibration readout for picking k. Everything is exact BIGINT: signs
+    are ±1 from md5 parity (the minhash/LSH determinism convention — no
+    RNG, reproducible across engines), distances are integer sums of
+    squares, the ratio uses the spearman staged ppm division.
+
+    Scale notes: the dim-explode is map-side; per-vector projections are
+    ONE id-keyed partial agg (signs are codegen md5 expressions — no
+    plane×dim join table); pair joins are equi-joins on the pair key;
+    the histogram is a ≤ 10-group finalize. No windows, no scalars, no
+    broadcast of anything row-scale.
+
+    Returns one row per ratio bucket (bucket = ratio_ppm div 200000
+    capped at 9): (bucket, n_pairs, min_ratio_ppm, max_ratio_ppm).
+    """
+    k = int(n_planes)
+    ex = emb.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(vec_col).alias("pos", "v"),
+    ).select(
+        "id",
+        "pos",
+        F.expr("cast(floor(cast(v as double) * 1000000) as bigint)").alias(
+            "q"
+        ),
+    )
+    sign = (
+        "(1 - 2 * (cast(conv(substring(md5(concat('jl:{j}:', "
+        "cast(pos as string))), 1, 8), 16, 10) as bigint) % 2))"
+    )
+    proj = ex.groupBy("id").agg(
+        *[
+            F.sum(F.expr(f"{sign.format(j=j)} * q"))
+            .cast("long")
+            .alias(f"y{j}")
+            for j in range(k)
+        ]
+    )
+    a = proj.filter("id % 2 = 0").select(
+        F.expr("id div 2").alias("pk"),
+        *[F.col(f"y{j}").alias(f"a{j}") for j in range(k)],
+    )
+    b = proj.filter("id % 2 = 1").select(
+        F.expr("id div 2").alias("pk"),
+        *[F.col(f"y{j}").alias(f"b{j}") for j in range(k)],
+    )
+    dp = " + ".join(f"(a{j} - b{j}) * (a{j} - b{j})" for j in range(k))
+    pj = a.join(b, "pk").select("pk", F.expr(dp).cast("long").alias("dp2"))
+    exa = ex.filter("id % 2 = 0").select(
+        F.expr("id div 2").alias("pk"), "pos", F.col("q").alias("qa")
+    )
+    exb = ex.filter("id % 2 = 1").select(
+        F.expr("id div 2").alias("pk"), "pos", F.col("q").alias("qb")
+    )
+    orig = (
+        exa.join(exb, ["pk", "pos"])
+        .groupBy("pk")
+        .agg(
+            F.sum(F.expr("(qa - qb) * (qa - qb)")).cast("long").alias("do2")
+        )
+    )
+    den = f"({k} * do2)"
+    r = (
+        pj.join(orig, "pk")
+        .filter("do2 > 0")
+        .select(
+            F.expr(
+                f"CASE WHEN {den} >= 1000000"
+                f" THEN dp2 div ({den} div 1000000)"
+                f" ELSE (1000000 * dp2) div {den} END"
+            )
+            .cast("long")
+            .alias("ratio_ppm")
+        )
+    )
+    return (
+        r.select(
+            F.expr("least(ratio_ppm div 200000, 9)").cast("long").alias(
+                "bucket"
+            ),
+            "ratio_ppm",
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.min("ratio_ppm").cast("long").alias("min_ratio_ppm"),
+            F.max("ratio_ppm").cast("long").alias("max_ratio_ppm"),
+        )
+    )

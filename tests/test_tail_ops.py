@@ -1973,3 +1973,59 @@ def test_decimal_quantile_sketch_hand_computed(spark):
         exact = vals[-(-q * 2000 // 100) - 1]  # ceil rank, 1-indexed
         est = got2[q]["est_value"]
         assert abs(est - exact) / exact <= 0.101, (q, est, exact)
+
+
+def test_jl_projection_ratio_properties(spark):
+    import hashlib
+
+    from blink_spark.operators.ann import jl_projection_ratio
+
+    # deterministic pseudo-random 16-dim vectors, 40 pairs; JL with 8
+    # sign planes: every ratio is exact integer; the histogram's mass
+    # concentrates around 1e6 (buckets 2-7 = ratio 0.4x-1.6x)
+    def vec(i):
+        return [
+            (int(hashlib.md5(f"v:{i}:{d}".encode()).hexdigest()[:4], 16)
+             % 2001 - 1000) / 1000.0
+            for d in range(16)
+        ]
+
+    rows = [(i, vec(i)) for i in range(80)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = jl_projection_ratio(df).collect()
+    assert sum(r["n_pairs"] for r in out) == 40
+    for r in out:
+        assert 0 <= r["bucket"] <= 9
+        assert r["min_ratio_ppm"] <= r["max_ratio_ppm"]
+        if r["bucket"] < 9:
+            assert r["max_ratio_ppm"] < (r["bucket"] + 1) * 200_000
+            assert r["min_ratio_ppm"] >= r["bucket"] * 200_000
+    mid = sum(
+        r["n_pairs"] for r in out if 2 <= r["bucket"] <= 7
+    )
+    assert mid >= 30  # >= 75% of pairs within 0.4x-1.6x of true distance
+
+    # exact-mirror one pair against a pure-python replication
+    one = jl_projection_ratio(
+        spark.createDataFrame(rows[:2], ["vec_id", "embedding"])
+    ).collect()
+    q = [[int((v * 1_000_000) // 1) for v in vec(i)] for i in range(2)]
+
+    def sgn(j, pos):
+        h = int(
+            hashlib.md5(f"jl:{j}:{pos}".encode()).hexdigest()[:8], 16
+        )
+        return 1 - 2 * (h % 2)
+
+    dp2 = sum(
+        (sum(sgn(j, p) * q[0][p] for p in range(16))
+         - sum(sgn(j, p) * q[1][p] for p in range(16))) ** 2
+        for j in range(8)
+    )
+    do2 = sum((q[0][p] - q[1][p]) ** 2 for p in range(16))
+    den = 8 * do2
+    ratio = dp2 // (den // 1_000_000) if den >= 1_000_000 else (
+        1_000_000 * dp2
+    ) // den
+    assert len(one) == 1 and one[0]["n_pairs"] == 1
+    assert one[0]["min_ratio_ppm"] == ratio == one[0]["max_ratio_ppm"]

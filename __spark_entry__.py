@@ -6167,6 +6167,23 @@ def _er_token_cosine(spark: SparkSession, sf: str) -> DataFrame:
     return token_cosine_pairs(pairs, m, "mention_id", "mention")
 
 
+@_q("er_weighted_jaccard", None)  # oracle injected below (fixture path)
+def _er_weighted_jaccard(spark: SparkSession, sf: str) -> DataFrame:
+    """Weighted (multiset/Ruzicka) Jaccard for the labeled gold pairs:
+    sum-min over sum-max of token bags, exact integer ppm — the
+    repetition-aware sibling of the set Jaccard the blocking family
+    uses. No full-outer join: sum-max = bag_a + bag_b - sum-min, so
+    the intersection rides the token_cosine (pair, token) equi-join."""
+    from blink_spark.operators.scoring import weighted_jaccard_pairs
+
+    m = _fx(spark, "mentions").select("mention_id", "mention")
+    pairs = _fx(spark, "gold_pairs").select(
+        F.col("mention_id_a").alias("record_id_a"),
+        F.col("mention_id_b").alias("record_id_b"),
+    )
+    return weighted_jaccard_pairs(pairs, m, "mention_id", "mention")
+
+
 @_q("er_tfidf_cosine", None)  # oracle injected below (fixture path)
 def _er_tfidf_cosine(spark: SparkSession, sf: str) -> DataFrame:
     """IDF-weighted sparse token cosine (WHIRL soft-join comparator,
@@ -8181,6 +8198,45 @@ def _er_oracles() -> dict[str, str]:
         ON d.record_id_a = p.record_id_a AND d.record_id_b = p.record_id_b
       JOIN norms na ON na.record_id = p.record_id_a
       JOIN norms nb ON nb.record_id = p.record_id_b
+    """
+    # er_weighted_jaccard: multiset Jaccard via the same (pair, token)
+    # inner equi-join — sum-max reconstructed as bag_a + bag_b - sum-min,
+    # so no full-outer join enters either plan.
+    weighted_jaccard_sql = f"""
+      WITH m AS (
+        SELECT mention_id, {_norm_m} AS norm FROM read_parquet('{men}')
+      ),
+      tf AS (
+        SELECT mention_id AS record_id, tok, count(*)::BIGINT AS tf
+        FROM (SELECT mention_id, unnest(string_split(norm, ' ')) AS tok FROM m)
+        GROUP BY 1, 2
+      ),
+      bags AS (SELECT record_id, sum(tf)::BIGINT AS bag FROM tf GROUP BY 1),
+      p AS (
+        SELECT mention_id_a AS record_id_a, mention_id_b AS record_id_b
+        FROM read_parquet('{gold}')
+      ),
+      inter AS (
+        SELECT p.record_id_a, p.record_id_b,
+               sum(least(a.tf, b.tf))::BIGINT AS inter_min
+        FROM p
+        JOIN tf a ON a.record_id = p.record_id_a
+        JOIN tf b ON b.record_id = p.record_id_b AND b.tok = a.tok
+        GROUP BY 1, 2
+      )
+      SELECT p.record_id_a, p.record_id_b,
+             coalesce(i.inter_min, 0)::BIGINT AS inter_min,
+             ba.bag::BIGINT AS bag_a,
+             bb.bag::BIGINT AS bag_b,
+             (CASE WHEN ba.bag + bb.bag - coalesce(i.inter_min, 0) > 0 THEN
+                (1000000 * coalesce(i.inter_min, 0))
+                // (ba.bag + bb.bag - coalesce(i.inter_min, 0))
+              ELSE 0 END)::BIGINT AS weighted_jaccard_ppm
+      FROM p
+      LEFT JOIN inter i
+        ON i.record_id_a = p.record_id_a AND i.record_id_b = p.record_id_b
+      JOIN bags ba ON ba.record_id = p.record_id_a
+      JOIN bags bb ON bb.record_id = p.record_id_b
     """
     # er_tfidf_cosine: same sparse-algebra shape, components weighted by the
     # rational idf surrogate (1000*N)//df — integer floor div on positives is
@@ -10837,6 +10893,7 @@ def _er_oracles() -> dict[str, str]:
         "er_golden_record": golden_sql,
         "er_match_rule_report": rule_report_sql,
         "er_token_cosine": token_cosine_sql,
+        "er_weighted_jaccard": weighted_jaccard_sql,
         "er_tfidf_cosine": tfidf_cosine_sql,
         "er_soft_tfidf": soft_tfidf_sql,
         "er_monge_elkan": monge_elkan_sql,
@@ -11381,7 +11438,7 @@ _DRIVER_ORDER = [
     "er_label_propagation", "embedding_silhouette", "er_suffix_blocks",
     "lineitem_spearman", "events_ks_test", "lineitem_mannwhitney",
     "doc_simpson_diversity", "orders_benford", "lineitem_sketch_quantiles",
-    "embedding_jl_ratio",
+    "embedding_jl_ratio", "er_weighted_jaccard",
 ]
 
 

@@ -1262,3 +1262,91 @@ def label_function_votes(
             " ELSE (1000000 * greatest(n_pos, n_neg)) div (n_pos + n_neg) END"
         ).cast("long").alias("agreement_ppm"),
     )
+
+
+def weighted_jaccard_pairs(
+    pairs: DataFrame,
+    records: DataFrame,
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """Weighted (multiset/Ruzicka) Jaccard for candidate pairs:
+    J_w = Σ_t min(tf_a, tf_b) / Σ_t max(tf_a, tf_b) over token BAGS —
+    the repetition-aware sibling of the set Jaccard the blocking family
+    uses (a surface that repeats a token five times vs once is NOT a
+    perfect match to set semantics; bag semantics see it).
+
+    Entirely exact integers, no full-outer join: Σ max = |bag_a| +
+    |bag_b| − Σ min, so the intersection Σ least(tf_a, tf_b) comes from
+    the SAME (pair, token) inner equi-join as ``token_cosine_pairs`` and
+    bag sizes join back per record. jw_ppm = (1e6·Σmin) div (Σmax),
+    nonnegative floor division, engine-identical.
+
+    Scale: identical join discipline to token_cosine_pairs — keyed by
+    (pair, token), bounded by pair count × tokens-per-record, never
+    vocabulary².
+
+    ``pairs``: (record_id_a, record_id_b). Output: pairs + ``inter_min``,
+    ``bag_a``, ``bag_b``, ``weighted_jaccard_ppm`` (exact longs).
+    """
+    from blink_spark.functions.text import normalize_text
+
+    tf = (
+        records.select(
+            F.col(id_col).alias("record_id"),
+            F.explode(
+                F.split(normalize_text(records[text_col]), " ")
+            ).alias("tok"),
+        )
+        .groupBy("record_id", "tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    bags = tf.groupBy("record_id").agg(
+        F.sum("tf").cast("long").alias("bag")
+    )
+    ta = tf.select(
+        F.col("record_id").alias("record_id_a"), "tok", F.col("tf").alias("tf_a")
+    )
+    tb = tf.select(
+        F.col("record_id").alias("record_id_b"), "tok", F.col("tf").alias("tf_b")
+    )
+    inter = (
+        pairs.join(ta, "record_id_a")
+        .join(tb, ["record_id_b", "tok"])
+        .groupBy("record_id_a", "record_id_b")
+        .agg(
+            F.sum(F.least("tf_a", "tf_b")).cast("long").alias("inter_min")
+        )
+    )
+    return (
+        pairs.join(inter, ["record_id_a", "record_id_b"], "left")
+        .join(
+            bags.select(
+                F.col("record_id").alias("record_id_a"),
+                F.col("bag").alias("bag_a"),
+            ),
+            "record_id_a",
+        )
+        .join(
+            bags.select(
+                F.col("record_id").alias("record_id_b"),
+                F.col("bag").alias("bag_b"),
+            ),
+            "record_id_b",
+        )
+        .select(
+            "record_id_a",
+            "record_id_b",
+            F.coalesce("inter_min", F.lit(0)).cast("long").alias("inter_min"),
+            "bag_a",
+            "bag_b",
+            F.expr(
+                "CASE WHEN bag_a + bag_b - coalesce(inter_min, 0) > 0 THEN"
+                " (1000000 * coalesce(inter_min, 0))"
+                " div (bag_a + bag_b - coalesce(inter_min, 0))"
+                " ELSE 0 END"
+            )
+            .cast("long")
+            .alias("weighted_jaccard_ppm"),
+        )
+    )

@@ -2029,3 +2029,35 @@ def test_jl_projection_ratio_properties(spark):
     ) // den
     assert len(one) == 1 and one[0]["n_pairs"] == 1
     assert one[0]["min_ratio_ppm"] == ratio == one[0]["max_ratio_ppm"]
+
+
+def test_weighted_jaccard_pairs_hand_computed(spark):
+    from blink_spark.operators.scoring import weighted_jaccard_pairs
+
+    recs = spark.createDataFrame(
+        [
+            ("r1", "acme corp corp"),   # bag {acme:1, corp:2}
+            ("r2", "acme corp"),        # bag {acme:1, corp:1}
+            ("r3", "zeta zeta"),        # disjoint from r1
+            ("r4", "Acme  CORP corp"),  # normalizes to exactly r1's bag
+        ],
+        ["rid", "txt"],
+    )
+    pairs = spark.createDataFrame(
+        [("r1", "r2"), ("r1", "r3"), ("r1", "r4")],
+        ["record_id_a", "record_id_b"],
+    )
+    got = {
+        (r["record_id_a"], r["record_id_b"]): r
+        for r in weighted_jaccard_pairs(pairs, recs, "rid", "txt").collect()
+    }
+    # r1 vs r2: min = 1 + 1 = 2, max = 1 + 2 = 3
+    r12 = got[("r1", "r2")]
+    assert (r12["inter_min"], r12["bag_a"], r12["bag_b"]) == (2, 3, 2)
+    assert r12["weighted_jaccard_ppm"] == (1_000_000 * 2) // 3
+    # disjoint: 0; the set Jaccard would also be 0 — agreement edge
+    r13 = got[("r1", "r3")]
+    assert (r13["inter_min"], r13["weighted_jaccard_ppm"]) == (0, 0)
+    # identical bags after normalization: exactly 1.0
+    r14 = got[("r1", "r4")]
+    assert r14["weighted_jaccard_ppm"] == 1_000_000

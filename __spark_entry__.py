@@ -1497,6 +1497,48 @@ def _lineitem_sketch_quantiles(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@_q(
+    "lineitem_market_basket",
+    """
+    WITH bi AS (
+      SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem
+    ),
+    n AS (SELECT count(DISTINCT b)::BIGINT AS n_baskets FROM bi),
+    ic AS (SELECT i, count(*)::BIGINT AS c FROM bi GROUP BY 1),
+    pc AS (
+      SELECT a.i AS item_x, bb.i AS item_y, count(*)::BIGINT AS n_xy
+      FROM bi a JOIN bi bb ON a.b = bb.b AND a.i != bb.i
+      GROUP BY 1, 2
+      HAVING count(*) >= 2
+    )
+    SELECT pc.item_x, pc.item_y, pc.n_xy,
+           ix.c::BIGINT AS n_x, iy.c::BIGINT AS n_y,
+           (CASE WHEN n.n_baskets > 0
+             THEN (1000000 * pc.n_xy) // n.n_baskets ELSE 0 END)::BIGINT
+             AS support_ppm,
+           ((1000000 * pc.n_xy) // ix.c)::BIGINT AS confidence_ppm,
+           ((1000000 * n.n_baskets * pc.n_xy) // (ix.c * iy.c))::BIGINT
+             AS lift_ppm
+    FROM pc
+    JOIN ic ix ON ix.i = pc.item_x
+    JOIN ic iy ON iy.i = pc.item_y
+    CROSS JOIN n
+    """,
+)
+def _lineitem_market_basket(spark: SparkSession, sf: str) -> DataFrame:
+    """Association rules over order baskets (Agrawal-Srikant): every
+    directed part pair co-ordered in >= 2 orders with exact-integer
+    support/confidence/lift in ppm — the co-occurrence affinity readout.
+    Distinct (basket, item) collapse, basket-keyed self equi-join
+    (quadratic only in items per basket), partial-agg counts, broadcast
+    one-row basket total; no top-k, no global sort."""
+    from blink_spark.operators.temporal import market_basket_rules
+
+    return market_basket_rules(
+        _t(spark, sf, "lineitem"), "l_orderkey", "l_partkey"
+    )
+
+
 _SPEARMAN_RHO_SQL = (
     "(CASE WHEN (4 * n * (n * n - 1)) = 0 THEN 0"
     " WHEN (4 * n * (n * n - 1)) >= 1000000"
@@ -11438,7 +11480,7 @@ _DRIVER_ORDER = [
     "er_label_propagation", "embedding_silhouette", "er_suffix_blocks",
     "lineitem_spearman", "events_ks_test", "lineitem_mannwhitney",
     "doc_simpson_diversity", "orders_benford", "lineitem_sketch_quantiles",
-    "embedding_jl_ratio", "er_weighted_jaccard",
+    "embedding_jl_ratio", "er_weighted_jaccard", "lineitem_market_basket",
 ]
 
 

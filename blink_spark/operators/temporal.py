@@ -1157,3 +1157,79 @@ def ks_two_sample(
             F.lit(False),
         ).alias("significant"),
     )
+
+
+def market_basket_rules(
+    items: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_pair_support: int = 2,
+) -> DataFrame:
+    """Association-rule mining over baskets (Agrawal & Srikant 1994):
+    for every DIRECTED item pair (x → y) co-occurring in at least
+    ``min_pair_support`` baskets, exact-integer support, confidence and
+    lift — the co-purchase/co-occurrence affinity readout.
+
+    conf(x→y) = c_xy/c_x and lift = N·c_xy/(c_x·c_y) in ppm floor
+    division on nonnegative integers (lift staged as
+    ``(1e6·N·c_xy) div (c_x·c_y)`` — binding term 1e6·N·c_xy needs
+    N·c_xy ≤ 9.2e12; rescale counts past ~3M baskets of hot pairs, the
+    chi2 documented-bound convention). No top-k and no global sort: the
+    deterministic thresholds (pair support, emitted for every surviving
+    rule) keep the output reproducible without a single-task window.
+
+    Scale notes: baskets collapse to DISTINCT (basket, item) first, the
+    pair fan-out is a basket-keyed self equi-join (quadratic only in
+    ITEMS PER BASKET — bounded in any real basket table; the skew class
+    every salting note in pairs.py covers), and counts are partial aggs.
+    Item totals broadcast onto pair-scale rows via equi-joins.
+
+    Returns (item_x, item_y, n_xy, n_x, n_y, support_ppm,
+    confidence_ppm, lift_ppm) for both directions of each pair.
+    """
+    bi = items.select(
+        F.col(basket_col).alias("b"), F.col(item_col).alias("i")
+    ).distinct()
+    n = bi.agg(
+        F.count_distinct("b").cast("long").alias("n_baskets")
+    )
+    ic = bi.groupBy("i").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    a = bi.select("b", F.col("i").alias("item_x"))
+    bb = bi.select("b", F.col("i").alias("item_y"))
+    pc = (
+        a.join(bb, "b")
+        .filter("item_x != item_y")
+        .groupBy("item_x", "item_y")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_xy"))
+        .filter(F.col("n_xy") >= int(min_pair_support))
+    )
+    out = (
+        pc.join(
+            ic.select(F.col("i").alias("item_x"), F.col("c").alias("n_x")),
+            "item_x",
+        )
+        .join(
+            ic.select(F.col("i").alias("item_y"), F.col("c").alias("n_y")),
+            "item_y",
+        )
+        .crossJoin(F.broadcast(n))
+    )
+    return out.select(
+        "item_x",
+        "item_y",
+        "n_xy",
+        "n_x",
+        "n_y",
+        F.expr(
+            "CASE WHEN n_baskets > 0 THEN (1000000 * n_xy) div n_baskets"
+            " ELSE 0 END"
+        )
+        .cast("long")
+        .alias("support_ppm"),
+        F.expr("(1000000 * n_xy) div n_x").cast("long").alias(
+            "confidence_ppm"
+        ),
+        F.expr("(1000000 * n_baskets * n_xy) div (n_x * n_y)")
+        .cast("long")
+        .alias("lift_ppm"),
+    )

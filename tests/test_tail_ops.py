@@ -2061,3 +2061,31 @@ def test_weighted_jaccard_pairs_hand_computed(spark):
     # identical bags after normalization: exactly 1.0
     r14 = got[("r1", "r4")]
     assert r14["weighted_jaccard_ppm"] == 1_000_000
+
+
+def test_market_basket_rules_hand_computed(spark):
+    from blink_spark.operators.temporal import market_basket_rules
+
+    # 4 baskets: {p,q} x3 co-occurrences for (p,q); r rides with p once;
+    # duplicate line for p in b1 must collapse (DISTINCT basket-item)
+    rows = [
+        (1, "p"), (1, "p"), (1, "q"), (1, "r"),
+        (2, "p"), (2, "q"),
+        (3, "p"), (3, "q"),
+        (4, "r"),
+    ]
+    df = spark.createDataFrame(rows, ["basket", "item"])
+    got = {
+        (r["item_x"], r["item_y"]): r
+        for r in market_basket_rules(df, "basket", "item").collect()
+    }
+    # only (p,q)/(q,p) survive min support 2; (p,r) has 1 co-basket
+    assert set(got) == {("p", "q"), ("q", "p")}
+    pq = got[("p", "q")]
+    assert (pq["n_xy"], pq["n_x"], pq["n_y"]) == (3, 3, 3)
+    assert pq["support_ppm"] == (1_000_000 * 3) // 4
+    assert pq["confidence_ppm"] == 1_000_000
+    # lift = N*c_xy/(c_x*c_y) = 4*3/9
+    assert pq["lift_ppm"] == (1_000_000 * 4 * 3) // 9
+    qp = got[("q", "p")]
+    assert qp["confidence_ppm"] == 1_000_000 and qp["lift_ppm"] == pq["lift_ppm"]

@@ -349,6 +349,12 @@ ALLOWLIST: dict[str, frozenset[str]] = {
     "lineitem_sketch_quantiles": frozenset(
         {"BroadcastNestedLoopJoin", "Exchange SinglePartition"}
     ),
+    # lineitem_market_basket: the basket total is a one-row count-distinct
+    # finalize broadcast onto the (already support-thresholded) rule rows
+    # — the bm25-idf pattern; every other join is a keyed equi-join.
+    "lineitem_market_basket": frozenset(
+        {"BroadcastNestedLoopJoin", "Exchange SinglePartition"}
+    ),
 }
 
 # Exchange SinglePartition is only allowed when feeding a scalar finalize:

@@ -982,6 +982,50 @@ def _doc_heaps_fit(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @_q(
+    "doc_collocations",
+    f"""
+    WITH m AS (SELECT doc_id AS d, {_norm('text')} AS norm FROM documents),
+    ex AS (
+      SELECT d, generate_subscripts(string_split(norm, ' '), 1)::BIGINT
+               AS pos,
+             unnest(string_split(norm, ' ')) AS tok
+      FROM m
+    ),
+    exx AS (SELECT d, pos, tok FROM ex WHERE tok != ''),
+    uni AS (SELECT tok, count(*)::BIGINT AS c FROM exx GROUP BY 1),
+    tot AS (SELECT coalesce(sum(c), 0)::BIGINT AS t FROM uni),
+    bg AS (
+      SELECT a.tok AS tok_a, b.tok AS tok_b, count(*)::BIGINT AS n_bigram
+      FROM exx a JOIN exx b ON a.d = b.d AND b.pos = a.pos + 1
+      GROUP BY 1, 2
+      HAVING count(*) >= 5
+    )
+    SELECT bg.tok_a, bg.tok_b, bg.n_bigram,
+           ua.c::BIGINT AS n_a, ub.c::BIGINT AS n_b,
+           (CASE WHEN ua.c * ub.c = 0 THEN 0
+                 WHEN tot.t * bg.n_bigram > 9000000000000
+                 THEN (tot.t * bg.n_bigram)
+                      // greatest((ua.c * ub.c) // 1000000, 1)
+                 ELSE (1000000 * tot.t * bg.n_bigram) // (ua.c * ub.c)
+            END)::BIGINT AS lift_ppm
+    FROM bg
+    JOIN uni ua ON ua.tok = bg.tok_a
+    JOIN uni ub ON ub.tok = bg.tok_b
+    CROSS JOIN tot
+    """,
+)
+def _doc_collocations(spark: SparkSession, sf: str) -> DataFrame:
+    """Collocation/phrase detection over adjacent token bigrams: integer
+    lift T*c_xy/(c_x*c_y) in ppm (monotone in PMI, log-free), every
+    bigram at count >= 5 (deterministic threshold, no top-k/global
+    sort). Position explode + (doc, pos+1) successor equi-join +
+    partial-agg counts + broadcast one-row token total."""
+    from blink_spark.operators.corpus import collocations
+
+    return collocations(_t(spark, sf, "documents"))
+
+
+@_q(
     "doc_simpson_diversity",
     f"""
     WITH t AS (
@@ -11481,6 +11525,7 @@ _DRIVER_ORDER = [
     "lineitem_spearman", "events_ks_test", "lineitem_mannwhitney",
     "doc_simpson_diversity", "orders_benford", "lineitem_sketch_quantiles",
     "embedding_jl_ratio", "er_weighted_jaccard", "lineitem_market_basket",
+    "doc_collocations",
 ]
 
 

@@ -1582,3 +1582,81 @@ def simpson_diversity(
         .cast("long")
         .alias("top_share_ppm"),
     )
+
+
+def collocations(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_count: int = 5,
+) -> DataFrame:
+    """Collocation detection over adjacent token bigrams: lift =
+    T·c_xy/(c_x·c_y) (the pointwise-mutual-information RATIO without the
+    log — monotone in PMI, so ordering and thresholds agree, and it stays
+    in exact integer ppm where PMI's log would drag libm into the parity
+    surface). Bigrams at lift ≫ 1e6 are phrases ("new york"); lift ≈ 1e6
+    is chance co-occurrence — the phrase-mining readout a tokenizer/
+    stopword pipeline consumes.
+
+    Deterministic output discipline: every bigram with count ≥
+    ``min_count`` is emitted (no top-k, no global sort — thresholds
+    reproduce; a rank would need a single-task window). Staged lift:
+    binding term 1e6·T·c_xy needs T·c_xy ≤ 9.2e12 — past that (hot
+    bigram × trillion-token corpus) divide the denominator down first,
+    the spearman convention, applied automatically here.
+
+    Scale notes: position explode is map-side; the adjacency pairing is
+    a (doc, pos+1) equi-join (never quadratic — each token joins its one
+    successor); bigram and unigram counts are partial aggs; the token
+    total is a one-row finalize broadcast onto the thresholded bigram
+    rows.
+
+    Returns (tok_a, tok_b, n_bigram, n_a, n_b, lift_ppm).
+    """
+    from blink_spark.functions.text import normalize_text
+
+    ex = docs.select(
+        F.col(id_col).alias("d"),
+        F.posexplode(
+            F.split(normalize_text(F.col(text_col)), " ")
+        ).alias("pos", "tok"),
+    ).filter(F.col("tok") != "")
+    uni = ex.groupBy("tok").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    tot = uni.agg(F.coalesce(F.sum("c"), F.lit(0)).cast("long").alias("t"))
+    a = ex.select("d", "pos", F.col("tok").alias("tok_a"))
+    b = ex.select(
+        "d", (F.col("pos") - 1).alias("pos"), F.col("tok").alias("tok_b")
+    )
+    bg = (
+        a.join(b, ["d", "pos"])
+        .groupBy("tok_a", "tok_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_bigram"))
+        .filter(F.col("n_bigram") >= int(min_count))
+    )
+    out = (
+        bg.join(
+            uni.select(F.col("tok").alias("tok_a"), F.col("c").alias("n_a")),
+            "tok_a",
+        )
+        .join(
+            uni.select(F.col("tok").alias("tok_b"), F.col("c").alias("n_b")),
+            "tok_b",
+        )
+        .crossJoin(F.broadcast(tot))
+    )
+    den = "(n_a * n_b)"
+    return out.select(
+        "tok_a",
+        "tok_b",
+        "n_bigram",
+        "n_a",
+        "n_b",
+        F.expr(
+            f"CASE WHEN {den} = 0 THEN 0"
+            f" WHEN t * n_bigram > 9000000000000"
+            f" THEN (t * n_bigram) div (greatest({den} div 1000000, 1))"
+            f" ELSE (1000000 * t * n_bigram) div {den} END"
+        )
+        .cast("long")
+        .alias("lift_ppm"),
+    )

@@ -2089,3 +2089,29 @@ def test_market_basket_rules_hand_computed(spark):
     assert pq["lift_ppm"] == (1_000_000 * 4 * 3) // 9
     qp = got[("q", "p")]
     assert qp["confidence_ppm"] == 1_000_000 and qp["lift_ppm"] == pq["lift_ppm"]
+
+
+def test_collocations_hand_computed(spark):
+    from blink_spark.operators.corpus import collocations
+
+    # "new york" appears 6x adjacent; "the cat" 5x; "cat the" 4x (below
+    # threshold); unigram counts feed exact lift
+    docs = [
+        ("d1", "new york " * 6),
+        ("d2", ("the cat " * 5) + "dog"),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = {
+        (r["tok_a"], r["tok_b"]): r
+        for r in collocations(df, min_count=5).collect()
+    }
+    # tokens: new x6, york x6, the x5, cat x5, dog x1 -> T = 23
+    ny = got[("new", "york")]
+    assert (ny["n_bigram"], ny["n_a"], ny["n_b"]) == (6, 6, 6)
+    assert ny["lift_ppm"] == (1_000_000 * 23 * 6) // 36
+    tc = got[("the", "cat")]
+    assert (tc["n_bigram"], tc["n_a"], tc["n_b"]) == (5, 5, 5)
+    assert tc["lift_ppm"] == (1_000_000 * 23 * 5) // 25
+    # "york new" occurs 5x (interior repeats) -> present; "cat the" 4x -> no
+    assert ("cat", "the") not in got
+    assert got[("york", "new")]["n_bigram"] == 5

@@ -355,6 +355,12 @@ ALLOWLIST: dict[str, frozenset[str]] = {
     "lineitem_market_basket": frozenset(
         {"BroadcastNestedLoopJoin", "Exchange SinglePartition"}
     ),
+    # doc_collocations: the corpus token total is a one-row finalize of
+    # the unigram table broadcast onto the (count-thresholded) bigram rows
+    # — the bm25-idf pattern; adjacency is a (doc, pos+1) equi-join.
+    "doc_collocations": frozenset(
+        {"BroadcastNestedLoopJoin", "Exchange SinglePartition"}
+    ),
 }
 
 # Exchange SinglePartition is only allowed when feeding a scalar finalize:

@@ -1264,6 +1264,63 @@ def _events_forecast_backtest(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @_q(
+    "events_attribution",
+    """
+    WITH conv AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+    ),
+    touch AS (
+      SELECT event_id, user_id, ts, event_type FROM events
+      WHERE event_type != 'purchase'
+        AND user_id IS NOT NULL AND ts IS NOT NULL
+    ),
+    lastall AS (
+      SELECT c.event_id AS cid, t.event_type,
+             row_number() OVER (PARTITION BY c.event_id
+                                ORDER BY t.ts DESC, t.event_id DESC) AS rn
+      FROM conv c JOIN touch t ON t.user_id = c.user_id AND t.ts <= c.ts
+    ),
+    lastpick AS (SELECT cid, event_type FROM lastall WHERE rn = 1),
+    lt AS (
+      SELECT 'last' AS model,
+             coalesce(lp.event_type, '(none)') AS touch_type,
+             count(*)::BIGINT AS n_conversions
+      FROM conv c LEFT JOIN lastpick lp ON lp.cid = c.event_id
+      GROUP BY 1, 2
+    ),
+    firstall AS (
+      SELECT user_id, ts, event_type,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts ASC, event_id ASC) AS rn
+      FROM touch
+    ),
+    firstpick AS (
+      SELECT user_id, ts, event_type FROM firstall WHERE rn = 1
+    ),
+    ft AS (
+      SELECT 'first' AS model,
+             coalesce(CASE WHEN f.ts <= c.ts THEN f.event_type END,
+                      '(none)') AS touch_type,
+             count(*)::BIGINT AS n_conversions
+      FROM conv c LEFT JOIN firstpick f ON f.user_id = c.user_id
+      GROUP BY 1, 2
+    )
+    SELECT * FROM lt UNION ALL SELECT * FROM ft
+    """,
+)
+def _events_attribution(spark: SparkSession, sf: str) -> DataFrame:
+    """First-touch / last-touch conversion attribution over the event
+    stream: each purchase credits its most recent prior touch (as-of
+    semantics, ties to the largest event id) and the user's earliest
+    touch at-or-before it; no-touch conversions credit '(none)' so both
+    models reconcile to the conversion total. Last-touch rides the
+    asof_join streamed merge; first-touch is a per-user min-struct."""
+    from blink_spark.operators.temporal import attribution_counts
+
+    return attribution_counts(_t(spark, sf, "events"))
+
+
+@_q(
     "events_ks_test",
     """
     WITH base AS (
@@ -11525,7 +11582,7 @@ _DRIVER_ORDER = [
     "lineitem_spearman", "events_ks_test", "lineitem_mannwhitney",
     "doc_simpson_diversity", "orders_benford", "lineitem_sketch_quantiles",
     "embedding_jl_ratio", "er_weighted_jaccard", "lineitem_market_basket",
-    "doc_collocations",
+    "doc_collocations", "events_attribution",
 ]
 
 

@@ -1233,3 +1233,76 @@ def market_basket_rules(
         .cast("long")
         .alias("lift_ppm"),
     )
+
+
+def attribution_counts(
+    events: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    seq_col: str = "event_id",
+    conversion: str = "purchase",
+) -> DataFrame:
+    """First-touch / last-touch attribution: every conversion event
+    credits one prior non-conversion touch per model — last-touch the
+    most recent touch at or before the conversion (ties: largest seq,
+    the as-of visibility convention), first-touch the user's earliest
+    touch if it happened at or before the conversion (ties: smallest
+    seq). Conversions with no eligible touch credit ``(none)`` — emitted,
+    not dropped, so the two models' counts both sum to the conversion
+    total (the reconciliation an attribution report lives on).
+
+    Scale notes: last-touch IS ``asof_join`` (one union + one keyed
+    window — the streamed-merge form, no range join); first-touch is a
+    per-user min-struct partial agg joined back by user. Readout is a
+    tiny (model, touch_type) agg. Exact counts, no floats anywhere.
+
+    Returns (model, touch_type, n_conversions).
+    """
+    conv = events.filter(F.col(type_col) == conversion)
+    touch = events.filter(F.col(type_col) != conversion)
+    last = asof_join(
+        conv,
+        touch,
+        user_col,
+        ts_col=ts_col,
+        seq_col=seq_col,
+        payload_cols=(type_col,),
+    )
+    lt = (
+        last.select(
+            F.coalesce(f"matched_{type_col}", F.lit("(none)")).alias(
+                "touch_type"
+            )
+        )
+        .groupBy("touch_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_conversions"))
+        .select(F.lit("last").alias("model"), "touch_type", "n_conversions")
+    )
+    ft = touch.filter(
+        F.col(user_col).isNotNull() & F.col(ts_col).isNotNull()
+    ).groupBy(F.col(user_col).alias("u")).agg(
+        F.min(
+            F.struct(
+                F.col(ts_col).alias("fts"),
+                F.col(seq_col).alias("fseq"),
+                F.col(type_col).alias("ftype"),
+            )
+        ).alias("f")
+    )
+    fj = (
+        conv.select(
+            F.col(user_col).alias("u"), F.col(ts_col).alias("cts")
+        )
+        .join(ft, "u", "left")
+        .select(
+            F.coalesce(
+                F.when(F.expr("f.fts <= cts"), F.col("f.ftype")),
+                F.lit("(none)"),
+            ).alias("touch_type")
+        )
+        .groupBy("touch_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_conversions"))
+        .select(F.lit("first").alias("model"), "touch_type", "n_conversions")
+    )
+    return lt.unionByName(fj)

@@ -2115,3 +2115,37 @@ def test_collocations_hand_computed(spark):
     # "york new" occurs 5x (interior repeats) -> present; "cat the" 4x -> no
     assert ("cat", "the") not in got
     assert got[("york", "new")]["n_bigram"] == 5
+
+
+def test_attribution_counts_hand_computed(spark):
+    import datetime as dt
+
+    from blink_spark.operators.temporal import attribution_counts
+
+    T = lambda s: dt.datetime(2024, 1, 1, 0, 0, s)
+    # u1: view(1) click(2) purchase(3) purchase(5) -> last: click x2;
+    #     first: view x2
+    # u2: purchase(1) with no prior touch -> (none) in both models;
+    #     click(2) arrives after, must not be credited
+    # u3: click at the SAME ts as the purchase -> visible (<=) in both
+    rows = [
+        (1, 1, "view", T(1)), (2, 1, "click", T(2)),
+        (3, 1, "purchase", T(3)), (4, 1, "purchase", T(5)),
+        (5, 2, "purchase", T(1)), (6, 2, "click", T(2)),
+        (7, 3, "click", T(4)), (8, 3, "purchase", T(4)),
+    ]
+    df = spark.createDataFrame(
+        rows, ["event_id", "user_id", "event_type", "ts"]
+    )
+    got = {
+        (r["model"], r["touch_type"]): r["n_conversions"]
+        for r in attribution_counts(df).collect()
+    }
+    assert got[("last", "click")] == 3   # u1 x2 + u3
+    assert got[("last", "(none)")] == 1  # u2
+    assert got[("first", "view")] == 2   # u1 x2
+    assert got[("first", "click")] == 1  # u3 (same-ts first touch)
+    assert got[("first", "(none)")] == 1
+    # both models reconcile to the 4 conversions
+    assert sum(v for (m, _), v in got.items() if m == "last") == 4
+    assert sum(v for (m, _), v in got.items() if m == "first") == 4

@@ -1026,6 +1026,63 @@ def _doc_collocations(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @_q(
+    "doc_lang_source_assoc",
+    """
+    WITH base AS (
+      SELECT lang AS r, source AS c FROM documents
+      WHERE lang IS NOT NULL AND source IS NOT NULL
+    ),
+    cells AS (SELECT r, c, count(*)::BIGINT AS o FROM base GROUP BY 1, 2),
+    rt AS (SELECT r, count(*)::BIGINT AS rn FROM base GROUP BY 1),
+    ct AS (SELECT c, count(*)::BIGINT AS cn FROM base GROUP BY 1),
+    n AS (SELECT count(*)::BIGINT AS n FROM base),
+    g AS (
+      SELECT rt.r, ct.c, rt.rn, ct.cn, n.n,
+             coalesce(cells.o, 0)::BIGINT AS o,
+             (n.n * coalesce(cells.o, 0) - rt.rn * ct.cn)::BIGINT AS dev
+      FROM rt CROSS JOIN ct CROSS JOIN n
+      LEFT JOIN cells ON cells.r = rt.r AND cells.c = ct.c
+    ),
+    gc AS (
+      SELECT *,
+             (CASE WHEN n * rn * cn >= 1000000 THEN
+                (1000 * (abs(dev) // 1000) * (abs(dev) // 1000))
+                // ((n * rn * cn) // 1000000)
+              WHEN n * rn * cn > 0 THEN
+                (1000 * dev * dev) // (n * rn * cn)
+              ELSE 0 END)::BIGINT AS contrib
+      FROM g
+    )
+    SELECT r AS row_value, c AS col_value, o AS n_obs,
+           ((1000 * rn * cn) // n)::BIGINT AS expected_milli,
+           contrib AS chi2_contrib_milli,
+           NULL::BIGINT AS df, NULL::BIGINT AS v2_ppm
+    FROM gc
+    UNION ALL
+    SELECT '(all)', '(all)', max(n)::BIGINT, NULL::BIGINT,
+           sum(contrib)::BIGINT,
+           ((count(DISTINCT r) - 1) * (count(DISTINCT c) - 1))::BIGINT,
+           (CASE WHEN max(n) * least(count(DISTINCT r) - 1,
+                                     count(DISTINCT c) - 1) > 0 THEN
+              (1000 * sum(contrib))
+              // (max(n) * least(count(DISTINCT r) - 1,
+                                 count(DISTINCT c) - 1)) END)::BIGINT
+    FROM gc
+    """,
+)
+def _doc_lang_source_assoc(spark: SparkSession, sf: str) -> DataFrame:
+    """r x c contingency association profile of documents' (lang, source):
+    exact staged-integer chi-square over every grid cell (zero-observed
+    cells contribute their full expectation) plus Cramer's V-squared in
+    ppm and df on the summary row — "are these categorical columns
+    independent?", beside the 2x2 ab-test chi-square. Category-scale
+    partial aggs + tiny grid cross join + broadcast one-row n."""
+    from blink_spark.operators.profile import contingency_chi2
+
+    return contingency_chi2(_t(spark, sf, "documents"), "lang", "source")
+
+
+@_q(
     "doc_simpson_diversity",
     f"""
     WITH t AS (
@@ -11582,7 +11639,7 @@ _DRIVER_ORDER = [
     "lineitem_spearman", "events_ks_test", "lineitem_mannwhitney",
     "doc_simpson_diversity", "orders_benford", "lineitem_sketch_quantiles",
     "embedding_jl_ratio", "er_weighted_jaccard", "lineitem_market_basket",
-    "doc_collocations", "events_attribution",
+    "doc_collocations", "events_attribution", "doc_lang_source_assoc",
 ]
 
 

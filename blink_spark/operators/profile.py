@@ -516,3 +516,92 @@ def decimal_quantile_sketch(
     return picked.select(
         "q_pct", "n_rows", "n_buckets", "target_rank", "est_value"
     )
+
+
+def contingency_chi2(
+    df: DataFrame, row_col: str, col_col: str
+) -> DataFrame:
+    """r×c contingency-table association profile: exact staged-integer
+    Pearson chi-square over EVERY cell of the category grid (zero-
+    observed cells contribute their full expectation — dropping them
+    understates chi², the classic bug) plus Cramér's V² effect size —
+    "are these two categorical columns independent?", the profiling
+    question beside the 2×2 ``ab_test_chi2``.
+
+    Per cell, dev = n·o − r_i·c_j (exact BIGINT), q = (|dev| div 1000)²,
+    and chi²_milli contribution = (1000·q) div ((n·r_i·c_j) div 1e6)
+    when the denominator is large, else the exact (1000·dev²) div
+    (n·r_i·c_j) (where dev² provably fits: n·min(r_i,c_j) ≤ 1e6 in that
+    branch). Engine-identical floors; exact-integer regime while
+    n·min(row_total, col_total) ≤ 9.6e10 — pre-scale counts beyond (the
+    chi2 documented-bound convention). V² = chi²/(n·min(r−1, c−1)) in
+    ppm; the α-verdict is left to the caller (the critical value depends
+    on df — emit df, don't bake a table).
+
+    Scale notes: rows collapse to category scale in three partial aggs
+    (cells, row totals, column totals); the full grid is a cross join of
+    the two CATEGORY-scale total tables (bounded by #categories², tiny
+    by definition) with a broadcast one-row n; summary is a grid-scale
+    finalize.
+
+    Returns one row per grid cell (df/v2 NULL) + a summary row
+    (row='(all)', col='(all)', chi² total, df, v2_ppm):
+    (row_value, col_value, n_obs, expected_milli, chi2_contrib_milli,
+    df, v2_ppm).
+    """
+    base = df.filter(
+        F.col(row_col).isNotNull() & F.col(col_col).isNotNull()
+    ).select(F.col(row_col).alias("r"), F.col(col_col).alias("c"))
+    cells = base.groupBy("r", "c").agg(
+        F.count(F.lit(1)).cast("long").alias("o")
+    )
+    rt = base.groupBy("r").agg(F.count(F.lit(1)).cast("long").alias("rn"))
+    ct = base.groupBy("c").agg(F.count(F.lit(1)).cast("long").alias("cn"))
+    n = base.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    g = (
+        rt.crossJoin(ct)
+        .crossJoin(F.broadcast(n))
+        .join(cells, ["r", "c"], "left")
+        .withColumn("o", F.coalesce("o", F.lit(0)).cast("long"))
+        .withColumn("dev", F.expr("n * o - rn * cn").cast("long"))
+        .withColumn(
+            "contrib",
+            F.expr(
+                "CASE WHEN n * rn * cn >= 1000000 THEN"
+                " (1000 * (abs(dev) div 1000) * (abs(dev) div 1000))"
+                " div ((n * rn * cn) div 1000000)"
+                " WHEN n * rn * cn > 0 THEN"
+                " (1000 * dev * dev) div (n * rn * cn)"
+                " ELSE 0 END"
+            ).cast("long"),
+        )
+    )
+    detail = g.select(
+        F.col("r").alias("row_value"),
+        F.col("c").alias("col_value"),
+        F.col("o").alias("n_obs"),
+        F.expr("(1000 * rn * cn) div n").cast("long").alias("expected_milli"),
+        F.col("contrib").alias("chi2_contrib_milli"),
+        F.lit(None).cast("long").alias("df"),
+        F.lit(None).cast("long").alias("v2_ppm"),
+    )
+    summary = g.agg(
+        F.max("n").cast("long").alias("n"),
+        F.count_distinct("r").cast("long").alias("nr"),
+        F.count_distinct("c").cast("long").alias("nc"),
+        F.sum("contrib").cast("long").alias("chi2"),
+    ).select(
+        F.lit("(all)").alias("row_value"),
+        F.lit("(all)").alias("col_value"),
+        F.col("n").alias("n_obs"),
+        F.lit(None).cast("long").alias("expected_milli"),
+        F.col("chi2").alias("chi2_contrib_milli"),
+        F.expr("(nr - 1) * (nc - 1)").cast("long").alias("df"),
+        F.expr(
+            "CASE WHEN n * least(nr - 1, nc - 1) > 0 THEN"
+            " (1000 * chi2) div (n * least(nr - 1, nc - 1)) END"
+        )
+        .cast("long")
+        .alias("v2_ppm"),
+    )
+    return detail.unionByName(summary)

@@ -2149,3 +2149,36 @@ def test_attribution_counts_hand_computed(spark):
     # both models reconcile to the 4 conversions
     assert sum(v for (m, _), v in got.items() if m == "last") == 4
     assert sum(v for (m, _), v in got.items() if m == "first") == 4
+
+
+def test_contingency_chi2_hand_computed(spark):
+    from blink_spark.operators.profile import contingency_chi2
+
+    # perfectly dependent 2x2: lang determines source exactly ->
+    # chi2 = n, V^2 = 1 (the textbook maximum for a 2x2)
+    rows = [("en", "a")] * 5 + [("fr", "b")] * 5
+    df = spark.createDataFrame(rows, ["lang", "source"])
+    out = contingency_chi2(df, "lang", "source").collect()
+    summ = [r for r in out if r["row_value"] == "(all)"][0]
+    # chi2 = n = 10 -> 10000 milli; small-denominator exact branch
+    assert summ["chi2_contrib_milli"] == 10_000
+    assert summ["df"] == 1
+    assert summ["v2_ppm"] == (1000 * 10_000) // 10 == 1_000_000
+    # zero-observed cells ARE present and contribute their expectation
+    z = [
+        r for r in out
+        if r["row_value"] == "en" and r["col_value"] == "b"
+    ][0]
+    assert z["n_obs"] == 0
+    assert z["expected_milli"] == (1000 * 5 * 5) // 10 == 2500
+    # dev = 10*0 - 25 = -25; exact branch: (1000*625) // 250 = 2500 milli
+    assert z["chi2_contrib_milli"] == 2500
+
+    # independent layout: every cell at expectation -> chi2 = 0, V^2 = 0
+    rows2 = [("en", "a"), ("en", "b"), ("fr", "a"), ("fr", "b")] * 3
+    out2 = contingency_chi2(
+        spark.createDataFrame(rows2, ["lang", "source"]), "lang", "source"
+    ).collect()
+    s2 = [r for r in out2 if r["row_value"] == "(all)"][0]
+    assert s2["chi2_contrib_milli"] == 0 and s2["v2_ppm"] == 0
+    assert len(out2) == 5  # 2x2 grid + summary

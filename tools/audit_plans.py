@@ -361,6 +361,13 @@ ALLOWLIST: dict[str, frozenset[str]] = {
     "doc_collocations": frozenset(
         {"BroadcastNestedLoopJoin", "Exchange SinglePartition"}
     ),
+    # doc_lang_source_assoc: the contingency grid is a cross join of the
+    # two CATEGORY-scale total tables (#langs x #sources, tiny by
+    # definition) with a broadcast one-row n; the summary is a grid-scale
+    # finalize. Rows collapse to category scale in the first partial aggs.
+    "doc_lang_source_assoc": frozenset(
+        {"BroadcastNestedLoopJoin", "Exchange SinglePartition"}
+    ),
 }
 
 # Exchange SinglePartition is only allowed when feeding a scalar finalize:

@@ -6352,6 +6352,50 @@ def _er_match_rule_report(spark: SparkSession, sf: str) -> DataFrame:
     return match_rule_report(labeled, label_col="same_entity")
 
 
+@_q("er_rule_kappa", None)  # oracle injected below (fixture path)
+def _er_rule_kappa(spark: SparkSession, sf: str) -> DataFrame:
+    """Cohen's kappa between the two fuzzy match rules (token-Jaccard vs
+    banded Levenshtein) over the labeled gold pairs — chance-corrected
+    rule agreement in exact single-fraction integer ppm: do the two
+    comparators measure the same thing, or does each catch pairs the
+    other misses (the ensemble-worthiness readout beside the per-rule
+    ablation)?"""
+    from blink_spark.functions.similarity import (
+        JACCARD_THRESHOLD,
+        lev_within,
+    )
+    from blink_spark.operators.eval import rater_kappa
+    from blink_spark.operators.scoring import score_pairs
+
+    m = _fx(spark, "mentions").select("mention_id", "mention")
+    g = _fx(spark, "gold_pairs")
+    attrs = (
+        g.select(
+            F.col("mention_id_a").alias("record_id_a"),
+            F.col("mention_id_b").alias("record_id_b"),
+        )
+        .join(
+            m.select(
+                F.col("mention_id").alias("record_id_a"),
+                F.col("mention").alias("mention_a"),
+            ),
+            "record_id_a",
+        )
+        .join(
+            m.select(
+                F.col("mention_id").alias("record_id_b"),
+                F.col("mention").alias("mention_b"),
+            ),
+            "record_id_b",
+        )
+    )
+    scored = score_pairs(attrs, text_a="mention_a", text_b="mention_b")
+    labeled = scored.withColumn(
+        "rule_jacc", F.col("jaccard") >= F.lit(JACCARD_THRESHOLD)
+    ).withColumn("rule_lev", lev_within("mention_a", "mention_b"))
+    return rater_kappa(labeled, "rule_jacc", "rule_lev")
+
+
 @_q("er_token_cosine", None)  # oracle injected below (fixture path)
 def _er_token_cosine(spark: SparkSession, sf: str) -> DataFrame:
     """Exact sparse token-count cosine for the labeled gold pairs —
@@ -8362,6 +8406,49 @@ def _er_oracles() -> dict[str, str]:
       SELECT rule, n_fire, n_exclusive, n_true,
              (n_true * 1000000 // greatest(n_fire, 1))::BIGINT AS precision_ppm
       FROM f
+    """
+    # er_rule_kappa: chance-corrected agreement of the two fuzzy rules in
+    # ONE exact fraction kappa = (n·g − P)/(n² − P), spearman-staged
+    # sign-safe ppm; same scored pair CTE as the rule report.
+    rule_kappa_sql = f"""
+      {scored_cte},
+      lab AS (
+        SELECT (j.jaccard >= 0.65) AS ra,
+               (levenshtein(j.mention_a, j.mention_b)
+                  <= floor(greatest(length(j.mention_a),
+                                    length(j.mention_b)) * 7 / 100)) AS rb
+        FROM j
+      ),
+      agg AS (
+        SELECT count(*)::BIGINT AS n,
+               sum(CASE WHEN ra THEN 1 ELSE 0 END)::BIGINT AS a1,
+               sum(CASE WHEN rb THEN 1 ELSE 0 END)::BIGINT AS b1,
+               sum(CASE WHEN ra = rb THEN 1 ELSE 0 END)::BIGINT AS g
+        FROM lab
+      ),
+      t AS (
+        SELECT n, a1, b1, g,
+               (a1 * b1 + (n - a1) * (n - b1))::BIGINT AS p
+        FROM agg
+      )
+      SELECT n AS n_pairs, a1 AS n_a_pos, b1 AS n_b_pos, g AS n_agree,
+             (CASE WHEN n > 0 THEN (1000000 * g) // n END)::BIGINT AS po_ppm,
+             (CASE WHEN n = 0 THEN NULL
+                   WHEN n * n >= 1000000 THEN p // ((n * n) // 1000000)
+                   ELSE (1000000 * p) // (n * n) END)::BIGINT AS pe_ppm,
+             (CASE WHEN (n * n - p) = 0 THEN NULL
+                   WHEN (n * n - p) >= 1000000 THEN
+                     CASE WHEN (n * g - p) >= 0
+                       THEN (n * g - p) // ((n * n - p) // 1000000)
+                       ELSE -((-(n * g - p)) // ((n * n - p) // 1000000))
+                     END
+                   ELSE
+                     CASE WHEN (n * g - p) >= 0
+                       THEN (1000000 * (n * g - p)) // (n * n - p)
+                       ELSE -((-(1000000 * (n * g - p))) // (n * n - p))
+                     END
+              END)::BIGINT AS kappa_ppm
+      FROM t
     """
     token_cosine_sql = f"""
       WITH m AS (
@@ -11092,6 +11179,7 @@ def _er_oracles() -> dict[str, str]:
         "er_ari": ari_sql,
         "er_golden_record": golden_sql,
         "er_match_rule_report": rule_report_sql,
+        "er_rule_kappa": rule_kappa_sql,
         "er_token_cosine": token_cosine_sql,
         "er_weighted_jaccard": weighted_jaccard_sql,
         "er_tfidf_cosine": tfidf_cosine_sql,
@@ -11640,6 +11728,7 @@ _DRIVER_ORDER = [
     "doc_simpson_diversity", "orders_benford", "lineitem_sketch_quantiles",
     "embedding_jl_ratio", "er_weighted_jaccard", "lineitem_market_basket",
     "doc_collocations", "events_attribution", "doc_lang_source_assoc",
+    "er_rule_kappa",
 ]
 
 

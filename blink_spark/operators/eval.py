@@ -547,3 +547,80 @@ def otsu_threshold(scores: DataFrame, score_col: str = "score_milli") -> DataFra
             (F.col("rk") == 1).alias("is_best"),
         )
     )
+
+
+def rater_kappa(df: DataFrame, a_col: str, b_col: str) -> DataFrame:
+    """Cohen's kappa between two boolean raters (match rules, annotators,
+    model versions) — chance-corrected agreement (Cohen 1960): raw
+    agreement po is inflated whenever both raters fire rarely; kappa
+    subtracts the agreement pe that base rates alone would produce.
+
+    Exact single-fraction integer form: with n pairs, a1/b1 positive
+    counts, g agreements, and P = a1·b1 + (n−a1)·(n−b1),
+    kappa = (n·g − P)/(n² − P) — po and pe never materialize as floats.
+    Reported in ppm via the spearman staged sign-safe division (kappa CAN
+    be negative — worse than chance); exact while n ≤ ~3e9 (n² is the
+    binding term). den = 0 (a rater with zero variance) yields NULL, the
+    standard undefined-kappa convention.
+
+    Scale notes: ONE global scalar aggregate (4 counters, map-side
+    partials, one-row finalize — the fs_weights class). No joins, no
+    windows.
+
+    Returns one row: (n_pairs, n_a_pos, n_b_pos, n_agree, po_ppm,
+    pe_ppm, kappa_ppm).
+    """
+    agg = df.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.coalesce(
+            F.sum(F.when(F.col(a_col), 1).otherwise(0)), F.lit(0)
+        )
+        .cast("long")
+        .alias("a1"),
+        F.coalesce(
+            F.sum(F.when(F.col(b_col), 1).otherwise(0)), F.lit(0)
+        )
+        .cast("long")
+        .alias("b1"),
+        F.coalesce(
+            F.sum(
+                F.when(F.col(a_col).eqNullSafe(F.col(b_col)), 1).otherwise(0)
+            ),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("g"),
+    )
+    p = "(a1 * b1 + (n - a1) * (n - b1))"
+    num = f"(n * g - {p})"
+    den = f"(n * n - {p})"
+    sdiv = (
+        "CASE WHEN {num} >= 0 THEN ({num}) div ({den})"
+        " ELSE -((-({num})) div ({den})) END"
+    )
+    return agg.select(
+        F.col("n").alias("n_pairs"),
+        F.col("a1").alias("n_a_pos"),
+        F.col("b1").alias("n_b_pos"),
+        F.col("g").alias("n_agree"),
+        F.expr("CASE WHEN n > 0 THEN (1000000 * g) div n END")
+        .cast("long")
+        .alias("po_ppm"),
+        F.expr(
+            "CASE WHEN n = 0 THEN NULL"
+            f" WHEN n * n >= 1000000 THEN {p} div ((n * n) div 1000000)"
+            f" ELSE (1000000 * {p}) div (n * n) END"
+        )
+        .cast("long")
+        .alias("pe_ppm"),
+        F.expr(
+            f"CASE WHEN {den} = 0 THEN NULL"
+            f" WHEN {den} >= 1000000 THEN "
+            + sdiv.format(num=num, den=f"({den} div 1000000)")
+            + f" ELSE "
+            + sdiv.format(num=f"(1000000 * {num})", den=den)
+            + " END"
+        )
+        .cast("long")
+        .alias("kappa_ppm"),
+    )

@@ -2182,3 +2182,44 @@ def test_contingency_chi2_hand_computed(spark):
     s2 = [r for r in out2 if r["row_value"] == "(all)"][0]
     assert s2["chi2_contrib_milli"] == 0 and s2["v2_ppm"] == 0
     assert len(out2) == 5  # 2x2 grid + summary
+
+
+def test_rater_kappa_hand_computed(spark):
+    from blink_spark.operators.eval import rater_kappa
+
+    # classic 2x2: a=20 both-yes, d=15 both-no, b=5 (A only), c=10 (B only)
+    rows = (
+        [(True, True)] * 20 + [(True, False)] * 5
+        + [(False, True)] * 10 + [(False, False)] * 15
+    )
+    df = spark.createDataFrame(rows, ["ra", "rb"])
+    got = rater_kappa(df, "ra", "rb").collect()[0]
+    n, a1, b1, g = 50, 25, 30, 35
+    p = a1 * b1 + (n - a1) * (n - b1)  # 750 + 500 = 1250
+    assert (got["n_pairs"], got["n_a_pos"], got["n_b_pos"], got["n_agree"]) \
+        == (n, a1, b1, g)
+    assert got["po_ppm"] == (1_000_000 * g) // n == 700_000
+    assert got["pe_ppm"] == (1_000_000 * p) // (n * n) == 500_000
+    assert got["kappa_ppm"] == (1_000_000 * (n * g - p)) // (n * n - p)
+    assert got["kappa_ppm"] == 400_000
+
+    # systematic disagreement: kappa negative (worse than chance)
+    rows2 = [(True, False)] * 5 + [(False, True)] * 5
+    got2 = rater_kappa(
+        spark.createDataFrame(rows2, ["ra", "rb"]), "ra", "rb"
+    ).collect()[0]
+    assert got2["kappa_ppm"] == -1_000_000
+
+    # one constant rater: po = pe always -> kappa exactly 0
+    rows3 = [(True, True)] * 4 + [(True, False)] * 4
+    got3 = rater_kappa(
+        spark.createDataFrame(rows3, ["ra", "rb"]), "ra", "rb"
+    ).collect()[0]
+    assert got3["kappa_ppm"] == 0
+
+    # BOTH raters constant: n^2 - P = 0 -> undefined kappa -> NULL
+    rows4 = [(True, True)] * 4
+    got4 = rater_kappa(
+        spark.createDataFrame(rows4, ["ra", "rb"]), "ra", "rb"
+    ).collect()[0]
+    assert got4["kappa_ppm"] is None and got4["po_ppm"] == 1_000_000

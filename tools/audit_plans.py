@@ -368,6 +368,10 @@ ALLOWLIST: dict[str, frozenset[str]] = {
     "doc_lang_source_assoc": frozenset(
         {"BroadcastNestedLoopJoin", "Exchange SinglePartition"}
     ),
+    # er_rule_kappa: ONE global scalar aggregate (4 counters, map-side
+    # partials, one-row finalize — the fs_weights class); no joins or
+    # windows past the pair build.
+    "er_rule_kappa": frozenset({"Exchange SinglePartition"}),
 }
 
 # Exchange SinglePartition is only allowed when feeding a scalar finalize:

@@ -1378,6 +1378,42 @@ def _events_attribution(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @_q(
+    "events_dispersion",
+    """
+    WITH daily AS (
+      SELECT event_type AS k,
+             date_diff('day', DATE '2024-01-01', ts::DATE)::BIGINT AS day,
+             count(*)::BIGINT AS x
+      FROM events GROUP BY 1, 2
+    ),
+    agg AS (
+      SELECT k, count(*)::BIGINT AS n, sum(x)::BIGINT AS s,
+             sum(x * x)::BIGINT AS q
+      FROM daily GROUP BY 1
+    )
+    SELECT k AS event_type, n AS n_days, s AS n_events,
+           (CASE WHEN n > 0 THEN (1000 * s) // n END)::BIGINT AS mean_milli,
+           (CASE WHEN n > 1 AND s > 0 THEN
+              (1000 * (n * q - s * s)) // ((n - 1) * s) END)::BIGINT
+             AS dispersion_milli,
+           coalesce(
+             CASE WHEN n > 1 AND s > 0 THEN
+               (1000 * (n * q - s * s)) // ((n - 1) * s) > 2000 END,
+             false) AS overdispersed
+    FROM agg
+    """,
+)
+def _events_dispersion(spark: SparkSession, sf: str) -> DataFrame:
+    """Index of dispersion (variance/mean of daily volume) per event
+    type — the Poisson-vs-bursty classifier beside CUSUM and the burst
+    score, as one exact integer fraction (n*Q - S^2)/((n-1)*S) with a
+    nonnegative numerator. One (key, day) partial agg + key finalize."""
+    from blink_spark.operators.temporal import dispersion_index
+
+    return dispersion_index(_t(spark, sf, "events"))
+
+
+@_q(
     "events_ks_test",
     """
     WITH base AS (
@@ -11728,7 +11764,7 @@ _DRIVER_ORDER = [
     "doc_simpson_diversity", "orders_benford", "lineitem_sketch_quantiles",
     "embedding_jl_ratio", "er_weighted_jaccard", "lineitem_market_basket",
     "doc_collocations", "events_attribution", "doc_lang_source_assoc",
-    "er_rule_kappa",
+    "er_rule_kappa", "events_dispersion",
 ]
 
 

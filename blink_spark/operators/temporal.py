@@ -1306,3 +1306,68 @@ def attribution_counts(
         .select(F.lit("first").alias("model"), "touch_type", "n_conversions")
     )
     return lt.unionByName(fj)
+
+
+def dispersion_index(
+    events: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    epoch: str = "2024-01-01",
+) -> DataFrame:
+    """Index of dispersion (variance-to-mean ratio) of daily event
+    volume per key — the burstiness classifier beside CUSUM/burst-score:
+    a Poisson (memoryless) arrival stream has D = 1; D ≫ 1 is bursty
+    (campaigns, incidents, bots), D ≪ 1 is a scheduler. Exact integer
+    single fraction: over observed days, D = (n·Q − S²)/((n−1)·S) with
+    S = Σx, Q = Σx² (the sample-variance/mean ratio with every float
+    cancelled); numerator ≥ 0 by Cauchy–Schwarz so plain floor division
+    is engine-identical. Binding term 1000·n·Q ≤ 2^63 — document-scale
+    safe to ~10^15 events·days; rescale past that. The ``overdispersed``
+    flag uses the practical D > 2 rule of thumb (a formal test is
+    chi²_{n−1} on (n−1)·D — df-dependent, left to the caller like the
+    contingency profiler's verdict).
+
+    Scale notes: one (key, day) partial agg, one key-keyed finalize.
+    Days with zero events are absent from the groupBy (same documented
+    convention as ``forecast_backtest_naive``) — D describes the
+    observed-day profile.
+
+    Returns (key, n_days, n_events, mean_milli, dispersion_milli,
+    overdispersed).
+    """
+    daily = (
+        events.select(
+            F.col(key_col).alias("k"),
+            F.expr(
+                f"cast(datediff(to_date({ts_col}), date'{epoch}') as bigint)"
+            ).alias("day"),
+        )
+        .groupBy("k", "day")
+        .agg(F.count(F.lit(1)).cast("long").alias("x"))
+    )
+    agg = daily.groupBy("k").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("s"),
+        F.sum(F.expr("x * x")).cast("long").alias("q"),
+    )
+    return agg.select(
+        F.col("k").alias(key_col),
+        F.col("n").alias("n_days"),
+        F.col("s").alias("n_events"),
+        F.expr("CASE WHEN n > 0 THEN (1000 * s) div n END")
+        .cast("long")
+        .alias("mean_milli"),
+        F.expr(
+            "CASE WHEN n > 1 AND s > 0 THEN"
+            " (1000 * (n * q - s * s)) div ((n - 1) * s) END"
+        )
+        .cast("long")
+        .alias("dispersion_milli"),
+        F.coalesce(
+            F.expr(
+                "CASE WHEN n > 1 AND s > 0 THEN"
+                " (1000 * (n * q - s * s)) div ((n - 1) * s) > 2000 END"
+            ),
+            F.lit(False),
+        ).alias("overdispersed"),
+    )

@@ -2223,3 +2223,29 @@ def test_rater_kappa_hand_computed(spark):
         spark.createDataFrame(rows4, ["ra", "rb"]), "ra", "rb"
     ).collect()[0]
     assert got4["kappa_ppm"] is None and got4["po_ppm"] == 1_000_000
+
+
+def test_dispersion_index_hand_computed(spark):
+    import datetime as dt
+
+    from blink_spark.operators.temporal import dispersion_index
+
+    def day(d):
+        return dt.datetime(2024, 1, 1 + d, 12, 0, 0)
+
+    # 'steady': 3 events/day x 4 days -> variance 0 -> D = 0
+    # 'bursty': daily counts [1, 1, 1, 9] -> mean 3, s2 = 16, D = 5.333
+    rows = [("steady", day(d)) for d in range(4) for _ in range(3)]
+    rows += [("bursty", day(d)) for d in range(3)]
+    rows += [("bursty", day(3))] * 9
+    df = spark.createDataFrame(rows, ["event_type", "ts"])
+    got = {r["event_type"]: r for r in dispersion_index(df).collect()}
+    st = got["steady"]
+    assert (st["n_days"], st["n_events"], st["mean_milli"]) == (4, 12, 3000)
+    assert st["dispersion_milli"] == 0 and st["overdispersed"] is False
+    bu = got["bursty"]
+    n, s, q = 4, 12, 1 + 1 + 1 + 81
+    assert (bu["n_days"], bu["n_events"]) == (n, s)
+    expect = (1000 * (n * q - s * s)) // ((n - 1) * s)
+    assert bu["dispersion_milli"] == expect == 5333
+    assert bu["overdispersed"] is True

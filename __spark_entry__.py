@@ -1378,6 +1378,58 @@ def _events_attribution(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @_q(
+    "events_changepoint",
+    """
+    WITH daily AS (
+      SELECT event_type AS k,
+             date_diff('day', DATE '2024-01-01', ts::DATE)::BIGINT AS day,
+             count(*)::BIGINT AS x
+      FROM events GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT k, day,
+             sum(x) OVER (PARTITION BY k ORDER BY day
+                          ROWS UNBOUNDED PRECEDING)::BIGINT AS cum,
+             row_number() OVER (PARTITION BY k ORDER BY day)::BIGINT AS rk
+      FROM daily
+    ),
+    tot AS (
+      SELECT k, count(*)::BIGINT AS n_days, sum(x)::BIGINT AS t
+      FROM daily GROUP BY 1
+    ),
+    dev AS (
+      SELECT c.k, tot.n_days, tot.t, c.day, c.cum,
+             abs(c.cum * tot.n_days - tot.t * c.rk)::BIGINT AS dev
+      FROM cum c JOIN tot ON tot.k = c.k
+    ),
+    pick AS (
+      SELECT k, n_days, t, day, cum, dev,
+             row_number() OVER (PARTITION BY k
+                                ORDER BY dev DESC, day ASC) AS rn
+      FROM dev
+    )
+    SELECT k AS event_type, n_days, t AS n_events,
+           day::BIGINT AS cp_day, dev::BIGINT AS cp_dev,
+           (CASE WHEN t * n_days > 0
+             THEN (1000000 * dev) // (t * n_days) END)::BIGINT AS cp_dev_ppm,
+           (CASE WHEN t > 0 THEN (1000000 * cum) // t END)::BIGINT
+             AS cp_share_ppm
+    FROM pick WHERE rn = 1
+    """,
+)
+def _events_changepoint(spark: SparkSession, sf: str) -> DataFrame:
+    """Single-changepoint localization per event type: the observed day
+    maximizing |cum_k*K - T*k| (empirical-process form — CUSUM says
+    WHETHER the rate drifted, this says WHERE), ties to the earliest
+    day via deterministic struct-max. Day-scale keyed window (bounded by
+    days per key, never a global funnel) + key finalize; exact integers,
+    cp_dev_ppm is the KS-against-uniform statistic."""
+    from blink_spark.operators.temporal import changepoint_days
+
+    return changepoint_days(_t(spark, sf, "events"))
+
+
+@_q(
     "events_dispersion",
     """
     WITH daily AS (
@@ -11764,7 +11816,7 @@ _DRIVER_ORDER = [
     "doc_simpson_diversity", "orders_benford", "lineitem_sketch_quantiles",
     "embedding_jl_ratio", "er_weighted_jaccard", "lineitem_market_basket",
     "doc_collocations", "events_attribution", "doc_lang_source_assoc",
-    "er_rule_kappa", "events_dispersion",
+    "er_rule_kappa", "events_dispersion", "events_changepoint",
 ]
 
 

@@ -1371,3 +1371,88 @@ def dispersion_index(
             F.lit(False),
         ).alias("overdispersed"),
     )
+
+
+def changepoint_days(
+    events: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    epoch: str = "2024-01-01",
+) -> DataFrame:
+    """Changepoint localization per key: the observed day where the
+    cumulative event count deviates most from a uniform rate — the
+    exact-integer argmax of |cum_k·K − T·k| over day ranks k (the
+    empirical-process form of single-changepoint detection; CUSUM says
+    WHETHER the rate drifted, this says WHERE). Ties break to the
+    earliest day (deterministic struct-max on (dev, −day)).
+
+    All integers: per-key daily counts, rank-k and cum_k from one keyed
+    window over DAY-scale rows (partitioned by key — parallel, bounded
+    by days-per-key, never a global funnel), totals joined back from a
+    key finalize. dev ≤ T·K needs T·K ≤ 9.2e18 (a trillion events over
+    a million days is still in range). ``cp_dev_ppm`` = dev/(T·K) is the
+    KS-against-uniform statistic in [0, 1e6]; ``cp_share_ppm`` is how
+    much volume had arrived by the break (uniform ⇒ tracks the day
+    fraction).
+
+    Returns (key, n_days, n_events, cp_day, cp_dev, cp_dev_ppm,
+    cp_share_ppm).
+    """
+    daily = (
+        events.select(
+            F.col(key_col).alias("k"),
+            F.expr(
+                f"cast(datediff(to_date({ts_col}), date'{epoch}') as bigint)"
+            ).alias("day"),
+        )
+        .groupBy("k", "day")
+        .agg(F.count(F.lit(1)).cast("long").alias("x"))
+    )
+    w = (
+        Window.partitionBy("k")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = daily.select(
+        "k",
+        "day",
+        F.sum("x").over(w).cast("long").alias("cum"),
+        F.count(F.lit(1)).over(w).cast("long").alias("rk"),
+    )
+    tot = daily.groupBy("k").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum("x").cast("long").alias("t"),
+    )
+    dev = cum.join(tot, "k").select(
+        "k",
+        "n_days",
+        "t",
+        "day",
+        "cum",
+        F.expr("abs(cum * n_days - t * rk)").cast("long").alias("dev"),
+    )
+    pick = dev.groupBy("k", "n_days", "t").agg(
+        F.max(
+            F.struct(
+                F.col("dev").alias("d"),
+                (-F.col("day")).alias("nd"),
+                F.col("cum").alias("c"),
+            )
+        ).alias("m")
+    )
+    return pick.select(
+        F.col("k").alias(key_col),
+        "n_days",
+        F.col("t").alias("n_events"),
+        (-F.col("m.nd")).cast("long").alias("cp_day"),
+        F.col("m.d").cast("long").alias("cp_dev"),
+        F.expr(
+            "CASE WHEN t * n_days > 0 THEN"
+            " (1000000 * m.d) div (t * n_days) END"
+        )
+        .cast("long")
+        .alias("cp_dev_ppm"),
+        F.expr("CASE WHEN t > 0 THEN (1000000 * m.c) div t END")
+        .cast("long")
+        .alias("cp_share_ppm"),
+    )

@@ -2249,3 +2249,32 @@ def test_dispersion_index_hand_computed(spark):
     expect = (1000 * (n * q - s * s)) // ((n - 1) * s)
     assert bu["dispersion_milli"] == expect == 5333
     assert bu["overdispersed"] is True
+
+
+def test_changepoint_days_hand_computed(spark):
+    import datetime as dt
+
+    from blink_spark.operators.temporal import changepoint_days
+
+    def day(d):
+        return dt.datetime(2024, 1, 1 + d, 12, 0, 0)
+
+    # 'shift': rate jumps 1/day -> 9/day after day 2 (days 0-5):
+    # counts [1,1,1,9,9,9], T=30, K=6; dev_k = |cum*6 - 30*rank|:
+    # cum = 1,2,3,12,21,30 -> dev = 24,48,72,48,24,0 -> argmax day 2
+    rows = []
+    for d in range(3):
+        rows += [("shift", day(d))]
+    for d in range(3, 6):
+        rows += [("shift", day(d))] * 9
+    # 'uniform': 2/day x5 -> dev = 0 everywhere, tie -> earliest day 0
+    rows += [("uniform", day(d)) for d in range(5) for _ in range(2)]
+    df = spark.createDataFrame(rows, ["event_type", "ts"])
+    got = {r["event_type"]: r for r in changepoint_days(df).collect()}
+    sh = got["shift"]
+    assert (sh["n_days"], sh["n_events"]) == (6, 30)
+    assert (sh["cp_day"], sh["cp_dev"]) == (2, 72)
+    assert sh["cp_dev_ppm"] == (1_000_000 * 72) // (30 * 6) == 400_000
+    assert sh["cp_share_ppm"] == (1_000_000 * 3) // 30  # only 10% arrived
+    un = got["uniform"]
+    assert (un["cp_day"], un["cp_dev"], un["cp_dev_ppm"]) == (0, 0, 0)

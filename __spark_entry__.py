@@ -1083,6 +1083,45 @@ def _doc_lang_source_assoc(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @_q(
+    "doc_readability",
+    f"""
+    WITH r AS (
+      SELECT doc_id AS id,
+             len(list_filter([trim(x) for x in string_split(
+               regexp_replace(text, '([.!?])[\\t\\n\\x0B\\f\\r ]+',
+                              '\\1' || chr(1), 'g'), chr(1))],
+               t -> t <> ''))::BIGINT AS n_sentences,
+             len(list_filter(string_split({_norm('text')}, ' '),
+                             t -> t <> ''))::BIGINT AS n_words,
+             len(regexp_extract_all(lower(text), '[aeiou]+'))::BIGINT
+               AS n_vowel_groups
+      FROM documents
+    )
+    SELECT id, n_sentences, n_words, n_vowel_groups,
+           (CASE WHEN n_sentences > 0
+             THEN (1000 * n_words) // n_sentences END)::BIGINT AS wps_milli,
+           (CASE WHEN n_words > 0
+             THEN (1000 * n_vowel_groups) // n_words END)::BIGINT
+             AS spw_milli,
+           (CASE WHEN n_sentences > 0 AND n_words > 0 THEN
+              206835 - (1015 * ((1000 * n_words) // n_sentences)) // 1000
+              - (84600 * ((1000 * n_vowel_groups) // n_words)) // 1000
+            END)::BIGINT AS flesch_milli
+    FROM r
+    """,
+)
+def _doc_readability(spark: SparkSession, sf: str) -> DataFrame:
+    """Flesch reading-ease surrogate per document (vowel-group syllable
+    approximation, marker-replace sentence split — both RE2-portable):
+    exact integer milli-points, the classic readability feature in
+    training-data quality filters. Pure per-row projection — zero
+    shuffles, whole-stage codegen end to end."""
+    from blink_spark.operators.corpus import readability
+
+    return readability(_t(spark, sf, "documents"))
+
+
+@_q(
     "doc_simpson_diversity",
     f"""
     WITH t AS (
@@ -11817,6 +11856,7 @@ _DRIVER_ORDER = [
     "embedding_jl_ratio", "er_weighted_jaccard", "lineitem_market_basket",
     "doc_collocations", "events_attribution", "doc_lang_source_assoc",
     "er_rule_kappa", "events_dispersion", "events_changepoint",
+    "doc_readability",
 ]
 
 

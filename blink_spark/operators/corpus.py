@@ -1660,3 +1660,74 @@ def collocations(
         .cast("long")
         .alias("lift_ppm"),
     )
+
+
+def readability(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Flesch reading-ease surrogate per document — the classic
+    readability quality signal (Flesch 1948; a standard feature in LLM
+    training-data quality filters): 206.835 − 1.015·(words/sentence)
+    − 84.6·(syllables/word), with syllables approximated by VOWEL GROUPS
+    (maximal [aeiou]+ runs — the standard regex surrogate; no dictionary
+    in the parity surface). Sentences use the same marker-replace split
+    as the sentence family (portable to RE2 — no lookbehind); words are
+    the normalized whitespace tokens.
+
+    Exact integer milli-points: wps_milli = (1000·W) div S, spw_milli =
+    (1000·Y) div W, flesch_milli = 206835 − (1015·wps_milli) div 1000 −
+    (84600·spw_milli) div 1000 — every division on nonnegative operands,
+    engine-identical; NULL when a document has no sentences or words.
+    Flesch CAN go negative for dense text — reached by exact
+    subtraction, never signed division.
+
+    Scale notes: a pure per-row projection — zero shuffles, whole-stage
+    codegen end to end; counts come from split/regexp_extract_all sizes.
+
+    Returns (id, n_sentences, n_words, n_vowel_groups, wps_milli,
+    spw_milli, flesch_milli).
+    """
+    from blink_spark.functions.text import normalize_text, sentences
+
+    c = F.col(text_col)
+    n_sent = F.size(sentences(c)).cast("long")
+    n_words = F.size(
+        F.filter(
+            F.split(normalize_text(c), " "), lambda t: t != F.lit("")
+        )
+    ).cast("long")
+    n_vg = F.size(
+        F.expr(f"regexp_extract_all(lower({text_col}), '[aeiou]+', 0)")
+    ).cast("long")
+    out = docs.select(
+        F.col(id_col).alias("id"),
+        n_sent.alias("n_sentences"),
+        n_words.alias("n_words"),
+        n_vg.alias("n_vowel_groups"),
+    )
+    return out.select(
+        "id",
+        "n_sentences",
+        "n_words",
+        "n_vowel_groups",
+        F.expr(
+            "CASE WHEN n_sentences > 0 THEN"
+            " (1000 * n_words) div n_sentences END"
+        )
+        .cast("long")
+        .alias("wps_milli"),
+        F.expr(
+            "CASE WHEN n_words > 0 THEN"
+            " (1000 * n_vowel_groups) div n_words END"
+        )
+        .cast("long")
+        .alias("spw_milli"),
+        F.expr(
+            "CASE WHEN n_sentences > 0 AND n_words > 0 THEN"
+            " 206835 - (1015 * ((1000 * n_words) div n_sentences)) div 1000"
+            " - (84600 * ((1000 * n_vowel_groups) div n_words)) div 1000"
+            " END"
+        )
+        .cast("long")
+        .alias("flesch_milli"),
+    )

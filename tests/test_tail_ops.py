@@ -2278,3 +2278,32 @@ def test_changepoint_days_hand_computed(spark):
     assert sh["cp_share_ppm"] == (1_000_000 * 3) // 30  # only 10% arrived
     un = got["uniform"]
     assert (un["cp_day"], un["cp_dev"], un["cp_dev_ppm"]) == (0, 0, 0)
+
+
+def test_readability_hand_computed(spark):
+    from blink_spark.operators.corpus import readability
+
+    docs = [
+        # 2 sentences, 6 words, vowel groups: the(1) cat(1) sat(1)
+        # here(2) it(1) slept(1) = 7
+        ("d1", "The cat sat here. It slept!"),
+        ("d2", ""),              # no words/sentences -> NULL metrics
+        ("d3", "xyz"),           # 1 "sentence", 1 word, 0 vowel groups
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = {r["id"]: r for r in readability(df).collect()}
+    d1 = got["d1"]
+    assert (d1["n_sentences"], d1["n_words"], d1["n_vowel_groups"]) == (
+        2, 6, 7,
+    )
+    wps, spw = (1000 * 6) // 2, (1000 * 7) // 6
+    assert (d1["wps_milli"], d1["spw_milli"]) == (wps, spw)
+    assert d1["flesch_milli"] == 206835 - (1015 * wps) // 1000 \
+        - (84600 * spw) // 1000
+    d2 = got["d2"]
+    assert d2["n_words"] == 0 and d2["flesch_milli"] is None
+    d3 = got["d3"]
+    assert (d3["n_sentences"], d3["n_words"], d3["n_vowel_groups"]) == (
+        1, 1, 0,
+    )
+    assert d3["flesch_milli"] == 206835 - 1015 - 0

@@ -1122,6 +1122,43 @@ def _doc_readability(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @_q(
+    "doc_source_vocab_overlap",
+    f"""
+    WITH gt AS (
+      SELECT DISTINCT source AS g, tok
+      FROM (
+        SELECT source, unnest(string_split({_norm('text')}, ' ')) AS tok
+        FROM documents
+      ) WHERE tok != ''
+    ),
+    vs AS (SELECT g, count(*)::BIGINT AS v FROM gt GROUP BY 1),
+    inter AS (
+      SELECT a.g AS src_a, b.g AS src_b, count(*)::BIGINT AS n_inter
+      FROM gt a JOIN gt b ON a.tok = b.tok AND a.g < b.g
+      GROUP BY 1, 2
+    )
+    SELECT i.src_a, i.src_b, i.n_inter,
+           va.v::BIGINT AS n_vocab_a, vb.v::BIGINT AS n_vocab_b,
+           (CASE WHEN va.v + vb.v - i.n_inter > 0 THEN
+              (1000000 * i.n_inter) // (va.v + vb.v - i.n_inter)
+            ELSE 0 END)::BIGINT AS jaccard_ppm
+    FROM inter i
+    JOIN vs va ON va.g = i.src_a
+    JOIN vs vb ON vb.g = i.src_b
+    """,
+)
+def _doc_source_vocab_overlap(spark: SparkSession, sf: str) -> DataFrame:
+    """Vocabulary-overlap (type-set Jaccard) matrix between sources —
+    the source-level mirror detector beside the doc-level cross-source
+    duplicate matrix. Distinct (source, token) collapse, token-keyed
+    self equi-join (fan-out bounded by #sources^2 per token), group
+    finalize for vocabulary sizes; exact integer ppm."""
+    from blink_spark.operators.corpus import source_vocab_overlap
+
+    return source_vocab_overlap(_t(spark, sf, "documents"))
+
+
+@_q(
     "doc_simpson_diversity",
     f"""
     WITH t AS (
@@ -11856,7 +11893,7 @@ _DRIVER_ORDER = [
     "embedding_jl_ratio", "er_weighted_jaccard", "lineitem_market_basket",
     "doc_collocations", "events_attribution", "doc_lang_source_assoc",
     "er_rule_kappa", "events_dispersion", "events_changepoint",
-    "doc_readability",
+    "doc_readability", "doc_source_vocab_overlap",
 ]
 
 

@@ -1731,3 +1731,68 @@ def readability(
         .cast("long")
         .alias("flesch_milli"),
     )
+
+
+def source_vocab_overlap(
+    docs: DataFrame, group_col: str = "source", text_col: str = "text"
+) -> DataFrame:
+    """Vocabulary-overlap matrix between corpus groups: exact set
+    Jaccard of each unordered source pair's TYPE sets (|V_a ∩ V_b| via a
+    token self-join, union by inclusion-exclusion) — the source-level
+    companion of the doc-level cross-source duplicate matrix: near-1
+    overlap says two crawls share a lexicon (mirror/sibling), near-0
+    says a genuinely new domain arrived.
+
+    Scale notes: rows collapse to DISTINCT (group, token) first (type
+    scale); the pair intersection is a token-keyed self equi-join whose
+    fan-out per token is bounded by #groups² (tiny by definition);
+    vocabulary sizes join back from a group finalize. Exact integer ppm.
+
+    Returns one row per unordered group pair (src_a < src_b):
+    (src_a, src_b, n_inter, n_vocab_a, n_vocab_b, jaccard_ppm).
+    """
+    from blink_spark.functions.text import normalize_text
+
+    gt = (
+        docs.select(
+            F.col(group_col).alias("g"),
+            F.explode(
+                F.split(normalize_text(F.col(text_col)), " ")
+            ).alias("tok"),
+        )
+        .filter(F.col("tok") != "")
+        .distinct()
+    )
+    vs = gt.groupBy("g").agg(F.count(F.lit(1)).cast("long").alias("v"))
+    a = gt.select(F.col("g").alias("src_a"), "tok")
+    b = gt.select(F.col("g").alias("src_b"), "tok")
+    inter = (
+        a.join(b, "tok")
+        .filter("src_a < src_b")
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_inter"))
+    )
+    return (
+        inter.join(
+            vs.select(F.col("g").alias("src_a"), F.col("v").alias("n_vocab_a")),
+            "src_a",
+        )
+        .join(
+            vs.select(F.col("g").alias("src_b"), F.col("v").alias("n_vocab_b")),
+            "src_b",
+        )
+        .select(
+            "src_a",
+            "src_b",
+            "n_inter",
+            "n_vocab_a",
+            "n_vocab_b",
+            F.expr(
+                "CASE WHEN n_vocab_a + n_vocab_b - n_inter > 0 THEN"
+                " (1000000 * n_inter)"
+                " div (n_vocab_a + n_vocab_b - n_inter) ELSE 0 END"
+            )
+            .cast("long")
+            .alias("jaccard_ppm"),
+        )
+    )

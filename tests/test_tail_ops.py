@@ -2307,3 +2307,24 @@ def test_readability_hand_computed(spark):
         1, 1, 0,
     )
     assert d3["flesch_milli"] == 206835 - 1015 - 0
+
+
+def test_source_vocab_overlap_hand_computed(spark):
+    from blink_spark.operators.corpus import source_vocab_overlap
+
+    docs = [
+        ("a", "alpha beta gamma"),
+        ("a", "alpha delta"),        # a vocab: {alpha,beta,gamma,delta}
+        ("b", "alpha beta zz"),      # b vocab: {alpha,beta,zz}
+        ("c", "qq rr"),              # disjoint from both
+    ]
+    df = spark.createDataFrame(docs, ["source", "text"])
+    got = {
+        (r["src_a"], r["src_b"]): r
+        for r in source_vocab_overlap(df).collect()
+    }
+    ab = got[("a", "b")]
+    assert (ab["n_inter"], ab["n_vocab_a"], ab["n_vocab_b"]) == (2, 4, 3)
+    assert ab["jaccard_ppm"] == (1_000_000 * 2) // 5
+    # disjoint pairs produce NO row (inner join semantics — documented)
+    assert ("a", "c") not in got and ("b", "c") not in got

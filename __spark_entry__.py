@@ -6575,6 +6575,23 @@ def _er_token_cosine(spark: SparkSession, sf: str) -> DataFrame:
     return token_cosine_pairs(pairs, m, "mention_id", "mention")
 
 
+@_q("er_nickname_matches", None)  # oracle injected below (fixture path)
+def _er_nickname_matches(spark: SparkSession, sf: str) -> DataFrame:
+    """Nickname-aware equality over the labeled gold pairs: each token
+    canonicalized through the built-in hypocorism dictionary ('bill' ->
+    'william'), pairs compared on the canonical surface; 'bridged'
+    flags matches the dictionary alone earns — the production person-
+    matcher dictionary comparator (Magellan/dedupe feature family)."""
+    from blink_spark.operators.scoring import nickname_matches
+
+    m = _fx(spark, "mentions").select("mention_id", "mention")
+    pairs = _fx(spark, "gold_pairs").select(
+        F.col("mention_id_a").alias("record_id_a"),
+        F.col("mention_id_b").alias("record_id_b"),
+    )
+    return nickname_matches(pairs, m, "mention_id", "mention")
+
+
 @_q("er_weighted_jaccard", None)  # oracle injected below (fixture path)
 def _er_weighted_jaccard(spark: SparkSession, sf: str) -> DataFrame:
     """Weighted (multiset/Ruzicka) Jaccard for the labeled gold pairs:
@@ -8649,6 +8666,45 @@ def _er_oracles() -> dict[str, str]:
         ON d.record_id_a = p.record_id_a AND d.record_id_b = p.record_id_b
       JOIN norms na ON na.record_id = p.record_id_a
       JOIN norms nb ON nb.record_id = p.record_id_b
+    """
+    # er_nickname_matches: both engines canonicalize through the SAME
+    # dictionary constant (VALUES generated from scoring.NICKNAMES);
+    # order-preserving reassembly via list(... ORDER BY pos).
+    from blink_spark.operators.scoring import NICKNAMES as _nn
+
+    _nn_vals = ", ".join(
+        f"('{k}', '{v}')" for k, v in sorted(_nn.items())
+    )
+    nickname_sql = f"""
+      WITH m AS (
+        SELECT mention_id, {_norm_m} AS norm FROM read_parquet('{men}')
+      ),
+      toks AS (
+        SELECT mention_id AS record_id,
+               generate_subscripts(string_split(norm, ' '), 1) AS pos,
+               unnest(string_split(norm, ' ')) AS tok
+        FROM m
+      ),
+      dict AS (SELECT * FROM (VALUES {_nn_vals}) AS d(nick, canon)),
+      can AS (
+        SELECT record_id,
+               array_to_string(list(coalesce(d.canon, t.tok)
+                                    ORDER BY t.pos), ' ') AS can,
+               array_to_string(list(t.tok ORDER BY t.pos), ' ') AS nrm
+        FROM toks t LEFT JOIN dict d ON d.nick = t.tok
+        GROUP BY 1
+      ),
+      p AS (
+        SELECT mention_id_a AS record_id_a, mention_id_b AS record_id_b
+        FROM read_parquet('{gold}')
+      )
+      SELECT p.record_id_a, p.record_id_b,
+             (a.nrm = b.nrm) AS norm_eq,
+             (a.can = b.can) AS nickname_eq,
+             (a.can = b.can AND a.nrm != b.nrm) AS bridged
+      FROM p
+      JOIN can a ON a.record_id = p.record_id_a
+      JOIN can b ON b.record_id = p.record_id_b
     """
     # er_weighted_jaccard: multiset Jaccard via the same (pair, token)
     # inner equi-join — sum-max reconstructed as bag_a + bag_b - sum-min,
@@ -11346,6 +11402,7 @@ def _er_oracles() -> dict[str, str]:
         "er_rule_kappa": rule_kappa_sql,
         "er_token_cosine": token_cosine_sql,
         "er_weighted_jaccard": weighted_jaccard_sql,
+        "er_nickname_matches": nickname_sql,
         "er_tfidf_cosine": tfidf_cosine_sql,
         "er_soft_tfidf": soft_tfidf_sql,
         "er_monge_elkan": monge_elkan_sql,
@@ -11893,7 +11950,7 @@ _DRIVER_ORDER = [
     "embedding_jl_ratio", "er_weighted_jaccard", "lineitem_market_basket",
     "doc_collocations", "events_attribution", "doc_lang_source_assoc",
     "er_rule_kappa", "events_dispersion", "events_changepoint",
-    "doc_readability", "doc_source_vocab_overlap",
+    "doc_readability", "doc_source_vocab_overlap", "er_nickname_matches",
 ]
 
 

@@ -1350,3 +1350,145 @@ def weighted_jaccard_pairs(
             .alias("weighted_jaccard_ppm"),
         )
     )
+
+
+# Classic English hypocorism -> canonical given-name map (public-domain
+# dictionary knowledge; deliberately small, unambiguous entries only —
+# e.g. 'pat' is omitted because patricia/patrick conflict). One flat dict
+# so the Spark literal table and the SQL VALUES twin are generated from
+# the SAME constant.
+NICKNAMES: dict[str, str] = {
+    "bill": "william", "billy": "william", "will": "william",
+    "bob": "robert", "bobby": "robert", "rob": "robert",
+    "dick": "richard", "rick": "richard", "ricky": "richard",
+    "liz": "elizabeth", "lizzie": "elizabeth", "beth": "elizabeth",
+    "jim": "james", "jimmy": "james",
+    "jack": "john", "johnny": "john",
+    "peggy": "margaret", "meg": "margaret",
+    "tom": "thomas", "tommy": "thomas",
+    "tony": "anthony",
+    "andy": "andrew", "drew": "andrew",
+    "mike": "michael", "mikey": "michael",
+    "dave": "david", "davy": "david",
+    "dan": "daniel", "danny": "daniel",
+    "chris": "christopher",
+    "kate": "katherine", "katie": "katherine", "kathy": "katherine",
+    "sue": "susan", "susie": "susan",
+    "chuck": "charles", "charlie": "charles",
+    "hank": "henry",
+    "joe": "joseph", "joey": "joseph",
+    "sam": "samuel", "sammy": "samuel",
+    "steve": "steven",
+    "alex": "alexander",
+    "ben": "benjamin", "benny": "benjamin",
+    "nick": "nicholas",
+    "tim": "timothy", "timmy": "timothy",
+    "greg": "gregory",
+    "ron": "ronald", "ronnie": "ronald",
+    "don": "donald", "donnie": "donald",
+    "ken": "kenneth", "kenny": "kenneth",
+    "larry": "lawrence",
+    "walt": "walter", "wally": "walter",
+    "gene": "eugene",
+    "fred": "frederick", "freddie": "frederick",
+    "abby": "abigail",
+    "becky": "rebecca",
+    "cindy": "cynthia",
+    "debbie": "deborah",
+    "jen": "jennifer", "jenny": "jennifer",
+    "jess": "jessica",
+    "mandy": "amanda",
+    "vicky": "victoria",
+}
+
+
+def nickname_matches(
+    pairs: DataFrame,
+    records: DataFrame,
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """Nickname-aware equality for candidate pairs — the dictionary
+    comparator every production person-matcher carries (Magellan /
+    dedupe.io feature family): each token of the normalized surface is
+    canonicalized through the hypocorism map ("Bill Smith" → "william
+    smith") and pairs are compared on the canonical form. Emits both the
+    raw and canonical equality plus ``bridged`` (matched ONLY thanks to
+    the dictionary) — the incremental-recall readout that justifies the
+    dictionary.
+
+    Scale notes: tokens explode map-side, the dictionary join is a
+    broadcast of the (tiny, constant) nickname table, and the canonical
+    surface is re-assembled per record with an order-preserving
+    array_sort(collect_list(struct(pos, tok))) — one record-keyed
+    shuffle, the same discipline as the tf builders; pair comparison is
+    then two equi-joins. No Python, no windows.
+
+    Returns pairs + (norm_eq, nickname_eq, bridged).
+    """
+    from blink_spark.functions.text import normalize_text
+
+    spark = records.sparkSession
+    dict_df = spark.createDataFrame(
+        sorted(NICKNAMES.items()), "nick string, canon string"
+    )
+    toks = records.select(
+        F.col(id_col).alias("record_id"),
+        F.posexplode(
+            F.split(normalize_text(records[text_col]), " ")
+        ).alias("pos", "tok"),
+    )
+    can = (
+        toks.join(F.broadcast(dict_df), toks["tok"] == dict_df["nick"], "left")
+        .select(
+            "record_id",
+            "pos",
+            F.coalesce("canon", "tok").alias("ct"),
+            "tok",
+        )
+        .groupBy("record_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("pos", "ct"))
+                    ),
+                    lambda s: s["ct"],
+                ),
+                " ",
+            ).alias("can"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("pos", "tok"))
+                    ),
+                    lambda s: s["tok"],
+                ),
+                " ",
+            ).alias("norm"),
+        )
+    )
+    ca = can.select(
+        F.col("record_id").alias("record_id_a"),
+        F.col("can").alias("can_a"),
+        F.col("norm").alias("norm_a"),
+    )
+    cb = can.select(
+        F.col("record_id").alias("record_id_b"),
+        F.col("can").alias("can_b"),
+        F.col("norm").alias("norm_b"),
+    )
+    return (
+        pairs.join(ca, "record_id_a")
+        .join(cb, "record_id_b")
+        .select(
+            "record_id_a",
+            "record_id_b",
+            (F.col("norm_a") == F.col("norm_b")).alias("norm_eq"),
+            (F.col("can_a") == F.col("can_b")).alias("nickname_eq"),
+            (
+                (F.col("can_a") == F.col("can_b"))
+                & (F.col("norm_a") != F.col("norm_b"))
+            ).alias("bridged"),
+        )
+    )

@@ -2328,3 +2328,44 @@ def test_source_vocab_overlap_hand_computed(spark):
     assert ab["jaccard_ppm"] == (1_000_000 * 2) // 5
     # disjoint pairs produce NO row (inner join semantics — documented)
     assert ("a", "c") not in got and ("b", "c") not in got
+
+
+def test_nickname_matches_hand_computed(spark):
+    from blink_spark.operators.scoring import nickname_matches
+
+    recs = spark.createDataFrame(
+        [
+            ("r1", "Bill Smith"),
+            ("r2", "William Smith"),
+            ("r3", "bill smith"),
+            ("r4", "Bob Smith"),
+            ("r5", "Will  SMITH"),   # another william alias + messy ws
+        ],
+        ["rid", "txt"],
+    )
+    pairs = spark.createDataFrame(
+        [("r1", "r2"), ("r1", "r3"), ("r1", "r4"), ("r2", "r5")],
+        ["record_id_a", "record_id_b"],
+    )
+    got = {
+        (r["record_id_a"], r["record_id_b"]): r
+        for r in nickname_matches(pairs, recs, "rid", "txt").collect()
+    }
+    # bill -> william bridges r1~r2: not raw-equal, nickname-equal
+    r12 = got[("r1", "r2")]
+    assert (r12["norm_eq"], r12["nickname_eq"], r12["bridged"]) == (
+        False, True, True,
+    )
+    # raw equal stays equal, not bridged
+    r13 = got[("r1", "r3")]
+    assert (r13["norm_eq"], r13["nickname_eq"], r13["bridged"]) == (
+        True, True, False,
+    )
+    # bob -> robert != william: no bridge
+    r14 = got[("r1", "r4")]
+    assert (r14["nickname_eq"], r14["bridged"]) == (False, False)
+    # will -> william bridges r2~r5 through normalization + dictionary
+    r25 = got[("r2", "r5")]
+    assert (r25["norm_eq"], r25["nickname_eq"], r25["bridged"]) == (
+        False, True, True,
+    )

@@ -1820,6 +1820,56 @@ def _lineitem_sketch_quantiles(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @_q(
+    "lineitem_skew_report",
+    """
+    WITH long AS (
+      SELECT 'l_orderkey' AS col, count(*)::BIGINT AS size
+      FROM lineitem GROUP BY l_orderkey
+      UNION ALL
+      SELECT 'l_partkey', count(*)::BIGINT FROM lineitem GROUP BY l_partkey
+      UNION ALL
+      SELECT 'l_suppkey', count(*)::BIGINT FROM lineitem GROUP BY l_suppkey
+    ),
+    stats AS (
+      SELECT col, sum(size)::BIGINT AS n_rows, count(*)::BIGINT AS n_keys,
+             max(size)::BIGINT AS max_size
+      FROM long GROUP BY 1
+    ),
+    q AS (
+      SELECT col, quantile_disc(size, 0.25)::BIGINT AS q25_size,
+             quantile_disc(size, 0.50)::BIGINT AS q50_size,
+             quantile_disc(size, 0.75)::BIGINT AS q75_size
+      FROM long GROUP BY 1
+    )
+    SELECT s.col AS key_name, n_rows, n_keys, q25_size, q50_size, q75_size,
+           max_size,
+           (CASE WHEN n_rows > 0 THEN (1000000 * max_size) // n_rows
+            ELSE 0 END)::BIGINT AS top_share_ppm,
+           (CASE WHEN q50_size > 0 THEN
+              (max_size + q50_size - 1) // q50_size ELSE 1 END)::BIGINT
+             AS salt_factor
+    FROM stats s JOIN q ON q.col = s.col
+    """,
+)
+def _lineitem_skew_report(spark: SparkSession, sf: str) -> DataFrame:
+    """Shuffle-key skew report over lineitem's three join keys: group-
+    size quartiles + max, top-key share, and the recommended salt factor
+    ceil(max/median) — the planner diagnostic the salted pair join
+    consumes. Rows collapse to key scale per candidate key before the
+    union; NULL keys form a real group."""
+    from blink_spark.operators.profile import skew_report
+
+    return skew_report(
+        _t(spark, sf, "lineitem"),
+        {
+            "l_orderkey": "l_orderkey",
+            "l_partkey": "l_partkey",
+            "l_suppkey": "l_suppkey",
+        },
+    )
+
+
+@_q(
     "lineitem_market_basket",
     """
     WITH bi AS (
@@ -11951,6 +12001,7 @@ _DRIVER_ORDER = [
     "doc_collocations", "events_attribution", "doc_lang_source_assoc",
     "er_rule_kappa", "events_dispersion", "events_changepoint",
     "doc_readability", "doc_source_vocab_overlap", "er_nickname_matches",
+    "lineitem_skew_report",
 ]
 
 

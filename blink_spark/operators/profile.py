@@ -605,3 +605,73 @@ def contingency_chi2(
         .alias("v2_ppm"),
     )
     return detail.unionByName(summary)
+
+
+def skew_report(df: DataFrame, keys: dict[str, str]) -> DataFrame:
+    """Shuffle-key skew report — the "does this join/groupBy need
+    salting, and how much" planner diagnostic: for each candidate key
+    expression, the group-size distribution (quartiles + max), the top
+    group's share of all rows, and the recommended salt factor
+    ceil(max_size / median_size) — the multiplier that levels the
+    hottest key down to a typical partition's work (the factor
+    pairs.py's triangle salting consumes).
+
+    Exact integers: sizes are counts; quartiles are the
+    ``grouped_quartiles`` percentile_disc rank picks (the group count
+    here is |keys|, each group holding one key's size distribution —
+    key-scale, not row-scale); NULL keys form a real group (a nullable
+    join key's NULL bucket is often THE skew problem, so it must be
+    counted, not dropped).
+
+    Scale notes: one groupBy per candidate key collapses rows to key
+    scale before the union; everything after runs on (key-name, size)
+    rows. No scalar finalizes — per-key-name aggs.
+
+    Returns (key_name, n_rows, n_keys, q25_size, q50_size, q75_size,
+    max_size, top_share_ppm, salt_factor).
+    """
+    from blink_spark.operators.corpus import grouped_quartiles
+
+    long = None
+    for name, expr in keys.items():
+        sizes = (
+            df.groupBy(F.expr(expr).alias("k"))
+            .agg(F.count(F.lit(1)).cast("long").alias("size"))
+            .select(F.lit(name).alias("col"), "size")
+        )
+        long = sizes if long is None else long.unionByName(sizes)
+    stats = long.groupBy("col").agg(
+        F.sum("size").cast("long").alias("n_rows"),
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.max("size").cast("long").alias("max_size"),
+    )
+    q = grouped_quartiles(long, "col", "size", "size").select(
+        F.col("key").alias("col"),
+        F.col("q25").alias("q25_size"),
+        F.col("q50").alias("q50_size"),
+        F.col("q75").alias("q75_size"),
+    )
+    return (
+        stats.join(q, "col")
+        .select(
+            F.col("col").alias("key_name"),
+            "n_rows",
+            "n_keys",
+            "q25_size",
+            "q50_size",
+            "q75_size",
+            "max_size",
+            F.expr(
+                "CASE WHEN n_rows > 0 THEN (1000000 * max_size) div n_rows"
+                " ELSE 0 END"
+            )
+            .cast("long")
+            .alias("top_share_ppm"),
+            F.expr(
+                "CASE WHEN q50_size > 0 THEN"
+                " (max_size + q50_size - 1) div q50_size ELSE 1 END"
+            )
+            .cast("long")
+            .alias("salt_factor"),
+        )
+    )

@@ -2369,3 +2369,33 @@ def test_nickname_matches_hand_computed(spark):
     assert (r25["norm_eq"], r25["nickname_eq"], r25["bridged"]) == (
         False, True, True,
     )
+
+
+def test_skew_report_hand_computed(spark):
+    from blink_spark.operators.profile import skew_report
+
+    # hot: one key holds 8 of 12 rows, others 1 each (sizes 8,1,1,1,1)
+    # even: three keys of 4 (sizes 4,4,4); nullable: NULL bucket is hot
+    rows = [("h", 1, "x")] * 8 + [
+        ("h%d" % i, 1, "x") for i in range(1, 5)
+    ]
+    rows = [(k, i % 3, None if i < 6 else "s") for i, (k, _, _) in
+            enumerate(rows)]
+    df = spark.createDataFrame(rows, ["hot", "even", "nullable"])
+    got = {
+        r["key_name"]: r
+        for r in skew_report(
+            df, {"hot": "hot", "even": "even", "nullable": "nullable"}
+        ).collect()
+    }
+    h = got["hot"]
+    assert (h["n_rows"], h["n_keys"], h["max_size"]) == (12, 5, 8)
+    # sizes sorted [1,1,1,1,8]: q25 rank 2 -> 1, q50 rank 3 -> 1
+    assert (h["q25_size"], h["q50_size"], h["q75_size"]) == (1, 1, 1)
+    assert h["top_share_ppm"] == (1_000_000 * 8) // 12
+    assert h["salt_factor"] == 8
+    e = got["even"]
+    assert (e["n_keys"], e["max_size"], e["salt_factor"]) == (3, 4, 1)
+    # NULL keys form a real group: 6 NULLs + 6 's'
+    n = got["nullable"]
+    assert (n["n_keys"], n["max_size"], n["salt_factor"]) == (2, 6, 1)

@@ -1820,6 +1820,99 @@ def _lineitem_sketch_quantiles(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @_q(
+    "relational_integrity_checks",
+    """
+    WITH fk_li AS (
+      SELECT count(*)::BIGINT AS n_checked,
+             coalesce(sum(CASE WHEN l.l_orderkey IS NOT NULL
+               AND NOT EXISTS (SELECT 1 FROM orders o
+                               WHERE o.o_orderkey = l.l_orderkey)
+               THEN 1 END), 0)::BIGINT AS v
+      FROM lineitem l
+    ),
+    fk_ord AS (
+      SELECT count(*)::BIGINT AS n_checked,
+             coalesce(sum(CASE WHEN o.o_custkey IS NOT NULL
+               AND NOT EXISTS (SELECT 1 FROM customer c
+                               WHERE c.c_custkey = o.o_custkey)
+               THEN 1 END), 0)::BIGINT AS v
+      FROM orders o
+    ),
+    du_ord AS (
+      SELECT coalesce(sum(c), 0)::BIGINT AS n_checked,
+             coalesce(sum(CASE WHEN c > 1 THEN c END), 0)::BIGINT AS v
+      FROM (SELECT count(*)::BIGINT AS c FROM orders GROUP BY o_orderkey)
+    ),
+    du_li AS (
+      SELECT coalesce(sum(c), 0)::BIGINT AS n_checked,
+             coalesce(sum(CASE WHEN c > 1 THEN c END), 0)::BIGINT AS v
+      FROM (SELECT count(*)::BIGINT AS c FROM lineitem
+            GROUP BY l_orderkey, l_linenumber)
+    ),
+    rg_tp AS (
+      SELECT count(*)::BIGINT AS n_checked,
+             coalesce(sum(CASE WHEN (o_totalprice > 0) IS NOT TRUE
+               THEN 1 END), 0)::BIGINT AS v
+      FROM orders
+    ),
+    rg_qty AS (
+      SELECT count(*)::BIGINT AS n_checked,
+             coalesce(sum(CASE WHEN (l_quantity BETWEEN 1 AND 50)
+               IS NOT TRUE THEN 1 END), 0)::BIGINT AS v
+      FROM lineitem
+    ),
+    rg_disc AS (
+      SELECT count(*)::BIGINT AS n_checked,
+             coalesce(sum(CASE WHEN (l_discount BETWEEN 0 AND 1)
+               IS NOT TRUE THEN 1 END), 0)::BIGINT AS v
+      FROM lineitem
+    )
+    SELECT 'fk_lineitem_orders' AS check_name, n_checked,
+           v AS n_violations, v = 0 AS passed FROM fk_li
+    UNION ALL SELECT 'fk_orders_customer', n_checked, v, v = 0 FROM fk_ord
+    UNION ALL SELECT 'unique_orderkey', n_checked, v, v = 0 FROM du_ord
+    UNION ALL SELECT 'unique_lineitem_pk', n_checked, v, v = 0 FROM du_li
+    UNION ALL SELECT 'range_totalprice_pos', n_checked, v, v = 0 FROM rg_tp
+    UNION ALL SELECT 'range_quantity_1_50', n_checked, v, v = 0 FROM rg_qty
+    UNION ALL SELECT 'range_discount_0_1', n_checked, v, v = 0 FROM rg_disc
+    """,
+)
+def _relational_integrity_checks(spark: SparkSession, sf: str) -> DataFrame:
+    """dbt-test/Great-Expectations style validation report over the
+    relational tables: FK orphans (NULL keys counted separately, SQL FK
+    semantics), primary-key uniqueness, and row-range constraints (NULL
+    predicate = violation) — exact counts, anti-join + partial-agg
+    shapes, the ingest gate an ER pipeline runs before linking."""
+    from blink_spark.operators.validate import (
+        constraint_violations,
+        duplicate_keys,
+        fk_orphans,
+        integrity_report,
+    )
+
+    li = _t(spark, sf, "lineitem")
+    od = _t(spark, sf, "orders")
+    cu = _t(spark, sf, "customer")
+    return integrity_report(
+        [
+            ("fk_lineitem_orders",
+             fk_orphans(li, "l_orderkey", od, "o_orderkey")),
+            ("fk_orders_customer",
+             fk_orphans(od, "o_custkey", cu, "c_custkey")),
+            ("unique_orderkey", duplicate_keys(od, ["o_orderkey"])),
+            ("unique_lineitem_pk",
+             duplicate_keys(li, ["l_orderkey", "l_linenumber"])),
+            ("range_totalprice_pos",
+             constraint_violations(od, "o_totalprice > 0")),
+            ("range_quantity_1_50",
+             constraint_violations(li, "l_quantity BETWEEN 1 AND 50")),
+            ("range_discount_0_1",
+             constraint_violations(li, "l_discount BETWEEN 0 AND 1")),
+        ]
+    )
+
+
+@_q(
     "lineitem_skew_report",
     """
     WITH long AS (
@@ -12001,7 +12094,7 @@ _DRIVER_ORDER = [
     "doc_collocations", "events_attribution", "doc_lang_source_assoc",
     "er_rule_kappa", "events_dispersion", "events_changepoint",
     "doc_readability", "doc_source_vocab_overlap", "er_nickname_matches",
-    "lineitem_skew_report",
+    "lineitem_skew_report", "relational_integrity_checks",
 ]
 
 

@@ -2399,3 +2399,42 @@ def test_skew_report_hand_computed(spark):
     # NULL keys form a real group: 6 NULLs + 6 's'
     n = got["nullable"]
     assert (n["n_keys"], n["max_size"], n["salt_factor"]) == (2, 6, 1)
+
+
+def test_integrity_checks_hand_computed(spark):
+    from blink_spark.operators.validate import (
+        constraint_violations,
+        duplicate_keys,
+        fk_orphans,
+        integrity_report,
+    )
+
+    child = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (2, "c"), (9, "d"), (9, "e"), (None, "f")],
+        ["fk", "x"],
+    )
+    parent = spark.createDataFrame([(1,), (2,), (3,)], ["pk"])
+    fo = fk_orphans(child, "fk", parent, "pk").collect()[0]
+    # 9 is an orphan key with 2 rows; the NULL row is NOT an orphan
+    assert (fo["n_rows"], fo["n_null_keys"]) == (6, 1)
+    assert (fo["n_orphan_rows"], fo["n_orphan_keys"]) == (2, 1)
+
+    dup = duplicate_keys(child, ["fk"]).collect()[0]
+    # groups: 1 (x2), 2, 9 (x2), NULL -> dup rows 4, dup keys 2
+    assert (dup["n_rows"], dup["n_dup_rows"], dup["n_dup_keys"]) == (6, 4, 2)
+
+    cv = constraint_violations(
+        spark.createDataFrame([(5,), (-1,), (None,)], ["v"]), "v > 0"
+    ).collect()[0]
+    # -1 violates; NULL predicate counts as a violation
+    assert (cv["n_rows"], cv["n_violations"]) == (3, 2)
+
+    rep = {
+        r["check_name"]: r
+        for r in integrity_report(
+            [("fk", fk_orphans(child, "fk", parent, "pk")),
+             ("dup", duplicate_keys(child, ["fk"]))]
+        ).collect()
+    }
+    assert rep["fk"]["n_violations"] == 2 and rep["fk"]["passed"] is False
+    assert rep["dup"]["n_checked"] == 6

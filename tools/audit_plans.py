@@ -372,6 +372,13 @@ ALLOWLIST: dict[str, frozenset[str]] = {
     # partials, one-row finalize — the fs_weights class); no joins or
     # windows past the pair build.
     "er_rule_kappa": frozenset({"Exchange SinglePartition"}),
+    # relational_integrity_checks: seven one-row check counters (each a
+    # map-side partial agg or a key-collapsed anti-join fold) cross-joined
+    # into report rows — every BNLJ joins one-row frames, every
+    # SinglePartition is a one-row finalize (fs_weights class).
+    "relational_integrity_checks": frozenset(
+        {"BroadcastNestedLoopJoin", "Exchange SinglePartition"}
+    ),
 }
 
 # Exchange SinglePartition is only allowed when feeding a scalar finalize:

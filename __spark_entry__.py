@@ -1506,6 +1506,50 @@ def _events_changepoint(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @_q(
+    "events_conversion_lag",
+    """
+    WITH conv AS (
+      SELECT user_id AS u, ts AS cts FROM events
+      WHERE event_type = 'purchase'
+    ),
+    ft AS (
+      SELECT user_id AS u, min(ts) AS fts FROM events
+      WHERE event_type != 'purchase'
+        AND user_id IS NOT NULL AND ts IS NOT NULL
+      GROUP BY 1
+    ),
+    lag AS (
+      SELECT CASE WHEN f.fts IS NULL OR f.fts > c.cts THEN NULL
+                  ELSE (epoch_us(c.cts) - epoch_us(f.fts)) // 1000000
+             END AS lag_s
+      FROM conv c LEFT JOIN ft f ON f.u = c.u
+    ),
+    b AS (
+      SELECT (CASE WHEN lag_s IS NULL THEN -1
+                   WHEN lag_s = 0 THEN 0
+                   ELSE substr(lag_s::VARCHAR, 1, 1)::BIGINT
+                        * rpad('1', length(lag_s::VARCHAR)::INT,
+                               '0')::BIGINT END)::BIGINT
+               AS bucket_floor_s
+      FROM lag
+    )
+    SELECT bucket_floor_s, count(*)::BIGINT AS n_conversions
+    FROM b GROUP BY 1
+    """,
+)
+def _events_conversion_lag(spark: SparkSession, sf: str) -> DataFrame:
+    """Time-to-convert histogram: seconds from the user's FIRST touch to
+    each purchase (exact integer microsecond difference), bucketed on
+    the deterministic base-10 decimal grid (no logs, no float pow);
+    bucket -1 = no prior touch so the histogram reconciles to the
+    conversion total. Per-user min-struct + codegen projection +
+    ~90-bucket agg."""
+    from blink_spark.operators.temporal import conversion_lag_histogram
+
+    return conversion_lag_histogram(_t(spark, sf, "events"))
+
+
+@_q(
     "events_dispersion",
     """
     WITH daily AS (
@@ -12095,6 +12139,7 @@ _DRIVER_ORDER = [
     "er_rule_kappa", "events_dispersion", "events_changepoint",
     "doc_readability", "doc_source_vocab_overlap", "er_nickname_matches",
     "lineitem_skew_report", "relational_integrity_checks",
+    "events_conversion_lag",
 ]
 
 

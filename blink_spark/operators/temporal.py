@@ -1456,3 +1456,76 @@ def changepoint_days(
         .cast("long")
         .alias("cp_share_ppm"),
     )
+
+
+def conversion_lag_histogram(
+    events: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    seq_col: str = "event_id",
+    conversion: str = "purchase",
+) -> DataFrame:
+    """Time-to-convert distribution: for each conversion, the lag in
+    seconds since the user's FIRST prior touch (the attribution
+    operator's first-touch twin — there it names the channel, here it
+    measures the latency), histogrammed on the deterministic base-10
+    decimal grid (digit-count, first digit) so bucket edges are exact
+    integers at any scale — the funnel-latency readout behind "how long
+    does intent take to close".
+
+    Lag = whole seconds of (conversion ts − first touch ts), compared
+    and differenced in exact integer MICROSECONDS (the cross-engine
+    timestamp convention), bucket
+    representative = the bucket floor first_digit·10^(m−1) (built from
+    the decimal string — no logs, no float pow). Zero-lag conversions
+    (same-second touch) land in bucket 0; conversions with no prior
+    touch are counted in the bucket = −1 row so the histogram reconciles
+    to the conversion total.
+
+    Scale notes: first-touch is a per-user min-struct partial agg; the
+    lag projection is codegen; the histogram is a ≤ ~90-bucket agg.
+
+    Returns (bucket_floor_s, n_conversions) — bucket −1 = untouched,
+    0 = sub-second.
+    """
+    conv = events.filter(F.col(type_col) == conversion).select(
+        F.col(user_col).alias("u"), F.col(ts_col).alias("cts")
+    )
+    ft = (
+        events.filter(
+            (F.col(type_col) != conversion)
+            & F.col(user_col).isNotNull()
+            & F.col(ts_col).isNotNull()
+        )
+        .groupBy(F.col(user_col).alias("u"))
+        .agg(
+            F.min(
+                F.struct(F.col(ts_col).alias("fts"), F.col(seq_col).alias("fseq"))
+            ).alias("f")
+        )
+    )
+    lag = (
+        conv.join(ft, "u", "left")
+        .select(
+            F.expr(
+                "CASE WHEN f.fts IS NULL OR f.fts > cts THEN NULL"
+                " ELSE timestampdiff(MICROSECOND, f.fts, cts)"
+                " div 1000000 END"
+            ).alias("lag_s")
+        )
+    )
+    b = lag.select(
+        F.expr(
+            "CASE WHEN lag_s IS NULL THEN -1"
+            " WHEN lag_s = 0 THEN 0"
+            " ELSE cast(substring(cast(lag_s as string), 1, 1) as bigint)"
+            " * cast(rpad('1', cast(length(cast(lag_s as string)) as int),"
+            " '0') as bigint) END"
+        )
+        .cast("long")
+        .alias("bucket_floor_s")
+    )
+    return b.groupBy("bucket_floor_s").agg(
+        F.count(F.lit(1)).cast("long").alias("n_conversions")
+    )

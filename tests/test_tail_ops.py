@@ -2438,3 +2438,29 @@ def test_integrity_checks_hand_computed(spark):
     }
     assert rep["fk"]["n_violations"] == 2 and rep["fk"]["passed"] is False
     assert rep["dup"]["n_checked"] == 6
+
+
+def test_conversion_lag_histogram_hand_computed(spark):
+    import datetime as dt
+
+    from blink_spark.operators.temporal import conversion_lag_histogram
+
+    T = lambda s: dt.datetime(2024, 1, 1, 0, 0, 0) + dt.timedelta(seconds=s)
+    rows = [
+        # u1: touch at 0, purchases at 7s (bucket 7) and 345s (bucket 300)
+        (1, 1, "view", T(0)), (2, 1, "purchase", T(7)),
+        (3, 1, "purchase", T(345)),
+        # u2: no prior touch -> bucket -1
+        (4, 2, "purchase", T(5)),
+        # u3: same-second touch -> lag 0 -> bucket 0
+        (5, 3, "click", T(10)), (6, 3, "purchase", T(10)),
+    ]
+    df = spark.createDataFrame(
+        rows, ["event_id", "user_id", "event_type", "ts"]
+    )
+    got = {
+        r["bucket_floor_s"]: r["n_conversions"]
+        for r in conversion_lag_histogram(df).collect()
+    }
+    assert got == {7: 1, 300: 1, -1: 1, 0: 1}
+    assert sum(got.values()) == 4  # reconciles to conversion total

@@ -2242,6 +2242,61 @@ def _doc_dsir_weights(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @_q(
+    "embedding_elbow_inertia",
+    """
+    WITH q AS (
+      SELECT vec_id,
+             list_transform(embedding,
+                            x -> floor(x::DOUBLE * 1000000)::BIGINT) AS qv
+      FROM embeddings
+    ),
+    ranked AS (
+      SELECT vec_id, qv, row_number() OVER (ORDER BY vec_id) AS rn FROM q
+    ),
+    ks AS (SELECT * FROM (VALUES (4::BIGINT), (8), (16)) AS t(k)),
+    cents AS (
+      SELECT ks.k, r.vec_id AS cid, r.qv AS cv
+      FROM ranked r JOIN ks ON r.rn <= ks.k
+    ),
+    ce AS (
+      SELECT k, cid, generate_subscripts(cv, 1) AS dim, unnest(cv) AS c
+      FROM cents
+    ),
+    ie AS (
+      SELECT vec_id, generate_subscripts(qv, 1) AS dim, unnest(qv) AS v
+      FROM q
+    ),
+    d AS (
+      SELECT ce.k, ie.vec_id, ce.cid,
+             sum((ie.v - ce.c) * (ie.v - ce.c))::BIGINT AS dist
+      FROM ie JOIN ce ON ce.dim = ie.dim
+      GROUP BY 1, 2, 3
+    ),
+    md AS (SELECT k, vec_id, min(dist)::BIGINT AS d FROM d GROUP BY 1, 2)
+    SELECT k, count(*)::BIGINT AS n_items,
+           coalesce(sum(d), 0)::BIGINT AS inertia_total,
+           (CASE WHEN count(*) > 0
+             THEN coalesce(sum(d), 0) // count(*) END)::BIGINT
+             AS inertia_mean
+    FROM md GROUP BY 1
+    """,
+)
+def _embedding_elbow_inertia(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF cell-count elbow sweep: exact integer k-means inertia at
+    k = 4/8/16 first_items codebooks over the quantized embeddings —
+    the calibration readout that picks n_centroids before building the
+    IVF index. Literal-codebook shuffle-free min-distance folds, one
+    one-row finalize per k."""
+    from blink_spark.functions.hashing import quantize_emb
+    from blink_spark.operators.ann import elbow_inertia
+
+    e = _t(spark, sf, "embeddings").select(
+        F.col("vec_id").alias("item_id"), quantize_emb("embedding").alias("iv")
+    )
+    return elbow_inertia(e)
+
+
+@_q(
     "embedding_jl_ratio",
     """
     WITH q AS (
@@ -12139,7 +12194,7 @@ _DRIVER_ORDER = [
     "er_rule_kappa", "events_dispersion", "events_changepoint",
     "doc_readability", "doc_source_vocab_overlap", "er_nickname_matches",
     "lineitem_skew_report", "relational_integrity_checks",
-    "events_conversion_lag",
+    "events_conversion_lag", "embedding_elbow_inertia",
 ]
 
 

@@ -732,3 +732,72 @@ def jl_projection_ratio(
             F.max("ratio_ppm").cast("long").alias("max_ratio_ppm"),
         )
     )
+
+
+def elbow_inertia(
+    items: DataFrame,
+    ks: tuple[int, ...] = (4, 8, 16),
+    item_id: str = "item_id",
+    item_emb: str = "iv",
+) -> DataFrame:
+    """IVF cell-count calibration: k-means inertia (Σ per-item min
+    squared distance to a centroid) at several codebook sizes — the
+    elbow readout that picks ``n_centroids`` before building the IVF
+    index. Centroids are the ``first_items`` codebook (lowest-id items —
+    the bit-reproducible oracle convention the IVF family already uses);
+    distances are exact integer sums of squares on the quantized
+    embeddings, so the whole sweep is engine-reproducible.
+
+    Scale notes: same discipline as the IVF assignment — each k's
+    codebook is a tiny collect rebuilt as a LITERAL array, the per-item
+    min distance is a shuffle-free array fold (one projection per row,
+    no join/window/Exchange before the one-row finalize per k).
+    Overflow: per-item distance ≤ dims·(2·10⁶)² ≈ 2.6e14; the total
+    stays in BIGINT to ~35k items per sweep at 64 dims — beyond that
+    report per-partition partial inertias (the documented-bound
+    convention).
+
+    Returns one row per k: (k, n_items, inertia_total, inertia_mean).
+    """
+    it = items.select(
+        F.col(item_id).alias("item_id"), F.col(item_emb).alias("iv")
+    )
+    sqd = lambda a, b: F.aggregate(  # noqa: E731
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    out = None
+    for k in ks:
+        cents = (
+            it.orderBy(F.col("item_id").asc())
+            .limit(int(k))
+            .select(F.col("item_id").alias("cid"), F.col("iv").alias("cv"))
+        )
+        carr, _ = _centroid_literal_array(cents)
+        if carr is None:
+            continue
+        d = it.select(
+            F.array_min(
+                F.transform(carr, lambda c: sqd(F.col("iv"), c["cv"]))
+            )
+            .cast("long")
+            .alias("d")
+        )
+        row = d.agg(
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+            F.coalesce(F.sum("d"), F.lit(0)).cast("long").alias(
+                "inertia_total"
+            ),
+        ).select(
+            F.lit(int(k)).cast("long").alias("k"),
+            "n_items",
+            "inertia_total",
+            F.expr(
+                "CASE WHEN n_items > 0 THEN inertia_total div n_items END"
+            )
+            .cast("long")
+            .alias("inertia_mean"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

@@ -2464,3 +2464,20 @@ def test_conversion_lag_histogram_hand_computed(spark):
     }
     assert got == {7: 1, 300: 1, -1: 1, 0: 1}
     assert sum(got.values()) == 4  # reconciles to conversion total
+
+
+def test_elbow_inertia_hand_computed(spark):
+    from blink_spark.operators.ann import elbow_inertia
+
+    # 4 points on a line; k=2 centroids = first two points (ids 0, 1)
+    pts = {0: [0, 0], 1: [10, 0], 2: [11, 0], 3: [1, 0]}
+    df = spark.createDataFrame(
+        [(i, v) for i, v in pts.items()], "item_id long, iv array<long>"
+    )
+    out = {r["k"]: r for r in elbow_inertia(df, ks=(1, 2)).collect()}
+    # k=1: centroid (0,0): dists 0, 100, 121, 1 -> 222
+    assert out[1]["inertia_total"] == 222
+    assert out[1]["inertia_mean"] == 222 // 4
+    # k=2: centroids (0,0),(10,0): dists 0, 0, 1, 1 -> 2 (elbow drop)
+    assert out[2]["inertia_total"] == 2
+    assert out[2]["n_items"] == 4

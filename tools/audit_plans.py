@@ -379,6 +379,10 @@ ALLOWLIST: dict[str, frozenset[str]] = {
     "relational_integrity_checks": frozenset(
         {"BroadcastNestedLoopJoin", "Exchange SinglePartition"}
     ),
+    # embedding_elbow_inertia: one one-row inertia finalize per k
+    # (map-side partial sums over shuffle-free literal-codebook folds) —
+    # the fs_weights scalar class, unioned into the 3-row sweep.
+    "embedding_elbow_inertia": frozenset({"Exchange SinglePartition"}),
 }
 
 # Exchange SinglePartition is only allowed when feeding a scalar finalize:

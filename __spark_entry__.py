@@ -8295,6 +8295,68 @@ def _events_markov_transitions(spark: SparkSession, sf: str) -> DataFrame:
     return markov_transitions(ev, "user_id", "ts", "event_type", "event_id")
 
 
+# declared process model for the conformance check — ONE constant feeding
+# both the Spark literal table and the SQL VALUES twin ('error' is reachable
+# from anywhere by design; transitions OUT of error back to browsing are
+# allowed; everything else is a conformance violation).
+_ALLOWED_TRANSITIONS = sorted(
+    {
+        ("signup", "view"), ("signup", "click"),
+        ("view", "view"), ("view", "click"), ("view", "purchase"),
+        ("click", "view"), ("click", "click"), ("click", "purchase"),
+        ("purchase", "view"), ("purchase", "click"),
+        ("view", "error"), ("click", "error"), ("purchase", "error"),
+        ("signup", "error"),
+        ("error", "view"), ("error", "click"),
+    }
+)
+
+
+@_q(
+    "events_conformance",
+    """
+    WITH s AS (
+      SELECT event_type AS src_type,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS dst_type
+      FROM events
+    ),
+    t AS (
+      SELECT src_type, dst_type, count(*)::BIGINT AS n_transitions
+      FROM s WHERE dst_type IS NOT NULL GROUP BY 1, 2
+    ),
+    model AS (
+      SELECT *, true AS ok FROM (VALUES {allowed_vals})
+        AS m(src_type, dst_type)
+    ),
+    tot AS (SELECT coalesce(sum(n_transitions), 0)::BIGINT AS tt FROM t)
+    SELECT t.src_type, t.dst_type, t.n_transitions,
+           coalesce(m.ok, false) AS allowed,
+           (CASE WHEN tot.tt > 0
+             THEN (1000000 * t.n_transitions) // tot.tt
+             ELSE 0 END)::BIGINT AS share_ppm
+    FROM t
+    LEFT JOIN model m
+      ON m.src_type = t.src_type AND m.dst_type = t.dst_type
+    CROSS JOIN tot
+    """.replace(
+        "{allowed_vals}",
+        ", ".join(f"('{a}', '{b}')" for a, b in _ALLOWED_TRANSITIONS),
+    ),
+)
+def _events_conformance(spark: SparkSession, sf: str) -> DataFrame:
+    """Process-mining conformance: every observed per-user transition
+    judged against the declared funnel model (token-replay style) —
+    markov_transitions reports what happens, this flags what happens
+    that SHOULDN'T. Shared model constant feeds both engines; user-keyed
+    window + |types|^2 agg + broadcast literal join."""
+    from blink_spark.operators.temporal import transition_conformance
+
+    return transition_conformance(
+        _t(spark, sf, "events"), _ALLOWED_TRANSITIONS
+    )
+
+
 # --------------------------------------------------------------------------
 # ER oracle SQL (DuckDB) — built lazily because fixture paths are absolute
 # --------------------------------------------------------------------------
@@ -12195,6 +12257,7 @@ _DRIVER_ORDER = [
     "doc_readability", "doc_source_vocab_overlap", "er_nickname_matches",
     "lineitem_skew_report", "relational_integrity_checks",
     "events_conversion_lag", "embedding_elbow_inertia",
+    "events_conformance",
 ]
 
 

@@ -1529,3 +1529,67 @@ def conversion_lag_histogram(
     return b.groupBy("bucket_floor_s").agg(
         F.count(F.lit(1)).cast("long").alias("n_conversions")
     )
+
+
+def transition_conformance(
+    events: DataFrame,
+    allowed: list[tuple[str, str]],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Process-mining conformance check: every observed (src → dst)
+    adjacency in the per-user timelines judged against a DECLARED
+    transition model — ``markov_transitions`` reports what happens, this
+    reports what happens that SHOULDN'T (token-replay conformance,
+    van der Aalst): unexpected paths are integration bugs, bot traffic,
+    or an outdated process model.
+
+    The model is a literal pair set broadcast against the
+    |types|²-bounded transition table; per observed pair the report
+    carries the count, the allowed verdict, and the violating share of
+    all transitions so the summary reconciles without a second query.
+    Determinism: per-user order is (ts, id), the markov convention.
+
+    Scale notes: one user-keyed window shuffle (the shared sessionize
+    layout), one partial agg to the |types|² table, a broadcast literal
+    join, and a one-row total broadcast back — nothing row-scale past
+    the first agg.
+
+    Returns (src_type, dst_type, n_transitions, allowed,
+    share_ppm).
+    """
+    spark = events.sparkSession
+    w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    s = events.select(
+        F.col(type_col).alias("src_type"),
+        F.lead(type_col).over(w).alias("dst_type"),
+    )
+    t = (
+        s.filter(F.col("dst_type").isNotNull())
+        .groupBy("src_type", "dst_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_transitions"))
+    )
+    model = spark.createDataFrame(
+        sorted(set(allowed)), "src_type string, dst_type string"
+    ).withColumn("ok", F.lit(True))
+    tot = t.agg(
+        F.coalesce(F.sum("n_transitions"), F.lit(0)).cast("long").alias("tt")
+    )
+    return (
+        t.join(F.broadcast(model), ["src_type", "dst_type"], "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "src_type",
+            "dst_type",
+            "n_transitions",
+            F.coalesce("ok", F.lit(False)).alias("allowed"),
+            F.expr(
+                "CASE WHEN tt > 0 THEN (1000000 * n_transitions) div tt"
+                " ELSE 0 END"
+            )
+            .cast("long")
+            .alias("share_ppm"),
+        )
+    )

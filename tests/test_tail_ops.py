@@ -2481,3 +2481,33 @@ def test_elbow_inertia_hand_computed(spark):
     # k=2: centroids (0,0),(10,0): dists 0, 0, 1, 1 -> 2 (elbow drop)
     assert out[2]["inertia_total"] == 2
     assert out[2]["n_items"] == 4
+
+
+def test_transition_conformance_hand_computed(spark):
+    import datetime as dt
+
+    from blink_spark.operators.temporal import transition_conformance
+
+    T = lambda s: dt.datetime(2024, 1, 1, 0, 0, s)
+    # u1: view -> click -> purchase (all allowed)
+    # u2: purchase -> purchase (NOT in model: violation)
+    rows = [
+        (1, 1, "view", T(1)), (2, 1, "click", T(2)),
+        (3, 1, "purchase", T(3)),
+        (4, 2, "purchase", T(1)), (5, 2, "purchase", T(2)),
+    ]
+    df = spark.createDataFrame(
+        rows, ["event_id", "user_id", "event_type", "ts"]
+    )
+    model = [("view", "click"), ("click", "purchase")]
+    got = {
+        (r["src_type"], r["dst_type"]): r
+        for r in transition_conformance(df, model).collect()
+    }
+    assert got[("view", "click")]["allowed"] is True
+    assert got[("click", "purchase")]["allowed"] is True
+    pp = got[("purchase", "purchase")]
+    assert pp["allowed"] is False and pp["n_transitions"] == 1
+    # 3 transitions total -> each share 1/3
+    assert pp["share_ppm"] == (1_000_000 * 1) // 3
+    assert sum(r["n_transitions"] for r in got.values()) == 3

@@ -383,6 +383,12 @@ ALLOWLIST: dict[str, frozenset[str]] = {
     # (map-side partial sums over shuffle-free literal-codebook folds) —
     # the fs_weights scalar class, unioned into the 3-row sweep.
     "embedding_elbow_inertia": frozenset({"Exchange SinglePartition"}),
+    # events_conformance: the transition total is a one-row finalize of
+    # the |types|²-bounded transition table broadcast back onto it (the
+    # bm25-idf pattern); the model join is a broadcast literal.
+    "events_conformance": frozenset(
+        {"BroadcastNestedLoopJoin", "Exchange SinglePartition"}
+    ),
 }
 
 # Exchange SinglePartition is only allowed when feeding a scalar finalize:

@@ -1550,6 +1550,46 @@ def _events_conversion_lag(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @_q(
+    "events_stickiness",
+    """
+    WITH uw AS (
+      SELECT DISTINCT user_id AS u,
+             (date_diff('day', DATE '2024-01-01', ts::DATE) // 7)::BIGINT
+               AS wk
+      FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    ),
+    uwp AS (SELECT u, wk, (wk // 4)::BIGINT AS period FROM uw),
+    wau AS (
+      SELECT period, wk, count(*)::BIGINT AS wau FROM uwp GROUP BY 1, 2
+    ),
+    per_w AS (
+      SELECT period, count(*)::BIGINT AS n_weeks,
+             sum(wau)::BIGINT AS wau_sum
+      FROM wau GROUP BY 1
+    ),
+    mau AS (
+      SELECT period, count(DISTINCT u)::BIGINT AS mau FROM uwp GROUP BY 1
+    )
+    SELECT p.period, p.n_weeks, p.wau_sum, m.mau,
+           (CASE WHEN p.n_weeks * m.mau > 0 THEN
+              (1000000 * p.wau_sum) // (p.n_weeks * m.mau)
+            ELSE 0 END)::BIGINT AS stickiness_ppm
+    FROM per_w p JOIN mau m ON m.period = p.period
+    """,
+)
+def _events_stickiness(spark: SparkSession, sf: str) -> DataFrame:
+    """WAU/MAU engagement stickiness per 28-day period on a fixed
+    epoch-anchored grid (ISO calendar weeks differ across engines; the
+    4x7-day pseudo-calendar is engine-identical): mean weekly actives
+    over period actives in exact ppm, observed-week denominator so a
+    truncated final period isn't penalized. Distinct (user, week)
+    collapse + keyed partial aggs, no windows."""
+    from blink_spark.operators.temporal import stickiness
+
+    return stickiness(_t(spark, sf, "events"))
+
+
+@_q(
     "events_dispersion",
     """
     WITH daily AS (
@@ -12257,7 +12297,7 @@ _DRIVER_ORDER = [
     "doc_readability", "doc_source_vocab_overlap", "er_nickname_matches",
     "lineitem_skew_report", "relational_integrity_checks",
     "events_conversion_lag", "embedding_elbow_inertia",
-    "events_conformance",
+    "events_conformance", "events_stickiness",
 ]
 
 

@@ -1593,3 +1593,73 @@ def transition_conformance(
             .alias("share_ppm"),
         )
     )
+
+
+def stickiness(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    epoch: str = "2024-01-01",
+) -> DataFrame:
+    """Engagement stickiness per 28-day period: mean 7-day active users
+    over the period divided by the period's 28-day active users — the
+    WAU/MAU product-analytics ratio (1.0 = every period-active user is
+    active every week; low = drive-by usage). A fixed 28-day grid of
+    exactly four 7-day weeks (days since ``epoch``, documented
+    pseudo-calendar) rather than calendar weeks: ISO week numbering
+    differs across engines and splits months unevenly, while the fixed
+    grid is engine-identical and every period has the same four weeks.
+
+    Exact integers: wau_sum = Σ distinct (user, week) over the period's
+    observed weeks, mau = distinct users in the period,
+    stickiness_ppm = (1e6·wau_sum) div (n_weeks·mau) — n_weeks counted
+    from OBSERVED weeks so a truncated final period isn't penalized.
+
+    Scale notes: one DISTINCT (user, week) collapse (carrying the
+    period), week-keyed and period-keyed partial aggs; per-period
+    distinct users is a second collapse from the same distinct table.
+    No windows, no scalars.
+
+    Returns (period, n_weeks, wau_sum, mau, stickiness_ppm).
+    """
+    uw = (
+        events.filter(
+            F.col(user_col).isNotNull() & F.col(ts_col).isNotNull()
+        )
+        .select(
+            F.col(user_col).alias("u"),
+            F.expr(
+                f"cast(datediff(to_date({ts_col}), date'{epoch}')"
+                " as bigint) div 7"
+            )
+            .cast("long")
+            .alias("wk"),
+        )
+        .distinct()
+        .withColumn("period", F.expr("wk div 4").cast("long"))
+    )
+    wau = uw.groupBy("period", "wk").agg(
+        F.count(F.lit(1)).cast("long").alias("wau")
+    )
+    per_w = wau.groupBy("period").agg(
+        F.count(F.lit(1)).cast("long").alias("n_weeks"),
+        F.sum("wau").cast("long").alias("wau_sum"),
+    )
+    mau = (
+        uw.select("period", "u")
+        .distinct()
+        .groupBy("period")
+        .agg(F.count(F.lit(1)).cast("long").alias("mau"))
+    )
+    return per_w.join(mau, "period").select(
+        "period",
+        "n_weeks",
+        "wau_sum",
+        "mau",
+        F.expr(
+            "CASE WHEN n_weeks * mau > 0 THEN"
+            " (1000000 * wau_sum) div (n_weeks * mau) ELSE 0 END"
+        )
+        .cast("long")
+        .alias("stickiness_ppm"),
+    )

@@ -2511,3 +2511,28 @@ def test_transition_conformance_hand_computed(spark):
     # 3 transitions total -> each share 1/3
     assert pp["share_ppm"] == (1_000_000 * 1) // 3
     assert sum(r["n_transitions"] for r in got.values()) == 3
+
+
+def test_stickiness_hand_computed(spark):
+    import datetime as dt
+
+    from blink_spark.operators.temporal import stickiness
+
+    def D(day):
+        return dt.datetime(2024, 1, 1) + dt.timedelta(days=day, hours=5)
+
+    # period 0 (weeks 0-3): u1 active all 4 weeks, u2 only week 0;
+    # duplicate events in a week must not double-count
+    rows = [(1, D(w * 7)) for w in range(4)] + [(1, D(1))] + [(2, D(2))]
+    # period 1 (weeks 4-7): u3 appears in 2 of the weeks
+    rows += [(3, D(28)), (3, D(36))]
+    df = spark.createDataFrame(rows, ["user_id", "ts"])
+    got = {r["period"]: r for r in stickiness(df).collect()}
+    p0 = got[0]
+    # wau: wk0 = {u1,u2} = 2, wk1..3 = {u1} -> sum 5; mau = 2; weeks 4
+    assert (p0["n_weeks"], p0["wau_sum"], p0["mau"]) == (4, 5, 2)
+    assert p0["stickiness_ppm"] == (1_000_000 * 5) // (4 * 2)
+    p1 = got[1]
+    # observed weeks only: 2 weeks, wau_sum 2, mau 1 -> perfect 1.0
+    assert (p1["n_weeks"], p1["wau_sum"], p1["mau"]) == (2, 2, 1)
+    assert p1["stickiness_ppm"] == 1_000_000

@@ -6798,6 +6798,23 @@ def _er_match_rule_report(spark: SparkSession, sf: str) -> DataFrame:
     return match_rule_report(labeled, label_col="same_entity")
 
 
+@_q("er_source_reliability", None)  # oracle injected below (fixture path)
+def _er_source_reliability(spark: SparkSession, sf: str) -> DataFrame:
+    """Truth-discovery-lite source trust over the labeled mentions:
+    majority-vote canonical surface per entity (struct-max tie to the
+    greatest value), then per-world agreement with the canonical — the
+    per-source accuracy prior weighted-vote fusion consumes. The
+    n_multi columns restrict to entities where disagreement is even
+    possible (the honest ranking column)."""
+    from blink_spark.functions.text import normalize_text
+    from blink_spark.operators.eval import source_reliability
+
+    m = _fx(spark, "mentions")
+    return source_reliability(
+        m, "world", "label_id", normalize_text(F.col("mention"))
+    )
+
+
 @_q("er_rule_kappa", None)  # oracle injected below (fixture path)
 def _er_rule_kappa(spark: SparkSession, sf: str) -> DataFrame:
     """Cohen's kappa between the two fuzzy match rules (token-Jaccard vs
@@ -8931,6 +8948,50 @@ def _er_oracles() -> dict[str, str]:
       SELECT rule, n_fire, n_exclusive, n_true,
              (n_true * 1000000 // greatest(n_fire, 1))::BIGINT AS precision_ppm
       FROM f
+    """
+    # er_source_reliability: majority-vote canonical per entity via
+    # row_number (count DESC, value DESC — the struct-max twin), then
+    # per-world agreement; n_multi restricts to contested entities.
+    source_reliability_sql = f"""
+      WITH base AS (
+        SELECT world AS src, label_id AS ent, {_norm_m} AS val
+        FROM read_parquet('{men}')
+        WHERE label_id IS NOT NULL AND {_norm_m} IS NOT NULL
+      ),
+      vc AS (SELECT ent, val, count(*)::BIGINT AS c FROM base GROUP BY 1, 2),
+      canon AS (
+        SELECT ent, val AS canon, n_vals FROM (
+          SELECT ent, val, c,
+                 row_number() OVER (PARTITION BY ent
+                                    ORDER BY c DESC, val DESC) AS rn,
+                 count(*) OVER (PARTITION BY ent)::BIGINT AS n_vals
+          FROM vc
+        ) WHERE rn = 1
+      ),
+      j AS (
+        SELECT b.src, (b.val = c.canon) AS agree,
+               (c.n_vals > 1) AS multi
+        FROM base b JOIN canon c ON c.ent = b.ent
+      ),
+      agg AS (
+        SELECT src, count(*)::BIGINT AS n_records,
+               coalesce(sum(CASE WHEN agree THEN 1 END), 0)::BIGINT
+                 AS n_agree,
+               coalesce(sum(CASE WHEN multi THEN 1 END), 0)::BIGINT
+                 AS n_multi,
+               coalesce(sum(CASE WHEN multi AND agree THEN 1 END),
+                        0)::BIGINT AS n_multi_agree
+        FROM j GROUP BY 1
+      )
+      SELECT src AS world, n_records, n_agree,
+             (CASE WHEN n_records > 0
+               THEN (1000000 * n_agree) // n_records
+               ELSE 0 END)::BIGINT AS reliability_ppm,
+             n_multi, n_multi_agree,
+             (CASE WHEN n_multi > 0
+               THEN (1000000 * n_multi_agree) // n_multi END)::BIGINT
+               AS multi_reliability_ppm
+      FROM agg
     """
     # er_rule_kappa: chance-corrected agreement of the two fuzzy rules in
     # ONE exact fraction kappa = (n·g − P)/(n² − P), spearman-staged
@@ -11744,6 +11805,7 @@ def _er_oracles() -> dict[str, str]:
         "er_golden_record": golden_sql,
         "er_match_rule_report": rule_report_sql,
         "er_rule_kappa": rule_kappa_sql,
+        "er_source_reliability": source_reliability_sql,
         "er_token_cosine": token_cosine_sql,
         "er_weighted_jaccard": weighted_jaccard_sql,
         "er_nickname_matches": nickname_sql,
@@ -12297,7 +12359,7 @@ _DRIVER_ORDER = [
     "doc_readability", "doc_source_vocab_overlap", "er_nickname_matches",
     "lineitem_skew_report", "relational_integrity_checks",
     "events_conversion_lag", "embedding_elbow_inertia",
-    "events_conformance", "events_stickiness",
+    "events_conformance", "events_stickiness", "er_source_reliability",
 ]
 
 

@@ -624,3 +624,85 @@ def rater_kappa(df: DataFrame, a_col: str, b_col: str) -> DataFrame:
         .cast("long")
         .alias("kappa_ppm"),
     )
+
+
+def source_reliability(
+    records: DataFrame,
+    source_col: str,
+    label_col: str,
+    value_col,
+) -> DataFrame:
+    """Truth-discovery-lite source trust (the data-fusion readout,
+    Dong & Srivastava's accuracy prior): elect each entity's canonical
+    value by majority vote (ties to the lexicographically GREATEST
+    value — plain struct-max, deterministic on both engines), then score
+    each source by how often its records agree with their entity's
+    canonical — the per-source accuracy estimate that weighted-vote
+    fusion consumes next.
+
+    Singleton-entity caveat: an entity observed by one source alone
+    always "agrees" with itself; n_multi/n_multi_agree restrict to
+    entities with ≥ 2 distinct values observed, where disagreement is
+    possible — the honest column to rank sources by.
+
+    Scale notes: one (entity, value) partial agg, one entity-keyed
+    struct-max election, a broadcast-sized canonical join back (entity
+    scale), then a source-keyed finalize. Exact counts and ppm.
+
+    Returns (source, n_records, n_agree, reliability_ppm, n_multi,
+    n_multi_agree, multi_reliability_ppm).
+    """
+    base = records.select(
+        F.col(source_col).alias("src"),
+        F.col(label_col).alias("ent"),
+        (F.col(value_col) if isinstance(value_col, str) else value_col).alias(
+            "val"
+        ),
+    ).filter("ent IS NOT NULL AND val IS NOT NULL")
+    vc = base.groupBy("ent", "val").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    canon = vc.groupBy("ent").agg(
+        F.max(F.struct(F.col("c"), F.col("val"))).alias("m"),
+        F.count(F.lit(1)).cast("long").alias("n_vals"),
+    ).select(
+        "ent", F.col("m.val").alias("canon"), "n_vals"
+    )
+    j = base.join(canon, "ent").select(
+        "src",
+        (F.col("val") == F.col("canon")).alias("agree"),
+        (F.col("n_vals") > 1).alias("multi"),
+    )
+    agg = j.groupBy("src").agg(
+        F.count(F.lit(1)).cast("long").alias("n_records"),
+        F.coalesce(F.sum(F.when(F.col("agree"), 1)), F.lit(0))
+        .cast("long")
+        .alias("n_agree"),
+        F.coalesce(F.sum(F.when(F.col("multi"), 1)), F.lit(0))
+        .cast("long")
+        .alias("n_multi"),
+        F.coalesce(
+            F.sum(F.when(F.col("multi") & F.col("agree"), 1)), F.lit(0)
+        )
+        .cast("long")
+        .alias("n_multi_agree"),
+    )
+    return agg.select(
+        F.col("src").alias(source_col),
+        "n_records",
+        "n_agree",
+        F.expr(
+            "CASE WHEN n_records > 0 THEN (1000000 * n_agree) div n_records"
+            " ELSE 0 END"
+        )
+        .cast("long")
+        .alias("reliability_ppm"),
+        "n_multi",
+        "n_multi_agree",
+        F.expr(
+            "CASE WHEN n_multi > 0 THEN (1000000 * n_multi_agree) div n_multi"
+            " END"
+        )
+        .cast("long")
+        .alias("multi_reliability_ppm"),
+    )

@@ -2536,3 +2536,36 @@ def test_stickiness_hand_computed(spark):
     # observed weeks only: 2 weeks, wau_sum 2, mau 1 -> perfect 1.0
     assert (p1["n_weeks"], p1["wau_sum"], p1["mau"]) == (2, 2, 1)
     assert p1["stickiness_ppm"] == 1_000_000
+
+
+def test_source_reliability_hand_computed(spark):
+    from pyspark.sql import functions as F
+
+    from blink_spark.operators.eval import source_reliability
+
+    rows = [
+        # entity 1: 'acme' wins 2-1; src X agrees twice, src Y dissents
+        ("X", 1, "acme"), ("X", 1, "acme"), ("Y", 1, "acme inc"),
+        # entity 2: singleton value — counts toward n_records only
+        ("Y", 2, "zeta"),
+        # entity 3: tie 1-1 -> lexicographically greatest ('bb') wins
+        ("X", 3, "aa"), ("Y", 3, "bb"),
+    ]
+    df = spark.createDataFrame(rows, ["world", "label_id", "mention"])
+    got = {
+        r["world"]: r
+        for r in source_reliability(
+            df, "world", "label_id", F.col("mention")
+        ).collect()
+    }
+    x = got["X"]
+    # X: e1 agree x2, e3 'aa' loses tie -> 2/3; contested-only: 2/3 too
+    assert (x["n_records"], x["n_agree"]) == (3, 2)
+    assert (x["n_multi"], x["n_multi_agree"]) == (3, 2)
+    assert x["multi_reliability_ppm"] == (1_000_000 * 2) // 3
+    y = got["Y"]
+    # Y: e1 dissent, e2 singleton auto-agree, e3 'bb' wins -> 2/3 overall
+    assert (y["n_records"], y["n_agree"]) == (3, 2)
+    # contested-only: e1 dissent + e3 agree = 1/2 — the honest column
+    assert (y["n_multi"], y["n_multi_agree"]) == (2, 1)
+    assert y["multi_reliability_ppm"] == 500_000

@@ -6815,6 +6815,23 @@ def _er_source_reliability(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@_q("er_weighted_vote_fusion", None)  # oracle injected below (fixture path)
+def _er_weighted_vote_fusion(spark: SparkSession, sf: str) -> DataFrame:
+    """Reliability-weighted canonical re-election (truth-discovery round
+    2): each entity's surface re-voted with per-world trust weights from
+    er_source_reliability (neutral 500000 ppm prior for never-contested
+    worlds); emits majority vs weighted winners and the changed flag —
+    the fusion step that lets one good source out-vote two mirrors of a
+    bad one."""
+    from blink_spark.functions.text import normalize_text
+    from blink_spark.operators.eval import weighted_vote_fusion
+
+    m = _fx(spark, "mentions")
+    return weighted_vote_fusion(
+        m, "world", "label_id", normalize_text(F.col("mention"))
+    )
+
+
 @_q("er_rule_kappa", None)  # oracle injected below (fixture path)
 def _er_rule_kappa(spark: SparkSession, sf: str) -> DataFrame:
     """Cohen's kappa between the two fuzzy match rules (token-Jaccard vs
@@ -8992,6 +9009,66 @@ def _er_oracles() -> dict[str, str]:
                THEN (1000000 * n_multi_agree) // n_multi END)::BIGINT
                AS multi_reliability_ppm
       FROM agg
+    """
+    # er_weighted_vote_fusion: round-2 weighted re-election on top of the
+    # reliability CTEs; weight = contested reliability (500000 prior).
+    weighted_fusion_sql = f"""
+      WITH base AS (
+        SELECT world AS src, label_id AS ent, {_norm_m} AS val
+        FROM read_parquet('{men}')
+        WHERE label_id IS NOT NULL AND {_norm_m} IS NOT NULL
+      ),
+      vc AS (SELECT ent, val, count(*)::BIGINT AS c FROM base GROUP BY 1, 2),
+      canon AS (
+        SELECT ent, val AS canon, n_vals FROM (
+          SELECT ent, val, c,
+                 row_number() OVER (PARTITION BY ent
+                                    ORDER BY c DESC, val DESC) AS rn,
+                 count(*) OVER (PARTITION BY ent)::BIGINT AS n_vals
+          FROM vc
+        ) WHERE rn = 1
+      ),
+      jr AS (
+        SELECT b.src, (b.val = c.canon) AS agree, (c.n_vals > 1) AS multi
+        FROM base b JOIN canon c ON c.ent = b.ent
+      ),
+      rel AS (
+        SELECT src,
+               coalesce(
+                 CASE WHEN coalesce(sum(CASE WHEN multi THEN 1 END), 0) > 0
+                   THEN (1000000 *
+                         coalesce(sum(CASE WHEN multi AND agree THEN 1 END),
+                                  0))
+                        // coalesce(sum(CASE WHEN multi THEN 1 END), 0)
+                 END, 500000)::BIGINT AS w
+        FROM jr GROUP BY 1
+      ),
+      maj AS (
+        SELECT ent, val AS canon_majority, n_records, n_values FROM (
+          SELECT ent, val, c,
+                 row_number() OVER (PARTITION BY ent
+                                    ORDER BY c DESC, val DESC) AS rn,
+                 sum(c) OVER (PARTITION BY ent)::BIGINT AS n_records,
+                 count(*) OVER (PARTITION BY ent)::BIGINT AS n_values
+          FROM vc
+        ) WHERE rn = 1
+      ),
+      wv AS (
+        SELECT ent, val AS canon_weighted FROM (
+          SELECT s.ent, s.val,
+                 row_number() OVER (PARTITION BY s.ent
+                                    ORDER BY s.score DESC, s.val DESC) AS rn
+          FROM (
+            SELECT b.ent, b.val, sum(r.w)::BIGINT AS score
+            FROM base b JOIN rel r ON r.src = b.src
+            GROUP BY 1, 2
+          ) s
+        ) WHERE rn = 1
+      )
+      SELECT maj.ent AS label_id, maj.canon_majority, wv.canon_weighted,
+             (maj.canon_majority != wv.canon_weighted) AS changed,
+             maj.n_records, maj.n_values
+      FROM maj JOIN wv ON wv.ent = maj.ent
     """
     # er_rule_kappa: chance-corrected agreement of the two fuzzy rules in
     # ONE exact fraction kappa = (n·g − P)/(n² − P), spearman-staged
@@ -11806,6 +11883,7 @@ def _er_oracles() -> dict[str, str]:
         "er_match_rule_report": rule_report_sql,
         "er_rule_kappa": rule_kappa_sql,
         "er_source_reliability": source_reliability_sql,
+        "er_weighted_vote_fusion": weighted_fusion_sql,
         "er_token_cosine": token_cosine_sql,
         "er_weighted_jaccard": weighted_jaccard_sql,
         "er_nickname_matches": nickname_sql,
@@ -12360,6 +12438,7 @@ _DRIVER_ORDER = [
     "lineitem_skew_report", "relational_integrity_checks",
     "events_conversion_lag", "embedding_elbow_inertia",
     "events_conformance", "events_stickiness", "er_source_reliability",
+    "er_weighted_vote_fusion",
 ]
 
 

@@ -706,3 +706,68 @@ def source_reliability(
         .cast("long")
         .alias("multi_reliability_ppm"),
     )
+
+
+def weighted_vote_fusion(
+    records: DataFrame,
+    source_col: str,
+    label_col: str,
+    value_col,
+) -> DataFrame:
+    """Second truth-discovery round: re-elect each entity's canonical
+    value with votes WEIGHTED by source reliability (the accuracy-prior
+    iteration of Dong & Srivastava — a source that usually agrees with
+    consensus counts for more, so one good source can out-vote two
+    mirrors of a bad one). Round 1 is ``source_reliability``'s
+    majority + trust estimate; this round re-runs the election with
+    vote weight = the source's contested-entity reliability (ppm;
+    sources never seen on a contested entity get the neutral 500000
+    prior). All integers; ties to the lexicographically greatest value,
+    the round-1 convention.
+
+    Scale notes: reuses round 1's aggregates (entity-scale + a tiny
+    per-source weight table broadcast onto the (entity, value, source)
+    vote rows), one weighted partial agg, one entity-keyed struct-max.
+
+    Returns one row per entity: (entity, canon_majority, canon_weighted,
+    changed, n_records, n_values).
+    """
+    base = records.select(
+        F.col(source_col).alias("src"),
+        F.col(label_col).alias("ent"),
+        (F.col(value_col) if isinstance(value_col, str) else value_col).alias(
+            "val"
+        ),
+    ).filter("ent IS NOT NULL AND val IS NOT NULL")
+    rel = source_reliability(records, source_col, label_col, value_col).select(
+        F.col(source_col).alias("src"),
+        F.coalesce("multi_reliability_ppm", F.lit(500000))
+        .cast("long")
+        .alias("w"),
+    )
+    vc = base.groupBy("ent", "val").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    maj = vc.groupBy("ent").agg(
+        F.max(F.struct(F.col("c"), F.col("val"))).alias("m"),
+        F.sum("c").cast("long").alias("n_records"),
+        F.count(F.lit(1)).cast("long").alias("n_values"),
+    ).select(
+        "ent", F.col("m.val").alias("canon_majority"), "n_records", "n_values"
+    )
+    wv = (
+        base.join(F.broadcast(rel), "src")
+        .groupBy("ent", "val")
+        .agg(F.sum("w").cast("long").alias("score"))
+        .groupBy("ent")
+        .agg(F.max(F.struct(F.col("score"), F.col("val"))).alias("m"))
+        .select("ent", F.col("m.val").alias("canon_weighted"))
+    )
+    return maj.join(wv, "ent").select(
+        F.col("ent").alias(label_col),
+        "canon_majority",
+        "canon_weighted",
+        (F.col("canon_majority") != F.col("canon_weighted")).alias("changed"),
+        "n_records",
+        "n_values",
+    )

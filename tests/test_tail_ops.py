@@ -2569,3 +2569,36 @@ def test_source_reliability_hand_computed(spark):
     # contested-only: e1 dissent + e3 agree = 1/2 — the honest column
     assert (y["n_multi"], y["n_multi_agree"]) == (2, 1)
     assert y["multi_reliability_ppm"] == 500_000
+
+
+def test_weighted_vote_fusion_hand_computed(spark):
+    from pyspark.sql import functions as F
+
+    from blink_spark.operators.eval import weighted_vote_fusion
+
+    # Worlds G (good) and B1/B2 (mirrored bad source). Calibration
+    # entities 1-3 establish trust: G always agrees with consensus,
+    # B1/B2 never do on contested entities.
+    rows = []
+    for ent in (1, 2, 3, 4, 5, 6):
+        rows += [("G", ent, "right"), ("G2", ent, "right"),
+                 ("B1", ent, "wrong%d" % ent)]
+    # entity 9: G says 'x', B1+B2 both say 'y' -> majority 'y', but
+    # weighted vote must flip to 'x' (G's weight 1e6 vs B's low)
+    rows += [("G", 9, "x"), ("B1", 9, "y"), ("B1", 9, "y")]
+    df = spark.createDataFrame(rows, ["world", "label_id", "mention"])
+    got = {
+        r["label_id"]: r
+        for r in weighted_vote_fusion(
+            df, "world", "label_id", F.col("mention")
+        ).collect()
+    }
+    e9 = got[9]
+    assert e9["canon_majority"] == "y"
+    assert e9["canon_weighted"] == "x"
+    assert e9["changed"] is True
+    assert (e9["n_records"], e9["n_values"]) == (3, 2)
+    # calibration entities: both rounds agree
+    assert got[1]["changed"] is False and got[1]["canon_weighted"] == "right"
+    # hand-check the weights that flip e9: G agrees 6/7 contested
+    # (disagrees on e9), B1 agrees 2/8 -> x: 857142 > y: 2*250000

@@ -1997,6 +1997,65 @@ def _relational_integrity_checks(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @_q(
+    "orders_fd_profile",
+    """
+    WITH cand AS (
+      SELECT 'o_orderkey' AS lhs, 'o_orderstatus' AS rhs,
+             o_orderkey::VARCHAR AS l, o_orderstatus::VARCHAR AS r
+      FROM orders
+      UNION ALL
+      SELECT 'o_custkey', 'o_orderpriority',
+             o_custkey::VARCHAR, o_orderpriority::VARCHAR
+      FROM orders
+      UNION ALL
+      SELECT 'o_orderpriority', 'o_orderstatus',
+             o_orderpriority::VARCHAR, o_orderstatus::VARCHAR
+      FROM orders
+    ),
+    vc AS (
+      SELECT lhs, rhs, l, r, count(*)::BIGINT AS c
+      FROM cand GROUP BY 1, 2, 3, 4
+    ),
+    g AS (
+      SELECT lhs, rhs, l, sum(c)::BIGINT AS gs, max(c)::BIGINT AS modal
+      FROM vc GROUP BY 1, 2, 3
+    )
+    SELECT lhs, rhs, coalesce(sum(gs), 0)::BIGINT AS n_rows,
+           count(*)::BIGINT AS n_groups,
+           coalesce(sum(gs - modal), 0)::BIGINT AS n_violations,
+           (CASE WHEN coalesce(sum(gs), 0) > 0 THEN
+              1000000 - (1000000 * coalesce(sum(gs - modal), 0))
+                        // sum(gs)
+            ELSE 1000000 END)::BIGINT AS fd_strength_ppm
+    FROM g GROUP BY 1, 2
+    """,
+)
+def _orders_fd_profile(spark: SparkSession, sf: str) -> DataFrame:
+    """Approximate functional-dependency discovery over orders (g3
+    error, Kivinen-Mannila): minimum row deletions for LHS -> RHS to
+    hold, per candidate pair — o_orderkey -> o_orderstatus must be
+    exactly 1e6 (key), the others measure real dependency strength.
+    Value-pair partial agg + lhs-keyed modal struct-max + pair
+    finalize; exact integers."""
+    from blink_spark.operators.profile import fd_profile
+
+    od = _t(spark, sf, "orders").select(
+        F.expr("cast(o_orderkey as string)").alias("o_orderkey"),
+        F.expr("cast(o_custkey as string)").alias("o_custkey"),
+        "o_orderstatus",
+        "o_orderpriority",
+    )
+    return fd_profile(
+        od,
+        [
+            ("o_orderkey", "o_orderstatus"),
+            ("o_custkey", "o_orderpriority"),
+            ("o_orderpriority", "o_orderstatus"),
+        ],
+    )
+
+
+@_q(
     "lineitem_skew_report",
     """
     WITH long AS (
@@ -12438,7 +12497,7 @@ _DRIVER_ORDER = [
     "lineitem_skew_report", "relational_integrity_checks",
     "events_conversion_lag", "embedding_elbow_inertia",
     "events_conformance", "events_stickiness", "er_source_reliability",
-    "er_weighted_vote_fusion",
+    "er_weighted_vote_fusion", "orders_fd_profile",
 ]
 
 

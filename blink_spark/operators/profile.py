@@ -675,3 +675,59 @@ def skew_report(df: DataFrame, keys: dict[str, str]) -> DataFrame:
             .alias("salt_factor"),
         )
     )
+
+
+def fd_profile(df: DataFrame, pairs: list[tuple[str, str]]) -> DataFrame:
+    """Approximate functional-dependency discovery (the TANE/Papenbrock
+    profiling family): for each candidate LHS → RHS column pair, the
+    minimum number of rows that must be deleted for the FD to hold
+    exactly — Σ over LHS groups of (group size − modal RHS count), the
+    g3 error measure (Kivinen & Mannila). fd_strength_ppm = 1 − g3/n;
+    1e6 means the dependency holds exactly (a key, a derived column, a
+    denormalization check), just-below means dirty data violating a real
+    rule — the repair-candidate readout.
+
+    Exact integers: one (lhs, rhs) partial agg per pair collapses rows
+    to value-pair scale, the modal count is a struct-max inside the
+    lhs-keyed agg, and the violation sum is a pair-name-keyed finalize.
+    NULLs: a NULL LHS forms a real group; NULL RHS values count as a
+    value (two NULLs agree) — mirrored in SQL via count(*) semantics,
+    not count(col).
+
+    Returns (lhs, rhs, n_rows, n_groups, n_violations,
+    fd_strength_ppm).
+    """
+    out = None
+    for lhs, rhs in pairs:
+        vc = (
+            df.groupBy(
+                F.col(lhs).alias("l"), F.col(rhs).alias("r")
+            )
+            .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        )
+        g = vc.groupBy("l").agg(
+            F.sum("c").cast("long").alias("gs"),
+            F.max("c").cast("long").alias("modal"),
+        )
+        row = g.agg(
+            F.coalesce(F.sum("gs"), F.lit(0)).cast("long").alias("n_rows"),
+            F.count(F.lit(1)).cast("long").alias("n_groups"),
+            F.coalesce(F.sum(F.expr("gs - modal")), F.lit(0))
+            .cast("long")
+            .alias("n_violations"),
+        ).select(
+            F.lit(lhs).alias("lhs"),
+            F.lit(rhs).alias("rhs"),
+            "n_rows",
+            "n_groups",
+            "n_violations",
+            F.expr(
+                "CASE WHEN n_rows > 0 THEN"
+                " 1000000 - (1000000 * n_violations) div n_rows"
+                " ELSE 1000000 END"
+            )
+            .cast("long")
+            .alias("fd_strength_ppm"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

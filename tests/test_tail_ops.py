@@ -2602,3 +2602,24 @@ def test_weighted_vote_fusion_hand_computed(spark):
     assert got[1]["changed"] is False and got[1]["canon_weighted"] == "right"
     # hand-check the weights that flip e9: G agrees 6/7 contested
     # (disagrees on e9), B1 agrees 2/8 -> x: 857142 > y: 2*250000
+
+
+def test_fd_profile_hand_computed(spark):
+    from blink_spark.operators.profile import fd_profile
+
+    rows = [
+        ("a", "x", None), ("a", "x", None), ("a", "y", "p"),
+        ("b", "z", "p"), (None, "z", "p"), (None, "z", "p"),
+    ]
+    df = spark.createDataFrame(rows, ["k", "v", "w"])
+    got = {
+        (r["lhs"], r["rhs"]): r
+        for r in fd_profile(df, [("k", "v"), ("k", "w")]).collect()
+    }
+    kv = got[("k", "v")]
+    # groups: a -> {x:2, y:1} (1 violation), b -> {z:1}, NULL -> {z:2}
+    assert (kv["n_rows"], kv["n_groups"], kv["n_violations"]) == (6, 3, 1)
+    assert kv["fd_strength_ppm"] == 1_000_000 - (1_000_000 * 1) // 6
+    kw = got[("k", "w")]
+    # a -> {NULL:2, p:1}: two NULL RHS agree with each other -> 1 viol
+    assert kw["n_violations"] == 1

@@ -389,6 +389,10 @@ ALLOWLIST: dict[str, frozenset[str]] = {
     "events_conformance": frozenset(
         {"BroadcastNestedLoopJoin", "Exchange SinglePartition"}
     ),
+    # orders_fd_profile: one one-row violation finalize per candidate
+    # pair (map-side partials over the value-pair tables — fs_weights
+    # class), unioned into the 3-row report.
+    "orders_fd_profile": frozenset({"Exchange SinglePartition"}),
 }
 
 # Exchange SinglePartition is only allowed when feeding a scalar finalize:

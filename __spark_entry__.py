@@ -1158,6 +1158,74 @@ def _doc_source_vocab_overlap(spark: SparkSession, sf: str) -> DataFrame:
     return source_vocab_overlap(_t(spark, sf, "documents"))
 
 
+def _rake_stoplist() -> str:
+    from blink_spark.functions.text import STOPWORDS
+
+    return ", ".join(f"'{w}'" for w in sorted(STOPWORDS["en"]))
+
+
+@_q(
+    "doc_rake_keywords",
+    f"""
+    WITH m AS (SELECT doc_id AS d, {_norm('text')} AS norm FROM documents),
+    ex AS (
+      SELECT d, generate_subscripts(string_split(norm, ' '), 1)::BIGINT
+               AS pos,
+             unnest(string_split(norm, ' ')) AS tok
+      FROM m
+    ),
+    exx AS (
+      SELECT d, pos, tok,
+             (CASE WHEN tok IN ({{stoplist}}) THEN 1 ELSE 0 END)::BIGINT
+               AS is_stop
+      FROM ex WHERE tok != ''
+    ),
+    seg AS (
+      SELECT d, pos, tok, is_stop,
+             sum(is_stop) OVER (PARTITION BY d ORDER BY pos
+                                ROWS UNBOUNDED PRECEDING)::BIGINT AS seg
+      FROM exx
+    ),
+    words AS (SELECT d, seg, pos, tok FROM seg WHERE is_stop = 0),
+    ph AS (
+      SELECT d, seg, count(*)::BIGINT AS plen,
+             array_to_string(list(tok ORDER BY pos), ' ') AS phrase
+      FROM words GROUP BY 1, 2 HAVING count(*) <= 4
+    ),
+    wk AS (
+      SELECT w.d, w.seg, w.tok, p.plen
+      FROM words w JOIN ph p ON p.d = w.d AND p.seg = w.seg
+    ),
+    ws AS (
+      SELECT tok, ((1000 * sum(plen)) // count(*))::BIGINT AS wscore
+      FROM wk GROUP BY 1
+    ),
+    ps AS (
+      SELECT wk.d, wk.seg, sum(ws.wscore)::BIGINT AS score
+      FROM wk JOIN ws ON ws.tok = wk.tok GROUP BY 1, 2
+    ),
+    j AS (
+      SELECT ph.phrase, ph.plen, ps.score
+      FROM ps JOIN ph ON ph.d = ps.d AND ph.seg = ps.seg
+    )
+    SELECT phrase, max(plen)::BIGINT AS n_words,
+           count(*)::BIGINT AS n_occurrences,
+           max(score)::BIGINT AS score_milli
+    FROM j GROUP BY 1 HAVING count(*) >= 2
+    """.format(stoplist=_rake_stoplist()),
+)
+def _doc_rake_keywords(spark: SparkSession, sf: str) -> DataFrame:
+    """RAKE keyword extraction: stopword-delimited phrases scored by
+    word degree/frequency — segmentation is a PURELY relational per-doc
+    running stopword count (no word-boundary regex in the parity
+    surface), phrases capped at 4 words, deterministic occurrence
+    threshold instead of top-k; shared stoplist constant feeds both
+    engines. Exact integer milli scores."""
+    from blink_spark.operators.corpus import rake_keywords
+
+    return rake_keywords(_t(spark, sf, "documents"))
+
+
 @_q(
     "doc_simpson_diversity",
     f"""
@@ -12497,7 +12565,7 @@ _DRIVER_ORDER = [
     "lineitem_skew_report", "relational_integrity_checks",
     "events_conversion_lag", "embedding_elbow_inertia",
     "events_conformance", "events_stickiness", "er_source_reliability",
-    "er_weighted_vote_fusion", "orders_fd_profile",
+    "er_weighted_vote_fusion", "orders_fd_profile", "doc_rake_keywords",
 ]
 
 

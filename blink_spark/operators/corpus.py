@@ -1796,3 +1796,91 @@ def source_vocab_overlap(
             .alias("jaccard_ppm"),
         )
     )
+
+
+def rake_keywords(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_phrase_len: int = 4,
+    min_occurrences: int = 2,
+) -> DataFrame:
+    """RAKE keyword extraction (Rose et al. 2010) — stopword-delimited
+    candidate phrases scored by their words' degree/frequency ratio:
+    words that appear inside longer multi-word phrases (high degree)
+    and rarely alone (low frequency) mark domain keyphrases. The
+    segmentation is PURELY relational: a per-doc running count of
+    stopword positions numbers the phrase segments (no word-boundary
+    regex — cross-engine \\b semantics stay out of the parity surface);
+    candidate phrases longer than ``max_phrase_len`` are dropped before
+    scoring (the RAKE convention — degenerate runs otherwise dominate
+    degree).
+
+    Exact integers: deg(w) = Σ phrase-length over w's occurrences,
+    freq(w) = occurrence count, word score = (1000·deg) div freq,
+    phrase score = Σ word scores — identical for identical phrase text,
+    so the final text-keyed collapse takes max = min. Deterministic
+    threshold (``min_occurrences``) instead of top-k.
+
+    Scale notes: one doc-keyed window (the sessionize layout), phrase
+    and vocabulary partial aggs, a vocabulary-keyed score join back —
+    nothing row-scale after segmentation, no scalar finalizes.
+
+    Returns (phrase, n_words, n_occurrences, score_milli).
+    """
+    from blink_spark.functions.text import STOPWORDS, normalize_text
+
+    ex = docs.select(
+        F.col(id_col).alias("d"),
+        F.posexplode(
+            F.split(normalize_text(F.col(text_col)), " ")
+        ).alias("pos", "tok"),
+    ).filter(F.col("tok") != "")
+    stops = sorted(STOPWORDS["en"])
+    ex = ex.withColumn(
+        "is_stop", F.col("tok").isin(stops).cast("long")
+    )
+    w = (
+        Window.partitionBy("d")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    seg = ex.withColumn("seg", F.sum("is_stop").over(w).cast("long"))
+    words = seg.filter("is_stop = 0").select("d", "seg", "pos", "tok")
+    ph = (
+        words.groupBy("d", "seg")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("plen"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                    lambda s: s["tok"],
+                ),
+                " ",
+            ).alias("phrase"),
+        )
+        .filter(F.col("plen") <= int(max_phrase_len))
+    )
+    wk = words.join(ph.select("d", "seg", "plen"), ["d", "seg"])
+    ws = wk.groupBy("tok").agg(
+        F.count(F.lit(1)).cast("long").alias("freq"),
+        F.sum("plen").cast("long").alias("deg"),
+    ).select(
+        "tok",
+        F.expr("(1000 * deg) div freq").cast("long").alias("wscore"),
+    )
+    ps = (
+        wk.join(ws, "tok")
+        .groupBy("d", "seg")
+        .agg(F.sum("wscore").cast("long").alias("score_milli"))
+        .join(ph, ["d", "seg"])
+    )
+    return (
+        ps.groupBy("phrase")
+        .agg(
+            F.max("plen").cast("long").alias("n_words"),
+            F.count(F.lit(1)).cast("long").alias("n_occurrences"),
+            F.max("score_milli").cast("long").alias("score_milli"),
+        )
+        .filter(F.col("n_occurrences") >= int(min_occurrences))
+    )

@@ -2623,3 +2623,28 @@ def test_fd_profile_hand_computed(spark):
     kw = got[("k", "w")]
     # a -> {NULL:2, p:1}: two NULL RHS agree with each other -> 1 viol
     assert kw["n_violations"] == 1
+
+
+def test_rake_keywords_hand_computed(spark):
+    from blink_spark.operators.corpus import rake_keywords
+
+    # "machine learning" appears twice, delimited by stopwords; "data"
+    # appears alone twice. Stoplist: the/of/and/... (10 words).
+    docs = [
+        ("d1", "the machine learning of data"),
+        ("d2", "machine learning and data"),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = {
+        r["phrase"]: r for r in rake_keywords(df).collect()
+    }
+    # freq: machine 2, learning 2, data 2; deg: machine 4 (two 2-phrases)
+    # learning 4, data 2 -> wscore machine/learning 2000, data 1000
+    ml = got["machine learning"]
+    assert (ml["n_words"], ml["n_occurrences"]) == (2, 2)
+    assert ml["score_milli"] == 2000 + 2000
+    d = got["data"]
+    assert (d["n_words"], d["n_occurrences"], d["score_milli"]) == (
+        1, 2, 1000,
+    )
+    assert set(got) == {"machine learning", "data"}

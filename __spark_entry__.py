@@ -1658,6 +1658,73 @@ def _events_stickiness(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @_q(
+    "events_bot_flags",
+    """
+    WITH base AS (
+      SELECT user_id AS u, event_type AS t, ts, event_id
+      FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    ),
+    g AS (
+      SELECT u,
+             (epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY u
+                                                    ORDER BY ts, event_id)))
+               // 1000000 AS gap
+      FROM base
+    ),
+    gd AS (
+      SELECT u,
+             (CASE WHEN count(*) > 1 AND sum(gap) > 0 THEN
+                CASE WHEN (count(*) - 1) * sum(gap) >= 1000
+                 THEN (count(*) * sum(gap * gap) - sum(gap) * sum(gap))
+                      // (((count(*) - 1) * sum(gap)) // 1000)
+                 ELSE (1000 * (count(*) * sum(gap * gap)
+                               - sum(gap) * sum(gap)))
+                      // ((count(*) - 1) * sum(gap)) END
+              END)::BIGINT AS gap_disp_milli
+      FROM g WHERE gap IS NOT NULL GROUP BY 1
+    ),
+    tc AS (SELECT u, t, count(*)::BIGINT AS c FROM base GROUP BY 1, 2),
+    per AS (
+      SELECT u, sum(c)::BIGINT AS n_events, max(c)::BIGINT AS top_c
+      FROM tc GROUP BY 1
+    ),
+    nd AS (
+      SELECT u, count(DISTINCT ts::DATE)::BIGINT AS n_days
+      FROM base GROUP BY 1
+    ),
+    j AS (
+      SELECT per.u, per.n_events, nd.n_days,
+             ((1000 * per.n_events) // nd.n_days)::BIGINT AS rate_milli,
+             ((1000000 * per.top_c) // per.n_events)::BIGINT
+               AS top_share_ppm,
+             gd.gap_disp_milli
+      FROM per JOIN nd ON nd.u = per.u
+      LEFT JOIN gd ON gd.u = per.u
+    )
+    SELECT u AS user_id, n_events, n_days, rate_milli, top_share_ppm,
+           gap_disp_milli,
+           (rate_milli >= 5000) AS flag_rate,
+           (top_share_ppm >= 800000) AS flag_diversity,
+           coalesce(gap_disp_milli <= 100, false) AS flag_metronomic,
+           ((CASE WHEN rate_milli >= 5000 THEN 1 ELSE 0 END)
+            + (CASE WHEN top_share_ppm >= 800000 THEN 1 ELSE 0 END)
+            + (CASE WHEN coalesce(gap_disp_milli <= 100, false)
+               THEN 1 ELSE 0 END))::BIGINT AS bot_score
+    FROM j
+    """,
+)
+def _events_bot_flags(spark: SparkSession, sf: str) -> DataFrame:
+    """Rule-based bot screening per user: event rate per observed day,
+    modal-type share, and metronomic-timing (inter-event gap dispersion
+    in exact integer microseconds) — three separate flags + the 0-3
+    score so reviewers see WHY. Fixed deterministic thresholds; user-
+    keyed window + partial aggs, no scalars."""
+    from blink_spark.operators.temporal import bot_flags
+
+    return bot_flags(_t(spark, sf, "events"))
+
+
+@_q(
     "events_dispersion",
     """
     WITH daily AS (
@@ -12566,6 +12633,7 @@ _DRIVER_ORDER = [
     "events_conversion_lag", "embedding_elbow_inertia",
     "events_conformance", "events_stickiness", "er_source_reliability",
     "er_weighted_vote_fusion", "orders_fd_profile", "doc_rake_keywords",
+    "events_bot_flags",
 ]
 
 

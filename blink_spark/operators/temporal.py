@@ -1663,3 +1663,112 @@ def stickiness(
         .cast("long")
         .alias("stickiness_ppm"),
     )
+
+
+def bot_flags(
+    events: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    rate_milli_min: int = 5000,
+    top_share_ppm_min: int = 800000,
+    gap_disp_milli_max: int = 100,
+) -> DataFrame:
+    """Rule-based bot/abuse screening per user — the three classic
+    behavioural tells, each an exact integer feature: (1) RATE — events
+    per observed day in milli (humans browse, scripts hammer); (2) LOW
+    DIVERSITY — the modal event type's share (a scraper emits one
+    verb); (3) METRONOMIC TIMING — the index of dispersion of
+    inter-event gaps (the Poisson/burstiness fraction (n·Q − S²)/
+    ((n−1)·S) on whole-SECOND gaps — µs would overflow the squared sum —
+    spearman-staged, in milli): human gaps are
+    overdispersed, cron-like automation sits near zero. Thresholds are
+    fixed constants (deterministic — no data-dependent cutoffs), each
+    flag is emitted separately plus the 0-3 score so reviewers see WHY.
+
+    Scale notes: one user-keyed window for gaps (the sessionize
+    layout), a (user, type) partial agg for the modal share, user-keyed
+    finalizes — no scalars, no joins beyond user-keyed merges.
+
+    Returns (user, n_events, n_days, rate_milli, top_share_ppm,
+    gap_disp_milli, flag_rate, flag_diversity, flag_metronomic,
+    bot_score).
+    """
+    base = events.filter(
+        F.col(user_col).isNotNull() & F.col(ts_col).isNotNull()
+    )
+    g = base.select(
+        F.col(user_col).alias("u"),
+        F.expr(
+            f"timestampdiff(MICROSECOND, lag({ts_col}) OVER (PARTITION BY"
+            f" {user_col} ORDER BY {ts_col}, {id_col}), {ts_col})"
+            " div 1000000"
+        ).alias("gap"),
+    ).filter("gap IS NOT NULL")
+    gd = g.groupBy("u").agg(
+        F.count(F.lit(1)).cast("long").alias("ng"),
+        F.sum("gap").cast("long").alias("s"),
+        F.sum(F.expr("gap * gap")).cast("long").alias("q"),
+    ).select(
+        "u",
+        # spearman staging: 1000*(ng*q - s*s) can pass 2^63 on long
+        # horizons, (num) div (den div 1000) cannot; exact while
+        # ng*max_gap*span_s fits BIGINT (documented bound)
+        F.expr(
+            "CASE WHEN ng > 1 AND s > 0 THEN"
+            " CASE WHEN (ng - 1) * s >= 1000"
+            "  THEN (ng * q - s * s) div (((ng - 1) * s) div 1000)"
+            "  ELSE (1000 * (ng * q - s * s)) div ((ng - 1) * s) END"
+            " END"
+        )
+        .cast("long")
+        .alias("gap_disp_milli"),
+    )
+    tc = base.groupBy(
+        F.col(user_col).alias("u"), F.col(type_col).alias("t")
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    per = tc.groupBy("u").agg(
+        F.sum("c").cast("long").alias("n_events"),
+        F.max("c").cast("long").alias("top_c"),
+    )
+    nd = (
+        base.select(
+            F.col(user_col).alias("u"),
+            F.expr(f"to_date({ts_col})").alias("day"),
+        )
+        .distinct()
+        .groupBy("u")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_days"))
+    )
+    j = (
+        per.join(nd, "u")
+        .join(gd, "u", "left")
+        .withColumn(
+            "rate_milli",
+            F.expr("(1000 * n_events) div n_days").cast("long"),
+        )
+        .withColumn(
+            "top_share_ppm",
+            F.expr("(1000000 * top_c) div n_events").cast("long"),
+        )
+    )
+    fr = F.col("rate_milli") >= int(rate_milli_min)
+    fd = F.col("top_share_ppm") >= int(top_share_ppm_min)
+    fm = F.coalesce(
+        F.col("gap_disp_milli") <= int(gap_disp_milli_max), F.lit(False)
+    )
+    return j.select(
+        F.col("u").alias(user_col),
+        "n_events",
+        "n_days",
+        "rate_milli",
+        "top_share_ppm",
+        "gap_disp_milli",
+        fr.alias("flag_rate"),
+        fd.alias("flag_diversity"),
+        fm.alias("flag_metronomic"),
+        (
+            fr.cast("long") + fd.cast("long") + fm.cast("long")
+        ).alias("bot_score"),
+    )

@@ -2648,3 +2648,37 @@ def test_rake_keywords_hand_computed(spark):
         1, 2, 1000,
     )
     assert set(got) == {"machine learning", "data"}
+
+
+def test_bot_flags_hand_computed(spark):
+    import datetime as dt
+
+    from blink_spark.operators.temporal import bot_flags
+
+    T = lambda s: dt.datetime(2024, 1, 1) + dt.timedelta(seconds=s)
+    rows = []
+    # bot: 12 identical events, exactly 10s apart, one day -> all 3 flags
+    rows += [(100 + i, 1, "click", T(10 * i)) for i in range(12)]
+    # human: 4 mixed events across 2 days, irregular gaps -> no flags
+    rows += [
+        (1, 2, "view", T(0)), (2, 2, "click", T(500)),
+        (3, 2, "purchase", T(7000)),
+        (4, 2, "view", T(86400 * 1 + 123)),
+    ]
+    df = spark.createDataFrame(
+        rows, ["event_id", "user_id", "event_type", "ts"]
+    )
+    got = {r["user_id"]: r for r in bot_flags(df).collect()}
+    b = got[1]
+    assert (b["n_events"], b["n_days"], b["rate_milli"]) == (12, 1, 12000)
+    assert b["top_share_ppm"] == 1_000_000
+    assert b["gap_disp_milli"] == 0  # perfectly regular
+    assert (b["flag_rate"], b["flag_diversity"], b["flag_metronomic"]) == (
+        True, True, True,
+    )
+    assert b["bot_score"] == 3
+    h = got[2]
+    assert h["n_days"] == 2 and h["rate_milli"] == 2000
+    assert h["top_share_ppm"] == 500_000
+    assert h["gap_disp_milli"] > 100  # irregular human gaps
+    assert h["bot_score"] == 0

@@ -7656,6 +7656,32 @@ def _er_degree_distribution(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@_q("er_assortativity", None)  # oracle injected below (fixture path)
+def _er_assortativity(spark: SparkSession, sf: str) -> DataFrame:
+    """Degree assortativity of the gold match graph (Newman 2002, rank
+    form): Spearman rho over the bidirectional edges' endpoint-degree
+    pairs — positive means hubs link hubs (merge cascades concentrate),
+    negative means hub-leaf stars (classic dirty-data hubs). Reuses the
+    exact-integer spearman machinery (x2 average ranks from value-
+    frequency running sums), so the whole readout is BIGINT."""
+    from blink_spark.operators.cluster import _bidirectional
+    from blink_spark.operators.profile import spearman_matrix
+
+    e = _bidirectional(_gold_match_edges(spark))
+    deg = e.groupBy("u").agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    ed = (
+        e.join(deg.select(F.col("u"), F.col("deg").alias("deg_u")), "u")
+        .join(
+            deg.select(
+                F.col("u").alias("v"), F.col("deg").alias("deg_v")
+            ),
+            "v",
+        )
+        .select("deg_u", "deg_v")
+    )
+    return spearman_matrix(ed, ["deg_u", "deg_v"])
+
+
 @_q("er_match_pagerank", None)  # oracle injected below (fixture path)
 def _er_match_pagerank(spark: SparkSession, sf: str) -> DataFrame:
     """Integer-exact 3-iteration PageRank over the gold match graph — hub
@@ -10949,6 +10975,44 @@ def _er_oracles() -> dict[str, str]:
         # BIGINT floor division ('//' here, 'div' in Spark — identical on the
         # non-negative values involved); sums cast ::BIGINT before arithmetic
         # so DuckDB never surfaces HUGEINT to the comparator
+        # er_assortativity: spearman window-rank twin over the endpoint
+        # degree pairs of the SAME raw/e/deg CTEs.
+        "er_assortativity": f"""
+          WITH raw AS (
+            SELECT least(mention_id_a, mention_id_b) AS u,
+                   greatest(mention_id_a, mention_id_b) AS v
+            FROM read_parquet('{gold}')
+            WHERE same_entity AND mention_id_a != mention_id_b
+            GROUP BY 1, 2
+          ),
+          e AS (SELECT u, v FROM raw UNION ALL SELECT v, u FROM raw),
+          deg AS (SELECT u, count(*)::BIGINT AS deg FROM e GROUP BY u),
+          ed AS (
+            SELECT da.deg AS dq, db.deg AS dp
+            FROM e JOIN deg da ON da.u = e.u JOIN deg db ON db.u = e.v
+          ),
+          r AS (
+            SELECT (2 * rank() OVER (ORDER BY dq)
+                    + count(*) OVER (PARTITION BY dq) - 1)::BIGINT AS rq,
+                   (2 * rank() OVER (ORDER BY dp)
+                    + count(*) OVER (PARTITION BY dp) - 1)::BIGINT AS rp
+            FROM ed
+          ),
+          nd AS (
+            SELECT count(*)::BIGINT AS n,
+                   count(DISTINCT dq)::BIGINT AS nda,
+                   count(DISTINCT dp)::BIGINT AS ndb
+            FROM ed
+          ),
+          s AS (SELECT sum((rq - rp) * (rq - rp))::BIGINT AS d2 FROM r),
+          t AS (
+            SELECT n, nda, ndb, d2 AS sum_d2_4x FROM nd, s
+          )
+          SELECT 'deg_u' AS col_a, 'deg_v' AS col_b, n,
+                 nda AS n_distinct_a, ndb AS n_distinct_b, sum_d2_4x,
+                 {_SPEARMAN_RHO_SQL} AS rho_ppm
+          FROM t
+        """,
         "er_degree_distribution": f"""
           WITH raw AS (
             SELECT least(mention_id_a, mention_id_b) AS u,
@@ -12633,7 +12697,7 @@ _DRIVER_ORDER = [
     "events_conversion_lag", "embedding_elbow_inertia",
     "events_conformance", "events_stickiness", "er_source_reliability",
     "er_weighted_vote_fusion", "orders_fd_profile", "doc_rake_keywords",
-    "events_bot_flags",
+    "events_bot_flags", "er_assortativity",
 ]
 
 

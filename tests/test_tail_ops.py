@@ -2682,3 +2682,50 @@ def test_bot_flags_hand_computed(spark):
     assert h["top_share_ppm"] == 500_000
     assert h["gap_disp_milli"] > 100  # irregular human gaps
     assert h["bot_score"] == 0
+
+
+def test_assortativity_star_vs_clique(spark):
+    from blink_spark.operators.cluster import _bidirectional
+    from blink_spark.operators.profile import spearman_matrix
+
+    # star: hub h linked to 4 leaves -> hub-leaf pairing, rho < 0
+    edges = [("h", "l%d" % i) for i in range(4)]
+    e = _bidirectional(
+        spark.createDataFrame(edges, ["u", "v"])
+    )
+    from pyspark.sql import functions as F
+
+    deg = e.groupBy("u").agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    ed = (
+        e.join(deg.select("u", F.col("deg").alias("deg_u")), "u")
+        .join(
+            deg.select(F.col("u").alias("v"), F.col("deg").alias("deg_v")),
+            "v",
+        )
+        .select("deg_u", "deg_v")
+    )
+    got = spearman_matrix(ed, ["deg_u", "deg_v"]).collect()[0]
+    assert got["n"] == 8
+    # rank2x: deg 1 (4 occ) -> 5, deg 4 -> 13; every row differs by 8
+    # -> sum d2 = 8 * 64 = 512; rho = 1e6 - (6*512*1e6)//(4*8*63) =
+    # -523809 — negative (disassortative), with the documented
+    # heavy-tie down-bias of the 6Σd² formula (|rho| < 1 under ties)
+    assert got["sum_d2_4x"] == 512
+    assert got["rho_ppm"] == 1_000_000 - (6 * 512 * 1_000_000) // 2016
+    assert got["rho_ppm"] == -523_809
+
+    # triangle clique: every endpoint degree 2 -> ties everywhere,
+    # degenerate rho of the tie formula is 1e6 - 6*0/... = handled: d2=0
+    tri = [("a", "b"), ("b", "c"), ("a", "c")]
+    e2 = _bidirectional(spark.createDataFrame(tri, ["u", "v"]))
+    deg2 = e2.groupBy("u").agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    ed2 = (
+        e2.join(deg2.select("u", F.col("deg").alias("deg_u")), "u")
+        .join(
+            deg2.select(F.col("u").alias("v"), F.col("deg").alias("deg_v")),
+            "v",
+        )
+        .select("deg_u", "deg_v")
+    )
+    got2 = spearman_matrix(ed2, ["deg_u", "deg_v"]).collect()[0]
+    assert got2["sum_d2_4x"] == 0 and got2["rho_ppm"] == 1_000_000

@@ -393,6 +393,13 @@ ALLOWLIST: dict[str, frozenset[str]] = {
     # pair (map-side partials over the value-pair tables — fs_weights
     # class), unioned into the 3-row report.
     "orders_fd_profile": frozenset({"Exchange SinglePartition"}),
+    # er_assortativity: the lineitem_spearman class — pair Σd² and n in
+    # ONE global scalar aggregate (map-side partials, one-row finalize);
+    # distinct counts are one-row finalizes of the degree-value frequency
+    # tables broadcast onto that row; ranks via two-phase running sums.
+    "er_assortativity": frozenset(
+        {"BroadcastNestedLoopJoin", "Exchange SinglePartition"}
+    ),
 }
 
 # Exchange SinglePartition is only allowed when feeding a scalar finalize:

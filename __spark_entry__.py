@@ -1158,6 +1158,39 @@ def _doc_source_vocab_overlap(spark: SparkSession, sf: str) -> DataFrame:
     return source_vocab_overlap(_t(spark, sf, "documents"))
 
 
+def _norm_ladder_oracle() -> str:
+    from blink_spark.operators.dedup import NORM_LADDER
+
+    parts = []
+    for rank, (name, _fn, sql) in enumerate(NORM_LADDER):
+        e = sql.format(c="text")
+        parts.append(f"""
+    SELECT '{name}' AS tier, {rank}::BIGINT AS tier_rank,
+           coalesce(sum(c), 0)::BIGINT AS n_docs,
+           count(*)::BIGINT AS n_distinct,
+           coalesce(sum(CASE WHEN c > 1 THEN c END), 0)::BIGINT
+             AS n_dup_rows
+    FROM (SELECT md5({e}) AS fp, count(*)::BIGINT AS c
+          FROM documents GROUP BY 1)""")
+    return "\nUNION ALL\n".join(parts)
+
+
+@_q("doc_norm_ladder_dedup", None)  # oracle injected below (shared ladder)
+def _doc_norm_ladder_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Normalization-ladder duplicate yield: exact-dup counts at four
+    successively coarser canonical forms (raw -> casefold -> whitespace
+    collapse -> alphanumeric-only) — what each normalization step alone
+    buys, the readout that picks a dedup pipeline's canonical form.
+    One shared ladder constant feeds both engines; per tier one md5
+    fingerprint partial agg + one-row finalize."""
+    from blink_spark.operators.dedup import norm_ladder_dedup
+
+    return norm_ladder_dedup(_t(spark, sf, "documents"))
+
+
+_ORACLES["doc_norm_ladder_dedup"] = _norm_ladder_oracle()
+
+
 def _rake_stoplist() -> str:
     from blink_spark.functions.text import STOPWORDS
 
@@ -12697,7 +12730,7 @@ _DRIVER_ORDER = [
     "events_conversion_lag", "embedding_elbow_inertia",
     "events_conformance", "events_stickiness", "er_source_reliability",
     "er_weighted_vote_fusion", "orders_fd_profile", "doc_rake_keywords",
-    "events_bot_flags", "er_assortativity",
+    "events_bot_flags", "er_assortativity", "doc_norm_ladder_dedup",
 ]
 
 

@@ -1331,3 +1331,67 @@ def cross_source_dup_matrix(
         F.count(F.lit(1)).cast("long").alias("n_fp_shared"),
         F.sum("n_pairs").cast("long").alias("n_dup_pairs"),
     )
+
+
+# normalization ladder shared by both engines: name -> (spark column fn,
+# DuckDB sql expr over placeholder {c}). Spark patterns go through the
+# PYTHON column API, not F.expr — SQL string-literal escape handling would
+# silently mangle '\x0B'. Each tier strictly coarsens the previous one, so
+# duplicate yield is monotone — the readout a dedup pipeline uses to decide
+# how aggressive its canonical form should be.
+NORM_LADDER = [
+    ("raw", lambda c: F.col(c), "{c}"),
+    ("casefold", lambda c: F.lower(F.col(c)), "lower({c})"),
+    (
+        "ws_collapse",
+        lambda c: F.trim(
+            F.regexp_replace(F.lower(F.col(c)), "[\t\n\x0B\f\r ]+", " ")
+        ),
+        "trim(regexp_replace(lower({c}), '[\t\n\x0B\f\r ]+', ' ', 'g'))",
+    ),
+    (
+        "alnum_only",
+        lambda c: F.regexp_replace(F.lower(F.col(c)), "[^a-z0-9]+", ""),
+        "regexp_replace(lower({c}), '[^a-z0-9]+', '', 'g')",
+    ),
+]
+
+
+def norm_ladder_dedup(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Normalization-ladder duplicate yield: exact-duplicate counts at
+    four successively coarser canonical forms (raw → casefold →
+    whitespace-collapse → alphanumeric-only) — each tier's EXTRA
+    duplicates quantify what that normalization step alone buys, which
+    is how a dedup pipeline picks its canonical form (too coarse merges
+    distinct docs, too fine misses trivial variants). Tiers strictly
+    coarsen, so n_distinct is non-increasing down the ladder — emitted
+    so the monotonicity is itself a checkable invariant.
+
+    Scale notes: per tier one md5-fingerprint partial agg (value scale)
+    + a one-row finalize; the ladder is a 4-row union. No joins.
+
+    Returns (tier, tier_rank, n_docs, n_distinct, n_dup_rows).
+    """
+    out = None
+    for rank, (name, spark_fn, _sql) in enumerate(NORM_LADDER):
+        fp = docs.select(F.md5(spark_fn(text_col)).alias("fp"))
+        per = fp.groupBy("fp").agg(
+            F.count(F.lit(1)).cast("long").alias("c")
+        )
+        row = per.agg(
+            F.coalesce(F.sum("c"), F.lit(0)).cast("long").alias("n_docs"),
+            F.count(F.lit(1)).cast("long").alias("n_distinct"),
+            F.coalesce(F.sum(F.expr("CASE WHEN c > 1 THEN c END")), F.lit(0))
+            .cast("long")
+            .alias("n_dup_rows"),
+        ).select(
+            F.lit(name).alias("tier"),
+            F.lit(rank).cast("long").alias("tier_rank"),
+            "n_docs",
+            "n_distinct",
+            "n_dup_rows",
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

@@ -2729,3 +2729,29 @@ def test_assortativity_star_vs_clique(spark):
     )
     got2 = spearman_matrix(ed2, ["deg_u", "deg_v"]).collect()[0]
     assert got2["sum_d2_4x"] == 0 and got2["rho_ppm"] == 1_000_000
+
+
+def test_norm_ladder_dedup_hand_computed(spark):
+    from blink_spark.operators.dedup import norm_ladder_dedup
+
+    docs = [
+        ("d1", "Hello World"),
+        ("d2", "hello world"),      # casefold dup of d1
+        ("d3", "hello   world"),    # ws-collapse dup of d1/d2
+        ("d4", "hello, world!"),    # alnum-only dup of all above
+        ("d5", "different"),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = {r["tier"]: r for r in norm_ladder_dedup(df).collect()}
+    assert got["raw"]["n_distinct"] == 5
+    assert got["raw"]["n_dup_rows"] == 0
+    assert got["casefold"]["n_distinct"] == 4
+    assert got["casefold"]["n_dup_rows"] == 2
+    assert got["ws_collapse"]["n_distinct"] == 3
+    assert got["ws_collapse"]["n_dup_rows"] == 3
+    assert got["alnum_only"]["n_distinct"] == 2
+    assert got["alnum_only"]["n_dup_rows"] == 4
+    # monotone coarsening invariant
+    ranks = sorted(got.values(), key=lambda r: r["tier_rank"])
+    nd = [r["n_distinct"] for r in ranks]
+    assert nd == sorted(nd, reverse=True)

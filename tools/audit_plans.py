@@ -400,6 +400,10 @@ ALLOWLIST: dict[str, frozenset[str]] = {
     "er_assortativity": frozenset(
         {"BroadcastNestedLoopJoin", "Exchange SinglePartition"}
     ),
+    # doc_norm_ladder_dedup: one one-row dup-yield finalize per tier
+    # (map-side partials over md5-fingerprint value tables — fs_weights
+    # class), unioned into the 4-row ladder.
+    "doc_norm_ladder_dedup": frozenset({"Exchange SinglePartition"}),
 }
 
 # Exchange SinglePartition is only allowed when feeding a scalar finalize:

@@ -2274,6 +2274,68 @@ def _lineitem_skew_report(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @_q(
+    "lineitem_promo_effect",
+    """
+    WITH base AS (
+      SELECT floor(l_discount * 100)::BIGINT AS discount_pct,
+             floor(l_quantity * 1000)::BIGINT AS qm
+      FROM lineitem
+      WHERE l_discount IS NOT NULL AND l_quantity IS NOT NULL
+    ),
+    band AS (
+      SELECT discount_pct, count(*)::BIGINT AS n_items,
+             sum(qm)::BIGINT AS sq
+      FROM base GROUP BY 1
+    ),
+    tot AS (
+      SELECT coalesce(sum(sq), 0)::BIGINT AS tq,
+             coalesce(sum(n_items), 0)::BIGINT AS tn
+      FROM band
+    )
+    SELECT b.discount_pct, b.n_items,
+           (b.sq // b.n_items)::BIGINT AS mean_qty_milli,
+           (CASE WHEN tot.tq > 0 AND tot.tn > 0 THEN
+              (1000000 * (b.sq // b.n_items)) // (tot.tq // tot.tn)
+            END)::BIGINT AS qty_lift_ppm
+    FROM band b CROSS JOIN tot
+    """,
+)
+def _lineitem_promo_effect(spark: SparkSession, sf: str) -> DataFrame:
+    """Promo-effectiveness readout: mean ordered quantity per discount
+    band (integer percent) and its lift vs the overall mean — does a
+    deeper discount move more units? Exact milli/ppm integers; band
+    partial agg + one-row overall broadcast."""
+    li = _t(spark, sf, "lineitem").filter(
+        "l_discount IS NOT NULL AND l_quantity IS NOT NULL"
+    )
+    band = li.groupBy(
+        F.expr("cast(floor(l_discount * 100) as bigint)").alias(
+            "discount_pct"
+        )
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_items"),
+        F.sum(F.expr("cast(floor(l_quantity * 1000) as bigint)"))
+        .cast("long")
+        .alias("sq"),
+    )
+    tot = band.agg(
+        F.coalesce(F.sum("sq"), F.lit(0)).cast("long").alias("tq"),
+        F.coalesce(F.sum("n_items"), F.lit(0)).cast("long").alias("tn"),
+    )
+    return band.crossJoin(F.broadcast(tot)).select(
+        "discount_pct",
+        "n_items",
+        F.expr("sq div n_items").cast("long").alias("mean_qty_milli"),
+        F.expr(
+            "CASE WHEN tq > 0 AND tn > 0 THEN"
+            " (1000000 * (sq div n_items)) div (tq div tn) END"
+        )
+        .cast("long")
+        .alias("qty_lift_ppm"),
+    )
+
+
+@_q(
     "lineitem_market_basket",
     """
     WITH bi AS (
@@ -12731,6 +12793,7 @@ _DRIVER_ORDER = [
     "events_conformance", "events_stickiness", "er_source_reliability",
     "er_weighted_vote_fusion", "orders_fd_profile", "doc_rake_keywords",
     "events_bot_flags", "er_assortativity", "doc_norm_ladder_dedup",
+    "lineitem_promo_effect",
 ]
 
 

@@ -404,6 +404,11 @@ ALLOWLIST: dict[str, frozenset[str]] = {
     # (map-side partials over md5-fingerprint value tables — fs_weights
     # class), unioned into the 4-row ladder.
     "doc_norm_ladder_dedup": frozenset({"Exchange SinglePartition"}),
+    # lineitem_promo_effect: the overall mean is a one-row finalize of
+    # the ~11-band table broadcast back onto it (bm25-idf pattern).
+    "lineitem_promo_effect": frozenset(
+        {"BroadcastNestedLoopJoin", "Exchange SinglePartition"}
+    ),
 }
 
 # Exchange SinglePartition is only allowed when feeding a scalar finalize:

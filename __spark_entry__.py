@@ -7121,6 +7121,66 @@ def _er_weighted_vote_fusion(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@_q("er_sorted_lev", None)  # oracle injected below (fixture path)
+def _er_sorted_lev(spark: SparkSession, sf: str) -> DataFrame:
+    """Token-order-insensitive Levenshtein for the labeled gold pairs:
+    edit distance recomputed on the SORTED-token canonical surface, so
+    word swaps ('smith john' vs 'john smith') stop counting as edits —
+    the Magellan-family comparator variant; 'bridged' flags pairs only
+    the sorted form admits at the 7% banded threshold (the incremental-
+    recall justification). Native JVM levenshtein on both raw and
+    sorted forms; integer ppm ratios."""
+    m = _fx(spark, "mentions").select("mention_id", "mention")
+    pairs = _fx(spark, "gold_pairs").select(
+        F.col("mention_id_a").alias("record_id_a"),
+        F.col("mention_id_b").alias("record_id_b"),
+    )
+    from blink_spark.functions.text import normalize_text
+
+    forms = m.select(
+        F.col("mention_id").alias("rid"),
+        normalize_text(F.col("mention")).alias("nrm"),
+        F.array_join(
+            F.array_sort(F.split(normalize_text(F.col("mention")), " ")),
+            " ",
+        ).alias("srt"),
+    )
+    j = (
+        pairs.join(
+            forms.select(
+                F.col("rid").alias("record_id_a"),
+                F.col("nrm").alias("na"),
+                F.col("srt").alias("sa"),
+            ),
+            "record_id_a",
+        )
+        .join(
+            forms.select(
+                F.col("rid").alias("record_id_b"),
+                F.col("nrm").alias("nb"),
+                F.col("srt").alias("sb"),
+            ),
+            "record_id_b",
+        )
+    )
+    band = "floor(greatest(length({a}), length({b})) * 7 / 100)"
+    raw_ok = F.expr(
+        "levenshtein(na, nb) <= " + band.format(a="na", b="nb")
+    )
+    srt_ok = F.expr(
+        "levenshtein(sa, sb) <= " + band.format(a="sa", b="sb")
+    )
+    return j.select(
+        "record_id_a",
+        "record_id_b",
+        F.expr("levenshtein(na, nb)").cast("long").alias("lev_raw"),
+        F.expr("levenshtein(sa, sb)").cast("long").alias("lev_sorted"),
+        raw_ok.alias("raw_within"),
+        srt_ok.alias("sorted_within"),
+        (srt_ok & ~raw_ok).alias("bridged"),
+    )
+
+
 @_q("er_rule_kappa", None)  # oracle injected below (fixture path)
 def _er_rule_kappa(spark: SparkSession, sf: str) -> DataFrame:
     """Cohen's kappa between the two fuzzy match rules (token-Jaccard vs
@@ -9384,6 +9444,42 @@ def _er_oracles() -> dict[str, str]:
              (maj.canon_majority != wv.canon_weighted) AS changed,
              maj.n_records, maj.n_values
       FROM maj JOIN wv ON wv.ent = maj.ent
+    """
+    # er_sorted_lev: both engines sort the SAME normalized token lists
+    # (list_sort default ASC NULLS-irrelevant here) and rejoin with ' '.
+    sorted_lev_sql = f"""
+      WITH m AS (
+        SELECT mention_id AS rid, {_norm_m} AS nrm,
+               array_to_string(
+                 list_sort(string_split({_norm_m}, ' ')), ' ') AS srt
+        FROM read_parquet('{men}')
+      ),
+      p AS (
+        SELECT mention_id_a AS record_id_a, mention_id_b AS record_id_b
+        FROM read_parquet('{gold}')
+      ),
+      j AS (
+        SELECT p.record_id_a, p.record_id_b,
+               a.nrm AS na, a.srt AS sa, b.nrm AS nb, b.srt AS sb
+        FROM p
+        JOIN m a ON a.rid = p.record_id_a
+        JOIN m b ON b.rid = p.record_id_b
+      )
+      SELECT record_id_a, record_id_b,
+             levenshtein(na, nb)::BIGINT AS lev_raw,
+             levenshtein(sa, sb)::BIGINT AS lev_sorted,
+             (levenshtein(na, nb)
+              <= floor(greatest(length(na), length(nb)) * 7 / 100))
+               AS raw_within,
+             (levenshtein(sa, sb)
+              <= floor(greatest(length(sa), length(sb)) * 7 / 100))
+               AS sorted_within,
+             ((levenshtein(sa, sb)
+               <= floor(greatest(length(sa), length(sb)) * 7 / 100))
+              AND NOT (levenshtein(na, nb)
+               <= floor(greatest(length(na), length(nb)) * 7 / 100)))
+               AS bridged
+      FROM j
     """
     # er_rule_kappa: chance-corrected agreement of the two fuzzy rules in
     # ONE exact fraction kappa = (n·g − P)/(n² − P), spearman-staged
@@ -12235,6 +12331,7 @@ def _er_oracles() -> dict[str, str]:
         "er_golden_record": golden_sql,
         "er_match_rule_report": rule_report_sql,
         "er_rule_kappa": rule_kappa_sql,
+        "er_sorted_lev": sorted_lev_sql,
         "er_source_reliability": source_reliability_sql,
         "er_weighted_vote_fusion": weighted_fusion_sql,
         "er_token_cosine": token_cosine_sql,
@@ -12793,7 +12890,7 @@ _DRIVER_ORDER = [
     "events_conformance", "events_stickiness", "er_source_reliability",
     "er_weighted_vote_fusion", "orders_fd_profile", "doc_rake_keywords",
     "events_bot_flags", "er_assortativity", "doc_norm_ladder_dedup",
-    "lineitem_promo_effect",
+    "lineitem_promo_effect", "er_sorted_lev",
 ]
 
 

@@ -2755,3 +2755,30 @@ def test_norm_ladder_dedup_hand_computed(spark):
     ranks = sorted(got.values(), key=lambda r: r["tier_rank"])
     nd = [r["n_distinct"] for r in ranks]
     assert nd == sorted(nd, reverse=True)
+
+
+def test_sorted_lev_bridges_word_swaps(spark):
+    # drive the driver-registered query over a temp fixture shape via
+    # the underlying expressions: word swap must bridge, typo must not
+    from pyspark.sql import functions as F
+
+    from blink_spark.functions.text import normalize_text
+
+    recs = spark.createDataFrame(
+        [("a", "John Smith"), ("b", "smith  john"), ("c", "Jon Smith")],
+        ["rid", "mention"],
+    )
+    forms = recs.select(
+        "rid",
+        normalize_text(F.col("mention")).alias("nrm"),
+        F.array_join(
+            F.array_sort(F.split(normalize_text(F.col("mention")), " ")), " "
+        ).alias("srt"),
+    ).collect()
+    f = {r["rid"]: r for r in forms}
+    assert f["a"]["srt"] == f["b"]["srt"] == "john smith"
+    # raw forms differ by a full swap (lev 10 > 7% band) but sorted are
+    # byte-identical -> the bridged case
+    assert f["a"]["nrm"] != f["b"]["nrm"]
+    # typo keeps order: sorted form changes too -> no free pass
+    assert f["c"]["srt"] == "jon smith"

@@ -2274,6 +2274,47 @@ def _lineitem_skew_report(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @_q(
+    "orders_aging",
+    """
+    WITH snap AS (SELECT max(o_orderdate) AS snap FROM orders),
+    aged AS (
+      SELECT o_orderstatus AS status,
+             CASE WHEN o_orderdate IS NULL THEN NULL
+                  ELSE date_diff('day', o_orderdate::DATE, snap::DATE)::BIGINT
+             END AS age
+      FROM orders CROSS JOIN snap
+      WHERE o_orderstatus IN ('O', 'P')
+    ),
+    b AS (
+      SELECT status,
+             (CASE WHEN age IS NULL THEN -1
+                   WHEN age <= 30 THEN 0
+                   WHEN age <= 90 THEN 31
+                   WHEN age <= 365 THEN 91
+                   ELSE 366 END)::BIGINT AS age_bucket
+      FROM aged
+    )
+    SELECT status, age_bucket,
+           CASE age_bucket WHEN -1 THEN 'null_date' WHEN 0 THEN '0-30'
+                WHEN 31 THEN '31-90' WHEN 91 THEN '91-365'
+                ELSE '365+' END AS bucket_label,
+           count(*)::BIGINT AS n_items
+    FROM b GROUP BY 1, 2
+    """,
+)
+def _orders_aging(spark: SparkSession, sf: str) -> DataFrame:
+    """Open-order aging at the data's own as-of snapshot (max order
+    date — no wall clock): operational 0-30/31-90/91-365/365+ day bands
+    per open status, NULL dates surfaced in their own bucket. Broadcast
+    one-row snapshot + band partial agg."""
+    from blink_spark.operators.temporal import aging_report
+
+    return aging_report(
+        _t(spark, sf, "orders"), "o_orderdate", "o_orderstatus"
+    )
+
+
+@_q(
     "lineitem_promo_effect",
     """
     WITH base AS (
@@ -12890,7 +12931,7 @@ _DRIVER_ORDER = [
     "events_conformance", "events_stickiness", "er_source_reliability",
     "er_weighted_vote_fusion", "orders_fd_profile", "doc_rake_keywords",
     "events_bot_flags", "er_assortativity", "doc_norm_ladder_dedup",
-    "lineitem_promo_effect", "er_sorted_lev",
+    "lineitem_promo_effect", "er_sorted_lev", "orders_aging",
 ]
 
 

@@ -1772,3 +1772,57 @@ def bot_flags(
             fr.cast("long") + fd.cast("long") + fm.cast("long")
         ).alias("bot_score"),
     )
+
+
+def aging_report(
+    df: DataFrame,
+    date_col: str,
+    status_col: str,
+    open_values: tuple[str, ...] = ("O", "P"),
+) -> DataFrame:
+    """Open-item aging report at the as-of snapshot max(date): how long
+    have still-open items been waiting, bucketed into the operational
+    0-30 / 31-90 / 91-365 / 365+ day bands per status — the backlog
+    readout every order/case/ticket pipeline runs. The snapshot date is
+    the data's own maximum (deterministic — no wall clock, the fixture
+    rule), broadcast as a one-row aggregate.
+
+    Exact integers: age = datediff(snapshot, item date); band edges are
+    closed-open integer comparisons. Closed items are excluded by the
+    status filter; NULL dates are reported in their own bucket (-1)
+    rather than dropped — an open order with no date is a data problem
+    the report must surface.
+
+    Returns (status, age_bucket, bucket_label, n_items) with
+    age_bucket in {-1, 0, 31, 91, 366}.
+    """
+    base = df.filter(F.col(status_col).isin(list(open_values)))
+    snap = df.agg(F.max(F.col(date_col)).alias("snap"))
+    aged = base.crossJoin(F.broadcast(snap)).select(
+        F.col(status_col).alias("status"),
+        F.expr(
+            f"CASE WHEN {date_col} IS NULL THEN NULL"
+            f" ELSE cast(datediff(snap, {date_col}) as bigint) END"
+        ).alias("age"),
+    )
+    b = aged.select(
+        "status",
+        F.expr(
+            "CASE WHEN age IS NULL THEN -1"
+            " WHEN age <= 30 THEN 0"
+            " WHEN age <= 90 THEN 31"
+            " WHEN age <= 365 THEN 91"
+            " ELSE 366 END"
+        )
+        .cast("long")
+        .alias("age_bucket"),
+    )
+    lab = F.expr(
+        "CASE age_bucket WHEN -1 THEN 'null_date' WHEN 0 THEN '0-30'"
+        " WHEN 31 THEN '31-90' WHEN 91 THEN '91-365' ELSE '365+' END"
+    )
+    return (
+        b.groupBy("status", "age_bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_items"))
+        .select("status", "age_bucket", lab.alias("bucket_label"), "n_items")
+    )

@@ -2782,3 +2782,30 @@ def test_sorted_lev_bridges_word_swaps(spark):
     assert f["a"]["nrm"] != f["b"]["nrm"]
     # typo keeps order: sorted form changes too -> no free pass
     assert f["c"]["srt"] == "jon smith"
+
+
+def test_aging_report_hand_computed(spark):
+    import datetime as dt
+
+    from blink_spark.operators.temporal import aging_report
+
+    D = lambda d: dt.datetime(2024, 6, 1) + dt.timedelta(days=d)
+    rows = [
+        ("O", D(0)),     # snapshot day itself -> 0-30
+        ("O", D(-45)),   # 31-90
+        ("P", D(-200)),  # 91-365
+        ("P", D(-500)),  # 365+
+        ("O", None),     # null date bucket
+        ("F", D(-10)),   # closed: excluded
+    ]
+    df = spark.createDataFrame(rows, ["o_orderstatus", "o_orderdate"])
+    got = {
+        (r["status"], r["age_bucket"]): r
+        for r in aging_report(df, "o_orderdate", "o_orderstatus").collect()
+    }
+    assert got[("O", 0)]["n_items"] == 1
+    assert got[("O", 31)]["bucket_label"] == "31-90"
+    assert got[("P", 91)]["n_items"] == 1
+    assert got[("P", 366)]["bucket_label"] == "365+"
+    assert got[("O", -1)]["bucket_label"] == "null_date"
+    assert ("F", 0) not in got and len(got) == 5

@@ -409,6 +409,11 @@ ALLOWLIST: dict[str, frozenset[str]] = {
     "lineitem_promo_effect": frozenset(
         {"BroadcastNestedLoopJoin", "Exchange SinglePartition"}
     ),
+    # orders_aging: the as-of snapshot (max date) is a one-row scalar
+    # aggregate broadcast onto the open-order rows (bm25-idf pattern).
+    "orders_aging": frozenset(
+        {"BroadcastNestedLoopJoin", "Exchange SinglePartition"}
+    ),
 }
 
 # Exchange SinglePartition is only allowed when feeding a scalar finalize:

@@ -2273,6 +2273,71 @@ def _lineitem_skew_report(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# table-digest specs: (table, shared column renderings, per-engine date
+# rendering slot). Column exprs are valid in BOTH engines (cast..as string,
+# floor milli/cents); the one divergent rendering (dates) is parameterized.
+_DIGEST_SPECS: list[tuple[str, list[str]]] = [
+    ("region", ["cast(r_regionkey as string)", "r_name"]),
+    ("nation", ["cast(n_nationkey as string)", "n_name",
+                "cast(n_regionkey as string)"]),
+    ("customer", ["cast(c_custkey as string)", "c_name",
+                  "cast(c_nationkey as string)"]),
+    ("supplier", ["cast(s_suppkey as string)", "s_name",
+                  "cast(s_nationkey as string)"]),
+    ("orders", ["cast(o_orderkey as string)", "cast(o_custkey as string)",
+                "o_orderstatus",
+                "cast(cast(floor(o_totalprice * 100) as bigint) as string)",
+                "{orderdate}"]),
+]
+
+
+def _digest_row_expr(cols: list[str], orderdate: str) -> str:
+    rendered = [
+        f"coalesce({c.format(orderdate=orderdate)}, '')" for c in cols
+    ]
+    return "concat_ws('|', " + ", ".join(rendered) + ")"
+
+
+@_q(
+    "relational_table_digests",
+    "\nUNION ALL\n".join(
+        f"""
+    SELECT '{name}' AS table_name, count(*)::BIGINT AS n_rows,
+           coalesce(bit_xor(h), 0)::BIGINT AS xor_digest,
+           coalesce(sum(h % 4294967296), 0)::BIGINT AS sum_digest
+    FROM (SELECT ('0x' || substr(md5({{expr}}), 1, 15))::BIGINT AS h
+          FROM {name})
+    """.replace(
+            "{expr}",
+            _digest_row_expr(
+                cols, "strftime(o_orderdate, '%Y-%m-%d')"
+            ),
+        )
+        for name, cols in _DIGEST_SPECS
+    ),
+)
+def _relational_table_digests(spark: SparkSession, sf: str) -> DataFrame:
+    """Order-insensitive content digest per relational table — the
+    cross-run drift detector: equal (n_rows, bit_xor, mod-2^32 sum)
+    of the per-row md5-60bit hashes means two executions produced the
+    same table. One map-side projection + one scalar agg per table;
+    rendering rules shared with the oracle (floats to cents, dates to
+    yyyy-MM-dd, NULL -> '')."""
+    from blink_spark.operators.validate import table_digests
+
+    frames = [
+        (
+            name,
+            _t(spark, sf, name),
+            _digest_row_expr(
+                cols, "date_format(o_orderdate, 'yyyy-MM-dd')"
+            ),
+        )
+        for name, cols in _DIGEST_SPECS
+    ]
+    return table_digests(frames)
+
+
 @_q(
     "orders_aging",
     """
@@ -12932,6 +12997,7 @@ _DRIVER_ORDER = [
     "er_weighted_vote_fusion", "orders_fd_profile", "doc_rake_keywords",
     "events_bot_flags", "er_assortativity", "doc_norm_ladder_dedup",
     "lineitem_promo_effect", "er_sorted_lev", "orders_aging",
+    "relational_table_digests",
 ]
 
 

@@ -109,3 +109,52 @@ def integrity_report(checks: list[tuple[str, DataFrame]]) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+def table_digest(df: DataFrame, row_expr: str, table_name: str) -> DataFrame:
+    """Order-insensitive table content digest — the cross-run drift
+    detector: two pipeline executions (or two clusters, or pre/post a
+    migration) produced the same table iff (n_rows, xor_digest,
+    sum_digest) all match. ``row_expr`` must be a deterministic STRING
+    rendering of the row (caller quantizes floats and formats dates —
+    the column-profile rendering rules); the row hash is the first
+    16 hex digits of its md5, the combiners are bit_xor (order-free,
+    overflow-free) and a mod-2³² sum (catches the duplicate-pair swaps
+    xor cancels; bounded by n·2³², exact to ~2e9 rows).
+
+    Scale notes: a pure map-side projection + one scalar aggregate —
+    the cheapest possible full-table check (one pass, three counters).
+
+    Returns one row: (table_name, n_rows, xor_digest, sum_digest).
+    """
+    h = df.select(
+        F.expr(
+            f"cast(conv(substring(md5({row_expr}), 1, 15), 16, 10) as bigint)"
+        ).alias("h")
+    )
+    return h.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.coalesce(
+            F.expr("bit_xor(h)"), F.lit(0)
+        ).cast("long").alias("xor_digest"),
+        F.coalesce(F.sum(F.expr("h % 4294967296")), F.lit(0))
+        .cast("long")
+        .alias("sum_digest"),
+    ).select(
+        F.lit(table_name).alias("table_name"),
+        "n_rows",
+        "xor_digest",
+        "sum_digest",
+    )
+
+
+def table_digests(
+    frames: list[tuple[str, DataFrame, str]]
+) -> DataFrame:
+    """Union of ``table_digest`` rows for several (name, df, row_expr)
+    triples — the one-glance drift report."""
+    out = None
+    for name, df, expr in frames:
+        row = table_digest(df, expr, name)
+        out = row if out is None else out.unionByName(row)
+    return out

@@ -2809,3 +2809,30 @@ def test_aging_report_hand_computed(spark):
     assert got[("P", 366)]["bucket_label"] == "365+"
     assert got[("O", -1)]["bucket_label"] == "null_date"
     assert ("F", 0) not in got and len(got) == 5
+
+
+def test_table_digest_detects_drift(spark):
+    from blink_spark.operators.validate import table_digest
+
+    a = spark.createDataFrame([(1, "x"), (2, "y")], ["k", "v"])
+    b = spark.createDataFrame([(2, "y"), (1, "x")], ["k", "v"])  # reordered
+    c = spark.createDataFrame([(1, "x"), (2, "z")], ["k", "v"])  # drifted
+    expr = "concat_ws('|', coalesce(cast(k as string), ''), coalesce(v, ''))"
+    da = table_digest(a, expr, "t").collect()[0]
+    db = table_digest(b, expr, "t").collect()[0]
+    dc = table_digest(c, expr, "t").collect()[0]
+    # order-insensitive equality
+    assert (da["xor_digest"], da["sum_digest"], da["n_rows"]) == (
+        db["xor_digest"], db["sum_digest"], db["n_rows"],
+    )
+    # any value drift flips at least one combiner
+    assert (da["xor_digest"], da["sum_digest"]) != (
+        dc["xor_digest"], dc["sum_digest"],
+    )
+    # duplicate-pair swap that xor alone would cancel: sum catches it
+    d = spark.createDataFrame([(1, "x"), (1, "x")], ["k", "v"])
+    e = spark.createDataFrame([(2, "y"), (2, "y")], ["k", "v"])
+    dd = table_digest(d, expr, "t").collect()[0]
+    de = table_digest(e, expr, "t").collect()[0]
+    assert dd["xor_digest"] == 0 and de["xor_digest"] == 0
+    assert dd["sum_digest"] != de["sum_digest"]

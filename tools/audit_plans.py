@@ -414,6 +414,10 @@ ALLOWLIST: dict[str, frozenset[str]] = {
     "orders_aging": frozenset(
         {"BroadcastNestedLoopJoin", "Exchange SinglePartition"}
     ),
+    # relational_table_digests: one three-counter scalar finalize per
+    # table (map-side partial xor/sum/count — fs_weights class), unioned
+    # into the 5-row report.
+    "relational_table_digests": frozenset({"Exchange SinglePartition"}),
 }
 
 # Exchange SinglePartition is only allowed when feeding a scalar finalize:

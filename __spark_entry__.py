@@ -7227,6 +7227,21 @@ def _er_weighted_vote_fusion(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@_q("er_blocking_budget", None)  # oracle injected below (fixture path)
+def _er_blocking_budget(spark: SparkSession, sf: str) -> DataFrame:
+    """Pair-budget frontier for df-capped token blocking over the
+    mention catalogue: per candidate df cap, cumulative kept token
+    types and generated pairs — budget first, cap derived (the planning
+    readout behind dynamic blocking's fixed cap). Two-phase running
+    sums over the tiny df-frequency table."""
+    from blink_spark.operators.blocking import blocking_budget_frontier
+
+    m = _fx(spark, "mentions").select("mention_id", "mention")
+    return blocking_budget_frontier(
+        m, "mention_id", "mention", pair_budget=100_000
+    )
+
+
 @_q("er_sorted_lev", None)  # oracle injected below (fixture path)
 def _er_sorted_lev(spark: SparkSession, sf: str) -> DataFrame:
     """Token-order-insensitive Levenshtein for the labeled gold pairs:
@@ -9550,6 +9565,34 @@ def _er_oracles() -> dict[str, str]:
              (maj.canon_majority != wv.canon_weighted) AS changed,
              maj.n_records, maj.n_values
       FROM maj JOIN wv ON wv.ent = maj.ent
+    """
+    # er_blocking_budget: df-frequency cumulative frontier; window cumsum
+    # is the oracle twin of the two-phase running sums.
+    blocking_budget_sql = f"""
+      WITH tok AS (
+        SELECT DISTINCT mention_id AS rid, tok
+        FROM (
+          SELECT mention_id,
+                 unnest(list_distinct(string_split({_norm_m}, ' '))) AS tok
+          FROM read_parquet('{men}')
+        ) WHERE tok != ''
+      ),
+      dfreq AS (SELECT tok, count(*)::BIGINT AS df FROM tok GROUP BY 1),
+      per_df AS (
+        SELECT df, count(*)::BIGINT AS n_token_types,
+               ((df * (df - 1) // 2) * count(*))::BIGINT AS pairs_here
+        FROM dfreq GROUP BY 1
+      )
+      SELECT df AS df_cap, n_token_types,
+             sum(n_token_types) OVER (ORDER BY df
+                                      ROWS UNBOUNDED PRECEDING)::BIGINT
+               AS cum_token_types,
+             sum(pairs_here) OVER (ORDER BY df
+                                   ROWS UNBOUNDED PRECEDING)::BIGINT
+               AS cum_pairs,
+             (sum(pairs_here) OVER (ORDER BY df ROWS UNBOUNDED PRECEDING)
+              <= 100000) AS within_budget
+      FROM per_df
     """
     # er_sorted_lev: both engines sort the SAME normalized token lists
     # (list_sort default ASC NULLS-irrelevant here) and rejoin with ' '.
@@ -12438,6 +12481,7 @@ def _er_oracles() -> dict[str, str]:
         "er_match_rule_report": rule_report_sql,
         "er_rule_kappa": rule_kappa_sql,
         "er_sorted_lev": sorted_lev_sql,
+        "er_blocking_budget": blocking_budget_sql,
         "er_source_reliability": source_reliability_sql,
         "er_weighted_vote_fusion": weighted_fusion_sql,
         "er_token_cosine": token_cosine_sql,
@@ -12997,7 +13041,7 @@ _DRIVER_ORDER = [
     "er_weighted_vote_fusion", "orders_fd_profile", "doc_rake_keywords",
     "events_bot_flags", "er_assortativity", "doc_norm_ladder_dedup",
     "lineitem_promo_effect", "er_sorted_lev", "orders_aging",
-    "relational_table_digests",
+    "relational_table_digests", "er_blocking_budget",
 ]
 
 

@@ -820,3 +820,65 @@ def suffix_pairs(
             F.max(F.length("sfx")).cast("long").alias("longest_suffix_len"),
         )
     )
+
+
+def blocking_budget_frontier(
+    records: DataFrame,
+    id_col: str,
+    text_col: str,
+    pair_budget: int = 1_000_000,
+) -> DataFrame:
+    """Pair-budget frontier for df-capped token blocking: for every
+    candidate document-frequency cap (each observed df value), the
+    cumulative token types kept and candidate pairs generated if the
+    cap were set there — Σ_{df ≤ cap} C(df,2)·(#tokens at df). The
+    largest cap still under ``pair_budget`` is the data-driven setting
+    the df-aware blocker should run with (the planning readout behind
+    dynamic blocking's fixed cap: budget first, cap derived).
+
+    Exact integers; cumulative counts via ONE shared two-phase running
+    sum over the df-frequency table (df-value scale — tiny), never a
+    global window. C(df,2)·n per df value stays in BIGINT while
+    df²·n_tokens ≤ 1.8e19 (hot-token regime documented).
+
+    Returns (df_cap, n_token_types, cum_token_types, cum_pairs,
+    within_budget) ordered by df_cap ascending.
+    """
+    from blink_spark.functions.text import normalize_text
+    from blink_spark.operators.ids import partitioned_running_sums
+
+    tok = (
+        records.select(
+            F.col(id_col).alias("rid"),
+            F.explode(
+                F.array_distinct(
+                    F.split(normalize_text(records[text_col]), " ")
+                )
+            ).alias("tok"),
+        )
+        .filter(F.col("tok") != "")
+        .distinct()
+    )
+    dfreq = tok.groupBy("tok").agg(
+        F.count(F.lit(1)).cast("long").alias("df")
+    )
+    per_df = dfreq.groupBy("df").agg(
+        F.count(F.lit(1)).cast("long").alias("n_token_types")
+    ).withColumn(
+        "pairs_here",
+        F.expr("(df * (df - 1) div 2) * n_token_types").cast("long"),
+    )
+    cum = partitioned_running_sums(
+        per_df,
+        "df",
+        {"cum_token_types": "n_token_types", "cum_pairs": "pairs_here"},
+    )
+    return cum.select(
+        F.col("df").alias("df_cap"),
+        "n_token_types",
+        F.col("cum_token_types").cast("long"),
+        F.col("cum_pairs").cast("long"),
+        (F.col("cum_pairs") <= F.lit(int(pair_budget))).alias(
+            "within_budget"
+        ),
+    )

@@ -2836,3 +2836,23 @@ def test_table_digest_detects_drift(spark):
     de = table_digest(e, expr, "t").collect()[0]
     assert dd["xor_digest"] == 0 and de["xor_digest"] == 0
     assert dd["sum_digest"] != de["sum_digest"]
+
+
+def test_blocking_budget_frontier_hand_computed(spark):
+    from blink_spark.operators.blocking import blocking_budget_frontier
+
+    # token dfs: 'a' in 3 recs (C(3,2)=3 pairs), 'b' in 2 (1 pair),
+    # 'c' in 1 (0 pairs)
+    recs = spark.createDataFrame(
+        [("r1", "a b"), ("r2", "a b"), ("r3", "a c")], ["rid", "txt"]
+    )
+    got = {
+        r["df_cap"]: r
+        for r in blocking_budget_frontier(
+            recs, "rid", "txt", pair_budget=1
+        ).collect()
+    }
+    assert got[1]["n_token_types"] == 1  # 'c'
+    assert (got[1]["cum_token_types"], got[1]["cum_pairs"]) == (1, 0)
+    assert got[2]["cum_pairs"] == 1 and got[2]["within_budget"] is True
+    assert got[3]["cum_pairs"] == 4 and got[3]["within_budget"] is False

@@ -1691,6 +1691,56 @@ def _events_stickiness(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @_q(
+    "events_churn_risk",
+    """
+    WITH base AS (
+      SELECT user_id AS u, ts, event_id FROM events
+      WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    ),
+    g AS (
+      SELECT u,
+             (epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY u
+                                                    ORDER BY ts, event_id)))
+               // 1000000 AS gap
+      FROM base
+    ),
+    med AS (
+      SELECT u, quantile_disc(gap, 0.5)::BIGINT AS median_gap_s
+      FROM g WHERE gap IS NOT NULL GROUP BY 1
+    ),
+    lastv AS (
+      SELECT u, count(*)::BIGINT AS n_events, max(ts) AS last_ts
+      FROM base GROUP BY 1
+    ),
+    snap AS (SELECT max(ts) AS snap FROM base),
+    j AS (
+      SELECT l.u, l.n_events, m.median_gap_s,
+             ((epoch_us(s.snap) - epoch_us(l.last_ts)) // 1000000)::BIGINT
+               AS silence_s
+      FROM lastv l JOIN med m ON m.u = l.u CROSS JOIN snap s
+      WHERE l.n_events >= 3
+    )
+    SELECT u AS user_id, n_events, median_gap_s, silence_s,
+           (CASE WHEN median_gap_s > 0 THEN
+              (1000 * silence_s) // median_gap_s END)::BIGINT AS risk_milli,
+           coalesce(CASE WHEN median_gap_s > 0 THEN
+              (1000 * silence_s) // median_gap_s >= 3000 END,
+              false) AS at_risk
+    FROM j
+    """,
+)
+def _events_churn_risk(spark: SparkSession, sf: str) -> DataFrame:
+    """Cadence-relative churn risk at the as-of snapshot: silence since
+    last event divided by the user's OWN median inter-event gap — the
+    scale-free inactivity score an absolute days-since threshold gets
+    wrong in both directions. Whole-second integers, grouped-quartile
+    median, users under 3 events excluded (no cadence)."""
+    from blink_spark.operators.temporal import churn_risk
+
+    return churn_risk(_t(spark, sf, "events"))
+
+
+@_q(
     "events_bot_flags",
     """
     WITH base AS (
@@ -13041,7 +13091,7 @@ _DRIVER_ORDER = [
     "er_weighted_vote_fusion", "orders_fd_profile", "doc_rake_keywords",
     "events_bot_flags", "er_assortativity", "doc_norm_ladder_dedup",
     "lineitem_promo_effect", "er_sorted_lev", "orders_aging",
-    "relational_table_digests", "er_blocking_budget",
+    "relational_table_digests", "er_blocking_budget", "events_churn_risk",
 ]
 
 

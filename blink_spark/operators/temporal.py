@@ -1826,3 +1826,77 @@ def aging_report(
         .agg(F.count(F.lit(1)).cast("long").alias("n_items"))
         .select("status", "age_bucket", lab.alias("bucket_label"), "n_items")
     )
+
+
+def churn_risk(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    min_events: int = 3,
+    risk_milli_min: int = 3000,
+) -> DataFrame:
+    """Cadence-relative churn risk at the data's own as-of snapshot
+    (max ts — no wall clock): a user's current silence divided by their
+    OWN median inter-event gap — the scale-free inactivity score (3×
+    your usual cadence quiet is alarming whether you visit hourly or
+    monthly; an absolute days-since threshold misclassifies both).
+    Users with fewer than ``min_events`` events have no cadence and are
+    excluded (documented, not silently scored).
+
+    Exact integers: gaps and silence in whole seconds (µs diff floored,
+    the conversion-lag convention), median gap via the grouped-quartiles
+    rank pick (user-keyed window — bounded by events per user),
+    risk_milli = (1000·silence) div median_gap.
+
+    Returns (user, n_events, median_gap_s, silence_s, risk_milli,
+    at_risk).
+    """
+    from blink_spark.operators.corpus import grouped_quartiles
+
+    base = events.filter(
+        F.col(user_col).isNotNull() & F.col(ts_col).isNotNull()
+    )
+    g = base.select(
+        F.col(user_col).alias("u"),
+        F.expr(
+            f"timestampdiff(MICROSECOND, lag({ts_col}) OVER (PARTITION BY"
+            f" {user_col} ORDER BY {ts_col}, {id_col}), {ts_col})"
+            " div 1000000"
+        ).alias("gap"),
+    ).filter("gap IS NOT NULL")
+    med = grouped_quartiles(g, "u", "gap", "gap").select(
+        F.col("key").alias("u"),
+        F.col("n").alias("n_gaps"),
+        F.col("q50").alias("median_gap_s"),
+    )
+    last = base.groupBy(F.col(user_col).alias("u")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.max(F.col(ts_col)).alias("last_ts"),
+    )
+    snap = base.agg(F.max(F.col(ts_col)).alias("snap"))
+    j = (
+        last.join(med, "u")
+        .filter(F.col("n_events") >= int(min_events))
+        .crossJoin(F.broadcast(snap))
+        .withColumn(
+            "silence_s",
+            F.expr(
+                "timestampdiff(MICROSECOND, last_ts, snap) div 1000000"
+            ).cast("long"),
+        )
+    )
+    risk = F.expr(
+        "CASE WHEN median_gap_s > 0 THEN"
+        " (1000 * silence_s) div median_gap_s END"
+    ).cast("long")
+    return j.select(
+        F.col("u").alias(user_col),
+        "n_events",
+        F.col("median_gap_s").cast("long"),
+        "silence_s",
+        risk.alias("risk_milli"),
+        F.coalesce(risk >= int(risk_milli_min), F.lit(False)).alias(
+            "at_risk"
+        ),
+    )

@@ -2856,3 +2856,30 @@ def test_blocking_budget_frontier_hand_computed(spark):
     assert (got[1]["cum_token_types"], got[1]["cum_pairs"]) == (1, 0)
     assert got[2]["cum_pairs"] == 1 and got[2]["within_budget"] is True
     assert got[3]["cum_pairs"] == 4 and got[3]["within_budget"] is False
+
+
+def test_churn_risk_hand_computed(spark):
+    import datetime as dt
+
+    from blink_spark.operators.temporal import churn_risk
+
+    T = lambda s: dt.datetime(2024, 1, 1) + dt.timedelta(seconds=s)
+    rows = []
+    # u1: gaps 10, 10, 10 then silent until the snapshot -> median 10
+    rows += [(i, 1, T(10 * i)) for i in range(4)]
+    # u2: sets the snapshot at t=1000; gaps 100,100 -> silence 0, risk 0
+    rows += [(10, 2, T(800)), (11, 2, T(900)), (12, 2, T(1000))]
+    # u3: only 2 events -> excluded (no cadence)
+    rows += [(20, 3, T(0)), (21, 3, T(5))]
+    df = spark.createDataFrame(rows, ["event_id", "user_id", "ts"])
+    got = {r["user_id"]: r for r in churn_risk(df).collect()}
+    assert 3 not in got
+    u1 = got[1]
+    # last event at t=30, snapshot 1000 -> silence 970, risk 97x
+    assert (u1["median_gap_s"], u1["silence_s"]) == (10, 970)
+    assert u1["risk_milli"] == (1000 * 970) // 10
+    assert u1["at_risk"] is True
+    u2 = got[2]
+    assert (u2["silence_s"], u2["risk_milli"], u2["at_risk"]) == (
+        0, 0, False,
+    )

@@ -418,6 +418,12 @@ ALLOWLIST: dict[str, frozenset[str]] = {
     # table (map-side partial xor/sum/count — fs_weights class), unioned
     # into the 5-row report.
     "relational_table_digests": frozenset({"Exchange SinglePartition"}),
+    # events_churn_risk: the as-of snapshot (max ts) is a one-row
+    # scalar aggregate broadcast onto the user-scale rows (bm25-idf /
+    # orders_aging pattern); everything else is user-keyed.
+    "events_churn_risk": frozenset(
+        {"BroadcastNestedLoopJoin", "Exchange SinglePartition"}
+    ),
 }
 
 # Exchange SinglePartition is only allowed when feeding a scalar finalize:

@@ -7352,6 +7352,48 @@ def _er_sorted_lev(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@_q("er_scorer_auc", None)  # oracle injected below (fixture path)
+def _er_scorer_auc(spark: SparkSession, sf: str) -> DataFrame:
+    """Ranking AUC of the Jaccard scorer against the gold labels — the
+    probability a random TRUE pair outscores a random false one (ties
+    half), computed exactly as Mann-Whitney U on the ppm-quantized
+    scores: threshold-free scorer quality, the companion to the
+    thresholded PR curve. Pure reuse of the rank-sum machinery — one
+    frequency-table pass, no float sums."""
+    from blink_spark.operators.profile import mann_whitney_u
+    from blink_spark.operators.scoring import score_pairs
+
+    m = _fx(spark, "mentions").select("mention_id", "mention")
+    g = _fx(spark, "gold_pairs")
+    attrs = (
+        g.select(
+            F.col("mention_id_a").alias("record_id_a"),
+            F.col("mention_id_b").alias("record_id_b"),
+            "same_entity",
+        )
+        .join(
+            m.select(
+                F.col("mention_id").alias("record_id_a"),
+                F.col("mention").alias("mention_a"),
+            ),
+            "record_id_a",
+        )
+        .join(
+            m.select(
+                F.col("mention_id").alias("record_id_b"),
+                F.col("mention").alias("mention_b"),
+            ),
+            "record_id_b",
+        )
+    )
+    scored = score_pairs(attrs, text_a="mention_a", text_b="mention_b")
+    return mann_whitney_u(
+        scored,
+        "cast(floor(jaccard * 1000000) as bigint)",
+        "same_entity",
+    )
+
+
 @_q("er_rule_kappa", None)  # oracle injected below (fixture path)
 def _er_rule_kappa(spark: SparkSession, sf: str) -> DataFrame:
     """Cohen's kappa between the two fuzzy match rules (token-Jaccard vs
@@ -9679,6 +9721,43 @@ def _er_oracles() -> dict[str, str]:
                <= floor(greatest(length(na), length(nb)) * 7 / 100)))
                AS bridged
       FROM j
+    """
+    # er_scorer_auc: Mann-Whitney AUC of the jaccard scorer vs gold —
+    # window-rank twin of the lineitem_mannwhitney oracle over scored j.
+    scorer_auc_sql = f"""
+      {scored_cte},
+      lab AS (
+        SELECT floor(j.jaccard * 1000000)::BIGINT AS vm,
+               (CASE WHEN g.same_entity THEN 1 ELSE 0 END)::BIGINT AS is_a
+        FROM j JOIN read_parquet('{gold}') g
+          ON g.mention_id_a = j.record_id_a
+         AND g.mention_id_b = j.record_id_b
+        WHERE floor(j.jaccard * 1000000) IS NOT NULL
+      ),
+      r AS (
+        SELECT is_a,
+               (2 * rank() OVER (ORDER BY vm)
+                + count(*) OVER (PARTITION BY vm) - 1)::BIGINT AS rank2
+        FROM lab
+      ),
+      agg AS (
+        SELECT coalesce(sum(is_a), 0)::BIGINT AS na,
+               coalesce(sum(1 - is_a), 0)::BIGINT AS nb,
+               coalesce(sum(CASE WHEN is_a = 1 THEN rank2 ELSE 0 END),
+                        0)::BIGINT AS r2a
+        FROM r
+      ),
+      nv AS (SELECT count(DISTINCT vm)::BIGINT AS n_values FROM lab)
+      SELECT na AS n_a, nb AS n_b, n_values,
+             (r2a - na * (na + 1))::BIGINT AS u2_a,
+             (CASE WHEN na > 0 AND nb > 0 THEN
+                (1000000 * (r2a - na * (na + 1))) // (2 * na * nb)
+              END)::BIGINT AS auc_ppm,
+             (CASE WHEN na > 0 AND nb > 0 THEN
+                2 * ((1000000 * (r2a - na * (na + 1))) // (2 * na * nb))
+                - 1000000
+              END)::BIGINT AS rank_biserial_ppm
+      FROM agg, nv
     """
     # er_rule_kappa: chance-corrected agreement of the two fuzzy rules in
     # ONE exact fraction kappa = (n·g − P)/(n² − P), spearman-staged
@@ -12530,6 +12609,7 @@ def _er_oracles() -> dict[str, str]:
         "er_golden_record": golden_sql,
         "er_match_rule_report": rule_report_sql,
         "er_rule_kappa": rule_kappa_sql,
+        "er_scorer_auc": scorer_auc_sql,
         "er_sorted_lev": sorted_lev_sql,
         "er_blocking_budget": blocking_budget_sql,
         "er_source_reliability": source_reliability_sql,
@@ -13092,6 +13172,7 @@ _DRIVER_ORDER = [
     "events_bot_flags", "er_assortativity", "doc_norm_ladder_dedup",
     "lineitem_promo_effect", "er_sorted_lev", "orders_aging",
     "relational_table_digests", "er_blocking_budget", "events_churn_risk",
+    "er_scorer_auc",
 ]
 
 

@@ -2883,3 +2883,24 @@ def test_churn_risk_hand_computed(spark):
     assert (u2["silence_s"], u2["risk_milli"], u2["at_risk"]) == (
         0, 0, False,
     )
+
+
+def test_scorer_auc_perfect_and_random(spark):
+    from blink_spark.operators.profile import mann_whitney_u
+
+    # perfect scorer: every true pair outscores every false pair
+    rows = [(True, 0.9), (True, 0.8), (False, 0.2), (False, 0.1)]
+    df = spark.createDataFrame(rows, ["same_entity", "jaccard"])
+    got = mann_whitney_u(
+        df, "cast(floor(jaccard * 1000000) as bigint)", "same_entity"
+    ).collect()[0]
+    assert got["auc_ppm"] == 1_000_000
+
+    # coin-flip scorer: identical score for all -> AUC exactly 0.5
+    rows2 = [(True, 0.5), (True, 0.5), (False, 0.5), (False, 0.5)]
+    got2 = mann_whitney_u(
+        spark.createDataFrame(rows2, ["same_entity", "jaccard"]),
+        "cast(floor(jaccard * 1000000) as bigint)",
+        "same_entity",
+    ).collect()[0]
+    assert got2["auc_ppm"] == 500_000

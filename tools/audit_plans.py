@@ -424,6 +424,10 @@ ALLOWLIST: dict[str, frozenset[str]] = {
     "events_churn_risk": frozenset(
         {"BroadcastNestedLoopJoin", "Exchange SinglePartition"}
     ),
+    # er_scorer_auc: the lineitem_mannwhitney class — rank-weighted
+    # group sums in ONE scalar aggregate over the score-frequency table
+    # (map-side partials, one-row finalize); two-phase running-sum ranks.
+    "er_scorer_auc": frozenset({"Exchange SinglePartition"}),
 }
 
 # Exchange SinglePartition is only allowed when feeding a scalar finalize:

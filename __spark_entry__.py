@@ -7352,6 +7352,35 @@ def _er_sorted_lev(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@_q("er_alias_pairs", None)  # oracle injected below (fixture path)
+def _er_alias_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """Alias-pair mining from the labeled mentions: unordered pairs of
+    DISTINCT normalized surfaces that co-occur under the same entity —
+    the entity's alias set, with support = the number of corroborating
+    entities — the data-driven counterpart of the curated
+    nickname dictionary (mine synonyms, then curate). Distinct
+    (entity, surface) collapse, entity-keyed self equi-join (quadratic
+    only in surfaces per entity — bounded), support partial agg with a
+    deterministic threshold."""
+    from blink_spark.functions.text import normalize_text
+
+    m = _fx(spark, "mentions").filter(
+        F.col("label_id").isNotNull() & F.col("mention").isNotNull()
+    )
+    es = m.select(
+        F.col("label_id").alias("ent"),
+        normalize_text(F.col("mention")).alias("s"),
+    ).distinct()
+    a = es.select("ent", F.col("s").alias("surface_a"))
+    b = es.select("ent", F.col("s").alias("surface_b"))
+    return (
+        a.join(b, "ent")
+        .filter(F.col("surface_a") < F.col("surface_b"))
+        .groupBy("surface_a", "surface_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_entities"))
+    )
+
+
 @_q("er_scorer_auc", None)  # oracle injected below (fixture path)
 def _er_scorer_auc(spark: SparkSession, sf: str) -> DataFrame:
     """Ranking AUC of the Jaccard scorer against the gold labels — the
@@ -9721,6 +9750,19 @@ def _er_oracles() -> dict[str, str]:
                <= floor(greatest(length(na), length(nb)) * 7 / 100)))
                AS bridged
       FROM j
+    """
+    # er_alias_pairs: distinct (entity, surface) self-join, a < b —
+    # the mined alias table with entity-support counts.
+    alias_pairs_sql = f"""
+      WITH es AS (
+        SELECT DISTINCT label_id AS ent, {_norm_m} AS s
+        FROM read_parquet('{men}')
+        WHERE label_id IS NOT NULL AND mention IS NOT NULL
+      )
+      SELECT a.s AS surface_a, b.s AS surface_b,
+             count(*)::BIGINT AS n_entities
+      FROM es a JOIN es b ON a.ent = b.ent AND a.s < b.s
+      GROUP BY 1, 2
     """
     # er_scorer_auc: Mann-Whitney AUC of the jaccard scorer vs gold —
     # window-rank twin of the lineitem_mannwhitney oracle over scored j.
@@ -12610,6 +12652,7 @@ def _er_oracles() -> dict[str, str]:
         "er_match_rule_report": rule_report_sql,
         "er_rule_kappa": rule_kappa_sql,
         "er_scorer_auc": scorer_auc_sql,
+        "er_alias_pairs": alias_pairs_sql,
         "er_sorted_lev": sorted_lev_sql,
         "er_blocking_budget": blocking_budget_sql,
         "er_source_reliability": source_reliability_sql,
@@ -13172,7 +13215,7 @@ _DRIVER_ORDER = [
     "events_bot_flags", "er_assortativity", "doc_norm_ladder_dedup",
     "lineitem_promo_effect", "er_sorted_lev", "orders_aging",
     "relational_table_digests", "er_blocking_budget", "events_churn_risk",
-    "er_scorer_auc",
+    "er_scorer_auc", "er_alias_pairs",
 ]
 
 

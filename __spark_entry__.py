@@ -2782,6 +2782,65 @@ def _embedding_elbow_inertia(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @_q(
+    "embedding_twonn_id",
+    """
+    WITH q AS (
+      SELECT vec_id AS id,
+             list_transform(embedding,
+                            x -> floor(x::DOUBLE * 1000000)::BIGINT) AS qv
+      FROM embeddings
+    ),
+    e AS (
+      SELECT id, generate_subscripts(qv, 1) AS dim, unnest(qv) AS v FROM q
+    ),
+    d AS (
+      SELECT a.id AS ia, b.id AS ib,
+             sum((a.v - b.v) * (a.v - b.v))::BIGINT AS d2
+      FROM e a JOIN e b ON a.dim = b.dim AND a.id != b.id
+      GROUP BY 1, 2
+    ),
+    nn AS (
+      SELECT ia, d2,
+             row_number() OVER (PARTITION BY ia ORDER BY d2 ASC) AS rk
+      FROM d WHERE d2 > 0
+    ),
+    mu AS (
+      SELECT ia, count(*)::BIGINT AS k,
+             min(CASE WHEN rk = 1 THEN d2 END)::BIGINT AS d1,
+             min(CASE WHEN rk = 2 THEN d2 END)::BIGINT AS d2n
+      FROM nn WHERE rk <= 2 GROUP BY 1
+    ),
+    lm AS (
+      SELECT ((floor(ln(d2n::DOUBLE) * 1000000)::BIGINT
+               - floor(ln(d1::DOUBLE) * 1000000)::BIGINT) // 2)::BIGINT
+               AS lnmu
+      FROM mu WHERE k = 2
+    ),
+    est AS (
+      SELECT count(*)::BIGINT AS n_used,
+             coalesce(sum(lnmu), 0)::BIGINT AS s
+      FROM lm
+    ),
+    np AS (SELECT count(*)::BIGINT AS n_points FROM q)
+    SELECT n_points, n_used, s AS sum_lnmu_micro,
+           (CASE WHEN s > 0 THEN (1000000000 * n_used) // s END)::BIGINT
+             AS id_milli
+    FROM np, est
+    """,
+)
+def _embedding_twonn_id(spark: SparkSession, sf: str) -> DataFrame:
+    """TwoNN intrinsic-dimension estimate (Facco 2017) of the embedding
+    cloud: ID ~ n / sum ln(d2/d1) over each point's two nearest
+    neighbours — how much structure the ambient dims actually carry
+    (the PQ/JL compression-budget justification). Exact integer squared
+    distances; ln only as floor micro-nats on exact integers; duplicate
+    points excluded per the TwoNN convention."""
+    from blink_spark.operators.ann import twonn_intrinsic_dim
+
+    return twonn_intrinsic_dim(_t(spark, sf, "embeddings"))
+
+
+@_q(
     "embedding_jl_ratio",
     """
     WITH q AS (
@@ -13215,7 +13274,7 @@ _DRIVER_ORDER = [
     "events_bot_flags", "er_assortativity", "doc_norm_ladder_dedup",
     "lineitem_promo_effect", "er_sorted_lev", "orders_aging",
     "relational_table_digests", "er_blocking_budget", "events_churn_risk",
-    "er_scorer_auc", "er_alias_pairs",
+    "er_scorer_auc", "er_alias_pairs", "embedding_twonn_id",
 ]
 
 

@@ -801,3 +801,93 @@ def elbow_inertia(
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+def twonn_intrinsic_dim(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """TwoNN intrinsic-dimension estimate (Facco et al. 2017): the
+    embedding cloud's EFFECTIVE dimensionality from each point's two
+    nearest neighbours — ID ≈ n / Σ ln(d₂/d₁). Tells the ANN/projection
+    family how much structure the 64 ambient dims actually carry (a
+    low ID justifies aggressive PQ/JL compression; ID ≈ ambient means
+    no free lunch).
+
+    Determinism/parity: squared distances are exact integers on the
+    1e6-quantized vectors; ln enters only as floor(ln(d²)·1e6) micro-
+    nats on those exact integers (the heaps/zipf convention), and
+    ln(d₂/d₁) = (ln d₂² − ln d₁²)/2 in integer micro-nats. Zero-distance
+    neighbours (exact duplicates) are excluded per the TwoNN convention
+    — d₁ = 0 would make the ratio infinite.
+
+    Scale notes: the all-pairs distance table is the documented exact-
+    baseline crossJoin (the brute-force-topk class — at scale feed this
+    from the LSH/IVF candidate pairs instead); neighbour picks are a
+    point-keyed window (bounded per point), the estimate is a one-row
+    finalize.
+
+    Returns one row: (n_points, n_used, sum_lnmu_micro, id_milli).
+    """
+    q = emb.select(
+        F.col(id_col).alias("id"),
+        F.expr(
+            f"transform({vec_col}, x ->"
+            " cast(floor(cast(x as double) * 1000000) as bigint))"
+        ).alias("qv"),
+    )
+    a = q.select(F.col("id").alias("ia"), F.col("qv").alias("va"))
+    b = q.select(F.col("id").alias("ib"), F.col("qv").alias("vb"))
+    d = (
+        a.crossJoin(b)
+        .filter("ia != ib")
+        .select(
+            "ia",
+            F.expr(
+                "aggregate(zip_with(va, vb, (x, y) -> (x - y) * (x - y)),"
+                " cast(0 as bigint), (acc, v) -> acc + v)"
+            ).alias("d2"),
+        )
+        .filter("d2 > 0")
+    )
+    w = Window.partitionBy("ia").orderBy(F.col("d2").asc())
+    nn = d.select(
+        "ia", "d2", F.row_number().over(w).alias("rk")
+    ).filter("rk <= 2")
+    mu = (
+        nn.groupBy("ia")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("k"),
+            F.min(F.when(F.col("rk") == 1, F.col("d2"))).alias("d1"),
+            F.min(F.when(F.col("rk") == 2, F.col("d2"))).alias("d2n"),
+        )
+        .filter("k = 2")
+        .select(
+            F.expr(
+                "(cast(floor(ln(cast(d2n as double)) * 1000000) as bigint)"
+                " - cast(floor(ln(cast(d1 as double)) * 1000000) as bigint))"
+                " div 2"
+            )
+            .cast("long")
+            .alias("lnmu_micro")
+        )
+    )
+    n_all = q.agg(F.count(F.lit(1)).cast("long").alias("n_points"))
+    est = mu.agg(
+        F.count(F.lit(1)).cast("long").alias("n_used"),
+        F.coalesce(F.sum("lnmu_micro"), F.lit(0))
+        .cast("long")
+        .alias("sum_lnmu_micro"),
+    )
+    return n_all.crossJoin(F.broadcast(est)).select(
+        "n_points",
+        "n_used",
+        "sum_lnmu_micro",
+        F.expr(
+            "CASE WHEN sum_lnmu_micro > 0 THEN"
+            " (1000000000 * n_used) div sum_lnmu_micro END"
+        )
+        .cast("long")
+        .alias("id_milli"),
+    )

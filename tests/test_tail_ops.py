@@ -2904,3 +2904,43 @@ def test_scorer_auc_perfect_and_random(spark):
         "same_entity",
     ).collect()[0]
     assert got2["auc_ppm"] == 500_000
+
+
+def test_twonn_intrinsic_dim_line_vs_plane(spark):
+    import hashlib
+
+    from blink_spark.operators.ann import twonn_intrinsic_dim
+
+    def h(i, d):
+        return (
+            int(hashlib.md5(f"id:{i}:{d}".encode()).hexdigest()[:6], 16)
+            % 2000 - 1000
+        ) / 1000.0
+
+    # 1-D manifold embedded in 4 dims, POISSON-spaced (an equidistant
+    # grid is degenerate for TwoNN — d1 = d2 everywhere — and bounded
+    # jitter anti-clusters; exponential gaps match the estimator's
+    # sampling model)
+    import math
+
+    xs, acc = [], 0.0
+    for i in range(60):
+        u = (int(hashlib.md5(f"g:{i}".encode()).hexdigest()[:6], 16)
+             % 10000 + 1) / 10001.0
+        acc += -math.log(u)
+        xs.append(acc)
+    line = [(i, [x / 50.0, 2 * x / 50.0, -x / 50.0, 0.5 * x / 50.0])
+            for i, x in enumerate(xs)]
+    got1 = twonn_intrinsic_dim(
+        spark.createDataFrame(line, "vec_id long, embedding array<double>")
+    ).collect()[0]
+    assert got1["n_points"] == 60 and got1["n_used"] == 60
+    assert 800 <= got1["id_milli"] <= 1600  # ~1-dimensional
+
+    # full-rank 4-D noise: ID estimate well above the line's
+    noise = [(i, [h(i, d) for d in range(4)]) for i in range(60)]
+    got2 = twonn_intrinsic_dim(
+        spark.createDataFrame(noise, "vec_id long, embedding array<double>")
+    ).collect()[0]
+    assert got2["id_milli"] > 3000  # ~4-dimensional noise
+    assert got2["id_milli"] > got1["id_milli"]

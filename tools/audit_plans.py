@@ -428,6 +428,13 @@ ALLOWLIST: dict[str, frozenset[str]] = {
     # group sums in ONE scalar aggregate over the score-frequency table
     # (map-side partials, one-row finalize); two-phase running-sum ranks.
     "er_scorer_auc": frozenset({"Exchange SinglePartition"}),
+    # embedding_twonn_id: the all-pairs distance table is the documented
+    # exact-baseline crossJoin (ann_bruteforce class — feed from LSH/IVF
+    # candidates at scale); the estimate is a one-row finalize broadcast
+    # onto the one-row point count.
+    "embedding_twonn_id": frozenset(
+        {"BroadcastNestedLoopJoin", "Exchange SinglePartition"}
+    ),
 }
 
 # Exchange SinglePartition is only allowed when feeding a scalar finalize:

@@ -2430,6 +2430,70 @@ def _orders_aging(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @_q(
+    "lineitem_ship_latency",
+    """
+    WITH j AS (
+      SELECT ((year(o.o_orderdate) - 1995) * 12
+              + month(o.o_orderdate) - 1)::BIGINT AS month_idx,
+             date_diff('day', o.o_orderdate::DATE,
+                       l.l_shipdate::DATE)::BIGINT AS lat
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+      WHERE o.o_orderdate IS NOT NULL AND l.l_shipdate IS NOT NULL
+    )
+    SELECT month_idx, count(*)::BIGINT AS n_items,
+           (CASE WHEN sum(lat) >= 0
+             THEN (1000 * sum(lat)) // count(*)
+             ELSE -((-(1000 * sum(lat))) // count(*)) END)::BIGINT
+             AS mean_days_milli,
+           min(lat)::BIGINT AS min_days, max(lat)::BIGINT AS max_days,
+           ((1000000 * coalesce(sum(CASE WHEN lat > 90 THEN 1 END), 0))
+            // count(*))::BIGINT AS late_share_ppm
+    FROM j GROUP BY 1
+    """,
+)
+def _lineitem_ship_latency(spark: SparkSession, sf: str) -> DataFrame:
+    """Order-to-ship latency per order month: exact integer day
+    differences through the lineitem-orders equi-join (the co-located
+    join shape), mean in milli-days, min/max, and the >90-day late
+    share — the fulfilment SLA readout. Latency CAN be negative (dirty
+    or, as in the synthetic fixture, unrelated dates): the mean uses
+    sign-safe division and min_days surfaces the worst offender."""
+    li = _t(spark, sf, "lineitem")
+    od = _t(spark, sf, "orders")
+    j = (
+        li.join(od, li["l_orderkey"] == od["o_orderkey"])
+        .filter("o_orderdate IS NOT NULL AND l_shipdate IS NOT NULL")
+        .select(
+            F.expr(
+                "cast((year(o_orderdate) - 1995) * 12"
+                " + month(o_orderdate) - 1 as bigint)"
+            ).alias("month_idx"),
+            F.expr(
+                "cast(datediff(to_date(l_shipdate), to_date(o_orderdate))"
+                " as bigint)"
+            ).alias("lat"),
+        )
+    )
+    return j.groupBy("month_idx").agg(
+        F.count(F.lit(1)).cast("long").alias("n_items"),
+        F.expr(
+            "CASE WHEN sum(lat) >= 0 THEN (1000 * sum(lat)) div count(1)"
+            " ELSE -((-(1000 * sum(lat))) div count(1)) END"
+        )
+        .cast("long")
+        .alias("mean_days_milli"),
+        F.min("lat").cast("long").alias("min_days"),
+        F.max("lat").cast("long").alias("max_days"),
+        F.expr(
+            "(1000000 * coalesce(sum(CASE WHEN lat > 90 THEN 1 END), 0))"
+            " div count(1)"
+        )
+        .cast("long")
+        .alias("late_share_ppm"),
+    )
+
+
+@_q(
     "lineitem_promo_effect",
     """
     WITH base AS (
@@ -13275,6 +13339,7 @@ _DRIVER_ORDER = [
     "lineitem_promo_effect", "er_sorted_lev", "orders_aging",
     "relational_table_digests", "er_blocking_budget", "events_churn_risk",
     "er_scorer_auc", "er_alias_pairs", "embedding_twonn_id",
+    "lineitem_ship_latency",
 ]
 
 

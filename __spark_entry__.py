@@ -1260,6 +1260,56 @@ def _doc_rake_keywords(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @_q(
+    "doc_term_burstiness",
+    f"""
+    WITH t AS (
+      SELECT doc_id AS d, tok
+      FROM (
+        SELECT doc_id, unnest(string_split({_norm('text')}, ' ')) AS tok
+        FROM documents
+      ) WHERE tok != ''
+    ),
+    stats AS (
+      SELECT tok, count(*)::BIGINT AS cf,
+             count(DISTINCT d)::BIGINT AS df
+      FROM t GROUP BY 1
+      HAVING count(DISTINCT d) >= 5
+    )
+    SELECT tok AS term, cf, df,
+           ((1000 * cf) // df)::BIGINT AS burstiness_milli
+    FROM stats
+    """,
+)
+def _doc_term_burstiness(spark: SparkSession, sf: str) -> DataFrame:
+    """Term burstiness (Church-Gale): mean occurrences per CONTAINING
+    document, cf/df in exact milli — content words burst (a doc about
+    'whales' says it many times), function words spread evenly; the
+    lexical statistic behind stopword and keyword decisions, beside
+    idf. One (doc, token) pass + token finalize; df >= 5 deterministic
+    threshold."""
+    from blink_spark.functions.text import normalize_text
+
+    d = _t(spark, sf, "documents")
+    t = d.select(
+        F.col("doc_id").alias("d"),
+        F.explode(F.split(normalize_text(F.col("text")), " ")).alias("tok"),
+    ).filter("tok != ''")
+    per = t.groupBy("d", "tok").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    stats = per.groupBy("tok").agg(
+        F.sum("c").cast("long").alias("cf"),
+        F.count(F.lit(1)).cast("long").alias("df"),
+    ).filter(F.col("df") >= 5)
+    return stats.select(
+        F.col("tok").alias("term"),
+        "cf",
+        "df",
+        F.expr("(1000 * cf) div df").cast("long").alias("burstiness_milli"),
+    )
+
+
+@_q(
     "doc_simpson_diversity",
     f"""
     WITH t AS (
@@ -13339,7 +13389,7 @@ _DRIVER_ORDER = [
     "lineitem_promo_effect", "er_sorted_lev", "orders_aging",
     "relational_table_digests", "er_blocking_budget", "events_churn_risk",
     "er_scorer_auc", "er_alias_pairs", "embedding_twonn_id",
-    "lineitem_ship_latency",
+    "lineitem_ship_latency", "doc_term_burstiness",
 ]
 
 

@@ -2544,6 +2544,113 @@ def _lineitem_ship_latency(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @_q(
+    "supplier_nation_hhi",
+    """
+    WITH c AS (
+      SELECT s_nationkey AS nk, count(*)::BIGINT AS c FROM supplier
+      GROUP BY 1
+    ),
+    agg AS (
+      SELECT coalesce(sum(c), 0)::BIGINT AS n,
+             count(*)::BIGINT AS n_nations,
+             coalesce(sum(c * c), 0)::BIGINT AS s2,
+             max(c)::BIGINT AS top_c
+      FROM c
+    )
+    SELECT n AS n_suppliers, n_nations,
+           (CASE WHEN n * n = 0 THEN 0
+                 WHEN n * n >= 1000000 THEN s2 // ((n * n) // 1000000)
+                 ELSE (1000000 * s2) // (n * n) END)::BIGINT AS hhi_ppm,
+           (CASE WHEN n > 0 THEN (1000000 * top_c) // n
+            ELSE 0 END)::BIGINT AS top_share_ppm
+    FROM agg
+    """,
+)
+def _supplier_nation_hhi(spark: SparkSession, sf: str) -> DataFrame:
+    """Supplier concentration by nation: Herfindahl-Hirschman index
+    Σ share² in ppm (spearman-staged, exact to ~3e9 suppliers) + top
+    nation share — the supply-chain concentration-risk readout
+    (1e6/n_nations = perfectly spread, 1e6 = single point of failure).
+    One nation partial agg + one-row finalize."""
+    sup = _t(spark, sf, "supplier")
+    c = sup.groupBy(F.col("s_nationkey").alias("nk")).agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    agg = c.agg(
+        F.coalesce(F.sum("c"), F.lit(0)).cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("n_nations"),
+        F.coalesce(F.sum(F.expr("c * c")), F.lit(0)).cast("long").alias("s2"),
+        F.max("c").cast("long").alias("top_c"),
+    )
+    return agg.select(
+        F.col("n").alias("n_suppliers"),
+        "n_nations",
+        F.expr(
+            "CASE WHEN n * n = 0 THEN 0"
+            " WHEN n * n >= 1000000 THEN s2 div ((n * n) div 1000000)"
+            " ELSE (1000000 * s2) div (n * n) END"
+        )
+        .cast("long")
+        .alias("hhi_ppm"),
+        F.expr("CASE WHEN n > 0 THEN (1000000 * top_c) div n ELSE 0 END")
+        .cast("long")
+        .alias("top_share_ppm"),
+    )
+
+
+@_q(
+    "customer_order_histogram",
+    """
+    WITH per AS (
+      SELECT c.c_custkey, count(o.o_orderkey)::BIGINT AS n_orders
+      FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+      GROUP BY 1
+    ),
+    b AS (
+      SELECT (CASE WHEN n_orders >= 5 THEN 5 ELSE n_orders END)::BIGINT
+               AS bucket
+      FROM per
+    ),
+    h AS (SELECT bucket, count(*)::BIGINT AS n_customers FROM b GROUP BY 1),
+    t AS (SELECT coalesce(sum(n_customers), 0)::BIGINT AS tot FROM h)
+    SELECT h.bucket AS n_orders_bucket, h.n_customers,
+           ((1000000 * h.n_customers) // t.tot)::BIGINT AS share_ppm
+    FROM h CROSS JOIN t
+    """,
+)
+def _customer_order_histogram(spark: SparkSession, sf: str) -> DataFrame:
+    """Customer engagement histogram: customers by order count (0
+    included via the left join — silent non-buyers are the point),
+    capped at the 5+ bucket; exact ppm shares. Left anti-ish count +
+    bucket agg + one-row total broadcast."""
+    cu = _t(spark, sf, "customer")
+    od = _t(spark, sf, "orders")
+    per = (
+        cu.join(od, cu["c_custkey"] == od["o_custkey"], "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").cast("long").alias("n_orders"))
+    )
+    b = per.select(
+        F.expr(
+            "cast(CASE WHEN n_orders >= 5 THEN 5 ELSE n_orders END as bigint)"
+        ).alias("bucket")
+    )
+    h = b.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers")
+    )
+    t = h.agg(
+        F.coalesce(F.sum("n_customers"), F.lit(0)).cast("long").alias("tot")
+    )
+    return h.crossJoin(F.broadcast(t)).select(
+        F.col("bucket").alias("n_orders_bucket"),
+        "n_customers",
+        F.expr("(1000000 * n_customers) div tot").cast("long").alias(
+            "share_ppm"
+        ),
+    )
+
+
+@_q(
     "lineitem_promo_effect",
     """
     WITH base AS (
@@ -13389,7 +13496,8 @@ _DRIVER_ORDER = [
     "lineitem_promo_effect", "er_sorted_lev", "orders_aging",
     "relational_table_digests", "er_blocking_budget", "events_churn_risk",
     "er_scorer_auc", "er_alias_pairs", "embedding_twonn_id",
-    "lineitem_ship_latency", "doc_term_burstiness",
+    "lineitem_ship_latency", "doc_term_burstiness", "supplier_nation_hhi",
+    "customer_order_histogram",
 ]
 
 

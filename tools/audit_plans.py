@@ -428,6 +428,17 @@ ALLOWLIST: dict[str, frozenset[str]] = {
     # group sums in ONE scalar aggregate over the score-frequency table
     # (map-side partials, one-row finalize); two-phase running-sum ranks.
     "er_scorer_auc": frozenset({"Exchange SinglePartition"}),
+    # supplier_nation_hhi: one ≤25-row nation partial agg, then the one-row
+    # HHI finalize — the er_fs_weights scalar-aggregate class; nothing
+    # supplier-scale crosses the exchange.
+    "supplier_nation_hhi": frozenset({"Exchange SinglePartition"}),
+    # customer_order_histogram: the ≤6-row bucket histogram's one-row total
+    # is broadcast back onto it for ppm shares — the events_gap_histogram
+    # scalar-denominator pattern; the customer/order streams never cross
+    # either node.
+    "customer_order_histogram": frozenset(
+        {"BroadcastNestedLoopJoin", "Exchange SinglePartition"}
+    ),
     # embedding_twonn_id: the all-pairs distance table is the documented
     # exact-baseline crossJoin (ann_bruteforce class — feed from LSH/IVF
     # candidates at scale); the estimate is a one-row finalize broadcast

@@ -113,18 +113,54 @@ def hamming64(a: Column | str, b: Column | str) -> Column:
 EMB_DIM = 64
 
 
+# token -> (64-bit hash int, sign). The featurizer is a pure function of the
+# token, so memoizing is semantics-free; the cache lives in the (reused)
+# Python worker process and is bounded below. blake2b per token OCCURRENCE
+# was the dominant cost of the old row loop — now it runs once per DISTINCT
+# token per process.
+_TOK_CACHE: dict[str, tuple[int, float]] = {}
+_TOK_CACHE_MAX = 4_000_000
+
+
+def _tok_feature(tok: str) -> tuple[int, float]:
+    f = _TOK_CACHE.get(tok)
+    if f is None:
+        d = hashlib.blake2b(tok.encode(), digest_size=9).digest()
+        f = (int.from_bytes(d[:8], "big"), 1.0 if d[8] & 1 else -1.0)
+        if len(_TOK_CACHE) >= _TOK_CACHE_MAX:
+            _TOK_CACHE.clear()
+        _TOK_CACHE[tok] = f
+    return f
+
+
 def _embed_batch(texts: pd.Series, dim: int) -> pd.Series:
+    """Vectorized hashing-trick embedding — bit-identical to the original
+    per-token loop: each cell accumulates an exact integer (±1 sums in
+    float64 are order-independent), and the per-row ``np.linalg.norm(v)`` /
+    divide / float32 cast call path is unchanged."""
+    toks_list = [(t or "").lower().split() for t in texts]
+    n_rows = len(toks_list)
+    mat = np.zeros((n_rows, dim), dtype=np.float64)
+    flat = [tok for tl in toks_list for tok in tl]
+    if flat:
+        rows = np.repeat(
+            np.arange(n_rows, dtype=np.int64),
+            np.fromiter((len(tl) for tl in toks_list), dtype=np.int64, count=n_rows),
+        )
+        codes, uniques = pd.factorize(pd.Series(flat, dtype=object))
+        uidx = np.empty(len(uniques), dtype=np.int64)
+        usign = np.empty(len(uniques), dtype=np.float64)
+        for j, tok in enumerate(uniques):
+            h, s = _tok_feature(tok)
+            uidx[j] = h % dim
+            usign[j] = s
+        np.add.at(mat, (rows, uidx[codes]), usign[codes])
     out = []
-    for t in texts:
-        v = np.zeros(dim, dtype=np.float64)
-        for tok in (t or "").lower().split():
-            d = hashlib.blake2b(tok.encode(), digest_size=9).digest()
-            idx = int.from_bytes(d[:8], "big")
-            sign = 1.0 if d[8] & 1 else -1.0
-            v[idx % dim] += sign
+    for i in range(n_rows):
+        v = mat[i]
         n = np.linalg.norm(v)
         if n > 0:
-            v /= n
+            v = v / n
         out.append(v.astype(np.float32).tolist())
     return pd.Series(out)
 

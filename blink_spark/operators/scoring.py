@@ -138,10 +138,14 @@ def score_pairs_cascade(
     (exact Levenshtein ratio, Jaro-Winkler pandas UDF, embedding cosine) are
     computed only on the plausible branch. Pandas UDFs run as
     ArrowEvalPython plan nodes — a ``F.when`` guard does NOT stop them from
-    evaluating on every row, so the cascade is structural: filter → score →
-    union. The decision rule is identical in both branches, so the cascade
-    changes cost, never semantics — the Spark translation of the reference's
-    filter-before-crossencoder staging
+    evaluating on every row, so WITH the Jaro-Winkler UDF the cascade is
+    structural: filter → score → union. Without it (``with_jw=False``, the
+    default) every remaining expression is a JVM codegen one, where CASE
+    WHEN genuinely short-circuits — the cascade collapses to a single pass
+    (``_score_cascade_single_pass``) that avoids evaluating the upstream
+    pair DAG once per branch. The decision rule is identical in both
+    branches, so the cascade changes cost, never semantics — the Spark
+    translation of the reference's filter-before-crossencoder staging
     (/root/reference/blink/crossencoder/data_process.py:89-112).
 
     ``plausible_threshold`` is the fraction of the match thresholds a pair
@@ -161,11 +165,16 @@ def score_pairs_cascade(
     exact_lev = F.when(
         m > 0, 1.0 - F.levenshtein("norm_a", "norm_b").cast("double") / m
     ).otherwise(F.lit(1.0))
-    jw_col = (
-        F.round(jaro_winkler_udf("norm_a", "norm_b"), 6)
-        if with_jw
-        else F.lit(None).cast("double")
-    )
+    if not with_jw:
+        # No Python node in the plan ⇒ the structural filter→union cascade
+        # is unnecessary: codegen CASE WHEN evaluates the expensive branch
+        # (exact Levenshtein, cosine fold) lazily, only on plausible rows.
+        # The union form evaluates the whole upstream pair DAG TWICE (once
+        # per branch — only the exchanges are reused); this single-pass form
+        # runs it once. Per-row values are identical: same expressions,
+        # same guard, NULLs on the cold rows.
+        return _score_cascade_single_pass(base, exact_lev, with_emb)
+    jw_col = F.round(jaro_winkler_udf("norm_a", "norm_b"), 6)
     hot = (
         base.filter(F.col("plausible"))
         .withColumn("lev_ratio", F.round(exact_lev, 6))
@@ -203,6 +212,40 @@ def score_pairs_cascade(
         hot = hot.withColumn("score", F.round(lexical, 6))
     cold = cold.withColumn("score", F.col("jaccard") * 0.5)
     return hot.unionByName(cold).drop("plausible")
+
+
+def _score_cascade_single_pass(
+    base: DataFrame, exact_lev, with_emb: bool
+) -> DataFrame:
+    """One-pass cascade (no Python in the plan): CASE WHEN computes the
+    expensive features only on plausible rows, NULL otherwise — the same
+    per-row values and column order the filter→union form produces, without
+    evaluating the upstream pair DAG twice."""
+    p = F.col("plausible")
+    out = base.withColumn("lev_ratio", F.when(p, F.round(exact_lev, 6))).withColumn(
+        "jw", F.lit(None).cast("double")
+    )
+    lexical = F.col("lev_ratio")
+    if with_emb:
+        if "emb_n_a" in base.columns:
+            # prepped per-record norms: one interpreted fold per pair
+            # (the cross dot) instead of three
+            from blink_spark.functions.similarity import dot
+
+            denom = F.col("emb_n_a") * F.col("emb_n_b")
+            cos_expr = F.when(denom > 0, dot("emb_a", "emb_b") / denom).otherwise(
+                F.lit(0.0)
+            )
+        else:
+            cos_expr = cosine("emb_a", "emb_b")
+        out = out.withColumn("emb_cos", F.when(p, F.round(cos_expr, 6)))
+        hot_score = F.round(0.4 * (F.col("emb_cos") + 1.0) / 2.0 + 0.6 * lexical, 6)
+    else:
+        hot_score = F.round(lexical, 6)
+    out = out.withColumn(
+        "score", F.when(p, hot_score).otherwise(F.col("jaccard") * 0.5)
+    )
+    return out.drop("plausible")
 
 
 def match_edges(scored: DataFrame) -> DataFrame:

@@ -242,18 +242,22 @@ def connected_components(
 
 
 def assign_clusters(
-    records: DataFrame, id_col: str, edges: DataFrame
+    records: DataFrame, id_col: str, edges: DataFrame,
+    assume_unique: bool = False,
 ) -> DataFrame:
-    """All records (including singletons) → (record_id, cluster_id)."""
+    """All records (including singletons) → (record_id, cluster_id).
+
+    ``assume_unique=True`` skips the defensive ``distinct()`` — a full
+    shuffle of every record id — for callers whose id column is unique by
+    construction (the pipeline's contracted reps are a groupBy output).
+    Identical result; one exchange less."""
     comp = connected_components(edges)
-    return (
-        records.select(F.col(id_col).alias("record_id"))
-        .distinct()
-        .join(comp, "record_id", "left")
-        .select(
-            "record_id",
-            F.coalesce("cluster_id", "record_id").alias("cluster_id"),
-        )
+    ids = records.select(F.col(id_col).alias("record_id"))
+    if not assume_unique:
+        ids = ids.distinct()
+    return ids.join(comp, "record_id", "left").select(
+        "record_id",
+        F.coalesce("cluster_id", "record_id").alias("cluster_id"),
     )
 
 

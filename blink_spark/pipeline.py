@@ -357,7 +357,7 @@ def run_pipeline(
     p_clusters = _stage_path(out_dir, "clusters")
     if force or not _exists(p_clusters):
         edges = match_edges(scored)
-        rep_clusters = assign_clusters(reps, "record_id", edges)
+        rep_clusters = assign_clusters(reps, "record_id", edges, assume_unique=True)
         clusters = expand_contracted_clusters(
             mentions, "mention_id", "mention", rep_clusters
         )
@@ -388,7 +388,13 @@ def _run_pipeline_fused(
     """
     os.makedirs(out_dir, exist_ok=True)
     documents = _read_documents(spark, documents_path)
-    mentions = extract_mentions(documents).persist()
+    # fused mode consumes only (mention_id, mention): contraction and the
+    # final expansion both key on the surface. Selecting them BEFORE the
+    # persist lets Catalyst prune the context_left/right columns, which
+    # removes the per-doc Sort + two Window passes over the exploded span
+    # table from the plan (the checkpointed path keeps the full S1 schema —
+    # its stage table is the resumable contract).
+    mentions = extract_mentions(documents).select("mention_id", "mention").persist()
     reps = exact_contract(mentions, "mention_id", "mention").persist()
 
     tb, _ = df_aware_blocks(
@@ -415,7 +421,7 @@ def _run_pipeline_fused(
     attrs = pairs_with_attrs(pairs, prep, "record_id", ["norm", "toks", "emb", "emb_n"])
     scored = score_pairs_cascade(attrs, with_emb=True, with_jw=cfg.with_jw)
     edges = match_edges(scored)
-    rep_clusters = assign_clusters(reps, "record_id", edges)
+    rep_clusters = assign_clusters(reps, "record_id", edges, assume_unique=True)
     clusters = expand_contracted_clusters(
         mentions, "mention_id", "mention", rep_clusters
     )
@@ -459,7 +465,7 @@ def dedup_documents_pipeline(
     attrs = pairs_with_attrs(pairs, prep, "record_id", ["norm", "toks"])
     scored = score_pairs_prepped_cheap(attrs)
     edges = match_edges(scored)
-    rep_clusters = assign_clusters(reps, "record_id", edges)
+    rep_clusters = assign_clusters(reps, "record_id", edges, assume_unique=True)
     # localCheckpoint is eager: the whole plan materializes here, so every
     # persist this pipeline (or candidate_pairs) registered can be released
     # before returning — no leaked cached RDDs outlive the call.

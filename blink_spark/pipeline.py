@@ -387,14 +387,21 @@ def _run_pipeline_fused(
     same results; no resumability (that's what checkpoints=True is for).
     """
     os.makedirs(out_dir, exist_ok=True)
-    documents = _read_documents(spark, documents_path)
     # fused mode consumes only (mention_id, mention): contraction and the
     # final expansion both key on the surface. Selecting them BEFORE the
     # persist lets Catalyst prune the context_left/right columns, which
     # removes the per-doc Sort + two Window passes over the exploded span
     # table from the plan (the checkpointed path keeps the full S1 schema —
-    # its stage table is the resumable contract).
-    mentions = extract_mentions(documents).select("mention_id", "mention").persist()
+    # its stage table is the resumable contract). With no per-doc window
+    # left, the under-parallel-input repartition moves AFTER the explode,
+    # onto the skinny mention rows — the same parallelism for every
+    # downstream map-side agg at a fraction of the shuffled bytes (the
+    # span/text payload never crosses an exchange).
+    documents = spark.read.parquet(documents_path)
+    m = extract_mentions(documents).select("mention_id", "mention")
+    if _estimated_partitions(documents) < spark.sparkContext.defaultParallelism:
+        m = m.repartition(spark.sparkContext.defaultParallelism)
+    mentions = m.persist()
     reps = exact_contract(mentions, "mention_id", "mention").persist()
 
     tb, _ = df_aware_blocks(

@@ -400,7 +400,10 @@ def _run_pipeline_fused(
     documents = spark.read.parquet(documents_path)
     m = extract_mentions(documents).select("mention_id", "mention")
     if _estimated_partitions(documents) < spark.sparkContext.defaultParallelism:
-        m = m.repartition(spark.sparkContext.defaultParallelism)
+        # keyed on the unique mention_id: hash repartition skips the
+        # round-robin path's sort-before-repartition (SPARK-23207) and
+        # spreads exactly as uniformly
+        m = m.repartition(spark.sparkContext.defaultParallelism, "mention_id")
     mentions = m.persist()
     reps = exact_contract(mentions, "mention_id", "mention").persist()
 
@@ -455,7 +458,9 @@ def dedup_documents_pipeline(
         F.col(id_col).cast("string").alias("record_id"), F.col(text_col).alias("text")
     )
     if _estimated_partitions(recs) < spark.sparkContext.defaultParallelism:
-        recs = recs.repartition(spark.sparkContext.defaultParallelism)
+        # keyed on the unique record_id (vs round-robin): no
+        # sort-before-repartition of the document payload (SPARK-23207)
+        recs = recs.repartition(spark.sparkContext.defaultParallelism, "record_id")
     recs = recs.persist()
     reps = exact_contract(recs, "record_id", "text").persist()
     mh = minhash_blocks(reps, "record_id", "norm",

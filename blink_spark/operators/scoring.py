@@ -31,18 +31,29 @@ from blink_spark.functions.text import normalize_text, tokens
 
 
 def prepare_records(
-    records: DataFrame, id_col: str, text_col: str, with_emb: bool = False
+    records: DataFrame, id_col: str, text_col: str, with_emb: bool = False,
+    pre_normalized: bool = False,
 ) -> DataFrame:
     """Hoist per-record text prep out of the per-pair hot loop: normalized
     form + distinct token array (+ optional hashing-trick embedding) are
     computed once per record, then carried through the pair join. The
     per-pair scoring becomes pure column ops on prepped values — no regex,
-    split, or UDF runs per pair."""
+    split, or UDF runs per pair.
+
+    ``pre_normalized=True`` for callers whose text column is already the
+    normalized form (the pipeline passes the contraction output's ``norm``):
+    normalize_text is idempotent, so skipping the second regex pass over the
+    corpus text changes nothing but the plan."""
+    src = records[text_col]
     cols = [
         records[id_col].alias("record_id"),
-        records[text_col].alias("text"),
-        normalize_text(records[text_col]).alias("norm"),
-        tokens(records[text_col]).alias("toks"),
+        src.alias("text"),
+        (src if pre_normalized else normalize_text(src)).alias("norm"),
+        (
+            F.array_distinct(F.split(src, " "))
+            if pre_normalized
+            else tokens(src)
+        ).alias("toks"),
     ]
     if with_emb:
         from blink_spark.functions.hashing import embed_text_udf

@@ -331,7 +331,8 @@ def run_pipeline(
     # S4 — cascade scoring with biencoder-style embeddings on the hot branch
     p_scored = _stage_path(out_dir, "scored_pairs")
     if force or not _exists(p_scored):
-        prep = prepare_records(reps, "record_id", "norm", with_emb=True)
+        prep = prepare_records(reps, "record_id", "norm", with_emb=True,
+                           pre_normalized=True)
         attrs = pairs_with_attrs(pairs, prep, "record_id", ["norm", "toks", "emb", "emb_n"])
         scored = score_pairs_cascade(attrs, with_emb=True, with_jw=cfg.with_jw)
         metrics = _write_stage(
@@ -427,7 +428,8 @@ def _run_pipeline_fused(
         hard_cap=cfg.hard_cap,
         n_salt=cfg.n_salt,
     )
-    prep = prepare_records(reps, "record_id", "norm", with_emb=True)
+    prep = prepare_records(reps, "record_id", "norm", with_emb=True,
+                           pre_normalized=True)
     attrs = pairs_with_attrs(pairs, prep, "record_id", ["norm", "toks", "emb", "emb_n"])
     scored = score_pairs_cascade(attrs, with_emb=True, with_jw=cfg.with_jw)
     edges = match_edges(scored)
@@ -473,7 +475,7 @@ def dedup_documents_pipeline(
         hard_cap=cfg.hard_cap,
         n_salt=cfg.n_salt,
     )
-    prep = prepare_records(reps, "record_id", "norm")
+    prep = prepare_records(reps, "record_id", "norm", pre_normalized=True)
     attrs = pairs_with_attrs(pairs, prep, "record_id", ["norm", "toks"])
     scored = score_pairs_prepped_cheap(attrs)
     edges = match_edges(scored)

@@ -206,6 +206,7 @@ def _local_cc(cur: DataFrame) -> DataFrame:
 def connected_components(
     edges: DataFrame, max_iter: int = 20, check_every: int = 1,
     local_threshold: int = LOCAL_CC_THRESHOLD,
+    edges_canonical: bool = False,
 ) -> DataFrame:
     """edges(src, dst) → assignments(record_id, cluster_id).
 
@@ -223,7 +224,18 @@ def connected_components(
     micro-batches) exit before any superstep. ``check_every`` is kept for
     signature compatibility; the per-round test is one cheap job.
     """
-    cur = _canonical(edges).localCheckpoint()
+    if edges_canonical:
+        # Caller guarantees DISTINCT, self-loop-free pairs with src < dst
+        # (the pipeline's candidate_pairs emits exactly that, and the
+        # filter/broadcast-join path between it and here preserves both).
+        # Reorienting to this module's u > v convention is a projection —
+        # the defensive greatest/least + distinct would re-shuffle the edge
+        # set for nothing.
+        cur = edges.select(
+            F.col("dst").alias("u"), F.col("src").alias("v")
+        ).localCheckpoint()
+    else:
+        cur = _canonical(edges).localCheckpoint()
     if local_threshold and cur.count() <= local_threshold:
         # the count is free (cur is already materialized). Only the INITIAL
         # canonical set may go local — it provably contains every
@@ -243,15 +255,17 @@ def connected_components(
 
 def assign_clusters(
     records: DataFrame, id_col: str, edges: DataFrame,
-    assume_unique: bool = False,
+    assume_unique: bool = False, edges_canonical: bool = False,
 ) -> DataFrame:
     """All records (including singletons) → (record_id, cluster_id).
 
     ``assume_unique=True`` skips the defensive ``distinct()`` — a full
     shuffle of every record id — for callers whose id column is unique by
     construction (the pipeline's contracted reps are a groupBy output).
-    Identical result; one exchange less."""
-    comp = connected_components(edges)
+    ``edges_canonical=True`` additionally skips the edge canonicalization
+    shuffle when the edges are already distinct src < dst pairs (see
+    ``connected_components``). Identical result; one exchange less each."""
+    comp = connected_components(edges, edges_canonical=edges_canonical)
     ids = records.select(F.col(id_col).alias("record_id"))
     if not assume_unique:
         ids = ids.distinct()

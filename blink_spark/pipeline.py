@@ -358,7 +358,8 @@ def run_pipeline(
     p_clusters = _stage_path(out_dir, "clusters")
     if force or not _exists(p_clusters):
         edges = match_edges(scored)
-        rep_clusters = assign_clusters(reps, "record_id", edges, assume_unique=True)
+        rep_clusters = assign_clusters(reps, "record_id", edges,
+                                   assume_unique=True, edges_canonical=True)
         clusters = expand_contracted_clusters(
             mentions, "mention_id", "mention", rep_clusters
         )
@@ -433,7 +434,8 @@ def _run_pipeline_fused(
     attrs = pairs_with_attrs(pairs, prep, "record_id", ["norm", "toks", "emb", "emb_n"])
     scored = score_pairs_cascade(attrs, with_emb=True, with_jw=cfg.with_jw)
     edges = match_edges(scored)
-    rep_clusters = assign_clusters(reps, "record_id", edges, assume_unique=True)
+    rep_clusters = assign_clusters(reps, "record_id", edges,
+                                   assume_unique=True, edges_canonical=True)
     clusters = expand_contracted_clusters(
         mentions, "mention_id", "mention", rep_clusters
     )
@@ -479,7 +481,8 @@ def dedup_documents_pipeline(
     attrs = pairs_with_attrs(pairs, prep, "record_id", ["norm", "toks"])
     scored = score_pairs_prepped_cheap(attrs)
     edges = match_edges(scored)
-    rep_clusters = assign_clusters(reps, "record_id", edges, assume_unique=True)
+    rep_clusters = assign_clusters(reps, "record_id", edges,
+                                   assume_unique=True, edges_canonical=True)
     # localCheckpoint is eager: the whole plan materializes here, so every
     # persist this pipeline (or candidate_pairs) registered can be released
     # before returning — no leaked cached RDDs outlive the call.
